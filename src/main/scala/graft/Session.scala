@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the settings every entry point shares.
+  *
+  * Scale stance: these configs are the local[32] test shape of what a
+  * 1000-executor deployment would set cluster-side (AQE on, sensible
+  * shuffle partitioning, UTC). Nothing here is semantically load-bearing
+  * except the time zone, which the DuckDB oracle comparison requires.
+  */
+object Session {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries INT64 TIMESTAMP(NANOS); Spark's TimestampType
+      // is micros-only, so read nanos as Long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def getOrCreate(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.registry.GQuery
+
+/** Event-time analytics over the `events` fixture: tumbling / sliding
+  * windows, sessionization, JSON prop extraction (SURVEY.md §2.6 streaming
+  * rows; batch-first per §1.1, with the Structured Streaming variants in
+  * graft.streaming).
+  *
+  * Scale: all of these group/partition by (user_id | window start), which
+  * distributes evenly; sessionization is a single shuffle on user_id
+  * followed by in-partition ordered traversal — no driver state.
+  */
+object EventQueries {
+
+  /** Tumbling 1-hour event-time window via the built-in `window()` —
+    * semantically identical to date_trunc for aligned tumbling windows,
+    * which is what the DuckDB oracle uses.
+    */
+  val q30 = GQuery(
+    "q30_tumbling_window",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Metrics.canonRound(graft.functions.Metrics.exactSum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type"),
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+      count(*) AS n,
+      floor((CAST(sum(CAST(floor((value) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)) * 1e4 + 0.5)/1e4 AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""))
+
+  /** Sliding window: 2-hour length, 1-hour slide — every event lands in two
+    * windows. Oracle replays the same semantics by exploding each event to
+    * its two window starts.
+    */
+  val q31 = GQuery(
+    "q31_sliding_window",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Metrics.canonRound(graft.functions.Metrics.exactMean(col("value")), 4).as("avg_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("win_start"), col("n"), col("avg_value"))
+        .orderBy("win_start"),
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - to_hours(k) AS win_start,
+      count(*) AS n,
+      floor((CAST(sum(CAST(floor((value) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*)) * 1e4 + 0.5)/1e4 AS avg_value
+      FROM events CROSS JOIN (SELECT unnest([0,1]) AS k)
+      GROUP BY 1 ORDER BY win_start"""))
+
+  /** Sessionization by inactivity gap (30 min): the lag/flag/cumsum idiom.
+    * At 100 TB this is one shuffle on user_id; state never leaves the
+    * executor. The streaming twin (mapGroupsWithState) lives in
+    * graft.streaming.EventStreams.
+    */
+  val q32 = GQuery(
+    "q32_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").cast("timestamp_ntz").as("session_start"),
+          max("ts").cast("timestamp_ntz").as("session_end"),
+          (max(col("ts")).cast("long") - min(col("ts")).cast("long")).as("duration_s"))
+        .orderBy("user_id", "sess_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      g AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+      f AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_sess FROM g),
+      s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f)
+      SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+      FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""))
+
+  /** JSON property extraction (`props` is a JSON string) + aggregation. */
+  val q33 = GQuery(
+    "q33_json_extract",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Metrics.canonRound(avg("k"), 4).as("avg_k"),
+          sum(col("k")).cast("long").as("sum_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+      floor((avg(CAST(json_extract_string(props, '$.k') AS INT))) * 1e4 + 0.5)/1e4 AS avg_k,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Per-user daily activity rollup joined against a generated date axis
+    * (D10: sequence+explode) so zero-activity days are preserved.
+    */
+  val q34 = GQuery(
+    "q34_date_axis_activity",
+    (s, dir) => {
+      val days = graft.functions.DateFeatures.dateAxis(s, "2024-01-01", "2024-01-31")
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.Metrics.canonRound(graft.functions.Metrics.exactSum(col("value")), 4).as("sv"))
+      days.join(daily, Seq("d"), "left")
+        .select(col("d").cast("timestamp_ntz").as("d"),
+          coalesce(col("cnt"), lit(0L)).as("n_events"),
+          coalesce(col("sv"), lit(0.0)).as("sum_value"))
+        .orderBy("d")
+    },
+    Some("""WITH axis AS (
+        SELECT CAST(unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS TIMESTAMP) AS d),
+      daily AS (
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, count(*) AS cnt,
+               floor((CAST(sum(CAST(floor((value) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)) * 1e4 + 0.5)/1e4 AS sv
+        FROM events GROUP BY 1)
+      SELECT axis.d, CAST(coalesce(cnt, 0) AS BIGINT) AS n_events,
+             coalesce(sv, 0.0) AS sum_value
+      FROM axis LEFT JOIN daily ON axis.d = daily.d ORDER BY axis.d"""))
+
+  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34)
+}

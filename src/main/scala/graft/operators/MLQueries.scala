@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Metrics
+import graft.registry.GQuery
+
+/** ML-adjacent dataflow queries (SURVEY.md §2.8): SMAPE evaluation, the
+  * scale-correction weight grid, blending and geometric rounding — the
+  * pieces of the reference's model workload that are pure dataflow. The
+  * estimator pipeline itself (BoostedHybrid / stacking) lives in graft.ml
+  * with its own rows-only queries and ScalaTest coverage.
+  */
+object MLQueries {
+
+  /** SMAPE (E12, kaggle/kaggle.py:109-131) of a group-mean naive forecast:
+    * per-group window average as ŷ, aggregate SMAPE per group.
+    */
+  val q60 = GQuery(
+    "q60_smape",
+    (s, dir) => {
+      val w = Window.partitionBy("l_returnflag", "l_linestatus")
+      Tables.lineitem(s, dir)
+        .withColumn("pred", avg("l_quantity").over(w))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(graft.functions.Metrics.canonRound(Metrics.smape(col("l_quantity"), col("pred")), 4).as("smape"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""WITH p AS (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               avg(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus) AS pred
+        FROM lineitem)
+      SELECT l_returnflag, l_linestatus,
+        floor((avg(CASE WHEN abs(l_quantity) + abs(pred) = 0 THEN 0.0
+                       ELSE abs(l_quantity - pred) / ((abs(l_quantity) + abs(pred)) / 200.0)
+                  END)) * 1e4 + 0.5)/1e4 AS smape,
+        count(*) AS n
+      FROM p GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** SMAPE-minimizing scale-correction sweep (E13, kaggle/kaggle.py:497-523):
+    * predictions × weight grid cross join, SMAPE per weight. The grid is 51
+    * rows — broadcast; the predictions side streams once.
+    */
+  val q61 = GQuery(
+    "q61_weight_grid",
+    (s, dir) => {
+      import s.implicits._
+      val grid = (0 until 51).map(i => math.rint((0.97 + i * 0.001) * 1000) / 1000).toDF("weight")
+      val w = Window.partitionBy("l_returnflag")
+      val preds = Tables.lineitem(s, dir)
+        .withColumn("pred", avg("l_quantity").over(w))
+        .select("l_quantity", "pred")
+      preds.crossJoin(broadcast(grid))
+        .groupBy("weight")
+        .agg(graft.functions.Metrics.canonRound(Metrics.smape(col("l_quantity"), col("pred") * col("weight")), 4).as("smape"))
+        .orderBy("weight")
+    },
+    Some("""WITH p AS (
+        SELECT l_quantity, avg(l_quantity) OVER (PARTITION BY l_returnflag) AS pred
+        FROM lineitem),
+      grid AS (SELECT floor((0.97 + 0.001 * CAST(unnest(generate_series(0, 50)) AS DOUBLE)) * 1e3 + 0.5)/1e3 AS weight)
+      SELECT weight,
+        floor((avg(CASE WHEN abs(l_quantity) + abs(pred * weight) = 0 THEN 0.0
+                       ELSE abs(l_quantity - pred * weight)
+                            / ((abs(l_quantity) + abs(pred * weight)) / 200.0) END)) * 1e4 + 0.5)/1e4 AS smape
+      FROM p CROSS JOIN grid GROUP BY weight ORDER BY weight"""))
+
+  /** Ensemble blending (E15) + geometric rounding (E16): mean / median /
+    * better-than-median over an array of per-"fold" predictions, built here
+    * from three window forecasts at different grains.
+    */
+  val q62 = GQuery(
+    "q62_blend_round",
+    (s, dir) => {
+      val w1 = Window.partitionBy("l_returnflag")
+      val w2 = Window.partitionBy("l_linestatus")
+      val w3 = Window.partitionBy("l_returnflag", "l_linestatus")
+      val preds = array(
+        avg("l_quantity").over(w1), avg("l_quantity").over(w2), avg("l_quantity").over(w3))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), preds.as("preds"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.Metrics.canonRound(Metrics.arrayMean(col("preds")), 4).as("blend_mean"),
+          graft.functions.Metrics.canonRound(Metrics.arrayMedian(col("preds")), 4).as("blend_median"),
+          graft.functions.Metrics.canonRound(Metrics.betterThanMedian(col("preds")), 4).as("blend_btm"),
+          Metrics.geometricRound(Metrics.arrayMean(col("preds"))).as("blend_int"))
+        // non-unique (orderkey, linenumber): sort by everything (see q02)
+        .orderBy("l_orderkey", "l_linenumber", "blend_mean", "blend_median")
+    },
+    Some("""WITH p AS (
+        SELECT l_orderkey, l_linenumber,
+          [avg(l_quantity) OVER (PARTITION BY l_returnflag),
+           avg(l_quantity) OVER (PARTITION BY l_linestatus),
+           avg(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus)] AS preds
+        FROM lineitem),
+      m AS (
+        SELECT l_orderkey, l_linenumber, preds,
+          (preds[1] + preds[2] + preds[3])/3.0 AS bmean,
+          list_sort(preds)[2] AS bmed
+        FROM p)
+      SELECT l_orderkey, l_linenumber,
+        floor((bmean) * 1e4 + 0.5)/1e4 AS blend_mean,
+        floor((bmed) * 1e4 + 0.5)/1e4 AS blend_median,
+        floor((CASE WHEN list_max(preds) - list_min(preds) < 0.45 THEN bmean ELSE bmed END) * 1e4 + 0.5)/1e4 AS blend_btm,
+        CASE WHEN bmean < sqrt(floor(bmean)*ceil(bmean)) THEN floor(bmean) ELSE ceil(bmean) END AS blend_int
+      FROM m ORDER BY l_orderkey, l_linenumber, blend_mean, blend_median"""))
+
+  def all: Seq[GQuery] = Seq(q60, q61, q62)
+}

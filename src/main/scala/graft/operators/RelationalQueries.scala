@@ -1,0 +1,500 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Metrics
+import graft.registry.GQuery
+
+/** Relational operator coverage (SURVEY.md §2.1-2.6): scans, filters,
+  * projections, joins (broadcast/semi/anti/range/band), unions, group-by
+  * aggregation, rollup, windows, top-n — each as a deterministic query with
+  * a DuckDB oracle.
+  *
+  * Scale notes are per-query; the common ones: dimension joins are
+  * `broadcast()` (region/nation/customer/bands all stay tiny relative to the
+  * fact tables even at 100 TB — customer would graduate to a shuffle join,
+  * which Catalyst/AQE picks automatically once it exceeds
+  * autoBroadcastJoinThreshold), aggregations are partial+final (map-side
+  * combine) by construction, and every scan prunes columns + pushes filters
+  * into the parquet reader.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-shaped pricing summary: full scan, map-side partial agg on a
+    * 6-value grouping key — shuffle is 6 rows × partitions regardless of SF.
+    */
+  val q01 = GQuery(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      l.filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          graft.functions.Metrics.canonRound(sum("l_quantity"), 2).as("sum_qty"),
+          graft.functions.Metrics.canonRound(Metrics.exactSum(col("l_extendedprice")), 2).as("sum_base_price"),
+          graft.functions.Metrics.canonRound(Metrics.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          graft.functions.Metrics.canonRound(Metrics.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          graft.functions.Metrics.canonRound(avg("l_quantity"), 4).as("avg_qty"),
+          graft.functions.Metrics.canonRound(Metrics.exactMean(col("l_extendedprice")), 4).as("avg_price"),
+          graft.functions.Metrics.canonRound(Metrics.exactMean(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      floor((sum(l_quantity)) * 1e2 + 0.5)/1e2 AS sum_qty,
+      floor((CAST(sum(CAST(floor((l_extendedprice) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)) * 1e2 + 0.5)/1e2 AS sum_base_price,
+      floor((CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)) * 1e2 + 0.5)/1e2 AS sum_disc_price,
+      floor((CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)*(1+l_tax)) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)) * 1e2 + 0.5)/1e2 AS sum_charge,
+      floor((avg(l_quantity)) * 1e4 + 0.5)/1e4 AS avg_qty,
+      floor((CAST(sum(CAST(floor((l_extendedprice) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*)) * 1e4 + 0.5)/1e4 AS avg_price,
+      floor((CAST(sum(CAST(floor((l_discount) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*)) * 1e4 + 0.5)/1e4 AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Projection + conjunctive filter + date range (P1-P3). Both the
+    * predicate and the 4-column projection push into the parquet scan.
+    */
+  val q02 = GQuery(
+    "q02_filter_project",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" &&
+          to_date(col("l_shipdate")).between("1996-01-01", "1997-12-31") &&
+          col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures — sort by
+        // every output column so tied rows are interchangeable under hashing
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_returnflag = 'R'
+        AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        AND l_quantity > 30
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""))
+
+  /** TPC-H Q3-shaped 3-table join. customer is broadcast (dim); the
+    * orders⋈lineitem join shuffles on orderkey — the natural co-partition
+    * key for both tables at scale (bucketing candidate).
+    */
+  val q03 = GQuery(
+    "q03_join_agg",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(year(col("o_orderdate")) === 1996)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // timestamp_ntz: the cross-engine-stable output type for dates
+        // (naive micros on both sides; DATE surfaces differently per reader)
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).cast("timestamp_ntz").as("order_date"))
+        .agg(graft.functions.Metrics.canonRound(Metrics.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+      floor((CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)) * 1e2 + 0.5)/1e2 AS revenue,
+      count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND year(o_orderdate) = 1996
+      GROUP BY 1, 2
+      ORDER BY l_orderkey"""))
+
+  /** Conditional projection + math scalar functions (P6, M2, M4): CASE,
+    * log1p, sqrt/floor/ceil geometric rounding (kaggle/kaggle.py:837-842).
+    */
+  val q04 = GQuery(
+    "q04_case_math",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "big")
+            .when(col("o_totalprice") > 50000, "mid")
+            .otherwise("small").as("size_class"),
+          graft.functions.Metrics.canonRound(log1p(col("o_totalprice")), 6).as("log_price"),
+          Metrics.geometricRound(col("o_totalprice") / 1000.0).as("geo_round"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_totalprice > 200000 THEN 'big'
+           WHEN o_totalprice > 50000 THEN 'mid'
+           ELSE 'small' END AS size_class,
+      floor((ln(1 + o_totalprice)) * 1e6 + 0.5)/1e6 AS log_price,
+      CASE WHEN o_totalprice/1000.0 < sqrt(floor(o_totalprice/1000.0)*ceil(o_totalprice/1000.0))
+           THEN floor(o_totalprice/1000.0) ELSE ceil(o_totalprice/1000.0) END AS geo_round
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Vertical union with provenance tag (U1, kaggle/kaggle.py:415-416).
+    * unionByName — column-name resolved, so schema drift between branches
+    * fails fast instead of silently mis-aligning.
+    */
+  val q05 = GQuery(
+    "q05_union",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), lit("y1995").as("src"))
+      val b = o.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), lit("y1996").as("src"))
+      a.unionByName(b).orderBy("o_orderkey", "src")
+    },
+    Some("""SELECT o_orderkey, 'y1995' AS src FROM orders WHERE year(o_orderdate)=1995
+      UNION ALL
+      SELECT o_orderkey, 'y1996' AS src FROM orders WHERE year(o_orderdate)=1996
+      ORDER BY o_orderkey, src"""))
+
+  /** Distinct aggregation (A6). countDistinct expands to a two-phase
+    * partial/final plan; at 100 TB swap to approx_count_distinct (HLL) when
+    * exactness isn't required.
+    */
+  val q06 = GQuery(
+    "q06_distinct_agg",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Filter over an aggregate = HAVING (P4, kaggle/kaggle.py:422-423). */
+  val q07 = GQuery(
+    "q07_having",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.Metrics.canonRound(Metrics.exactSum(col("o_totalprice")), 2).as("total_spend"))
+        .filter(col("n_orders") >= 12)
+        .orderBy("o_custkey"),
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+      floor((CAST(sum(CAST(floor((o_totalprice) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)) * 1e2 + 0.5)/1e2 AS total_spend
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 12 ORDER BY o_custkey"""))
+
+  /** Per-group top-n via ranking window (A1, kaggle/kaggle.py:424 —
+    * deterministic orderBy instead of sample). One shuffle on the partition
+    * key; no driver involvement.
+    */
+  val q08 = GQuery(
+    "q08_topn_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
+        .orderBy("c_nationkey", "rn")
+    },
+    Some("""SELECT c_nationkey, CAST(rn AS INTEGER) AS rn, c_custkey, c_acctbal FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer) t
+      WHERE rn <= 3 ORDER BY c_nationkey, rn"""))
+
+  /** Column null audit (A2, kaggle/kaggle.py:422): one pass, one row out. */
+  val q09 = GQuery(
+    "q09_null_audit",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      c.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("c_name").isNull.cast("long")).as("c_name_nulls"),
+        sum(col("c_acctbal").isNull.cast("long")).as("c_acctbal_nulls"),
+        sum(col("c_mktsegment").isNull.cast("long")).as("c_mktsegment_nulls"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+      count(*) - count(c_name) AS c_name_nulls,
+      count(*) - count(c_acctbal) AS c_acctbal_nulls,
+      count(*) - count(c_mktsegment) AS c_mktsegment_nulls
+      FROM customer"""))
+
+  /** Group statistics incl. exact median (A3/A4, kaggle/kaggle.py:851,144).
+    * Exact median is required for oracle parity (SURVEY.md §5.2); at 100 TB
+    * prefer percentile_approx for a single-pass sketch.
+    */
+  val q10 = GQuery(
+    "q10_group_stats",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(graft.functions.Metrics.canonRound(avg("l_quantity"), 4).as("avg_qty"),
+          graft.functions.Metrics.canonRound(median(col("l_quantity")), 2).as("median_qty"),
+          graft.functions.Metrics.canonRound(min("l_quantity"), 2).as("min_qty"),
+          graft.functions.Metrics.canonRound(max("l_quantity"), 2).as("max_qty"),
+          graft.functions.Metrics.canonRound(stddev("l_quantity"), 4).as("std_qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      floor((avg(l_quantity)) * 1e4 + 0.5)/1e4 AS avg_qty,
+      floor((median(l_quantity)) * 1e2 + 0.5)/1e2 AS median_qty,
+      floor((min(l_quantity)) * 1e2 + 0.5)/1e2 AS min_qty,
+      floor((max(l_quantity)) * 1e2 + 0.5)/1e2 AS max_qty,
+      floor((stddev(l_quantity)) * 1e4 + 0.5)/1e4 AS std_qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Calendar extraction (D1-D7) incl. both weekday conventions — the
+    * pandas-vs-Spark offset trap made explicit (SURVEY.md §7.4 item 3).
+    */
+  val q11 = GQuery(
+    "q11_date_features",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          dayofweek(col("o_orderdate")).as("dow_sun1"),
+          graft.functions.DateFeatures.weekdayMon0(col("o_orderdate")).as("wd_mon0"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("days_since"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      CAST(year(o_orderdate) AS INTEGER) AS y,
+      CAST(month(o_orderdate) AS INTEGER) AS m,
+      CAST(day(o_orderdate) AS INTEGER) AS d,
+      CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+      CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd_mon0,
+      CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+      CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Band (theta) join against a literal dimension — non-equi join on value
+    * ranges. The band table is 4 rows → broadcast nested loop, which is the
+    * right plan at any scale.
+    */
+  val q12 = GQuery(
+    "q12_band_join",
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("neg", Double.NegativeInfinity, 0.0),
+        ("low", 0.0, 3000.0),
+        ("mid", 3000.0, 7000.0),
+        ("high", 7000.0, Double.PositiveInfinity)
+      ).toDF("band", "lo", "hi")
+      Tables.customer(s, dir)
+        .join(broadcast(bands), col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_customers"),
+          graft.functions.Metrics.canonRound(Metrics.exactMean(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy("band")
+    },
+    Some("""SELECT band, count(*) AS n_customers,
+      floor((CAST(sum(CAST(floor((c_acctbal) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*)) * 1e4 + 0.5)/1e4 AS avg_bal
+      FROM customer
+      JOIN (VALUES ('neg', -1e308, 0.0), ('low', 0.0, 3000.0),
+                   ('mid', 3000.0, 7000.0), ('high', 7000.0, 1e308)) AS b(band, lo, hi)
+        ON c_acctbal >= lo AND c_acctbal < hi
+      GROUP BY band ORDER BY band"""))
+
+  /** Interval-offset range join (J6, kaggle/kaggle.py:296-329): equi-join on
+    * the key plus a datediff window predicate.
+    */
+  val q13 = GQuery(
+    "q13_range_join",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).between(0, 30))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_shipped_30d"),
+          graft.functions.Metrics.canonRound(avg(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))), 4).as("avg_lag_days"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_shipped_30d,
+      floor((avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)))) * 1e4 + 0.5)/1e4 AS avg_lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) BETWEEN 0 AND 30
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Hierarchical rollup (free from Catalyst — SURVEY.md §2.5). Grouping
+    * nulls are labeled 'ALL' so null-ordering semantics can't diverge
+    * between engines.
+    */
+  val q14 = GQuery(
+    "q14_rollup",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(graft.functions.Metrics.canonRound(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      coalesce(l_linestatus, 'ALL') AS linestatus,
+      floor((sum(l_quantity)) * 1e2 + 0.5)/1e2 AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""))
+
+  /** Left-semi join = EXISTS: customers having at least one urgent order. */
+  val q15 = GQuery(
+    "q15_semi_join",
+    (s, dir) => {
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
+
+  /** Left-anti join = NOT EXISTS: parts never shipped. */
+  val q16 = GQuery(
+    "q16_anti_join",
+    (s, dir) =>
+      Tables.part(s, dir)
+        .join(Tables.lineitem(s, dir), col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_brand FROM part
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      ORDER BY p_partkey"""))
+
+  /** Analytic windows (lag / row_number / running sum). The running sum is
+    * computed in frame order on both engines, so the double accumulation
+    * order — and therefore the rounded value — is identical.
+    */
+  val q17 = GQuery(
+    "q17_window_analytics",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          lag("o_orderkey", 1).over(w).as("prev_orderkey"),
+          graft.functions.Metrics.canonRound(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+            .as("running_spend"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(row_number() OVER w AS INTEGER) AS rn,
+      lag(o_orderkey, 1) OVER w AS prev_orderkey,
+      floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 0.5)/1e2 AS running_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, rn"""))
+
+  /** Global top-n by an exact (integer) measure (A7): deterministic
+    * tie-break on the key. TakeOrderedAndProject — no full sort at scale.
+    */
+  val q18 = GQuery(
+    "q18_top_customers",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("o_custkey").asc)
+        .limit(10),
+    Some("""SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+      ORDER BY n_orders DESC, o_custkey ASC LIMIT 10"""))
+
+  /** TPC-H Q5-shaped 5-table star join: fact⋈fact shuffle on orderkey, all
+    * dimension hops broadcast.
+    */
+  val q19 = GQuery(
+    "q19_star_join",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(graft.functions.Metrics.canonRound(Metrics.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name,
+      floor((CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)) * 1e2 + 0.5)/1e2 AS revenue,
+      count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  /** Left outer join preserving unmatched dimension rows (zero-order
+    * customers kept with n_orders = 0).
+    */
+  val q20 = GQuery(
+    "q20_left_join_agg",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN (
+        SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+      ON c_custkey = o_custkey ORDER BY c_custkey"""))
+
+  /** Scalar "subquery": orders above 2× the global average price. Spark
+    * shape is a 1-row broadcast cross join, the distributed equivalent of a
+    * correlated-free scalar subquery.
+    */
+  val q21 = GQuery(
+    "q21_scalar_subquery",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val avgPrice = o.agg(Metrics.exactMean(col("o_totalprice")).as("avg_price"))
+      o.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_price") * 1.5)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(floor((o_totalprice) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*) FROM orders)
+      ORDER BY o_orderkey"""))
+
+  /** Pivot-style conditional aggregation (the reference's indicator-column
+    * pattern, kaggle/kaggle.py:248-329): one pass, one output row per
+    * status, one column per priority.
+    */
+  val q22 = GQuery(
+    "q22_pivot_indicators",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.groupBy("o_orderstatus")
+        .agg(
+          sum((col("o_orderpriority") === "1-URGENT").cast("long")).as("n_urgent"),
+          sum((col("o_orderpriority") === "2-HIGH").cast("long")).as("n_high"),
+          sum((col("o_orderpriority") === "3-MEDIUM").cast("long")).as("n_medium"),
+          sum((col("o_orderpriority") === "4-NOT SPECIFIED").cast("long")).as("n_notspec"),
+          sum((col("o_orderpriority") === "5-LOW").cast("long")).as("n_low"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+      CAST(sum(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+      CAST(sum(CASE WHEN o_orderpriority='2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      CAST(sum(CASE WHEN o_orderpriority='3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+      CAST(sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+      CAST(sum(CASE WHEN o_orderpriority='5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+}

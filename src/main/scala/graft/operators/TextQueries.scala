@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.registry.GQuery
+
+/** Text-analysis operators over the `documents` fixture: tokenization,
+  * quality scoring, language-ID heuristic, fingerprinting, exact dedup
+  * (the training-data-pipeline surface the north star asks for).
+  *
+  * All token math uses codegen'd higher-order functions (split / transform /
+  * filter / aggregate) — no UDFs, so per-document work distributes with the
+  * scan and never shuffles until the final aggregate.
+  */
+object TextQueries {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Common English stopwords present in the fixture vocabulary. */
+  val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private def stopArray = array(stopwords.map(lit): _*)
+
+  /** Exact near-zero-cost dedup: hash-groupBy on content (md5 so the
+    * shuffle key is 16 bytes, not the document body — the thing that
+    * matters at 100 TB).
+    */
+  val q40 = GQuery(
+    "q40_exact_dedup",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
+
+  /** Token statistics per document (token counting, SURVEY north-star). */
+  val q41 = GQuery(
+    "q41_token_stats",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_uniq_tokens"),
+          graft.functions.Metrics.canonRound(aggregate(transform(t, x => length(x).cast("double")),
+            lit(0.0), (acc, x) => acc + x) / size(t), 4).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq_tokens,
+      floor((list_sum(list_transform(string_split(text, ' '), x -> CAST(length(x) AS DOUBLE)))
+            / len(string_split(text, ' '))) * 1e4 + 0.5)/1e4 AS avg_token_len
+      FROM documents ORDER BY doc_id"""))
+
+  /** Heuristic quality score: stopword ratio, type-token ratio, length —
+    * the length/punct/stopword-ratio style scorer the north star lists.
+    */
+  val q42 = GQuery(
+    "q42_quality_score",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      val nTok = size(t).cast("double")
+      val nStop = size(filter(t, x => array_contains(stopArray, x))).cast("double")
+      val ttr = size(array_distinct(t)).cast("double") / nTok
+      val stopRatio = nStop / nTok
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.Metrics.canonRound(stopRatio, 4).as("stop_ratio"),
+          graft.functions.Metrics.canonRound(ttr, 4).as("type_token_ratio"),
+          graft.functions.Metrics.canonRound(least(nTok / 100.0, lit(1.0)) * (lit(1.0) - stopRatio) * ttr, 4)
+            .as("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, lang,
+      floor((stop_n / tok_n) * 1e4 + 0.5)/1e4 AS stop_ratio,
+      floor((uniq_n / tok_n) * 1e4 + 0.5)/1e4 AS type_token_ratio,
+      floor((least(tok_n / 100.0, 1.0) * (1.0 - stop_n / tok_n) * (uniq_n / tok_n)) * 1e4 + 0.5)/1e4 AS quality_score
+      FROM (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text,' ')) AS DOUBLE) AS tok_n,
+          CAST(len(list_filter(string_split(text,' '),
+               x -> x IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) AS stop_n,
+          CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS uniq_n
+        FROM documents) t
+      ORDER BY doc_id"""))
+
+  /** Canonical-form fingerprint dedup: md5 over the sorted distinct token
+    * set — catches reorder-only near-duplicates exactly.
+    */
+  val q43 = GQuery(
+    "q43_fingerprint",
+    (s, dir) => {
+      val fp = md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
+      Tables.documents(s, dir)
+        .groupBy(fp.as("fingerprint"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("keep_id")
+    },
+    Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint,
+      min(doc_id) AS keep_id, count(*) AS n_docs
+      FROM documents
+      GROUP BY 1 ORDER BY keep_id"""))
+
+  /** Corpus rollup by language × source. */
+  val q44 = GQuery(
+    "q44_lang_source_stats",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          graft.functions.Metrics.canonRound(avg("n_chars"), 4).as("avg_chars"),
+          graft.functions.Metrics.canonRound(avg(size(tokens(col("text")))), 4).as("avg_tokens"))
+        .orderBy("lang", "source"),
+    Some("""SELECT lang, source, count(*) AS n_docs,
+      floor((avg(n_chars)) * 1e4 + 0.5)/1e4 AS avg_chars,
+      floor((avg(len(string_split(text,' ')))) * 1e4 + 0.5)/1e4 AS avg_tokens
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
+  /** Language-ID heuristic (n-gram/stopword profile): flag documents whose
+    * English-stopword density clears a threshold. The fixture vocabulary is
+    * English-ish for every `lang` value, so this is a capability
+    * demonstration with a deterministic answer, not a benchmark of accuracy.
+    */
+  val q45 = GQuery(
+    "q45_langid",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      val ratio = size(filter(t, x => array_contains(stopArray, x))).cast("double") /
+        size(t).cast("double")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Metrics.canonRound(ratio, 4).as("en_stop_ratio"),
+          when(ratio > 0.05, "en").otherwise("und").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      floor((r) * 1e4 + 0.5)/1e4 AS en_stop_ratio,
+      CASE WHEN r > 0.05 THEN 'en' ELSE 'und' END AS lang_pred
+      FROM (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text,' '),
+               x -> x IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+          / CAST(len(string_split(text,' ')) AS DOUBLE) AS r
+        FROM documents) t
+      ORDER BY doc_id"""))
+
+  /** Word-bigram shingles for Jaccard / MinHash. */
+  def bigrams(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+
+  /** Brute-force n-gram Jaccard near-dup on a deterministic sample (the
+    * exact-verification baseline; the scale path is MinHash/LSH in
+    * DedupQueries — brute force is O(n²) and only run on samples).
+    */
+  val q46 = GQuery(
+    "q46_ngram_jaccard",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(bigrams(tokens(col("text")))).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+      a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), graft.functions.Metrics.canonRound(inter / uni, 4).as("jaccard"))
+        .filter(col("jaccard") > 0.03)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-1),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents WHERE doc_id % 10 = 0)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1e4 + 0.5)/1e4 AS jaccard
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0.03
+      ORDER BY id_a, id_b"""))
+
+  def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46)
+}

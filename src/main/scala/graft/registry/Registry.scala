@@ -1,0 +1,36 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark builder plus (when SQL-expressible) the
+  * equivalent DuckDB oracle SQL the driver hash-compares against at sf0.01.
+  *
+  * Determinism contract (SURVEY.md §7.4 item 1): every query ends in an
+  * explicit orderBy over a unique key prefix, doubles are rounded on BOTH
+  * sides, and output column names match the oracle exactly (driver sorts
+  * columns by name before hashing).
+  */
+final case class GQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  def groups: Seq[Seq[GQuery]] = Seq(
+    graft.operators.RelationalQueries.all,
+    graft.operators.EventQueries.all,
+    graft.operators.TextQueries.all,
+    graft.operators.DedupQueries.all,
+    graft.operators.SimilarityQueries.all,
+    graft.operators.MLQueries.all,
+    graft.functions.FeatureQueries.all
+  )
+
+  lazy val all: Seq[GQuery] = groups.flatten
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
