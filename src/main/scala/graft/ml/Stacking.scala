@@ -1,0 +1,85 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stacking ensemble with time-ordered out-of-fold meta-features (E10,
+  * kaggle/kaggle.py:791 — sklearn StackingRegressor has no MLlib
+  * equivalent, so this is custom per SURVEY.md §7.3).
+  *
+  * Folds are ROLLING-ORIGIN (train on everything before the fold's date
+  * range, predict the range — W4/E11), so meta-features never leak future
+  * information: the failure mode §7.4 item 5 warns about. Every base fit
+  * is a distributed MLlib job; only the fold boundaries (a handful of
+  * dates) live on the driver.
+  */
+object Stacking {
+
+  /** Model grid (E9): cartesian stage-1 linear variants × stage-2 GBT
+    * depths, mirroring the reference's 12-combo PRODUCTION stack
+    * (kaggle/kaggle.py:769-778) at test-friendly scale.
+    */
+  def defaultGrid: Seq[(String, BoostedHybrid)] =
+    for {
+      (l1name, enet, reg) <- Seq(("ridge", 0.0, 0.1), ("enet", 0.5, 0.05))
+      (l2name, depth) <- Seq(("gbt4", 4), ("gbt6", 6))
+    } yield (s"${l1name}_$l2name",
+      BoostedHybrid(elasticNetParam = enet, regParam = reg, gbtMaxDepth = depth))
+
+  /** Equal-width date boundaries between lo/hi for k rolling-origin folds. */
+  def timeFolds(df: DataFrame, dateCol: String, k: Int): Seq[(String, String)] = {
+    val Seq(lo, hi) = df.agg(min(to_date(col(dateCol))).cast("string"),
+      max(to_date(col(dateCol))).cast("string")).head().toSeq.map(_.toString)
+    val (d0, d1) = (java.time.LocalDate.parse(lo), java.time.LocalDate.parse(hi))
+    val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+    (1 until k).map { i =>
+      val a = d0.plusDays(span * i / k)
+      val b = d0.plusDays(span * (i + 1) / k - 1)
+      (a.toString, if (i == k - 1) d1.toString else b.toString)
+    }
+  }
+
+  final case class StackModel(
+      baseModels: Seq[(String, BoostedHybridModel)],
+      metaWeights: Array[Double],
+      metaIntercept: Double) {
+
+    def transform(df: DataFrame): DataFrame = {
+      val withBase = baseModels.foldLeft(df) { case (acc, (name, m)) =>
+        m.transform(acc).withColumnRenamed("prediction", s"oof_$name")
+      }
+      val meta = baseModels.map(_._1).zip(metaWeights)
+        .map { case (n, w) => col(s"oof_$n") * w }
+        .reduce(_ + _) + metaIntercept
+      withBase.withColumn("prediction", meta)
+    }
+  }
+
+  /** Fit: per fold, fit every base model on data strictly before the fold
+    * and predict into it → OOF columns; ridge meta-learner on the OOF
+    * matrix; final base models refit on the full training set.
+    */
+  def fit(train: DataFrame, grid: Seq[(String, BoostedHybrid)] = defaultGrid,
+          k: Int = 3, dateCol: String = "date", labelCol: String = "num_sold"): StackModel = {
+    val folds = timeFolds(train, dateCol, k)
+    val oofParts = folds.map { case (a, b) =>
+      val tr = train.filter(to_date(col(dateCol)) < lit(a))
+      val va = train.filter(to_date(col(dateCol)).between(a, b))
+      grid.foldLeft(va) { case (acc, (name, bh)) =>
+        bh.fit(tr).transform(acc).withColumnRenamed("prediction", s"oof_$name")
+      }
+    }
+    val oof = oofParts.reduce(_.unionByName(_))
+    val asm = new VectorAssembler()
+      .setInputCols(grid.map { case (n, _) => s"oof_$n" }.toArray)
+      .setOutputCol("meta_features")
+    val ridge = new LinearRegression()
+      .setFeaturesCol("meta_features").setLabelCol(labelCol)
+      .setRegParam(0.1).setElasticNetParam(0.0)
+    val metaModel = ridge.fit(asm.transform(oof))
+    val finalBases = grid.map { case (n, bh) => (n, bh.fit(train)) }
+    StackModel(finalBases, metaModel.coefficients.toArray, metaModel.intercept)
+  }
+}

@@ -109,5 +109,51 @@ object MLQueries {
         CASE WHEN bmean < sqrt(floor(bmean)*ceil(bmean)) THEN floor(bmean) ELSE ceil(bmean) END AS blend_int
       FROM m ORDER BY l_orderkey, l_linenumber, blend_mean, blend_median"""))
 
-  def all: Seq[GQuery] = Seq(q60, q61, q62)
+  /** BoostedHybrid end-to-end (E6): synthetic sales (the reference's own
+    * dataset shape) → feature build → encoder pipeline → linear + GBT
+    * residual fit → per-series validation SMAPE. Model fits aren't
+    * SQL-expressible → rows-only check.
+    */
+  val q63 = GQuery(
+    "q63_boosted_hybrid",
+    (s, dir) => {
+      val sales = graft.ml.SalesData.generate(s, "2018-01-01", "2019-03-31")
+      val (prepared, _) = graft.ml.SalesFeatures.prepare(s, sales)
+      val train = prepared.filter(to_date(col("date")) <= lit("2018-12-31"))
+      val valid = prepared.filter(to_date(col("date")) > lit("2018-12-31"))
+      val model = graft.ml.BoostedHybrid(gbtMaxIter = 8, gbtMaxDepth = 4).fit(train)
+      model.transform(valid)
+        .groupBy("country", "store", "product")
+        .agg(Metrics.canonRound(Metrics.smape(col("num_sold"), col("prediction")), 2).as("smape"),
+          count(lit(1)).as("n"))
+        .orderBy("country", "store", "product")
+    },
+    None)
+
+  /** OOF stacking + ridge meta + scale correction (E9/E10/E13) end-to-end;
+    * output = one row of ensemble-level metrics. Rows-only check.
+    */
+  val q64 = GQuery(
+    "q64_stacking",
+    (s, dir) => {
+      import s.implicits._
+      val sales = graft.ml.SalesData.generate(s, "2018-01-01", "2019-03-31")
+      val (prepared, _) = graft.ml.SalesFeatures.prepare(s, sales)
+      val train = prepared.filter(to_date(col("date")) <= lit("2018-12-31"))
+      val valid = prepared.filter(to_date(col("date")) > lit("2018-12-31"))
+      val grid = Seq(
+        ("ridge_gbt4", graft.ml.BoostedHybrid(regParam = 0.1, gbtMaxIter = 8, gbtMaxDepth = 4)),
+        ("enet_gbt5", graft.ml.BoostedHybrid(elasticNetParam = 0.5, regParam = 0.05,
+          gbtMaxIter = 8, gbtMaxDepth = 5)))
+      val stack = graft.ml.Stacking.fit(train, grid, k = 2)
+      val scored = stack.transform(valid).cache()
+      val smape = scored.select(Metrics.smape(col("num_sold"), col("prediction"))).head().getDouble(0)
+      val (bestW, bestSmape) = graft.ml.ScaleCorrection.bestWeight(
+        scored.select("num_sold", "prediction"), "num_sold", "prediction")
+      Seq((math.rint(smape * 100) / 100, bestW, math.rint(bestSmape * 100) / 100,
+        grid.size.toLong)).toDF("smape", "best_weight", "smape_corrected", "n_base_models")
+    },
+    None)
+
+  def all: Seq[GQuery] = Seq(q60, q61, q62, q63, q64)
 }
