@@ -133,5 +133,14 @@ object EventQueries {
              coalesce(sv, 0.0) AS sum_value
       FROM axis LEFT JOIN daily ON axis.d = daily.d ORDER BY axis.d"""))
 
-  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34)
+  /** Structured Streaming twin of q30: readStream → watermark → tumbling
+    * agg → memory sink. Shares q30's DuckDB oracle — the streaming and
+    * batch answers must be numerically identical on a bounded input.
+    */
+  val q35 = GQuery(
+    "q35_stream_tumbling",
+    (s, dir) => graft.streaming.EventStreams.tumblingCounts(s, dir, "stream_tumbling_q35"),
+    q30.oracle)
+
+  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35)
 }

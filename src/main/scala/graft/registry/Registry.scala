@@ -23,7 +23,8 @@ object Registry {
     graft.operators.DedupQueries.all,
     graft.operators.SimilarityQueries.all,
     graft.operators.MLQueries.all,
-    graft.functions.FeatureQueries.all
+    graft.functions.FeatureQueries.all,
+    graft.multimodal.MultimodalQueries.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Structured Streaming twins of the batch event-time queries
+  * (SURVEY.md §2.6 streaming row): readStream → watermark → windowed agg /
+  * stateful sessionization → sink. Locally a parquet file drives the
+  * stream synchronously (processAllAvailable); on a cluster the same code
+  * reads a directory/Kafka source incrementally — only the source/sink
+  * lines change.
+  */
+object EventStreams {
+
+  /** Streaming source over the events fixture, normalizing the NANOS
+    * timestamp exactly like Tables.events does for batch.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource wants a directory; the fixture is a single file.
+    // Stage a symlink in a temp dir — a cluster deployment streams a real
+    // landing directory (or Kafka) and this staging disappears.
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
+    stage.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val raw = spark.readStream.schema(batchSchema).parquet(stage.toString)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Tumbling 1h × event_type counts with a 1h watermark. Returns the
+    * completed result as a batch DataFrame via an in-memory sink —
+    * numerically identical to the batch q30 (and to the DuckDB oracle).
+    */
+  def tumblingCounts(spark: SparkSession, dir: String, queryName: String = "stream_tumbling"): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Metrics.canonRound(graft.functions.Metrics.exactSum(col("value")), 4).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState (the §2.9 custom-
+    * state row): per-user state = the open session; a gap > 30 min closes
+    * it. Emits closed sessions; processAllAvailable + a final state sweep
+    * would emit open ones (left open here — the batch q32 is the
+    * completeness oracle).
+    */
+  def sessionizeStream(spark: SparkSession, dir: String, gapMinutes: Int = 30,
+                       queryName: String = "stream_sessions"): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    val events = eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+
+    def update(userId: Long, rows: Iterator[Event], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(ss) if t - ss.end > gapMs =>
+            out ::= SessionOut(userId, new Timestamp(ss.start), new Timestamp(ss.end), ss.n)
+            cur = Some(SessionState(t, t, 1))
+          case Some(ss) =>
+            cur = Some(SessionState(ss.start, math.max(ss.end, t), ss.n + 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach(state.update)
+      out.reverseIterator
+    }
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).orderBy("user_id", "session_start")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Metrics
+
+/** ML pipeline regression test (SURVEY.md §5.2 item 6): the reference's own
+  * workload shape on synthetic data with a known signal — the hybrid model
+  * must beat a fixed SMAPE bar, reproducibly (fixed seeds everywhere).
+  */
+class SalesMlSpec extends SparkSpec {
+
+  lazy val sales = SalesData.generate(spark, "2018-01-01", "2019-02-28")
+  lazy val prepared = {
+    val (df, _) = SalesFeatures.prepare(spark, sales)
+    df.cache()
+  }
+  lazy val train = prepared.filter(to_date(col("date")) <= lit("2018-12-31"))
+  lazy val valid = prepared.filter(to_date(col("date")) > lit("2018-12-31"))
+
+  private def smapeOf(scored: org.apache.spark.sql.DataFrame): Double =
+    scored.select(Metrics.smape(col("num_sold"), col("prediction")).cast("double"))
+      .head().getDouble(0)
+
+  test("synthetic sales generator is deterministic and fully populated") {
+    assert(sales.count() == (365 + 59) * 18)
+    val a = sales.agg(sum("num_sold")).head().getDouble(0)
+    val b = SalesData.generate(spark, "2018-01-01", "2019-02-28").agg(sum("num_sold")).head().getDouble(0)
+    assert(a == b)
+  }
+
+  test("BoostedHybrid beats the naive and the SMAPE bar") {
+    val model = BoostedHybrid(gbtMaxIter = 8, gbtMaxDepth = 4).fit(train)
+    val s = smapeOf(model.transform(valid))
+    assert(s < 12.0, s"hybrid SMAPE $s")
+    // naive baseline: global mean
+    val mean = train.agg(avg("num_sold")).head().getDouble(0)
+    val naive = smapeOf(valid.withColumn("prediction", lit(mean)))
+    assert(s < naive, s"hybrid $s should beat naive $naive")
+  }
+
+  test("SmapeEvaluator plugs into the Evaluator API") {
+    val model = BoostedHybrid(gbtMaxIter = 5, gbtMaxDepth = 3).fit(train)
+    val ev = new SmapeEvaluator().setLabelCol("num_sold").setPredictionCol("prediction")
+    val s = ev.evaluate(model.transform(valid))
+    assert(s > 0 && s < 200 && !ev.isLargerBetter)
+  }
+
+  test("scale correction never hurts relative to weight=1.0") {
+    val model = BoostedHybrid(gbtMaxIter = 5, gbtMaxDepth = 3).fit(train)
+    val scored = model.transform(valid).select("num_sold", "prediction").cache()
+    val at1 = smapeOf(scored)
+    val (w, best) = ScaleCorrection.bestWeight(scored, "num_sold", "prediction")
+    assert(best <= at1 + 1e-9, s"corrected $best vs raw $at1 (w=$w)")
+    assert(w >= 0.97 && w <= 1.02)
+  }
+
+  test("rolling-origin folds are time-ordered and cover the tail") {
+    val folds = Stacking.timeFolds(train, "date", 3)
+    assert(folds.size == 2)
+    assert(folds.sliding(2).forall { case Seq((_, b1), (a2, _)) => a2 > b1; case _ => true })
+    assert(folds.last._2 == "2018-12-31")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash: identical texts -> identical signatures, est_jaccard 1.0") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      3L -> "completely different words nothing shared at all here today friend ok")
+    val sigs = DedupQueries.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("minhash est_jaccard tracks real shingle overlap") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 38).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val d = docs(1L -> base, 2L -> near)
+    val sigs = DedupQueries.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val matching = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(matching >= DedupQueries.NumHashes / 2, s"matching=$matching") // true jaccard ~0.9
+  }
+
+  test("simhash: identical -> hamming 0; disjoint vocab -> large hamming") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight")
+    val sh = DedupQueries.simhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 8)
+  }
+
+  test("exact dedup groups identical documents (q40 logic)") {
+    import spark.implicits._
+    val dup = docs(1L -> "a b c", 2L -> "a b c", 3L -> "a b d")
+    val grouped = dup.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(grouped == Map(1L -> 2L, 3L -> 1L))
+  }
+}
