@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkSpec, Tables}
+import graft.ml.PseudoLabel
+import graft.sources.CsvIo
+
+class OpsSpec extends SparkSpec {
+
+  test("CSV roundtrip with explicit schema (S1/S6)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    CsvIo.writeSingleCsv(df, s"$tmp/out")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType), StructField("v", DoubleType)))
+    val back = CsvIo.readCsv(spark, s"$tmp/out", schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    val inferred = CsvIo.readCsvInferred(spark, s"$tmp/out")
+    assert(inferred.schema("id").dataType == LongType || inferred.schema("id").dataType == IntegerType)
+  }
+
+  test("per-group sampling caps group size and is reproducible (A1)") {
+    val c = Tables.customer(spark, sf001)
+    val s1 = Sampling.perGroup(c, Seq("c_nationkey"), 3, seed = 7L, tieBreak = Seq("c_custkey"))
+    val s2 = Sampling.perGroup(c, Seq("c_nationkey"), 3, seed = 7L, tieBreak = Seq("c_custkey"))
+    assert(s1.groupBy("c_nationkey").count().filter(col("count") > 3).count() == 0)
+    assert(s1.select("c_custkey").collect().toSet == s2.select("c_custkey").collect().toSet)
+    // groups smaller than n are kept whole
+    val small = s1.groupBy("c_nationkey").count()
+    assert(small.count() == c.select("c_nationkey").distinct().count())
+  }
+
+  test("pseudo-labeling joins by row_id and unions with provenance (E14)") {
+    import spark.implicits._
+    val train = Seq((0L, "2018-01-01", 10.0), (1L, "2018-01-02", 11.0))
+      .toDF("row_id", "date", "num_sold")
+    val test = Seq((100L, "2019-01-01"), (101L, "2019-01-02")).toDF("row_id", "date")
+    val prior = Seq((100L, 12.5), (101L, 13.5)).toDF("row_id", "num_sold")
+    val aug = PseudoLabel.augment(train, test, prior)
+    assert(aug.count() == 4)
+    assert(aug.filter(col("is_pseudo")).count() == 2)
+    assert(aug.filter(col("row_id") === 100L).select("num_sold").head().getDouble(0) == 12.5)
+  }
+
+  test("MLlib MinHashLSH finds planted near-duplicates (§4.3)") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 57).map(i => s"tok$i") ++ Seq("x", "y", "z")).mkString(" ")
+    val far = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = LshOps.minhashNearDups(spark, docs, jaccardDistanceThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("BucketedRandomProjectionLSH ANN returns k neighbors (§4.3)") {
+    val res = LshOps.euclideanAnn(spark, Tables.embeddings(spark, sf001), Seq(0L, 1L), k = 5)
+    val counts = res.groupBy("q_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0L, 1L))
+    assert(counts.values.forall(_ == 5))
+  }
+
+  test("TF-IDF produces stable-dimensional sparse vectors") {
+    val out = TextMl.tfidf(spark, Tables.documents(spark, sf001).limit(50))
+    val v = out.select("tfidf").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == (1 << 12))
+    assert(out.count() == 50)
+  }
+}
