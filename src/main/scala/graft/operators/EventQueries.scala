@@ -142,5 +142,54 @@ object EventQueries {
     (s, dir) => graft.streaming.EventStreams.tumblingCounts(s, dir, "stream_tumbling_q35"),
     q30.oracle)
 
-  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35)
+  /** Ordered funnel (view → click → purchase): per-user min event times,
+    * strict ordering — the sequential-pattern query shape. One shuffle on
+    * user_id; conditional min aggregation does the rest.
+    */
+  val q36 = GQuery(
+    "q36_funnel",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val perUser = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum((col("t_view").isNotNull).cast("long")).as("n_view"),
+        sum((col("t_view") < col("t_click")).cast("long")).as("n_view_click"),
+        sum((col("t_view") < col("t_click") && col("t_click") < col("t_purchase")).cast("long"))
+          .as("n_full_funnel"))
+    },
+    Some("""WITH p AS (
+        SELECT user_id,
+          min(CASE WHEN event_type='view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+          min(CASE WHEN event_type='click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+          min(CASE WHEN event_type='purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        FROM events GROUP BY user_id)
+      SELECT count(*) AS n_users,
+        CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      FROM p"""))
+
+  /** Typed JSON parsing with from_json (schema-on-read for the props
+    * column) — the structured path next to q33's get_json_object.
+    */
+  val q37 = GQuery(
+    "q37_from_json",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).as("p"))
+        .select(col("event_id"), col("p.k").as("k"))
+        .filter(col("k") >= 90)
+        .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 90
+      ORDER BY event_id"""))
+
+  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
 }

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.{Metrics, ReservoirSample}
+import graft.operators.SkewJoin
+import graft.sources.Bucketing
+
+/** Scale-machinery specs: custom Expression (codegen), custom Aggregator,
+  * bucketed shuffle-free joins, salted skew joins — each asserting the
+  * PLAN property, not just the answer.
+  */
+class PlansSpec extends SparkSpec {
+
+  test("GeometricRoundExpr matches the Column-composed version and works in SQL") {
+    import spark.implicits._
+    val xs = Seq(0.5, 2.44, 2.45, 7.0, 123.456, 0.0).toDF("x")
+    val both = xs.select(
+      GeometricRoundExpr.geometricRoundNative(col("x")).as("native"),
+      Metrics.geometricRound(col("x")).as("composed")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // registered via GraftExtensions -> callable from SQL
+    val viaSql = spark.sql("SELECT geometric_round(CAST(2.44 AS DOUBLE))").head().getDouble(0)
+    assert(viaSql == 2.0)
+  }
+
+  test("GeometricRoundExpr participates in whole-stage codegen") {
+    // needs a real source — a local Seq collapses to LocalTableScan with no
+    // codegen stage at all
+    val plan = Tables.orders(spark, sf001)
+      .select(GeometricRoundExpr.geometricRoundNative(col("o_totalprice")))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the simple-string marker for WholeStageCodegen
+    assert(plan.contains("*(1) Project [geometricroundexpr"),
+      plan.linesIterator.take(6).mkString("\n"))
+  }
+
+  test("reservoir sample: bounded size, subset of input, reproducible draw") {
+    val c = Tables.customer(spark, sf001)
+    val sampled = c.groupBy("c_nationkey")
+      .agg(ReservoirSample.reservoir(col("c_acctbal"), 5, seed = 7L).as("sample"),
+        count(lit(1)).as("n"))
+      .collect()
+    val byNation = c.collect().groupBy(_.getInt(2))
+      .view.mapValues(_.map(_.getDouble(3)).toSet).toMap
+    sampled.foreach { r =>
+      val nation = r.getInt(0)
+      val s = r.getSeq[Double](1)
+      val n = r.getLong(2)
+      assert(s.size == math.min(5L, n), s"nation $nation")
+      assert(s.toSet.subsetOf(byNation(nation)), s"nation $nation sample not from group")
+      assert(s.distinct.size == s.size, s"nation $nation sampled with replacement")
+    }
+  }
+
+  test("co-bucketed join is shuffle-free; unbucketed one is not (PLANS.md)") {
+    val o = Tables.orders(spark, sf001)
+    val l = Tables.lineitem(spark, sf001)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      assert(!Bucketing.isShuffleFree(plain))
+
+      Bucketing.writeBucketed(o, "orders_b", "o_orderkey", 8)
+      Bucketing.writeBucketed(l, "lineitem_b", "l_orderkey", 8)
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      assert(Bucketing.isShuffleFree(joined),
+        joined.queryExecution.executedPlan.toString.linesIterator.take(12).mkString("\n"))
+      assert(joined.count() == l.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("salted join preserves inner-join semantics") {
+    val o = Tables.orders(spark, sf001)
+    val c = Tables.customer(spark, sf001)
+    val expected = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedJoin(
+      o.withColumnRenamed("o_custkey", "k"), c.withColumnRenamed("c_custkey", "k"), "k", salt = 4)
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == expected)
+  }
+}
