@@ -1,20 +1,23 @@
 package graft
 
 /** Benchmark main: runs every registry query against SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":...,"queries":{name:sec,...}}. A warmup
-  * pass on the flagship query absorbs JVM/codegen startup so per-query
-  * numbers reflect steady state.
+  * prints one JSON line {"metric":...,"queries":{name:sec,...}}.
+  *
+  * Each query executes through the noop sink — full plan execution
+  * including projections and sorts (a bare .count() would let Catalyst
+  * prune work the query claims to do). A warmup pass on the flagship query
+  * absorbs JVM/codegen startup so per-query numbers reflect steady state.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.getOrCreate()
-    // warmup: trigger codegen + parquet footer reads once
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+    try exec("q01_pricing_summary") catch { case _: Throwable => () } // warmup
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }

@@ -69,6 +69,24 @@ object Multimodal {
       })
   }
 
+  /** Resize plumbing (STUB): emits the target-dimension metadata and a
+    * proportionally "resized" payload (byte truncation standing in for the
+    * pixel resample). Schema and distribution shape are what a real resize
+    * stage has; only the codec call is fake.
+    */
+  def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content"), col("media_type"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, mt) =>
+        val meta = FakeCodec.decode(mt, bytes)
+        val scale = math.min(1.0, targetW.toDouble * targetH / (meta.width.toLong * meta.height))
+        val outLen = math.max(1, (bytes.length * scale).toInt)
+        (id, mt, bytes.take(outLen), targetW, targetH)
+      })
+      .toDF("doc_id", "media_type", "content", "width", "height")
+  }
+
   /** Frame sampling for video rows: every k-th "frame" (stub: byte-range
     * slices standing in for decoded frames), exploded to one row per
     * sampled frame — the shape a caption/embed stage consumes.

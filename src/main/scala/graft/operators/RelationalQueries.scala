@@ -495,6 +495,56 @@ object RelationalQueries {
       CAST(sum(CASE WHEN o_orderpriority='5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Multi-dimensional cube aggregation (free from Catalyst; the cube
+    * sibling of q14's rollup). Grouping nulls labeled to dodge
+    * null-ordering divergence.
+    */
+  val q23 = GQuery(
+    "q23_cube",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Metrics.canonRound(Metrics.exactSum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority"),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      count(*) AS n,
+      floor((CAST(sum(CAST(floor((o_totalprice) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)) * 1e2 + 0.5)/1e2 AS total
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
+  /** Set difference (EXCEPT): customers active in 1995 but not 1996. */
+  val q24 = GQuery(
+    "q24_except",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      y95.except(y96).orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996
+      ORDER BY o_custkey"""))
+
+  /** Set intersection: customers active in both years. */
+  val q25 = GQuery(
+    "q25_intersect",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      y95.intersect(y96).orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996
+      ORDER BY o_custkey"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
 }

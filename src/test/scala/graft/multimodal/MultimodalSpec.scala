@@ -24,6 +24,15 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(f => f.brightness >= 0.0 && f.brightness <= 1.0))
   }
 
+  test("resize stub keeps schema and caps payload size") {
+    val resized = Multimodal.resize(spark, media, 224, 224)
+    assert(resized.columns.toSeq == Seq("doc_id", "media_type", "content", "width", "height"))
+    assert(resized.count() == media.count())
+    val sizes = resized.select(length(col("content"))).collect().map(_.getInt(0))
+    assert(sizes.forall(_ >= 1))
+    assert(resized.filter(col("width") =!= 224 || col("height") =!= 224).count() == 0)
+  }
+
   test("frame sampling only emits video rows at the sampled grain") {
     val frames = Multimodal.sampleFrames(spark, media, everyK = 30)
     val perDoc = frames.groupBy("doc_id").count()
