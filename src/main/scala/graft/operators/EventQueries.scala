@@ -191,5 +191,29 @@ object EventQueries {
       FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 90
       ORDER BY event_id"""))
 
-  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+  /** Native gap-based session windows (session_window — Spark's built-in
+    * sessionization operator, batch + streaming). Must agree with q32's
+    * lag/cumsum idiom on (user, start, count); oracle is the same derived
+    * SQL. (session_window.end = last event + gap, so end isn't compared.)
+    */
+  val q38 = GQuery(
+    "q38_session_window",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("w.start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      g AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+      f AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_sess FROM g),
+      s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f)
+      SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      FROM s GROUP BY user_id, sess_id ORDER BY user_id, session_start"""))
+
+  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

@@ -545,6 +545,44 @@ object RelationalQueries {
       SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996
       ORDER BY o_custkey"""))
 
+  /** Correlated scalar subquery, decorrelated (TPC-H Q17 shape): lineitems
+    * below 50% of their part's average quantity. Spark-first form: the
+    * per-part aggregate IS the decorrelation — a join against a grouped
+    * frame, which Catalyst would produce from the subquery anyway.
+    */
+  val q26 = GQuery(
+    "q26_correlated_agg",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val perPart = l.groupBy(col("l_partkey").as("pk"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      l.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_small"),
+          graft.functions.Metrics.canonRound(Metrics.exactSum(col("l_extendedprice")), 2).as("value"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_small,
+      floor((CAST(sum(CAST(floor((l_extendedprice) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)) * 1e2 + 0.5)/1e2 AS value
+      FROM lineitem l
+      WHERE l_quantity < 0.5 * (SELECT avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Cardinality sketches (the 100 TB path for A6): HLL approx next to the
+    * exact count. Sketch internals differ per engine → rows-only check.
+    */
+  val q27 = GQuery(
+    "q27_approx_distinct",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("exact_parts"),
+          approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+        .orderBy("l_returnflag"),
+    None)
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
+    q26, q27)
 }

@@ -43,6 +43,19 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 8)
   }
 
+  test("dedupCorpus drops exact and near duplicates, keeps distinct docs") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 47).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
+    val other = (100 to 150).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> base, 2L -> base, // exact dup pair
+      3L -> near,             // near dup of 1
+      4L -> other)            // distinct
+    val survivors = DedupPipeline.dedupCorpus(d, estJaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L), s"survivors=$survivors")
+  }
+
   test("exact dedup groups identical documents (q40 logic)") {
     import spark.implicits._
     val dup = docs(1L -> "a b c", 2L -> "a b c", 3L -> "a b d")

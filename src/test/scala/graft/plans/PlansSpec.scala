@@ -54,6 +54,25 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("q02 pushes all predicates and prunes columns at the parquet scan") {
+    // formatted mode — the simple toString truncates PushedFilters with "..."
+    val plan = graft.registry.Registry.queries("q02_filter_project")(spark, sf001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_shipdate)"), plan)
+    assert(plan.contains("EqualTo(l_returnflag,R)"))
+    assert(plan.contains("GreaterThan(l_quantity,30.0)"))
+    // pruned read schema: 6 of 11 lineitem columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_returnflag:string,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("q19 star join broadcasts every dimension") {
+    val plan = graft.registry.Registry.queries("q19_star_join")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "dims must not sort-merge at this scale")
+  }
+
   test("co-bucketed join is shuffle-free; unbucketed one is not (PLANS.md)") {
     val o = Tables.orders(spark, sf001)
     val l = Tables.lineitem(spark, sf001)
