@@ -215,5 +215,37 @@ object EventQueries {
       SELECT user_id, min(ts) AS session_start, count(*) AS n_events
       FROM s GROUP BY user_id, sess_id ORDER BY user_id, session_start"""))
 
-  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
+  /** As-of join (point-in-time): each click matched to the user's most
+    * recent prior-or-equal purchase. Oracle is DuckDB's native ASOF JOIN;
+    * ours is the union+window composition (operators.AsOfJoin). The right
+    * side is deduped to unique (user, ts) first — ASOF semantics are
+    * undefined under tied reference timestamps.
+    */
+  val q39 = GQuery(
+    "q39_asof_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      AsOfJoin.asof(clicks, purchases, "user_id", "click_ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          col("click_ts").cast("timestamp_ntz").as("click_ts"),
+          col("asof_ts").cast("timestamp_ntz").as("purchase_ts"),
+          graft.functions.Metrics.canonRound(col("asof_value"), 4).as("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH clicks AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type='click'),
+      purch AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS v
+        FROM events WHERE event_type='purchase' GROUP BY 1, 2)
+      SELECT c.event_id, c.user_id, c.ts AS click_ts,
+             p.ts AS purchase_ts,
+             floor((p.v) * 1e4 + 0.5)/1e4 AS purchase_value
+      FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id"""))
+
+  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }
