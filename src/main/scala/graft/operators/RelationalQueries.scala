@@ -582,7 +582,41 @@ object RelationalQueries {
         .orderBy("l_returnflag"),
     None)
 
+  /** RANGE-framed rolling window: 7-day trailing revenue per returnflag.
+    * The frame is value-based (days), not row-based — the frame kind q17
+    * doesn't cover. All arithmetic stays DECIMAL inside the window so both
+    * engines' sliding-aggregation algorithms (linear vs segment-tree) are
+    * exact and order-free.
+    */
+  val q28 = GQuery(
+    "q28_rolling_window",
+    (s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("d"))
+        .agg(sum(graft.functions.Metrics.canonRound(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .cast("decimal(18,4)")).as("rev"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(datediff(col("d"), lit("1995-01-01")))
+        .rangeBetween(-6, 0)
+      daily.select(col("l_returnflag"),
+          col("d").cast("timestamp_ntz").as("day"),
+          sum(col("rev")).over(w).cast("double").as("rev_7d"))
+        .select(col("l_returnflag"), col("day"),
+          graft.functions.Metrics.canonRound(col("rev_7d"), 2).as("rev_7d"))
+        .orderBy("l_returnflag", "day")
+    },
+    Some("""WITH daily AS (
+        SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+          sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS rev
+        FROM lineitem GROUP BY 1, 2)
+      SELECT l_returnflag, CAST(d AS TIMESTAMP) AS day,
+        floor((CAST(sum(rev) OVER (PARTITION BY l_returnflag
+            ORDER BY date_diff('day', DATE '1995-01-01', d)
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)) * 1e2 + 0.5)/1e2 AS rev_7d
+      FROM daily ORDER BY l_returnflag, day"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27)
+    q26, q27, q28)
 }

@@ -120,33 +120,62 @@ object TextQueries {
       floor((avg(len(string_split(text,' ')))) * 1e4 + 0.5)/1e4 AS avg_tokens
       FROM documents GROUP BY lang, source ORDER BY lang, source"""))
 
-  /** Language-ID heuristic (n-gram/stopword profile): flag documents whose
-    * English-stopword density clears a threshold. The fixture vocabulary is
-    * English-ish for every `lang` value, so this is a capability
-    * demonstration with a deterministic answer, not a benchmark of accuracy.
+  /** Language-ID profiles: per-language function-word sets. The fixture
+    * vocabulary is English-ish for every `lang` value, so the heuristic's
+    * ACCURACY isn't the point — the deterministic multi-profile argmax
+    * dataflow is.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Language-ID heuristic: stopword-profile density per language, argmax
+    * with a fixed preference order (deterministic tie-break) and an 'und'
+    * floor — the n-gram-profile classifier shape at whole-corpus scale.
     */
   val q45 = GQuery(
     "q45_langid",
     (s, dir) => {
       val t = tokens(col("text"))
-      val ratio = size(filter(t, x => array_contains(stopArray, x))).cast("double") /
-        size(t).cast("double")
+      val n = size(t).cast("double")
+      val scores = langProfiles.map { case (lang, words) =>
+        val arr = array(words.map(lit): _*)
+        lang -> (size(filter(t, x => array_contains(arr, x))).cast("double") / n)
+      }
+      val pred = scores.foldRight(lit("und"): Column) { case ((lang, sc), rest) =>
+        val beatsAll = scores.filter(_._1 != lang)
+          .map { case (_, other) => sc >= other }
+          .reduce(_ && _)
+        when(beatsAll && sc > 0.02, lang).otherwise(rest)
+      }
       Tables.documents(s, dir)
-        .select(col("doc_id"),
-          graft.functions.Metrics.canonRound(ratio, 4).as("en_stop_ratio"),
-          when(ratio > 0.05, "en").otherwise("und").as("lang_pred"))
+        .select(col("doc_id") +:
+          scores.map { case (l, sc) =>
+            graft.functions.Metrics.canonRound(sc, 4).as(s"score_$l") } :+
+          pred.as("lang_pred"): _*)
         .orderBy("doc_id")
     },
-    Some(s"""SELECT doc_id,
-      floor((r) * 1e4 + 0.5)/1e4 AS en_stop_ratio,
-      CASE WHEN r > 0.05 THEN 'en' ELSE 'und' END AS lang_pred
+    Some {
+      def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(",")
+      val scoreCols = langProfiles.map { case (l, ws) =>
+        s"""CAST(len(list_filter(toks, x -> x IN (${inList(ws)}))) AS DOUBLE) / len(toks) AS s_$l"""
+      }.mkString(",\n          ")
+      val langs = langProfiles.map(_._1)
+      val caseArms = langs.map { l =>
+        val beats = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $beats AND s_$l > 0.02 THEN '$l'"
+      }.mkString("\n        ")
+      s"""SELECT doc_id,
+        ${langs.map(l => s"floor((s_$l) * 1e4 + 0.5)/1e4 AS score_$l").mkString(",\n        ")},
+        CASE $caseArms ELSE 'und' END AS lang_pred
       FROM (
         SELECT doc_id,
-          CAST(len(list_filter(string_split(text,' '),
-               x -> x IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
-          / CAST(len(string_split(text,' ')) AS DOUBLE) AS r
-        FROM documents) t
-      ORDER BY doc_id"""))
+          $scoreCols
+        FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)) t
+      ORDER BY doc_id"""
+    })
 
   /** Word-bigram shingles for Jaccard / MinHash. */
   def bigrams(toks: Column): Column =
