@@ -31,6 +31,12 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Register every fixture as a temp view so the library's SQL surface
+    * (spark.sql over the same tables DuckDB sees) is first-class.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   /** events.parquet stores ts as INT64 TIMESTAMP(NANOS,false), which Spark's
     * micros-precision TimestampType cannot hold. With
     * spark.sql.legacy.parquet.nanosAsLong=true the column arrives as Long

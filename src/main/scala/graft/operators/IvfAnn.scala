@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** IVF-style approximate nearest neighbor (the "IVF variant" the north
+  * star names next to LSH): a coarse k-means quantizer partitions the
+  * corpus into nList inverted lists; a probe searches only its nProbe
+  * nearest lists with exact cosine.
+  *
+  * Scale shape: centroids are tiny (nList × dim) and broadcast; list
+  * assignment is a per-row argmin over the broadcast centroids (no
+  * shuffle beyond the final top-k); candidate generation is an equi join
+  * on list id. Recall/nProbe trades exactly like FAISS IVF-flat — public
+  * literature (Jégou et al., inverted file indexing).
+  */
+object IvfAnn {
+
+  /** (index, centroids): corpus rows tagged with their inverted-list id. */
+  def buildIndex(spark: SparkSession, embeddings: DataFrame, nList: Int,
+                 seed: Long = 42L): (DataFrame, DataFrame) = {
+    val vecs = embeddings.withColumn("v", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("v")
+      .setPredictionCol("list_id").setMaxIter(10)
+    val model = km.fit(vecs)
+    val indexed = model.transform(vecs).drop("v")
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+        .toSeq).toDF("list_id", "centroid")
+    (indexed, centroids)
+  }
+
+  /** Top-k cosine neighbors for each probe id, searching nProbe lists. */
+  def search(indexed: DataFrame, centroids: DataFrame, probeIds: Seq[Long],
+             k: Int, nProbe: Int): DataFrame = {
+    val probes = indexed.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // nProbe nearest lists per probe (probe × centroid cross is tiny)
+    val wLists = Window.partitionBy("q_id").orderBy(col("c_dist").asc, col("list_id").asc)
+    val probeLists = probes.crossJoin(broadcast(centroids))
+      .withColumn("c_dist", VectorOps.euclidean(col("q_vec"), col("centroid")))
+      .withColumn("lr", row_number().over(wLists))
+      .filter(col("lr") <= nProbe)
+      .select("q_id", "q_vec", "list_id")
+    // exact cosine within the probed lists only
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    indexed.join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.Metrics.canonRound(
+          VectorOps.cosine(col("q_vec"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+}

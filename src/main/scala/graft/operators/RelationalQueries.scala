@@ -616,7 +616,29 @@ object RelationalQueries {
             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)) * 1e2 + 0.5)/1e2 AS rev_7d
       FROM daily ORDER BY l_returnflag, day"""))
 
+  /** GROUPING SETS through the library's SQL surface (spark.sql over the
+    * registered fixture views) — the agg shape between q14's rollup and
+    * q23's cube, and proof the engine is usable as plain SQL.
+    */
+  val q29 = GQuery(
+    "q29_grouping_sets",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                      coalesce(o_orderpriority, 'ALL') AS priority,
+                      count(*) AS n
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY status, priority""")
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28)
+    q26, q27, q28, q29)
 }

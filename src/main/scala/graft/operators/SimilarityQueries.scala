@@ -136,5 +136,17 @@ object SimilarityQueries {
                                          CAST(b.embedding AS DOUBLE[]))) * 1e6 + 0.5)/1e6 > 0.25
       ORDER BY id_a, id_b"""))
 
-  def all: Seq[GQuery] = Seq(q50, q51, q52)
+  /** IVF-bucketed ANN (coarse k-means quantizer + probed inverted lists).
+    * KMeans is iterative/seeded → not SQL-expressible → rows-only; the
+    * recall-vs-brute-force property is asserted in SimilaritySpec.
+    */
+  val q53 = GQuery(
+    "q53_ann_ivf",
+    (s, dir) => {
+      val (indexed, centroids) = IvfAnn.buildIndex(s, Tables.embeddings(s, dir), nList = 16)
+      IvfAnn.search(indexed, centroids, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 4)
+    },
+    None)
+
+  def all: Seq[GQuery] = Seq(q50, q51, q52, q53)
 }

@@ -56,6 +56,27 @@ class SalesMlSpec extends SparkSpec {
     assert(w >= 0.97 && w <= 1.02)
   }
 
+  test("SmapeEvaluator drives TrainValidationSplit model selection (E11)") {
+    import org.apache.spark.ml.regression.LinearRegression
+    import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+    val lr = new LinearRegression().setFeaturesCol("features").setLabelCol("num_sold")
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01, 10.0)).build()
+    val tvs = new TrainValidationSplit()
+      .setEstimator(lr)
+      .setEvaluator(new SmapeEvaluator().setLabelCol("num_sold").setPredictionCol("prediction"))
+      .setEstimatorParamMaps(grid)
+      .setTrainRatio(0.8).setSeed(42L)
+    val model = tvs.fit(train)
+    assert(model.validationMetrics.length == 2)
+    assert(model.validationMetrics.forall(m => m > 0 && m < 200))
+    // lower SMAPE wins (isLargerBetter=false)
+    val best = model.validationMetrics.min
+    val chosen = model.bestModel.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+    assert(model.validationMetrics.indexOf(best) ==
+      grid.indexWhere(_.get(lr.regParam).contains(chosen.getRegParam)))
+  }
+
   test("rolling-origin folds are time-ordered and cover the tail") {
     val folds = Stacking.timeFolds(train, "date", 3)
     assert(folds.size == 2)

@@ -96,6 +96,17 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned writes give partition pruning at read (PLANS.md claim)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val l = Tables.lineitem(spark, sf001)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    l.write.mode("overwrite").partitionBy("ship_month").parquet(s"$tmp/li")
+    val read = spark.read.parquet(s"$tmp/li").filter(col("ship_month") === "1996-03")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ship_month"), plan.take(500))
+    assert(read.count() == l.filter(col("ship_month") === "1996-03").count())
+  }
+
   test("salted join preserves inner-join semantics") {
     val o = Tables.orders(spark, sf001)
     val c = Tables.customer(spark, sf001)
