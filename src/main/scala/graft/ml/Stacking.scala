@@ -75,9 +75,14 @@ object Stacking {
     val asm = new VectorAssembler()
       .setInputCols(grid.map { case (n, _) => s"oof_$n" }.toArray)
       .setOutputCol("meta_features")
+    // fitIntercept=false: fold models trained on earlier data underpredict
+    // trending series; a free intercept learned on those biased OOF rows
+    // transfers badly to the full-trained final bases. A pure linear blend
+    // is the stable choice (and what RidgeCV over predictions effectively
+    // learns when the bases are unbiased).
     val ridge = new LinearRegression()
       .setFeaturesCol("meta_features").setLabelCol(labelCol)
-      .setRegParam(0.1).setElasticNetParam(0.0)
+      .setRegParam(0.1).setElasticNetParam(0.0).setFitIntercept(false)
     val metaModel = ridge.fit(asm.transform(oof))
     val finalBases = grid.map { case (n, bh) => (n, bh.fit(train)) }
     StackModel(finalBases, metaModel.coefficients.toArray, metaModel.intercept)
