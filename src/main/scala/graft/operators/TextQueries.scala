@@ -44,6 +44,9 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           size(t).as("n_tokens"),
+          // BPE-ish regex tokenizer: words OR single non-space symbols
+          size(regexp_extract_all(col("text"), lit("""\w+|[^\w\s]"""), lit(0)))
+            .as("n_tokens_regex"),
           size(array_distinct(t)).as("n_uniq_tokens"),
           graft.functions.Metrics.canonRound(aggregate(transform(t, x => length(x).cast("double")),
             lit(0.0), (acc, x) => acc + x) / size(t), 4).as("avg_token_len"))
@@ -51,6 +54,7 @@ object TextQueries {
     },
     Some("""SELECT doc_id,
       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_tokens_regex,
       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq_tokens,
       floor((list_sum(list_transform(string_split(text, ' '), x -> CAST(length(x) AS DOUBLE)))
             / len(string_split(text, ' '))) * 1e4 + 0.5)/1e4 AS avg_token_len
@@ -215,5 +219,37 @@ object TextQueries {
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0.03
       ORDER BY id_a, id_b"""))
 
-  def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46)
+  /** Rolling-hash document fingerprint (winnowing/CDC style): hash every
+    * 8-char window, keep the ~1/16 whose hash starts with '0' (content-
+    * defined selection), fingerprint = md5 of the sorted selected hashes.
+    * Robust to local edits — only windows near the edit change. md5 is the
+    * rolling hash here because it is bit-identical across engines, which
+    * makes the whole pipeline oracle-checkable.
+    */
+  val q49 = GQuery(
+    "q49_rolling_fingerprint",
+    (s, dir) => {
+      val k = 8
+      val win = transform(
+        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+        i => md5(col("text").substr(i, lit(k))))
+      val selected = array_sort(array_distinct(filter(win, h => h.startsWith("0"))))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(selected).as("n_anchors"),
+          md5(concat_ws("", selected)).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_sort(list_distinct(list_filter(
+            list_transform(generate_series(1, greatest(strlen(text) - 7, 1)),
+                           i -> md5(substr(text, i, 8))),
+            h -> h LIKE '0%'))) AS sel
+        FROM documents)
+      SELECT doc_id, CAST(len(sel) AS INTEGER) AS n_anchors,
+             md5(coalesce(list_aggregate(sel, 'string_agg', ''), '')) AS fingerprint
+      FROM w ORDER BY doc_id"""))
+
+  def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49)
 }
