@@ -23,6 +23,19 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic hash split (train/holdout) on a key column: stable under
+    * reruns, repartitioning, AND data growth — the property a 100 TB
+    * training pipeline needs from its split (row-level rand() has none of
+    * them). md5-based so any engine reproduces the assignment.
+    *
+    * @param numerator keep rows whose first hex digit of md5(key) is
+    *                  < numerator (fraction = numerator/16)
+    */
+  def hashSplit(df: DataFrame, keyCol: String, numerator: Int): (DataFrame, DataFrame) = {
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 1), 16, 10).cast("int")
+    (df.filter(bucket < numerator), df.filter(bucket >= numerator))
+  }
+
   /** Stratified fraction sampling by key (df.sample per stratum). */
   def stratified(df: DataFrame, stratumCol: String, fractions: Map[String, Double],
                  seed: Long = 42L): DataFrame =

@@ -251,5 +251,29 @@ object TextQueries {
              md5(coalesce(list_aggregate(sel, 'string_agg', ''), '')) AS fingerprint
       FROM w ORDER BY doc_id"""))
 
-  def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49)
+  /** Deterministic hash-based train/holdout split (Sampling.hashSplit):
+    * 75/25 on md5(doc_id), per-language counts of each side. Stable under
+    * reruns/repartitioning/data growth — unlike rand()-based splits.
+    */
+  val q55 = GQuery(
+    "q55_hash_split",
+    (s, dir) => {
+      val (train, holdout) = Sampling.hashSplit(Tables.documents(s, dir), "doc_id", 12)
+      train.groupBy("lang").agg(count(lit(1)).as("n_train"))
+        .join(holdout.groupBy("lang").agg(count(lit(1)).as("n_holdout")), Seq("lang"), "full")
+        .select(col("lang"),
+          coalesce(col("n_train"), lit(0L)).as("n_train"),
+          coalesce(col("n_holdout"), lit(0L)).as("n_holdout"))
+        .orderBy("lang")
+    },
+    Some("""WITH b AS (
+        SELECT lang,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 1 ELSE 0 END AS is_train
+        FROM documents)
+      SELECT lang,
+        CAST(sum(is_train) AS BIGINT) AS n_train,
+        CAST(sum(1 - is_train) AS BIGINT) AS n_holdout
+      FROM b GROUP BY lang ORDER BY lang"""))
+
+  def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55)
 }

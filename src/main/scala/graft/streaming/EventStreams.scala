@@ -59,6 +59,24 @@ object EventStreams {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Streaming exact deduplication: dropDuplicates on the id within the
+    * watermark horizon — the streaming face of the corpus-dedup operators
+    * (state is bounded by the watermark, so it runs forever).
+    */
+  def dedupStream(spark: SparkSession, dir: String, queryName: String = "stream_dedup"): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)

@@ -11,6 +11,37 @@ class StreamingSpec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("streaming dropDuplicates emits each event_id once across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.nio.file.{Files, Paths}
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = Files.createTempDirectory("graft_dedup_").toString
+    def feed(rows: Seq[(Long, Timestamp, Double)], name: String): Unit = {
+      val staging = Files.createTempDirectory("graft_dedup_stage_")
+      rows.toDF("event_id", "ts", "value").coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, Paths.get(dir, name))
+    }
+    feed(Seq((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-01 10:05:00"), 2.0)), "b1.parquet")
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_spec").start()
+    q.processAllAvailable()
+    feed(Seq((2L, ts("2024-01-01 10:05:00"), 2.0), // duplicate — must not re-emit
+      (3L, ts("2024-01-01 10:10:00"), 3.0)), "b2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_spec").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("stateful streaming sessionization agrees with the batch window idiom") {
     import org.apache.spark.sql.functions.col
     val streamed = EventStreams.sessionizeStream(spark, sf001, queryName = "spec_stream_sessions")
