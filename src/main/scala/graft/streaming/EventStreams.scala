@@ -59,14 +59,13 @@ object EventStreams {
       .orderBy("hour_start", "event_type")
   }
 
-  /** Streaming exact deduplication: dropDuplicates on the id within the
-    * watermark horizon — the streaming face of the corpus-dedup operators
-    * (state is bounded by the watermark, so it runs forever).
+  /** Streaming exact deduplication — the streaming face of the corpus-
+    * dedup operators. dropDuplicatesWithinWatermark is what actually
+    * bounds the state: plain dropDuplicates(id) keeps every id ever seen
+    * (only dedup keys containing the event-time column are evicted), which
+    * would OOM a long-running job.
     */
-  def dedupStream(spark: SparkSession, dir: String, queryName: String = "stream_dedup"): DataFrame = {
-    val deduped = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+  def dedupQuery(deduped: org.apache.spark.sql.Dataset[_], queryName: String): DataFrame = {
     val q = deduped.writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
@@ -74,8 +73,15 @@ object EventStreams {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    deduped.sparkSession.table(queryName)
   }
+
+  def dedupStream(spark: SparkSession, dir: String, queryName: String = "stream_dedup"): DataFrame =
+    dedupQuery(
+      eventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id"),
+      queryName)
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long)

@@ -11,10 +11,9 @@ class StreamingSpec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
-  test("streaming dropDuplicates emits each event_id once across micro-batches") {
+  test("streaming dedup (dropDuplicatesWithinWatermark) emits each event_id once across micro-batches") {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.OutputMode
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
     val dir = Files.createTempDirectory("graft_dedup_").toString
@@ -22,15 +21,19 @@ class StreamingSpec extends SparkSpec {
       val staging = Files.createTempDirectory("graft_dedup_stage_")
       rows.toDF("event_id", "ts", "value").coalesce(1)
         .write.mode("overwrite").parquet(staging.toString)
-      val part = Files.list(staging).filter(_.toString.endsWith(".parquet")).findFirst().get()
-      Files.copy(part, Paths.get(dir, name))
+      val listing = Files.list(staging)
+      try {
+        val part = listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        // atomic move: the running stream must never list a half-written file
+        Files.move(part, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      } finally listing.close()
     }
     feed(Seq((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-01 10:05:00"), 2.0)), "b1.parquet")
     val schema = spark.read.parquet(s"$dir/b1.parquet").schema
-    val q = spark.readStream.schema(schema).parquet(dir)
+    val deduped = spark.readStream.schema(schema).parquet(dir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
-      .writeStream.outputMode(OutputMode.Append)
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .format("memory").queryName("dedup_spec").start()
     q.processAllAvailable()
     feed(Seq((2L, ts("2024-01-01 10:05:00"), 2.0), // duplicate — must not re-emit
@@ -40,6 +43,13 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.table("dedup_spec").select("event_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("dedupStream over the fixture keeps all (already-distinct) events exactly once") {
+    val out = EventStreams.dedupStream(spark, sf001, "dedup_fixture_spec")
+    val n = graft.Tables.events(spark, sf001).count()
+    assert(out.count() == n)
+    assert(out.select("event_id").distinct().count() == n)
   }
 
   test("stateful streaming sessionization agrees with the batch window idiom") {

@@ -18,12 +18,18 @@ class WatermarkSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  /** Stage df as a single parquet file inside the watched dir. */
+  /** Stage df as a single parquet file inside the watched dir (atomic move
+    * so the running stream never lists a half-written file).
+    */
   private def feed(df: DataFrame, watched: String, name: String): Unit = {
     val staging = Files.createTempDirectory("graft_wm_stage_")
     df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    val part = Files.list(staging).filter(_.toString.endsWith(".parquet")).findFirst().get()
-    Files.copy(part, Paths.get(watched, name))
+    val listing = Files.list(staging)
+    try {
+      val part = listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(watched, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally listing.close()
   }
 
   test("append-mode windowed agg drops events behind the watermark") {
