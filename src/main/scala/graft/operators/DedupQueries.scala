@@ -121,5 +121,41 @@ object DedupQueries {
     },
     None)
 
-  def all: Seq[GQuery] = Seq(q47, q48)
+  /** Cross-engine-verifiable MinHash: signature slot i = lexicographic min
+    * of md5(shingle + "#i") — md5 is bit-identical everywhere, so the whole
+    * signature (digested per doc) hash-matches the DuckDB oracle. The
+    * xxhash64 path (q47) stays the throughput path; this one proves the
+    * minhash DATAFLOW is right, not just non-empty.
+    */
+  val q56 = GQuery(
+    "q56_minhash_digest",
+    (s, dir) => {
+      val nH = 8
+      val sh = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextQueries.bigrams(split(col("text"), " "))).as("sh"))
+      val aggs = (0 until nH).map(i => min(md5(concat(col("sh"), lit(s"#$i")))).as(s"m$i"))
+      sh.groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          md5(concat((0 until nH).map(i => col(s"m$i")): _*)).as("sig_digest"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val nH = 8
+      val mins = (0 until nH).map(i => s"min(md5(s || '#$i')) AS m$i").mkString(",\n          ")
+      val cat = (0 until nH).map(i => s"m$i").mkString(" || ")
+      s"""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+        FROM toks),
+      sig AS (
+        SELECT doc_id,
+          $mins
+        FROM sh GROUP BY doc_id)
+      SELECT doc_id, md5($cat) AS sig_digest FROM sig ORDER BY doc_id"""
+    })
+
+  def all: Seq[GQuery] = Seq(q47, q48, q56)
 }

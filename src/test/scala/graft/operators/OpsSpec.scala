@@ -33,6 +33,19 @@ class OpsSpec extends SparkSpec {
     assert(small.count() == c.select("c_nationkey").distinct().count())
   }
 
+  test("hashSplit is exhaustive (null keys included) and stable") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(2L), None, Some(4L), None).toDF("k")
+    val (train, holdout) = Sampling.hashSplit(df, "k", 8)
+    // nothing silently dropped — the null-key regression this guards
+    assert(train.count() + holdout.count() == df.count(), "rows lost in split")
+    // all null-key rows land on the same (deterministic) side
+    val nullSides = Seq(train, holdout).map(_.filter(col("k").isNull).count())
+    assert(nullSides.contains(2L) && nullSides.contains(0L), s"nulls split: $nullSides")
+    val (t2, h2) = Sampling.hashSplit(df.repartition(3), "k", 8)
+    assert(train.count() == t2.count() && holdout.count() == h2.count(), "unstable across partitioning")
+  }
+
   test("pseudo-labeling joins by row_id and unions with provenance (E14)") {
     import spark.implicits._
     val train = Seq((0L, "2018-01-01", 10.0), (1L, "2018-01-02", 11.0))
