@@ -77,6 +77,25 @@ class SalesMlSpec extends SparkSpec {
       grid.indexWhere(_.get(lr.regParam).contains(chosen.getRegParam)))
   }
 
+  test("univariate feature selection keeps k features (E17)") {
+    val out = FeatureSelection.selectTopK(train, "features", "num_sold", 5)
+    val v = out.select("selected_features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == 5)
+  }
+
+  test("log-target transform fit + expm1 inverse (E5) trains and predicts sanely") {
+    import org.apache.spark.ml.regression.LinearRegression
+    val logTrain = train.withColumn("y_log", log1p(col("num_sold")))
+    val m = new LinearRegression().setFeaturesCol("features").setLabelCol("y_log")
+      .setRegParam(0.01).fit(logTrain)
+    val preds = m.transform(valid)
+      .withColumn("prediction_inv", expm1(col("prediction")))
+    val s = preds.select(Metrics.smape(col("num_sold"), col("prediction_inv")).cast("double"))
+      .head().getDouble(0)
+    assert(s > 0 && s < 50, s"log-target linear SMAPE $s")
+  }
+
   test("rolling-origin folds are time-ordered and cover the tail") {
     val folds = Stacking.timeFolds(train, "date", 3)
     assert(folds.size == 2)
