@@ -32,13 +32,24 @@ object DateFeatures {
       .otherwise("SON")
   }
 
+  /** Fourier harmonic pair k over an arbitrary phase column. */
+  def fourierPairOf(phase: Column, k: Int, period: Double): (Column, Column) = {
+    val theta = lit(2.0 * math.Pi * k) * phase / lit(period)
+    (sin(theta), cos(theta))
+  }
+
   /** Fourier harmonic pair k over a day-of-year cycle of `period` days
     * (kaggle/kaggle.py:183-192, 214-234). Returns (sin_k, cos_k).
     */
-  def fourierPair(d: Column, k: Int, period: Double = 365.25): (Column, Column) = {
-    val theta = lit(2.0 * math.Pi * k) * dayofyear(d) / lit(period)
-    (sin(theta), cos(theta))
-  }
+  def fourierPair(d: Column, k: Int, period: Double = 365.25): (Column, Column) =
+    fourierPairOf(dayofyear(d), k, period)
+
+  /** Weekly harmonics phased on the actual weekday — day-of-year mod 7
+    * resets phase every Jan 1 and decorrelates from the true weekly cycle
+    * across years.
+    */
+  def weeklyFourierPair(d: Column, k: Int): (Column, Column) =
+    fourierPairOf(weekdayMon0(d), k, 7.0)
 
   /** All harmonics 1..order as named columns sin_k/cos_k. */
   def fourierFeatures(d: Column, order: Int, period: Double = 365.25): Seq[(String, Column)] =

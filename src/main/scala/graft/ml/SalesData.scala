@@ -26,7 +26,9 @@ object SalesData {
   def gdpDim(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val base = Map("Finland" -> 234.0, "Norway" -> 386.0, "Sweden" -> 505.0)
-    (2015 to 2019).flatMap { y =>
+    // wide year range so any generate() window finds its GDP — a missing
+    // year would surface much later as a VectorAssembler null error
+    (2010 to 2030).flatMap { y =>
       base.map { case (c, g) => (y, c, g * (1.0 + 0.02 * (y - 2015))) }
     }.toDF("year", "country", "gdp")
   }
@@ -35,8 +37,10 @@ object SalesData {
   def generate(spark: SparkSession, lo: String = "2015-01-01", hi: String = "2018-12-31"): DataFrame = {
     import spark.implicits._
     val days = DateFeatures.dateAxis(spark, lo, hi)
-    val dims = countries.flatMap(c => stores.flatMap(st => products.map(p => (c, st, p))))
-      .toDF("country", "store", "product")
+    val dimSeq = countries.flatMap(c => stores.flatMap(st => products.map(p => (c, st, p))))
+    val dims = dimSeq.zipWithIndex
+      .map { case ((c, st, p), i) => (c, st, p, i) }
+      .toDF("country", "store", "product", "dim_idx")
     val cMul = typedLit(Map("Finland" -> 0.9, "Norway" -> 1.15, "Sweden" -> 1.0))
     val sMul = typedLit(Map("KaggleMart" -> 1.2, "KaggleRama" -> 0.8))
     val pMul = typedLit(Map("Kaggle Mug" -> 1.0, "Kaggle Hat" -> 0.7, "Kaggle Sticker" -> 0.4))
@@ -51,14 +55,17 @@ object SalesData {
       (pmod(xxhash64(col("d").cast("string"), col("country"), col("store"), col("product")), lit(1000L))
         .cast("double") / lit(5000.0))
 
+    // row_id is arithmetic — (day offset × |dims|) + dim index — so the
+    // generator stays shuffle-free (a global row_number window would pull
+    // every row through one task, the opposite of "the generator itself
+    // distributes")
+    val nDims = dimSeq.size
     days.crossJoin(dims)
       .select(
+        (datediff(col("d"), to_date(lit(lo))).cast("long") * nDims + col("dim_idx")).as("row_id"),
         col("d").cast("timestamp").as("date"),
         col("country"), col("store"), col("product"),
         (lit(300.0) * cMul(col("country")) * sMul(col("store")) * pMul(col("product")) *
           annual * weekly * trend * noise).as("num_sold"))
-      .withColumn("row_id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("date", "country", "store", "product")).cast("long") - 1)
-      .select("row_id", "date", "country", "store", "product", "num_sold")
   }
 }

@@ -25,9 +25,11 @@ object SalesFeatures {
         year(col("date")) === col("year") && col("country") === col("gdp_country"), "left")
       .drop("year", "gdp_country")
     val wd = DateFeatures.weekdayMon0(col("date"))
-    val fourier = DateFeatures.fourierFeatures(col("date"), order = 2) ++
-      DateFeatures.fourierFeatures(col("date"), order = 1, period = 7.0)
-        .map { case (n, c) => (n + "_w", c) }
+    val weekly = {
+      val (s1, c1) = DateFeatures.weeklyFourierPair(col("date"), 1)
+      Seq("sin_1_w" -> s1, "cos_1_w" -> c1)
+    }
+    val fourier = DateFeatures.fourierFeatures(col("date"), order = 2) ++ weekly
     val featCols: Seq[Column] =
       Seq(log1p(col("gdp")).as("log_gdp"),
         wd.cast("double").as("wd"),

@@ -41,8 +41,9 @@ object ScaleCorrection {
                  lo: Double = 0.97, hi: Double = 1.02, step: Double = 1e-3): (Double, Double) = {
     val spark = preds.sparkSession
     import spark.implicits._
+    // `to` (inclusive): the sweep must evaluate the hi endpoint too
     val n = math.round((hi - lo) / step).toInt
-    val grid = (0 until n).map(i => math.rint((lo + i * step) * 1e6) / 1e6).toDF("weight")
+    val grid = (0 to n).map(i => math.rint((lo + i * step) * 1e6) / 1e6).toDF("weight")
     val scored = preds.crossJoin(broadcast(grid))
       .groupBy("weight")
       .agg(Metrics.smape(col(labelCol), col(predCol) * col("weight")).as("smape"))

@@ -28,13 +28,21 @@ object Multimodal {
     * unchanged.
     */
   object FakeCodec {
-    def decode(mediaType: String, bytes: Array[Byte]): MediaMeta = {
-      val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L) // FNV-1a
+    /** FNV-1a content hash — computed once per payload and shared by every
+      * derived feature (dimensions, content_hash).
+      */
+    def fnv1a(bytes: Array[Byte]): Long =
+      bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+
+    def decodeFromHash(mediaType: String, h: Long, byteLen: Long): MediaMeta = {
       val w = 64 + math.floorMod(h, 1920).toInt
       val ht = 64 + math.floorMod(h >> 11, 1080).toInt
       val frames = if (mediaType == "video") 1 + math.floorMod(h >> 22, 300).toInt else 1
-      MediaMeta(mediaType, bytes.length.toLong, w, ht, frames)
+      MediaMeta(mediaType, byteLen, w, ht, frames)
     }
+
+    def decode(mediaType: String, bytes: Array[Byte]): MediaMeta =
+      decodeFromHash(mediaType, fnv1a(bytes), bytes.length.toLong)
 
     /** STUB brightness: mean byte value scaled — stands in for a decoded-
       * pixel statistic.
@@ -62,10 +70,10 @@ object Multimodal {
     media.select(col("doc_id"), col("content"), col("media_type"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions(_.map { case (id, bytes, mt) =>
-        val meta = FakeCodec.decode(mt, bytes)
+        val h = FakeCodec.fnv1a(bytes) // one byte scan, shared by meta + hash
+        val meta = FakeCodec.decodeFromHash(mt, h, bytes.length.toLong)
         MediaFeatures(id, mt, meta.byte_len, meta.width, meta.height, meta.n_frames,
-          FakeCodec.brightness(bytes),
-          bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L))
+          FakeCodec.brightness(bytes), h)
       })
   }
 
@@ -93,8 +101,17 @@ object Multimodal {
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, everyK: Int = 30): DataFrame = {
     import spark.implicits._
-    val feats = extractFeatures(spark, media)
-    feats.filter(col("media_type") === "video")
+    // decode-only projection: frame sampling needs dimensions, not
+    // brightness/content-hash — don't pay extractFeatures' extra passes
+    val metas = media.filter(col("media_type") === "video")
+      .select(col("doc_id"), col("content"), col("media_type"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, mt) =>
+        val m = FakeCodec.decode(mt, bytes)
+        (id, m.width, m.height, m.n_frames)
+      })
+      .toDF("doc_id", "width", "height", "n_frames")
+    metas
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))

@@ -31,16 +31,15 @@ object DedupPipeline {
       Seq("doc_id"), "left_anti")
   }
 
-  /** Banded candidate pairs with estimated Jaccard above threshold. */
+  /** Banded candidate pairs with estimated Jaccard above threshold —
+    * shares DedupQueries' banding AND its dense-bucket cap (without the
+    * cap, templated near-identical corpora reintroduce the O(n²) bucket
+    * blowup this pipeline exists to avoid).
+    */
   def nearDupPairs(sigs: DataFrame, threshold: Double): DataFrame = {
     val bands = DedupQueries.Bands
     val rows = DedupQueries.NumHashes / bands
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string")).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val banded = DedupQueries.capBuckets(DedupQueries.banded(sigs, bands, rows))
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     val nMatching = size(filter(

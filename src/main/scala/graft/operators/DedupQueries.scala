@@ -39,7 +39,7 @@ object DedupQueries {
       .select(col("doc_id"), array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  private def banded(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+  def banded(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
     sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -47,7 +47,7 @@ object DedupQueries {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
 
-  private def capBuckets(b: DataFrame, cap: Int): DataFrame = {
+  def capBuckets(b: DataFrame, cap: Int = 50): DataFrame = {
     val ok = b.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= cap)
     b.join(ok, Seq("band", "bh")).drop("bucket_n")

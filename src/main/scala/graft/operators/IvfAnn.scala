@@ -21,10 +21,21 @@ import graft.functions.VectorOps
   */
 object IvfAnn {
 
+  /** L2-normalized copy of the embedding — IVF for COSINE must cluster and
+    * probe on the unit sphere (L2 order ≡ cosine order there); clustering
+    * raw vectors partitions partly by magnitude and tanks recall.
+    */
+  private def normalized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = VectorOps.norm(VectorOps.asDouble(c))
+    transform(c, x => (x.cast("double") / n).cast("float"))
+  }
+
   /** (index, centroids): corpus rows tagged with their inverted-list id. */
   def buildIndex(spark: SparkSession, embeddings: DataFrame, nList: Int,
                  seed: Long = 42L): (DataFrame, DataFrame) = {
-    val vecs = embeddings.withColumn("v", array_to_vector(col("embedding")))
+    val vecs = embeddings
+      .withColumn("unit", normalized(col("embedding")))
+      .withColumn("v", array_to_vector(col("unit")))
     val km = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("v")
       .setPredictionCol("list_id").setMaxIter(10)
     val model = km.fit(vecs)
@@ -39,11 +50,12 @@ object IvfAnn {
   def search(indexed: DataFrame, centroids: DataFrame, probeIds: Seq[Long],
              k: Int, nProbe: Int): DataFrame = {
     val probes = indexed.filter(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    // nProbe nearest lists per probe (probe × centroid cross is tiny)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("unit").as("q_unit"))
+    // nProbe nearest lists per probe (probe × centroid cross is tiny);
+    // distance measured unit-vector-to-centroid, matching the index space
     val wLists = Window.partitionBy("q_id").orderBy(col("c_dist").asc, col("list_id").asc)
     val probeLists = probes.crossJoin(broadcast(centroids))
-      .withColumn("c_dist", VectorOps.euclidean(col("q_vec"), col("centroid")))
+      .withColumn("c_dist", VectorOps.euclidean(col("q_unit"), col("centroid")))
       .withColumn("lr", row_number().over(wLists))
       .filter(col("lr") <= nProbe)
       .select("q_id", "q_vec", "list_id")

@@ -181,10 +181,15 @@ object TextQueries {
       ORDER BY doc_id"""
     })
 
-  /** Word-bigram shingles for Jaccard / MinHash. */
+  /** Word-bigram shingles for Jaccard / MinHash. Guarded for < 2 tokens:
+    * sequence(1, 0) would count DOWN to [1, 0] and element_at(toks, 0)
+    * always throws — a one-token document must yield an empty shingle set.
+    */
   def bigrams(toks: Column): Column =
-    transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
 
   /** Brute-force n-gram Jaccard near-dup on a deterministic sample (the
     * exact-verification baseline; the scale path is MinHash/LSH in
