@@ -638,7 +638,41 @@ object RelationalQueries {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY status, priority"""))
 
+  /** TPC-H Q14 shape: promo revenue share per month — conditional
+    * aggregation as a ratio over a fact⋈dim join with a string-prefix
+    * predicate. Both numerator and denominator accumulate as exact
+    * decimals, so the final double division is bit-identical cross-engine.
+    */
+  val q57 = GQuery(
+    "q57_promo_ratio",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val rev = graft.functions.Metrics.canonRound(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 4).cast("decimal(18,4)")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("timestamp_ntz").as("month"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0).cast("decimal(18,4)")))
+            .as("promo_rev"),
+          sum(rev).as("total_rev"))
+        .select(col("month"),
+          graft.functions.Metrics.canonRound(
+            lit(100.0) * col("promo_rev").cast("double") / col("total_rev").cast("double"), 4)
+            .as("promo_pct"))
+        .orderBy("month")
+    },
+    Some("""SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+      floor((100.0
+        * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(floor((l_extendedprice*(1-l_discount)) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        / CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE))
+        * 1e4 + 0.5)/1e4 AS promo_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY month"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29)
+    q26, q27, q28, q29, q57)
 }
