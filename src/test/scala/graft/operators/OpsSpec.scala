@@ -46,6 +46,19 @@ class OpsSpec extends SparkSpec {
     assert(train.count() == t2.count() && holdout.count() == h2.count(), "unstable across partitioning")
   }
 
+  test("stratified sampling respects per-stratum fractions (seeded)") {
+    val c = Tables.customer(spark, sf001)
+    val s = Sampling.stratified(c, "c_mktsegment",
+      Map("BUILDING" -> 1.0, "MACHINERY" -> 0.0), seed = 7L)
+    val bySeg = s.groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nBuilding = c.filter(col("c_mktsegment") === "BUILDING").count()
+    assert(bySeg.getOrElse("BUILDING", 0L) == nBuilding)
+    assert(!bySeg.contains("MACHINERY"))
+    // unlisted strata default to fraction 0
+    assert(bySeg.keySet.subsetOf(Set("BUILDING")))
+  }
+
   test("pseudo-labeling joins by row_id and unions with provenance (E14)") {
     import spark.implicits._
     val train = Seq((0L, "2018-01-01", 10.0), (1L, "2018-01-02", 11.0))
