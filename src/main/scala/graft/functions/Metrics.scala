@@ -25,10 +25,14 @@ object Metrics {
     * or above the geometric mean of floor(x) and ceil(x). For integral x,
     * floor==ceil so the result is x itself.
     */
-  def geometricRound(x: Column): Column =
-    // Spark floor/ceil return LONG; keep the result in double so it compares
+  def geometricRound(x: Column): Column = {
+    // Spark floor/ceil return LONG; multiply as double (a LONG product
+    // overflows for |x| ≳ 3e9) and keep the result double so it compares
     // cleanly with engines whose floor/ceil stay floating (DuckDB, pandas)
-    when(x < sqrt(floor(x) * ceil(x)), floor(x)).otherwise(ceil(x)).cast("double")
+    val f = floor(x).cast("double")
+    val c = ceil(x).cast("double")
+    when(x < sqrt(f * c), f).otherwise(c)
+  }
 
   /** Engine-agnostic decimal rounding: floor(x·10ⁿ + 0.5)/10ⁿ in plain
     * double arithmetic. Spark's round() (BigDecimal HALF_UP on the shortest

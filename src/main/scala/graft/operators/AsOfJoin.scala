@@ -28,6 +28,9 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Set("__t", "__tag", "__ref", "__match")
+    require(!(leftCols ++ rightCols).exists(reserved),
+      s"asof: input columns may not use reserved names ${reserved.mkString(", ")}")
     // tag 0 = right (reference), 1 = left (probe); at equal timestamps the
     // reference row sorts first, so rightTime == leftTime matches (>= match)
     val rSel: Seq[Column] =
@@ -40,7 +43,12 @@ object AsOfJoin {
         lit(null).cast(r.schema("__ref").dataType).as("__ref")) ++
         leftCols.filterNot(_ == key).map(col)
     val l = left.select(lSel: _*)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+    // __ref as the final sort key makes ties deterministic: multiple right
+    // rows with identical (key, rightTime) order by their carried payload
+    // (struct ordering), so last() always resolves to the max payload rather
+    // than an arbitrary partition-order-dependent row. Requires rightCols to
+    // be orderable types (true of everything in the workload).
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"), col("__ref"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = r.unionByName(l)
       .withColumn("__match", last(col("__ref"), ignoreNulls = true).over(w))

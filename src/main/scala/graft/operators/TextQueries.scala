@@ -273,7 +273,7 @@ object TextQueries {
     },
     Some("""WITH b AS (
         SELECT lang,
-          CASE WHEN substr(md5(coalesce(CAST(doc_id AS VARCHAR), ' null')), 1, 1) < 'c' THEN 1 ELSE 0 END AS is_train
+          CASE WHEN substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 1) < 'c' THEN 1 ELSE 0 END AS is_train
         FROM documents)
       SELECT lang,
         CAST(sum(is_train) AS BIGINT) AS n_train,
