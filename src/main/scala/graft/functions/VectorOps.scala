@@ -4,31 +4,29 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-vector math over ArrayType columns (the `embeddings.embedding`
-  * ARRAY<FLOAT> fixture). All math is promoted to double and composed from
-  * codegen'd higher-order functions — no UDFs, so the whole similarity
-  * pipeline stays inside WholeStageCodegen and distributes trivially.
+  * ARRAY<FLOAT> fixture). Each kernel is a custom codegen'd Catalyst
+  * expression (graft.plans.VectorExprs, registered by GraftExtensions) —
+  * one fused primitive loop per row inside WholeStageCodegen. The earlier
+  * zip_with/aggregate compositions were CodegenFallback and paid ~8
+  * interpreted array passes per cosine; the numerics here are bitwise
+  * identical to those compositions (same accumulation order).
   */
 object VectorOps {
 
-  /** Element-wise cast to double — float accumulation error would otherwise
-    * make cross-engine (DuckDB oracle) comparison flaky.
+  /** Element-wise cast to double (codegen'd Cast — float→double is exact;
+    * double accumulation keeps the DuckDB oracle comparison stable).
     */
-  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product via zip_with + left-fold aggregate (index order, so the
-    * summation order is deterministic).
-    */
+  /** Dot product, left-to-right accumulation (deterministic order). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", asDouble(a), asDouble(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a); val bd = asDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", asDouble(a), asDouble(b))
 
   def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+    call_function("graft_l2dist", asDouble(a), asDouble(b))
 }

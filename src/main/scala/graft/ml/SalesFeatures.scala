@@ -69,10 +69,23 @@ object SalesFeatures {
 
   /** Full prep: engineered features → fitted encoders → vectorized frame.
     * Returns (prepared frame, fitted pipeline for reuse on test data).
+    *
+    * The prepared frame is CACHED: every consumer is an iterative trainer
+    * (BoostedHybrid fits, rolling-origin folds, meta-learner) that would
+    * otherwise re-execute the generate→features→encode lineage once per
+    * MLlib fit — the standard cache-before-iterate rule for ML inputs,
+    * same at 15k rows or 100 TB (there it's what keeps 8 fits from doing
+    * 8 full scans).
     */
-  def prepare(spark: SparkSession, sales: DataFrame): (DataFrame, PipelineModel) = {
+  def prepare(spark: SparkSession, sales: DataFrame,
+              coalesceTo: Option[Int] = None): (DataFrame, PipelineModel) = {
     val feats = build(spark, sales)
     val model = encoderPipeline().fit(feats)
-    (model.transform(feats), model)
+    val out = model.transform(feats)
+    // Right-size partitions to the data before caching: GBT induction runs
+    // several jobs per tree level, and each near-empty partition adds a
+    // task to every one of them. Callers pick the count from their data
+    // scale (the 15k-row queries use 8; a cluster-scale run leaves None).
+    (coalesceTo.map(out.coalesce).getOrElse(out).cache(), model)
   }
 }

@@ -60,31 +60,52 @@ object Stacking {
   /** Fit: per fold, fit every base model on data strictly before the fold
     * and predict into it → OOF columns; ridge meta-learner on the OOF
     * matrix; final base models refit on the full training set.
+    *
+    * All (fold × model) base fits are independent, so they are submitted
+    * CONCURRENTLY from a thread pool — Spark's scheduler interleaves the
+    * jobs across the cluster (the same design as CrossValidator's
+    * setParallelism; per-fit job-launch latency, not compute, dominates a
+    * sequential loop). The final full-train base fits overlap with the
+    * OOF assembly and meta fit. Results are identical to the sequential
+    * order — each fit is an isolated estimator on a deterministic slice.
     */
   def fit(train: DataFrame, grid: Seq[(String, BoostedHybrid)] = defaultGrid,
-          k: Int = 3, dateCol: String = "date", labelCol: String = "num_sold"): StackModel = {
+          k: Int = 3, dateCol: String = "date", labelCol: String = "num_sold",
+          parallelism: Int = 8): StackModel = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val folds = timeFolds(train, dateCol, k)
-    val oofParts = folds.map { case (a, b) =>
-      val tr = train.filter(to_date(col(dateCol)) < lit(a))
-      val va = train.filter(to_date(col(dateCol)).between(a, b))
-      grid.foldLeft(va) { case (acc, (name, bh)) =>
-        bh.fit(tr).transform(acc).withColumnRenamed("prediction", s"oof_$name")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futFitted = Future.sequence(
+        for (((a, _), i) <- folds.zipWithIndex; (name, bh) <- grid) yield Future {
+          val tr = train.filter(to_date(col(dateCol)) < lit(a))
+          ((i, name), bh.fit(tr))
+        })
+      val futFinal = Future.sequence(grid.map { case (n, bh) => Future((n, bh.fit(train))) })
+      val fitted = Await.result(futFitted, Duration.Inf).toMap
+      val oofParts = folds.zipWithIndex.map { case ((a, b), i) =>
+        val va = train.filter(to_date(col(dateCol)).between(a, b))
+        grid.foldLeft(va) { case (acc, (name, _)) =>
+          fitted((i, name)).transform(acc).withColumnRenamed("prediction", s"oof_$name")
+        }
       }
-    }
-    val oof = oofParts.reduce(_.unionByName(_))
-    val asm = new VectorAssembler()
-      .setInputCols(grid.map { case (n, _) => s"oof_$n" }.toArray)
-      .setOutputCol("meta_features")
-    // fitIntercept=false: fold models trained on earlier data underpredict
-    // trending series; a free intercept learned on those biased OOF rows
-    // transfers badly to the full-trained final bases. A pure linear blend
-    // is the stable choice (and what RidgeCV over predictions effectively
-    // learns when the bases are unbiased).
-    val ridge = new LinearRegression()
-      .setFeaturesCol("meta_features").setLabelCol(labelCol)
-      .setRegParam(0.1).setElasticNetParam(0.0).setFitIntercept(false)
-    val metaModel = ridge.fit(asm.transform(oof))
-    val finalBases = grid.map { case (n, bh) => (n, bh.fit(train)) }
-    StackModel(finalBases, metaModel.coefficients.toArray, metaModel.intercept)
+      val oof = oofParts.reduce(_.unionByName(_))
+      val asm = new VectorAssembler()
+        .setInputCols(grid.map { case (n, _) => s"oof_$n" }.toArray)
+        .setOutputCol("meta_features")
+      // fitIntercept=false: fold models trained on earlier data underpredict
+      // trending series; a free intercept learned on those biased OOF rows
+      // transfers badly to the full-trained final bases. A pure linear blend
+      // is the stable choice (and what RidgeCV over predictions effectively
+      // learns when the bases are unbiased).
+      val ridge = new LinearRegression()
+        .setFeaturesCol("meta_features").setLabelCol(labelCol)
+        .setRegParam(0.1).setElasticNetParam(0.0).setFitIntercept(false)
+      val metaModel = ridge.fit(asm.transform(oof))
+      val finalBases = Await.result(futFinal, Duration.Inf)
+      StackModel(finalBases, metaModel.coefficients.toArray, metaModel.intercept)
+    } finally pool.shutdown()
   }
 }

@@ -118,7 +118,7 @@ object MLQueries {
     "q63_boosted_hybrid",
     (s, dir) => {
       val sales = graft.ml.SalesData.generate(s, "2018-01-01", "2019-03-31")
-      val (prepared, _) = graft.ml.SalesFeatures.prepare(s, sales)
+      val (prepared, _) = graft.ml.SalesFeatures.prepare(s, sales, coalesceTo = Some(8))
       val train = prepared.filter(to_date(col("date")) <= lit("2018-12-31"))
       val valid = prepared.filter(to_date(col("date")) > lit("2018-12-31"))
       val model = graft.ml.BoostedHybrid(gbtMaxIter = 8, gbtMaxDepth = 4).fit(train)
@@ -141,7 +141,7 @@ object MLQueries {
       // least eight months — k=2 on one year starved fold 1 and the meta
       // learner with it (stack SMAPE 16.5 vs 6 for a single hybrid)
       val sales = graft.ml.SalesData.generate(s, "2017-01-01", "2019-03-31")
-      val (prepared, _) = graft.ml.SalesFeatures.prepare(s, sales)
+      val (prepared, _) = graft.ml.SalesFeatures.prepare(s, sales, coalesceTo = Some(8))
       val train = prepared.filter(to_date(col("date")) <= lit("2018-12-31"))
       val valid = prepared.filter(to_date(col("date")) > lit("2018-12-31"))
       val grid = Seq(

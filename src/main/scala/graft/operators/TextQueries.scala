@@ -198,10 +198,17 @@ object TextQueries {
   val q46 = GQuery(
     "q46_ngram_jaccard",
     (s, dir) => {
+      // shingles are compared as xxhash64 LONGs: array_intersect on a
+      // primitive type takes the OpenHashSet fast path and each array is
+      // 8 bytes/element instead of a ~15-char string — the per-pair
+      // intersection is what the O(n²) join pays for. (A 64-bit collision
+      // between two shingles of one compared pair would perturb one count;
+      // at ~10⁵ shingle pairs per corpus the chance is ~1e-9 and the
+      // oracle gate would surface it.)
       val d = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("lang"),
-          array_distinct(bigrams(tokens(col("text")))).as("sh"))
+          transform(array_distinct(bigrams(tokens(col("text")))), sh => xxhash64(sh)).as("sh"))
       val a = d.select(col("doc_id").as("id_a"), col("lang"), col("sh").as("sh_a"))
       val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -234,15 +241,25 @@ object TextQueries {
   val q49 = GQuery(
     "q49_rolling_fingerprint",
     (s, dir) => {
+      // explode → codegen'd md5 → filter → collect_set, instead of a
+      // transform/filter HOF pair (CodegenFallback, and re-evaluated per
+      // consuming column): the window hashes are computed exactly once and
+      // the selective filter runs BEFORE the shuffle, so only the ~1/16
+      // anchor windows move. Docs with zero anchors rejoin via left join.
       val k = 8
-      val win = transform(
-        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
-        i => md5(col("text").substr(i, lit(k))))
-      val selected = array_sort(array_distinct(filter(win, h => h.startsWith("0"))))
-      Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir)
+      val anchors = docs
         .select(col("doc_id"),
-          size(selected).as("n_anchors"),
-          md5(concat_ws("", selected)).as("fingerprint"))
+          explode(sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1)))).as("i"),
+          col("text"))
+        .select(col("doc_id"), md5(col("text").substr(col("i"), lit(k))).as("h"))
+        .filter(col("h").startsWith("0"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("h"))).as("sel"))
+      docs.select("doc_id").join(anchors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(size(col("sel")), lit(0)).as("n_anchors"),
+          md5(coalesce(concat_ws("", col("sel")), lit(""))).as("fingerprint"))
         .orderBy("doc_id")
     },
     Some("""WITH w AS (

@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Whole-stage-codegen'd dense-vector kernels over ARRAY<DOUBLE> columns.
+  *
+  * Spark's higher-order functions (transform / zip_with / aggregate) are
+  * CodegenFallback: every per-element lambda step allocates and boxes, and a
+  * cosine composed from them costs ~8 interpreted array passes per row. On
+  * the similarity workload (pairwise cosine over candidate pairs) that
+  * interpretation overhead dominated the bench. These expressions fuse each
+  * kernel into one primitive java loop inside WholeStageCodegen — the
+  * "(b) custom Catalyst Expression" tier of the operator-preference ladder
+  * (SURVEY.md §4.3).
+  *
+  * Numerics are BITWISE-identical to the HOF compositions they replace
+  * (same left-to-right double accumulation, same null semantics: any null
+  * element or length mismatch → null), so every DuckDB-oracle-checked query
+  * that rounds these values keeps hashing identically.
+  */
+abstract class VectorFoldExpr extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+
+  /** Interpreted kernel; null on length mismatch / null element. */
+  protected def fold(a: ArrayData, b: ArrayData): Any
+
+  /** Java declarations of the accumulator variables. */
+  protected def genInit: String
+  /** Java statements: given doubles x, y accumulate. */
+  protected def genAccumulate(x: String, y: String): String
+  /** Java expression producing the final double from the accumulators. */
+  protected def genResult: String
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    fold(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $genInit
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double x = $a.getDouble($i);
+         |    double y = $b.getDouble($i);
+         |    ${genAccumulate("x", "y")}
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $genResult;
+         |  }
+         |}
+       """.stripMargin
+    })
+}
+
+/** dot(a, b) = Σ aᵢ·bᵢ, left-to-right. */
+case class DotExpr(left: Expression, right: Expression) extends VectorFoldExpr {
+  override def prettyName: String = "graft_dot"
+  override protected def fold(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+  override protected def genInit: String = "double dot = 0.0;"
+  override protected def genAccumulate(x: String, y: String): String =
+    s"dot += $x * $y;"
+  override protected def genResult: String = "dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot / (√Σaᵢ² · √Σbᵢ²) — one fused pass. */
+case class CosineSimExpr(left: Expression, right: Expression) extends VectorFoldExpr {
+  override def prettyName: String = "graft_cosine"
+  override protected def fold(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def genInit: String =
+    "double dot = 0.0; double na = 0.0; double nb = 0.0;"
+  override protected def genAccumulate(x: String, y: String): String =
+    s"dot += $x * $y; na += $x * $x; nb += $y * $y;"
+  override protected def genResult: String =
+    "dot / (Math.sqrt(na) * Math.sqrt(nb))"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+}
+
+/** l2dist(a, b) = √Σ(aᵢ−bᵢ)². */
+case class L2DistExpr(left: Expression, right: Expression) extends VectorFoldExpr {
+  override def prettyName: String = "graft_l2dist"
+  override protected def fold(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      ss += d * d
+      i += 1
+    }
+    math.sqrt(ss)
+  }
+  override protected def genInit: String = "double ss = 0.0;"
+  override protected def genAccumulate(x: String, y: String): String =
+    s"double d = $x - $y; ss += d * d;"
+  override protected def genResult: String = "Math.sqrt(ss)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistExpr =
+    copy(left = l, right = r)
+}

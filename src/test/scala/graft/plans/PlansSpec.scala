@@ -36,6 +36,54 @@ class PlansSpec extends SparkSpec {
       plan.linesIterator.take(6).mkString("\n"))
   }
 
+  test("vector exprs match the HOF compositions bitwise and handle nulls") {
+    import spark.implicits._
+    // HOF reference implementations (what VectorOps used before promotion)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val df = Seq(
+      (Array(1.0f, 2.5f, -3.75f), Array(0.5f, -1.25f, 2.0f)),
+      (Array(1e-8f, 2e8f, 3.3f), Array(9.9f, -1e-7f, 0.125f))).toDF("a", "b")
+    val ad = df.col("a").cast("array<double>"); val bd = df.col("b").cast("array<double>")
+    df.select(
+      graft.functions.VectorOps.dot(col("a"), col("b")).as("ndot"),
+      hofDot(ad, bd).as("hdot"),
+      graft.functions.VectorOps.cosine(col("a"), col("b")).as("ncos"),
+      (hofDot(ad, bd) / (sqrt(hofDot(ad, ad)) * sqrt(hofDot(bd, bd)))).as("hcos"),
+      graft.functions.VectorOps.euclidean(col("a"), col("b")).as("nl2"),
+      sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)).as("hl2")).collect()
+      .foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1), "dot")   // bitwise equal
+        assert(r.getDouble(2) == r.getDouble(3), "cosine")
+        assert(r.getDouble(4) == r.getDouble(5), "l2")
+      }
+    // null semantics: length mismatch and null element both yield null
+    val edge = Seq((Array(1.0, 2.0), Array(1.0), Array[java.lang.Double](1.0, null)))
+      .toDF("a", "b", "withnull")
+    val r = edge.select(
+      graft.functions.VectorOps.dot(col("a"), col("b")),
+      graft.functions.VectorOps.cosine(col("a"), col("withnull"))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // registered for SQL use
+    assert(spark.sql("SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d))")
+      .head().getDouble(0) == 1.0)
+  }
+
+  test("cosine over candidate pairs stays inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf001).limit(50)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val df = a.join(b, col("ia") < col("ib"))
+      .select(graft.functions.VectorOps.cosine(col("va"), col("vb")).as("cos"))
+    df.collect() // finalize the adaptive plan so codegen markers appear
+    val plan = df.queryExecution.executedPlan.toString
+    // the projection computing graft_cosine must carry the `*(n)` marker
+    val projLine = plan.linesIterator.find(_.contains("graft_cosine")).getOrElse("")
+    assert(projLine.trim.stripPrefix("+- ").startsWith("*"),
+      plan.linesIterator.take(8).mkString("\n"))
+  }
+
   test("reservoir sample: bounded size, subset of input, reproducible draw") {
     val c = Tables.customer(spark, sf001)
     val sampled = c.groupBy("c_nationkey")
