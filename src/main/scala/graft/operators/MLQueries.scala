@@ -158,5 +158,61 @@ object MLQueries {
     },
     None)
 
-  def all: Seq[GQuery] = Seq(q60, q61, q62, q63, q64)
+  /** Univariate feature scoring (E17): per-feature Pearson correlation with
+    * the target, computed as ONE aggregation pass (5 corr aggregates share
+    * the scan/shuffle) then unpivoted with stack(). The SQL-expressible
+    * face of feature selection; the MLlib selector itself is q67.
+    */
+  val q66 = GQuery(
+    "q66_feature_corr",
+    (s, dir) => {
+      val feats = Seq("l_quantity", "l_discount", "l_tax", "p_retailprice", "p_size")
+      val j = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      val wide = j.agg(
+        corr(col(feats.head), col("l_extendedprice")).as(feats.head),
+        feats.tail.map(f => corr(col(f), col("l_extendedprice")).as(f)): _*)
+      val stackArgs = feats.map(f => s"'$f', $f").mkString(", ")
+      wide.select(expr(s"stack(${feats.size}, $stackArgs) as (feature, r)"))
+        .select(col("feature"), Metrics.canonRound(col("r"), 4).as("r"))
+        .orderBy("feature")
+    },
+    Some("""WITH j AS (SELECT * FROM lineitem JOIN part ON l_partkey = p_partkey),
+      w AS (SELECT
+        corr(l_quantity, l_extendedprice) AS l_quantity,
+        corr(l_discount, l_extendedprice) AS l_discount,
+        corr(l_tax, l_extendedprice) AS l_tax,
+        corr(p_retailprice, l_extendedprice) AS p_retailprice,
+        corr(p_size, l_extendedprice) AS p_size
+        FROM j)
+      SELECT feature, floor((r) * 1e4 + 0.5)/1e4 AS r
+      FROM (
+        SELECT 'l_quantity' AS feature, l_quantity AS r FROM w
+        UNION ALL SELECT 'l_discount', l_discount FROM w
+        UNION ALL SELECT 'l_tax', l_tax FROM w
+        UNION ALL SELECT 'p_retailprice', p_retailprice FROM w
+        UNION ALL SELECT 'p_size', p_size FROM w)
+      ORDER BY feature"""))
+
+  /** MLlib UnivariateFeatureSelector (E17, f-regression flavor): top-5
+    * features of the sales feature vector by F-test against num_sold.
+    * Selector fit is iterative/MLlib-internal → rows-only check; the
+    * deterministic generator makes the selected indices reproducible.
+    */
+  val q67 = GQuery(
+    "q67_feature_selector",
+    (s, dir) => {
+      import s.implicits._
+      val sales = graft.ml.SalesData.generate(s, "2018-01-01", "2018-12-31")
+      val (prepared, _) = graft.ml.SalesFeatures.prepare(s, sales, coalesceTo = Some(8))
+      val sel = new org.apache.spark.ml.feature.UnivariateFeatureSelector()
+        .setFeatureType("continuous").setLabelType("continuous")
+        .setSelectionMode("numTopFeatures").setSelectionThreshold(5)
+        .setFeaturesCol("features").setLabelCol("num_sold").setOutputCol("selected")
+      val model = sel.fit(prepared)
+      model.selectedFeatures.sorted.toSeq.map(_.toLong).toDF("feature_idx")
+    },
+    None)
+
+  def all: Seq[GQuery] = Seq(q60, q61, q62, q63, q64, q66, q67)
 }

@@ -672,7 +672,108 @@ object RelationalQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY 1 ORDER BY month"""))
 
+  /** TPC-H Q2-shaped correlated-min subquery: for each small part, the
+    * EUROPE supplier(s) with the minimum observed unit price. The
+    * correlation ("min cost for THIS part") decorrelates to a per-part
+    * window min — the same rewrite Catalyst's subquery decorrelation
+    * performs; supplier→nation→region is a broadcast snowflake.
+    */
+  val q58 = GQuery(
+    "q58_min_cost_supplier",
+    (s, dir) => {
+      val supEu = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+      val costs = Tables.lineitem(s, dir)
+        .join(broadcast(supEu), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val w = Window.partitionBy("l_partkey")
+      val best = costs.withColumn("min_cost", min("unit_cost").over(w))
+        .filter(col("unit_cost") === col("min_cost"))
+      best.join(broadcast(Tables.part(s, dir).filter(col("p_size") <= 5)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("s_name"),
+          Metrics.canonRound(col("unit_cost"), 4).as("best_cost"))
+        .orderBy("p_partkey", "s_name")
+    },
+    Some("""WITH costs AS (
+        SELECT l_partkey, l_suppkey, s_name,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY 1, 2, 3)
+      SELECT p_partkey, s_name, floor((unit_cost) * 1e4 + 0.5)/1e4 AS best_cost
+      FROM costs c JOIN part ON c.l_partkey = p_partkey
+      WHERE p_size <= 5
+        AND unit_cost = (SELECT min(c2.unit_cost) FROM costs c2
+                         WHERE c2.l_partkey = c.l_partkey)
+      ORDER BY p_partkey, s_name"""))
+
+  /** TPC-H Q11-shaped scalar-subquery HAVING: parts whose revenue exceeds a
+    * fraction of TOTAL revenue. The scalar aggregate is one broadcast row
+    * (crossJoin) — no second scan ordering dependence because both sums use
+    * the decimal-snapped accumulation (Metrics.exactSum).
+    */
+  val q59 = GQuery(
+    "q59_part_value_share",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val perPart = l.groupBy("l_partkey").agg(Metrics.exactSum(rev).as("value"))
+      val total = l.agg(Metrics.exactSum(rev).as("total"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value") > col("total") * 0.0005)
+        .select(col("l_partkey"), Metrics.canonRound(col("value"), 2).as("part_value"))
+        .orderBy("l_partkey")
+    },
+    Some("""WITH pv AS (
+        SELECT l_partkey,
+          CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE) AS value
+        FROM lineitem GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(CAST(floor((l_extendedprice*(1-l_discount)) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM lineitem)
+      SELECT l_partkey, floor((value) * 1e2 + 0.5)/1e2 AS part_value
+      FROM pv, t WHERE value > total * 0.0005
+      ORDER BY l_partkey"""))
+
+  /** TPC-H Q20-shaped nested-IN semi-join: suppliers where some part's
+    * recent shipments (1999+) exceed half that part's all-time shipped
+    * quantity. Nested agg + HAVING + IN collapses to groupBy + filter +
+    * left-semi join; quantities are integral doubles so the sums are exact.
+    */
+  val q65 = GQuery(
+    "q65_half_shipped_supplier",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val qual = l.groupBy("l_suppkey", "l_partkey")
+        .agg(sum(when(to_date(col("l_shipdate")) >= lit("1999-01-01"), col("l_quantity"))
+          .otherwise(lit(0.0))).as("recent_qty"),
+          sum("l_quantity").as("total_qty"))
+        .filter(col("recent_qty") > col("total_qty") * 0.5)
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, dir)
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"),
+          Metrics.canonRound(col("s_acctbal"), 2).as("acctbal"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name, floor((s_acctbal) * 1e2 + 0.5)/1e2 AS acctbal
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1999-01-01'
+                        THEN l_quantity ELSE 0 END) > 0.5 * sum(l_quantity))
+      ORDER BY s_suppkey"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q57)
+    q26, q27, q28, q29, q57, q58, q59, q65)
 }
