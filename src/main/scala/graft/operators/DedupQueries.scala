@@ -64,8 +64,8 @@ object DedupQueries {
       val bb = capBuckets(banded(sigs, Bands, NumHashes / Bands), cap = 50)
       val a = bb.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
       val b = bb.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      val nMatching = size(filter(
-        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+      // codegen'd signature-agreement count (graft.plans.ArrayEqCountExpr)
+      val nMatching = call_function("graft_eq_count", col("sig_a"), col("sig_b"))
       a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           graft.functions.Metrics.canonRound(nMatching.cast("double") / NumHashes, 4).as("est_jaccard"))

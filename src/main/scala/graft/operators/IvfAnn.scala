@@ -33,9 +33,12 @@ object IvfAnn {
   /** (index, centroids): corpus rows tagged with their inverted-list id. */
   def buildIndex(spark: SparkSession, embeddings: DataFrame, nList: Int,
                  seed: Long = 42L): (DataFrame, DataFrame) = {
+    // cache: KMeans re-reads its input every iteration, and the lineage
+    // (normalize + array_to_vector) would otherwise re-run ~10×
     val vecs = embeddings
       .withColumn("unit", normalized(col("embedding")))
       .withColumn("v", array_to_vector(col("unit")))
+      .cache()
     val km = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("v")
       .setPredictionCol("list_id").setMaxIter(10)
     val model = km.fit(vecs)

@@ -76,12 +76,19 @@ object MLQueries {
   val q62 = GQuery(
     "q62_blend_round",
     (s, dir) => {
-      val w1 = Window.partitionBy("l_returnflag")
-      val w2 = Window.partitionBy("l_linestatus")
-      val w3 = Window.partitionBy("l_returnflag", "l_linestatus")
-      val preds = array(
-        avg("l_quantity").over(w1), avg("l_quantity").over(w2), avg("l_quantity").over(w3))
-      Tables.lineitem(s, dir)
+      // The three per-grain means are GRAND aggregates (3 / 2 / 6 rows) —
+      // computed as groupBy + broadcast joins back onto the fact scan. The
+      // window form (partitionBy over near-whole-table keys) would shuffle
+      // and sort the full fact table three times; at 100 TB that's three
+      // full-data exchanges for what is semantically a 6-row lookup.
+      val l = Tables.lineitem(s, dir)
+      val byRf = l.groupBy("l_returnflag").agg(avg("l_quantity").as("p1"))
+      val byLs = l.groupBy("l_linestatus").agg(avg("l_quantity").as("p2"))
+      val byBoth = l.groupBy("l_returnflag", "l_linestatus").agg(avg("l_quantity").as("p3"))
+      val preds = array(col("p1"), col("p2"), col("p3"))
+      l.join(broadcast(byRf), Seq("l_returnflag"))
+        .join(broadcast(byLs), Seq("l_linestatus"))
+        .join(broadcast(byBoth), Seq("l_returnflag", "l_linestatus"))
         .select(col("l_orderkey"), col("l_linenumber"), preds.as("preds"))
         .select(col("l_orderkey"), col("l_linenumber"),
           graft.functions.Metrics.canonRound(Metrics.arrayMean(col("preds")), 4).as("blend_mean"),

@@ -25,5 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CosineSimExpr(exprs(0), exprs(1)))
     unary(e, "graft_l2dist", classOf[L2DistExpr],
       exprs => L2DistExpr(exprs(0), exprs(1)))
+    unary(e, "graft_eq_count", classOf[ArrayEqCountExpr],
+      exprs => ArrayEqCountExpr(exprs(0), exprs(1)))
   }
 }

@@ -120,6 +120,67 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorFold
     copy(left = l, right = r)
 }
 
+/** eq_count(a, b) over ARRAY<LONG>: number of positions where aᵢ = bᵢ —
+  * the MinHash signature-agreement kernel (estimated Jaccard = eq_count /
+  * signature length). Replaces size(filter(zip_with(a,b,_===_), m => m)),
+  * which walked the pair three times in interpreted mode. Null element or
+  * length mismatch → null, matching the HOF composition.
+  */
+case class ArrayEqCountExpr(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def prettyName: String = "graft_eq_count"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $c = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $c;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayEqCountExpr =
+    copy(left = l, right = r)
+}
+
 /** l2dist(a, b) = √Σ(aᵢ−bᵢ)². */
 case class L2DistExpr(left: Expression, right: Expression) extends VectorFoldExpr {
   override def prettyName: String = "graft_l2dist"
