@@ -247,5 +247,36 @@ object EventQueries {
       FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
       ORDER BY c.event_id"""))
 
-  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+  /** Attribution-window range join: clicks within the 30 minutes before
+    * each purchase by the same user, counted per purchase. Exercises
+    * operators.RangeJoin — the LARGE×LARGE interval join (bin-bucketed
+    * equi join + exact re-filter), where q12's broadcast band join stops
+    * scaling. Oracle is the plain inequality join.
+    */
+  val q68 = GQuery(
+    "q68_attribution_window",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        .withColumn("lo", col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      val joined = RangeJoin.pointInInterval(
+        clicks, purchases, "click_ts", "lo", "p_ts", Seq("user_id"), binSeconds = 1800L)
+      joined.groupBy("purchase_id", "user_id")
+        .agg(count(lit(1)).as("n_clicks"), max(col("p_ts")).as("p_ts"))
+        .select(col("purchase_id"), col("user_id"),
+          col("p_ts").cast("timestamp_ntz").as("purchase_ts"), col("n_clicks"))
+        .orderBy("purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id,
+        CAST(p.ts AS TIMESTAMP) AS purchase_ts, count(*) AS n_clicks
+      FROM events p JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+        AND p.user_id = c.user_id
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+      GROUP BY 1, 2, 3 ORDER BY purchase_id"""))
+
+  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q68)
 }

@@ -9,6 +9,47 @@ import graft.sources.CsvIo
 
 class OpsSpec extends SparkSpec {
 
+  test("approx_count_distinct stays within its error bound vs exact (q27)") {
+    // q27 carries the exact count next to the sketch precisely so the
+    // approximation is auditable; rsd=0.02 → generous 10% ceiling here
+    graft.registry.Registry.queries("q27_approx_distinct")(spark, sf001)
+      .collect().foreach { r =>
+        val exact = r.getLong(1); val approx = r.getLong(2)
+        assert(exact > 0 && math.abs(approx - exact).toDouble / exact < 0.1,
+          s"flag ${r.getString(0)}: approx $approx vs exact $exact")
+      }
+  }
+
+  test("feature selector picks 5 distinct in-range features (q67)") {
+    val idx = graft.registry.Registry.queries("q67_feature_selector")(spark, sf001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(idx.size == 5 && idx == idx.sorted && idx.distinct.size == 5)
+    assert(idx.forall(i => i >= 0 && i < 30), idx) // 11 numeric + one-hot block
+  }
+
+  test("binned range join matches the naive theta join and avoids nested loops") {
+    val e = Tables.events(spark, sf001)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withColumn("lo", col("p_ts") - expr("INTERVAL 30 MINUTES"))
+    val binned = RangeJoin.pointInInterval(
+      clicks, purchases, "click_ts", "lo", "p_ts", Seq("user_id"), binSeconds = 1800L)
+    val naive = clicks.as("c").join(purchases.as("p"),
+      expr("c.user_id = p.user_id AND c.click_ts >= p.lo AND c.click_ts <= p.p_ts"))
+    assert(binned.count() == naive.count())
+    val key = binned.select("purchase_id", "user_id", "click_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    val naiveKey = naive.select(col("p.purchase_id"), col("p.user_id"), col("c.click_ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    assert(key == naiveKey)
+    // candidate generation must be an equi join — never a nested loop
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.linesIterator.take(10).mkString("\n"))
+  }
+
   test("CSV roundtrip with explicit schema (S1/S6)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
