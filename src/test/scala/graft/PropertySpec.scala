@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.DateFeatures
+import graft.plans.{ArrayEqCountExpr, CosineSimExpr, DotExpr, GeometricRoundExpr, L2DistExpr}
+
+/** Generator-driven property checks (SURVEY.md §5.2 item 5) over the pure
+  * expression kernels — evaluated through the expressions' interpreted
+  * eval path directly (no SparkSession), so thousands of cases run in
+  * milliseconds. The codegen path is asserted bitwise-equal to this path
+  * in PlansSpec, so these properties transfer to it.
+  */
+object PropertySpec extends Properties("graft.kernels") {
+
+  private val smallDouble = Gen.chooseNum(-1e6, 1e6)
+  private val vecGen: Gen[Array[Double]] =
+    Gen.chooseNum(1, 48).flatMap(n => Gen.containerOfN[Array, Double](n, smallDouble))
+  private def pairGen: Gen[(Array[Double], Array[Double])] =
+    for {
+      a <- vecGen
+      b <- Gen.containerOfN[Array, Double](a.length, smallDouble)
+    } yield (a, b)
+
+  private val dummy = org.apache.spark.sql.catalyst.expressions.Literal(1.0)
+
+  private def evalDot(a: Array[Double], b: Array[Double]): Double =
+    DotExpr(dummy, dummy).nullSafeEval(
+      ArrayData.toArrayData(a), ArrayData.toArrayData(b)).asInstanceOf[Double]
+  private def evalCos(a: Array[Double], b: Array[Double]): Double =
+    CosineSimExpr(dummy, dummy).nullSafeEval(
+      ArrayData.toArrayData(a), ArrayData.toArrayData(b)).asInstanceOf[Double]
+  private def evalL2(a: Array[Double], b: Array[Double]): Double =
+    L2DistExpr(dummy, dummy).nullSafeEval(
+      ArrayData.toArrayData(a), ArrayData.toArrayData(b)).asInstanceOf[Double]
+
+  property("dot is symmetric") = forAll(pairGen) { case (a, b) =>
+    evalDot(a, b) == evalDot(b, a)
+  }
+
+  property("dot(a,a) = |a|² ≥ 0") = forAll(vecGen) { a =>
+    evalDot(a, a) >= 0.0
+  }
+
+  property("cosine bounded in [-1, 1] (mod rounding) when defined") =
+    forAll(pairGen) { case (a, b) =>
+      val c = evalCos(a, b)
+      c.isNaN || (c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+
+  property("cosine(a, a) = 1 for nonzero a") = forAll(vecGen) { a =>
+    val c = evalCos(a, a)
+    c.isNaN || math.abs(c - 1.0) < 1e-9
+  }
+
+  property("cosine(a, -a) = -1 for nonzero a") = forAll(vecGen) { a =>
+    val c = evalCos(a, a.map(-_))
+    c.isNaN || math.abs(c + 1.0) < 1e-9
+  }
+
+  property("l2dist: nonneg, zero iff equal, symmetric") = forAll(pairGen) { case (a, b) =>
+    val d = evalL2(a, b)
+    d >= 0.0 && evalL2(a, a) == 0.0 && d == evalL2(b, a)
+  }
+
+  property("l2 triangle inequality") =
+    forAll(for {
+      a <- vecGen
+      b <- Gen.containerOfN[Array, Double](a.length, smallDouble)
+      c <- Gen.containerOfN[Array, Double](a.length, smallDouble)
+    } yield (a, b, c)) { case (a, b, c) =>
+      evalL2(a, c) <= evalL2(a, b) + evalL2(b, c) + 1e-6
+    }
+
+  property("eq_count ∈ [0, n]; n on identical; counts planted matches") =
+    forAll(Gen.chooseNum(1, 32).flatMap(n =>
+      Gen.containerOfN[Array, Long](n, Gen.choose(Long.MinValue, Long.MaxValue)))) { a =>
+      val expr = ArrayEqCountExpr(dummy, dummy)
+      def cnt(x: Array[Long], y: Array[Long]) = expr.nullSafeEval(
+        ArrayData.toArrayData(x), ArrayData.toArrayData(y)).asInstanceOf[Int]
+      val shifted = a.map(_ + 1) // differs everywhere (wrap-around included)
+      cnt(a, a) == a.length && cnt(a, shifted) == 0
+    }
+
+  property("geometric round lands on floor or ceil; fixes integers") =
+    forAll(Gen.chooseNum(-1e9, 1e9)) { x =>
+      val g = GeometricRoundExpr(dummy).nullSafeEval(x).asInstanceOf[Double]
+      val onStep = g == math.floor(x) || g == math.ceil(x)
+      val fixesInt = GeometricRoundExpr(dummy)
+        .nullSafeEval(math.rint(x)).asInstanceOf[Double] == math.rint(x)
+      onStep && fixesInt
+    }
+
+  property("Easter falls on a Sunday in March or April") =
+    forAll(Gen.chooseNum(1900, 2199)) { y =>
+      val e = DateFeatures.easterDate(y)
+      e.getDayOfWeek == java.time.DayOfWeek.SUNDAY &&
+        (e.getMonthValue == 3 || e.getMonthValue == 4)
+    }
+
+  property("hash-split bucket derivation is total and stable") =
+    forAll(Gen.alphaNumStr) { s =>
+      // mirrors Sampling.hashSplit's bucket math on the driver side:
+      // first hex digit of md5 → [0, 16)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = String.format("%032x", new java.math.BigInteger(1, md))
+      val bucket = Integer.parseInt(hex.substring(0, 1), 16)
+      bucket >= 0 && bucket < 16
+    }
+}
