@@ -62,15 +62,17 @@ object SimilarityQueries {
     if ((x & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** Random-hyperplane signature: bit p = sign(<v, plane_p>). With ±1
-    * plane components the dot product is a signed sum of vector elements —
-    * pure codegen'd array math, no UDF.
+  /** Random-hyperplane signature: bit p = sign(<v, plane_p>). Each plane
+    * dot is the codegen'd graft_dot kernel against a literal ±1 array —
+    * the per-row signature is the scan-side hot path of LSH at scale, so
+    * it must stay inside WholeStageCodegen (the zip_with/aggregate form
+    * it replaces was CodegenFallback; same accumulation order, same bits).
     */
   def simhashSignature(v: org.apache.spark.sql.Column, nPlanes: Int, dim: Int): org.apache.spark.sql.Column = {
+    val vd = graft.functions.VectorOps.asDouble(v)
     val bits = (0 until nPlanes).map { p =>
       val signs = array((0 until dim).map(d => lit(planeSign(p, d))): _*)
-      val dot = aggregate(zip_with(v, signs, (x, sgn) => x.cast("double") * sgn),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = call_function("graft_dot", vd, signs)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)

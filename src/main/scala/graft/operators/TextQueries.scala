@@ -142,11 +142,19 @@ object TextQueries {
   val q45 = GQuery(
     "q45_langid",
     (s, dir) => {
-      val t = tokens(col("text"))
-      val n = size(t).cast("double")
-      val scores = langProfiles.map { case (lang, words) =>
-        val arr = array(words.map(lit): _*)
-        lang -> (size(filter(t, x => array_contains(arr, x))).cast("double") / n)
+      // explode once → conditional map-side-combined aggregates: the text
+      // is tokenized exactly once per document (the per-column filter-HOF
+      // form re-split it per language profile — invariant 7/8 in NOTES.md)
+      // and the shuffle carries one 6-number row per document.
+      val ex = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val aggs = langProfiles.map { case (lang, words) =>
+        sum(when(col("tok").isin(words: _*), 1L).otherwise(0L))
+          .cast("double").as(s"c_$lang")
+      } :+ count(lit(1)).cast("double").as("n")
+      val counted = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val scores = langProfiles.map { case (lang, _) =>
+        lang -> (col(s"c_$lang") / col("n"))
       }
       val pred = scores.foldRight(lit("und"): Column) { case ((lang, sc), rest) =>
         val beatsAll = scores.filter(_._1 != lang)
@@ -154,7 +162,7 @@ object TextQueries {
           .reduce(_ && _)
         when(beatsAll && sc > 0.02, lang).otherwise(rest)
       }
-      Tables.documents(s, dir)
+      counted
         .select(col("doc_id") +:
           scores.map { case (l, sc) =>
             graft.functions.Metrics.canonRound(sc, 4).as(s"score_$l") } :+
