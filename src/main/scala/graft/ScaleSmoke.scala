@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom smoke: replicates the sf0.1 fixtures K× with shifted
+  * keys (every replica keeps its own join/window structure) and times the
+  * headline operator shapes at 1× and K×. The point is the RATIO: a shape
+  * whose time grows ~linearly with data survives a cluster scale-up; one
+  * that grows quadratically (or OOMs) does not — this is the local proxy
+  * for the 100 TB question, run as `runMain graft.ScaleSmoke [sfDir] [K]`.
+  */
+object ScaleSmoke {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = Session.getOrCreate()
+    import spark.implicits._
+
+    def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val rep = df.withColumn("__rep", explode(sequence(lit(0L), lit(k - 1L))))
+      keyCols.foldLeft(rep) { (acc, c) =>
+        acc.withColumn(c, col(c) * k + col("__rep"))
+      }.drop("__rep")
+    }
+
+    def noop(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
+
+    // shapes under test, each parameterized by its inputs
+    def scanAgg(l: DataFrame) = l
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+
+    def joinAgg(l: DataFrame, o: DataFrame) = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+
+    def lshPairs(docs: DataFrame) = {
+      val sigs = operators.DedupQueries.minhashSignatures(docs)
+      val bb = operators.DedupQueries.capBuckets(
+        operators.DedupQueries.banded(sigs, 8, 2), cap = 50)
+      val a = bb.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      val b = bb.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+      a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b")).distinct()
+    }
+
+    def rangeJoin(e: DataFrame) = {
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        .withColumn("lo", col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      operators.RangeJoin.pointInInterval(
+        clicks, purchases, "click_ts", "lo", "p_ts", Seq("user_id"), 1800L)
+        .groupBy("purchase_id").agg(count(lit(1)))
+    }
+
+    val l1 = Tables.lineitem(spark, sfDir); val o1 = Tables.orders(spark, sfDir)
+    val d1 = Tables.documents(spark, sfDir); val e1 = Tables.events(spark, sfDir)
+    val lk = replicate(l1, Seq("l_orderkey")); val ok = replicate(o1, Seq("o_orderkey"))
+    val dk = replicate(d1, Seq("doc_id"))
+    val ek = replicate(e1, Seq("user_id", "event_id"))
+
+    val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("scan_agg", () => noop(scanAgg(l1)), () => noop(scanAgg(lk))),
+      ("join_agg", () => noop(joinAgg(l1, o1)), () => noop(joinAgg(lk, ok))),
+      ("minhash_lsh", () => noop(lshPairs(d1)), () => noop(lshPairs(dk))),
+      ("range_join", () => noop(rangeJoin(e1)), () => noop(rangeJoin(ek))))
+
+    noop(scanAgg(l1)) // warmup
+    val results = shapes.map { case (name, base, big) =>
+      val (_, t1) = time(base())
+      val (_, tk) = time(big())
+      spark.sharedState.cacheManager.clearCache() // per-query caches (LSH)
+      (name, t1, tk, tk / math.max(t1, 1e-9))
+    }
+    println(f"""{"smoke":"scale","k":$k,"shapes":{${
+      results.map { case (n, t1, tk, r) =>
+        f""""$n":{"t1":$t1%.2f,"tk":$tk%.2f,"ratio":${r}%.1f}"""
+      }.mkString(",")
+    }}}""")
+    spark.stop()
+  }
+}

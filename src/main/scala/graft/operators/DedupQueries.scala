@@ -47,10 +47,19 @@ object DedupQueries {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
 
+  /** Drop over-dense buckets. The input is CACHED first: it is consumed
+    * three times downstream (bucket census + both sides of the candidate
+    * self-join), and Spark re-derives an uncached subtree per reference —
+    * the sf0.1 plan showed the whole scan→shingle→16-min-agg pipeline
+    * executing 3×. Signature frames are small relative to the corpus
+    * (one row per doc per band), so caching them is the standard LSH
+    * shape at any scale (checkpoint instead if lineage length matters).
+    */
   def capBuckets(b: DataFrame, cap: Int = 50): DataFrame = {
-    val ok = b.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
+    val bc = b.cache()
+    val ok = bc.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= cap)
-    b.join(ok, Seq("band", "bh")).drop("bucket_n")
+    bc.join(ok, Seq("band", "bh")).drop("bucket_n")
   }
 
   /** MinHash-LSH near-dup pairs: 16 hashes in 8 bands × 2 rows. Documents
