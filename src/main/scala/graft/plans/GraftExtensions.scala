@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => L2DistExpr(exprs(0), exprs(1)))
     unary(e, "graft_eq_count", classOf[ArrayEqCountExpr],
       exprs => ArrayEqCountExpr(exprs(0), exprs(1)))
+    e.injectOptimizerRule(_ => CollapseIdempotentRound)
   }
 }

@@ -84,6 +84,36 @@ class PlansSpec extends SparkSpec {
       plan.linesIterator.take(8).mkString("\n"))
   }
 
+  test("CollapseIdempotentRound optimizer rule folds nested roundings") {
+    val df = Tables.orders(spark, sf001).select(
+      GeometricRoundExpr.geometricRoundNative(
+        GeometricRoundExpr.geometricRoundNative(
+          GeometricRoundExpr.geometricRoundNative(col("o_totalprice")))).as("r"))
+    val optimized = df.queryExecution.optimizedPlan
+    val n = optimized.expressions.map(_.collect {
+      case _: GeometricRoundExpr => 1
+    }.sum).sum
+    assert(n == 1, optimized.toString)
+    // semantics preserved — still rounds
+    val v = df.limit(1).head().getDouble(0)
+    assert(v == math.floor(v))
+  }
+
+  test("ORC and JSON-lines roundtrip, ORC predicate pushdown (S9 extension)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+    val o = Tables.orders(spark, sf001)
+    o.write.mode("overwrite").orc(s"$tmp/orc")
+    val orcBack = spark.read.orc(s"$tmp/orc")
+    assert(orcBack.count() == o.count())
+    val plan = orcBack.filter(col("o_orderstatus") === "F")
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("EqualTo(o_orderstatus,F)"), plan.take(800))
+    o.write.mode("overwrite").json(s"$tmp/json")
+    val jsonBack = spark.read.schema(o.schema).json(s"$tmp/json")
+    assert(jsonBack.count() == o.count())
+    assert(jsonBack.schema == o.schema)
+  }
+
   test("reservoir sample: bounded size, subset of input, reproducible draw") {
     val c = Tables.customer(spark, sf001)
     val sampled = c.groupBy("c_nationkey")
