@@ -83,6 +83,40 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id"),
       queryName)
 
+  /** Stream-stream interval join: clicks joined to purchases of the same
+    * user within the 30 minutes before the purchase — the streaming twin
+    * of the batch q68 attribution window. Both sides carry watermarks, so
+    * the join state is BOUNDED: a buffered click can be dropped once the
+    * purchase-side watermark passes click_ts + 30min (Spark derives the
+    * eviction bound from the time-interval condition) — the property that
+    * keeps an unbounded 100 TB/day stream from accumulating state forever.
+    * StreamingSpec asserts pair-level equality with the batch RangeJoin.
+    */
+  def attributionStream(spark: SparkSession, dir: String,
+                        queryName: String = "stream_attribution"): DataFrame = {
+    val e = eventsStream(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND
+              click_ts >= p_ts - INTERVAL 30 MINUTES AND click_ts <= p_ts"""))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_ts"))
+      .orderBy("purchase_id", "click_ts")
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)

@@ -52,6 +52,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == n)
   }
 
+  test("stream-stream interval join equals the batch binned range join") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val streamed = EventStreams.attributionStream(spark, sf001, queryName = "spec_stream_attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)).toSet
+    val e = graft.Tables.events(spark, sf001)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withColumn("lo", col("p_ts") - expr("INTERVAL 30 MINUTES"))
+    val batch = graft.operators.RangeJoin.pointInInterval(
+      clicks, purchases, "click_ts", "lo", "p_ts", Seq("user_id"), 1800L)
+      .select(col("purchase_id"), col("user_id"), col("click_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("stateful streaming sessionization agrees with the batch window idiom") {
     import org.apache.spark.sql.functions.col
     val streamed = EventStreams.sessionizeStream(spark, sf001, queryName = "spec_stream_sessions")
