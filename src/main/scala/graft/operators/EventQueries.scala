@@ -278,5 +278,39 @@ object EventQueries {
         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
       GROUP BY 1, 2, 3 ORDER BY purchase_id"""))
 
-  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q68)
+  /** Cohort retention: users bucketed by first-seen month, distinct active
+    * users counted per (cohort, months-since-cohort). Two shuffles total —
+    * the per-user first-touch aggregate (map-side combined) and the final
+    * cohort × age aggregate; the join back to events is on user_id, the
+    * natural key the events would already be partitioned by at scale.
+    */
+  val q76 = GQuery(
+    "q76_cohort_retention",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val first = e.groupBy("user_id")
+        .agg(date_trunc("month", min("ts")).as("cohort_month"))
+      e.join(first, Seq("user_id"))
+        .groupBy(col("cohort_month"), date_trunc("month", col("ts")).as("activity_month"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(col("cohort_month").cast("timestamp_ntz").as("cohort_month"),
+          col("activity_month").cast("timestamp_ntz").as("activity_month"),
+          months_between(col("activity_month"), col("cohort_month")).cast("int").as("age_months"),
+          col("n_users"))
+        .orderBy("cohort_month", "activity_month")
+    },
+    Some("""WITH f AS (
+        SELECT user_id, date_trunc('month', min(CAST(ts AS TIMESTAMP))) AS cohort_month
+        FROM events GROUP BY user_id)
+      SELECT CAST(e2.cohort_month AS TIMESTAMP) AS cohort_month,
+        CAST(e2.activity_month AS TIMESTAMP) AS activity_month,
+        CAST(datediff('month', e2.cohort_month, e2.activity_month) AS INTEGER) AS age_months,
+        count(DISTINCT e2.user_id) AS n_users
+      FROM (
+        SELECT e.user_id, f.cohort_month,
+               date_trunc('month', CAST(e.ts AS TIMESTAMP)) AS activity_month
+        FROM events e JOIN f ON e.user_id = f.user_id) e2
+      GROUP BY 1, 2, 3 ORDER BY cohort_month, activity_month"""))
+
+  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q68, q76)
 }

@@ -773,7 +773,29 @@ object RelationalQueries {
                         THEN l_quantity ELSE 0 END) > 0.5 * sum(l_quantity))
       ORDER BY s_suppkey"""))
 
+  /** Exact multi-quantile aggregation (A4 beyond the median): 25/50/75th
+    * percentiles per group in one pass. The 100 TB path swaps `percentile`
+    * for `percentile_approx` (single-pass sketch, same call shape); exact
+    * is kept here because the oracle interpolation must match bitwise.
+    */
+  val q69 = GQuery(
+    "q69_quantiles",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("q"))
+        .select(col("l_returnflag"),
+          Metrics.canonRound(element_at(col("q"), 1), 4).as("q25"),
+          Metrics.canonRound(element_at(col("q"), 2), 4).as("q50"),
+          Metrics.canonRound(element_at(col("q"), 3), 4).as("q75"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        floor((quantile_cont(l_extendedprice, 0.25)) * 1e4 + 0.5)/1e4 AS q25,
+        floor((quantile_cont(l_extendedprice, 0.50)) * 1e4 + 0.5)/1e4 AS q50,
+        floor((quantile_cont(l_extendedprice, 0.75)) * 1e4 + 0.5)/1e4 AS q75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q57, q58, q59, q65)
+    q26, q27, q28, q29, q57, q58, q59, q65, q69)
 }
