@@ -312,5 +312,26 @@ object EventQueries {
         FROM events e JOIN f ON e.user_id = f.user_id) e2
       GROUP BY 1, 2, 3 ORDER BY cohort_month, activity_month"""))
 
-  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q68, q76)
+  /** Pivot → unpivot roundtrip: per-user event counts widened to one
+    * column per event_type (explicit value list — no extra distinct scan),
+    * then melted back with the native unpivot API (U2's inverse; pandas
+    * melt). Unpivot drops nulls by default, so the roundtrip is exactly
+    * the long-form group-by — which is the oracle.
+    */
+  val q77 = GQuery(
+    "q77_pivot_unpivot",
+    (s, dir) => {
+      val types = Seq("click", "purchase", "view")
+      val wide = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n_events")
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, count(*) AS n_events
+      FROM events WHERE event_type IN ('click', 'purchase', 'view')
+      GROUP BY user_id, event_type ORDER BY user_id, event_type"""))
+
+  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q68, q76, q77)
 }

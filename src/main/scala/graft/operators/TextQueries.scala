@@ -305,5 +305,33 @@ object TextQueries {
         CAST(sum(1 - is_train) AS BIGINT) AS n_holdout
       FROM b GROUP BY lang ORDER BY lang"""))
 
-  def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55)
+  /** Top-5 terms per language by document frequency: explode distinct
+    * tokens → (lang, token) counts (map-side combined) → per-language
+    * ranking window over the small aggregate. The heavy explode never
+    * reaches the window — only ~|vocab|×|langs| rows do.
+    */
+  val q78 = GQuery(
+    "q78_top_terms",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("df").desc, col("term"))
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(array_distinct(tokens(col("text")))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("term"), col("df"), col("rank").cast("int").as("rank"))
+        .orderBy("lang", "rank")
+    },
+    Some("""WITH t AS (
+        SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents),
+      c AS (SELECT lang, term, count(*) AS df FROM t GROUP BY 1, 2),
+      r AS (SELECT lang, term, df,
+              row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rank
+            FROM c)
+      SELECT lang, term, df, CAST(rank AS INTEGER) AS rank
+      FROM r WHERE rank <= 5 ORDER BY lang, rank"""))
+
+  def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78)
 }
