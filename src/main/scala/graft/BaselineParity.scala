@@ -18,6 +18,9 @@ object BaselineParity {
     }
     val sales = graft.ml.SalesData.generate(spark, "2015-01-01", "2018-12-31")
     println(s"[parity] rows=${sales.count()} (reference: 26,297)")
+    // note: no coalesceTo here — repartitioning perturbs MLlib's floating
+    // aggregation order enough to move SMAPE on this small dataset, and
+    // the parity number is a quality citation (BENCH.md)
     val (prepared, _) = timed("feature build + encoder fit")(
       graft.ml.SalesFeatures.prepare(spark, sales))
     val train = prepared.filter(to_date(col("date")) <= lit("2018-06-30")).cache()
