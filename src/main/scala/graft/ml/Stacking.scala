@@ -69,9 +69,16 @@ object Stacking {
     * OOF assembly and meta fit. Results are identical to the sequential
     * order — each fit is an isolated estimator on a deterministic slice.
     */
+  /** @param metaFolds how many of the LATEST folds feed the meta fit.
+    * Early folds' models train on short prefixes and systematically
+    * underpredict a trending series; meta weights learned on those rows
+    * over-scale the full-trained final bases (the k=5 experiment made
+    * this worse, not better). Defaulting to the last fold alone keeps
+    * the meta-features closest in bias to the deployed bases.
+    */
   def fit(train: DataFrame, grid: Seq[(String, BoostedHybrid)] = defaultGrid,
           k: Int = 3, dateCol: String = "date", labelCol: String = "num_sold",
-          parallelism: Int = 8): StackModel = {
+          parallelism: Int = 8, metaFolds: Int = 1): StackModel = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val folds = timeFolds(train, dateCol, k)
@@ -91,7 +98,7 @@ object Stacking {
           fitted((i, name)).transform(acc).withColumnRenamed("prediction", s"oof_$name")
         }
       }
-      val oof = oofParts.reduce(_.unionByName(_))
+      val oof = oofParts.takeRight(metaFolds).reduce(_.unionByName(_))
       val asm = new VectorAssembler()
         .setInputCols(grid.map { case (n, _) => s"oof_$n" }.toArray)
         .setOutputCol("meta_features")
