@@ -795,7 +795,39 @@ object RelationalQueries {
         floor((quantile_cont(l_extendedprice, 0.75)) * 1e4 + 0.5)/1e4 AS q75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Top-k per group via the bounded-heap Aggregator (functions.TopK) —
+    * the scale path for q08's shape: partial aggregation keeps ≤ k rows
+    * per group map-side, so the shuffle carries k×groups×partitions rows
+    * instead of the whole fact table (the window idiom sorts everything).
+    * posexplode of the finished buffer restores per-rank rows; the oracle
+    * is the equivalent ranking window.
+    */
+  val q79 = GQuery(
+    "q79_topk_agg",
+    (s, dir) => {
+      val topk = graft.functions.TopK.topK(5)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(topk(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          .as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("l_returnflag"),
+          (col("pos") + 1).cast("int").as("rank"),
+          Metrics.canonRound(col("r.value"), 2).as("price"),
+          col("r.key1").as("orderkey"), col("r.key2").as("linenumber"))
+        .orderBy("l_returnflag", "rank")
+    },
+    Some("""SELECT l_returnflag, CAST(rank AS INTEGER) AS rank,
+        floor((price) * 1e2 + 0.5)/1e2 AS price, orderkey, linenumber
+      FROM (
+        SELECT l_returnflag, l_extendedprice AS price,
+               l_orderkey AS orderkey, l_linenumber AS linenumber,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+        FROM lineitem) t
+      WHERE rank <= 5 ORDER BY l_returnflag, rank"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q57, q58, q59, q65, q69)
+    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79)
 }

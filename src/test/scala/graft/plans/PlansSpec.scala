@@ -84,6 +84,15 @@ class PlansSpec extends SparkSpec {
       plan.linesIterator.take(8).mkString("\n"))
   }
 
+  test("top-k aggregator partial-aggregates map-side (no window sort of the fact table)") {
+    val df = graft.registry.Registry.queries("q79_topk_agg")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // two-phase object hash aggregation: partial before the exchange
+    assert(plan.contains("ObjectHashAggregate"), plan.linesIterator.take(12).mkString("\n"))
+    assert(!plan.contains("Window"), "top-k must not be planned as a ranking window")
+  }
+
   test("CollapseIdempotentRound optimizer rule folds nested roundings") {
     val df = Tables.orders(spark, sf001).select(
       GeometricRoundExpr.geometricRoundNative(
