@@ -72,11 +72,26 @@ object ScaleSmoke {
     val dk = replicate(d1, Seq("doc_id"))
     val ek = replicate(e1, Seq("user_id", "event_id"))
 
+    // top-k per group, both idioms — the window form shuffles+sorts every
+    // row; the bounded-heap aggregator partial-aggregates map-side
+    def topkWindow(l: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      l.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    }
+    def topkAgg(l: DataFrame) = {
+      val topk = functions.TopK.topK(5)
+      l.groupBy("l_returnflag")
+        .agg(topk(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")).as("top"))
+    }
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("scan_agg", () => noop(scanAgg(l1)), () => noop(scanAgg(lk))),
       ("join_agg", () => noop(joinAgg(l1, o1)), () => noop(joinAgg(lk, ok))),
       ("minhash_lsh", () => noop(lshPairs(d1)), () => noop(lshPairs(dk))),
-      ("range_join", () => noop(rangeJoin(e1)), () => noop(rangeJoin(ek))))
+      ("range_join", () => noop(rangeJoin(e1)), () => noop(rangeJoin(ek))),
+      ("topk_window", () => noop(topkWindow(l1)), () => noop(topkWindow(lk))),
+      ("topk_agg", () => noop(topkAgg(l1)), () => noop(topkAgg(lk))))
 
     noop(scanAgg(l1)) // warmup
     val results = shapes.map { case (name, base, big) =>
