@@ -20,7 +20,12 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       val ok = try { exec(name); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // queries that cache intermediates (LSH banding, ML prepare) would
+      // otherwise accumulate storage across the whole run; dropping the
+      // cache between queries keeps each number self-contained
+      spark.sharedState.cacheManager.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")

@@ -69,7 +69,12 @@ object ScaleSmoke {
     val l1 = Tables.lineitem(spark, sfDir); val o1 = Tables.orders(spark, sfDir)
     val d1 = Tables.documents(spark, sfDir); val e1 = Tables.events(spark, sfDir)
     val lk = replicate(l1, Seq("l_orderkey")); val ok = replicate(o1, Seq("o_orderkey"))
+    // perturb each replica's text (post-shift doc_id % k = replica index):
+    // identical replica texts would share MinHash signatures, multiplying
+    // every LSH bucket by k — a structurally different workload than
+    // "k× more documents"
     val dk = replicate(d1, Seq("doc_id"))
+      .withColumn("text", concat(col("text"), lit(" repmark"), pmod(col("doc_id"), lit(k.toLong))))
     val ek = replicate(e1, Seq("user_id", "event_id"))
 
     // top-k per group, both idioms — the window form shuffles+sorts every

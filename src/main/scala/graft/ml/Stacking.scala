@@ -81,7 +81,9 @@ object Stacking {
           parallelism: Int = 8, metaFolds: Int = 1): StackModel = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val folds = timeFolds(train, dateCol, k)
+    // only the folds whose OOF rows feed the meta fit need base models —
+    // fitting the earlier folds would be discarded compute
+    val folds = timeFolds(train, dateCol, k).takeRight(metaFolds)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
@@ -98,7 +100,7 @@ object Stacking {
           fitted((i, name)).transform(acc).withColumnRenamed("prediction", s"oof_$name")
         }
       }
-      val oof = oofParts.takeRight(metaFolds).reduce(_.unionByName(_))
+      val oof = oofParts.reduce(_.unionByName(_))
       val asm = new VectorAssembler()
         .setInputCols(grid.map { case (n, _) => s"oof_$n" }.toArray)
         .setOutputCol("meta_features")

@@ -315,8 +315,10 @@ object EventQueries {
   /** Pivot → unpivot roundtrip: per-user event counts widened to one
     * column per event_type (explicit value list — no extra distinct scan),
     * then melted back with the native unpivot API (U2's inverse; pandas
-    * melt). Unpivot drops nulls by default, so the roundtrip is exactly
-    * the long-form group-by — which is the oracle.
+    * melt). Dataset.unpivot RETAINS null value rows (a user missing one
+    * event_type pivots to NULL and melts back as a NULL-count row), so
+    * the explicit isNotNull filter is what makes the roundtrip equal the
+    * long-form group-by — which is the oracle.
     */
   val q77 = GQuery(
     "q77_pivot_unpivot",
@@ -327,6 +329,7 @@ object EventQueries {
         .pivot("event_type", types)
         .agg(count(lit(1)))
       wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n_events")
+        .filter(col("n_events").isNotNull)
         .orderBy("user_id", "event_type")
     },
     Some("""SELECT user_id, event_type, count(*) AS n_events

@@ -152,7 +152,12 @@ object TextQueries {
         sum(when(col("tok").isin(words: _*), 1L).otherwise(0L))
           .cast("double").as(s"c_$lang")
       } :+ count(lit(1)).cast("double").as("n")
-      val counted = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      // left join back to the doc list: a NULL text explodes to zero rows
+      // and would silently drop the document, where the oracle (and the
+      // previous per-row form) keep it with NULL scores and pred 'und'.
+      // No such docs exist in the fixtures — this guards the semantics.
+      val counted = Tables.documents(s, dir).select("doc_id")
+        .join(ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*), Seq("doc_id"), "left")
       val scores = langProfiles.map { case (lang, _) =>
         lang -> (col(s"c_$lang") / col("n"))
       }

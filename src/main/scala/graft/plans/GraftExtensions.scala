@@ -6,26 +6,36 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point registering the library's native
   * expressions for SQL use (`SELECT geometric_round(x)`,
-  * `SELECT graft_cosine(a, b)`). Wire with
+  * `SELECT graft_cosine(a, b)`) and its optimizer rule. Wire with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` — done by
   * graft.Session — or spark.sql.extensions=graft.plans.GraftExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  private def unary(e: SparkSessionExtensions, name: String, clazz: Class[_],
-                    build: Seq[Expression] => Expression): Unit =
+  private def inject(e: SparkSessionExtensions, name: String, arity: Int,
+                     clazz: Class[_], build: Seq[Expression] => Expression): Unit =
     e.injectFunction((
-      new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), build))
+      new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (exprs: Seq[Expression]) => {
+        // surface a proper analysis-time arity error instead of an
+        // IndexOutOfBoundsException from the builder
+        if (exprs.length != arity) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> arity.toString,
+            "actualNum" -> exprs.length.toString, "docroot" -> ""))
+        build(exprs)
+      }))
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    unary(e, "geometric_round", classOf[GeometricRoundExpr],
+    inject(e, "geometric_round", 1, classOf[GeometricRoundExpr],
       exprs => GeometricRoundExpr(exprs.head))
-    unary(e, "graft_dot", classOf[DotExpr],
+    inject(e, "graft_dot", 2, classOf[DotExpr],
       exprs => DotExpr(exprs(0), exprs(1)))
-    unary(e, "graft_cosine", classOf[CosineSimExpr],
+    inject(e, "graft_cosine", 2, classOf[CosineSimExpr],
       exprs => CosineSimExpr(exprs(0), exprs(1)))
-    unary(e, "graft_l2dist", classOf[L2DistExpr],
+    inject(e, "graft_l2dist", 2, classOf[L2DistExpr],
       exprs => L2DistExpr(exprs(0), exprs(1)))
-    unary(e, "graft_eq_count", classOf[ArrayEqCountExpr],
+    inject(e, "graft_eq_count", 2, classOf[ArrayEqCountExpr],
       exprs => ArrayEqCountExpr(exprs(0), exprs(1)))
     e.injectOptimizerRule(_ => CollapseIdempotentRound)
   }
