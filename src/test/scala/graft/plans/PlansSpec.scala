@@ -84,6 +84,12 @@ class PlansSpec extends SparkSpec {
       plan.linesIterator.take(8).mkString("\n"))
   }
 
+  test("wrong-arity SQL call to a registered expression is an analysis error") {
+    val ex = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0d))").collect())
+    assert(!ex.isInstanceOf[IndexOutOfBoundsException], ex.toString)
+    assert(ex.getMessage.contains("graft_dot"), ex.getMessage)
+  }
+
   test("top-k aggregator partial-aggregates map-side (no window sort of the fact table)") {
     val df = graft.registry.Registry.queries("q79_topk_agg")(spark, sf001)
     df.collect()
