@@ -14,6 +14,11 @@ run / fork := true
 // Forked run output goes straight to stdout (no "[info] " log prefix) so
 // harnesses that parse Bench/Verify's JSON line see it bare.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Keep the Bench/Verify JSON line the LAST line on stdout: sbt's
+// "[success] Total time: ..." epilogue otherwise follows it and breaks
+// last-line JSON parsers (BENCH_r01/r02 both recorded "parsed": null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,7 +20,9 @@ object TimeQuery {
         exec(name)
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"[timequery] $name min=${ts.head}%.2fs med=${ts(ts.size / 2)}%.2fs reps=$reps")
+      val med = if (ts.size % 2 == 1) ts(ts.size / 2)
+                else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
+      println(f"[timequery] $name min=${ts.head}%.2fs med=$med%.2fs reps=$reps")
     }
     spark.stop()
   }

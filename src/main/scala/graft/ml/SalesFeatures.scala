@@ -76,6 +76,11 @@ object SalesFeatures {
     * MLlib fit — the standard cache-before-iterate rule for ML inputs,
     * same at 15k rows or 100 TB (there it's what keeps 8 fits from doing
     * 8 full scans).
+    *
+    * CACHE CONTRACT: the cache stays until the caller clears it — this
+    * function cannot know when the last fit has run. Unpersist the
+    * returned frame after the final fit (Bench/Verify clear the whole
+    * cache per query).
     */
   def prepare(spark: SparkSession, sales: DataFrame,
               coalesceTo: Option[Int] = None): (DataFrame, PipelineModel) = {

@@ -69,16 +69,18 @@ object Stacking {
     * OOF assembly and meta fit. Results are identical to the sequential
     * order — each fit is an isolated estimator on a deterministic slice.
     */
-  /** @param metaFolds how many of the LATEST folds feed the meta fit.
-    * Early folds' models train on short prefixes and systematically
-    * underpredict a trending series; meta weights learned on those rows
-    * over-scale the full-trained final bases (the k=5 experiment made
-    * this worse, not better). Defaulting to the last fold alone keeps
-    * the meta-features closest in bias to the deployed bases.
+  /** @param metaFolds how many of the LATEST folds feed the meta fit
+    * (default: all, the classic stacking shape). Passing 1 trains the
+    * meta-learner on the last fold's OOF rows only — early folds' models
+    * train on short prefixes and systematically underpredict a trending
+    * series, and meta weights learned on those rows over-scale the
+    * full-trained final bases (a k=5 experiment made this worse, not
+    * better), so the flagship sales query opts into metaFolds=1. Note
+    * base models are only fitted for the folds that feed the meta fit.
     */
   def fit(train: DataFrame, grid: Seq[(String, BoostedHybrid)] = defaultGrid,
           k: Int = 3, dateCol: String = "date", labelCol: String = "num_sold",
-          parallelism: Int = 8, metaFolds: Int = 1): StackModel = {
+          parallelism: Int = 8, metaFolds: Int = Int.MaxValue): StackModel = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     // only the folds whose OOF rows feed the meta fit need base models —

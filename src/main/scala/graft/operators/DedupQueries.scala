@@ -54,6 +54,13 @@ object DedupQueries {
     * executing 3×. Signature frames are small relative to the corpus
     * (one row per doc per band), so caching them is the standard LSH
     * shape at any scale (checkpoint instead if lineage length matters).
+    *
+    * CACHE CONTRACT: the cache lives until the caller clears it — the
+    * result is lazy, so this function cannot know when the last consumer
+    * has materialized. Registry queries run under Bench/Verify, which
+    * call `spark.catalog.clearCache()` per query; a long-lived session
+    * composing LSH pipelines should do the same (or unpersist via
+    * `spark.sharedState.cacheManager`) between corpora.
     */
   def capBuckets(b: DataFrame, cap: Int = 50): DataFrame = {
     val bc = b.cache()

@@ -30,7 +30,15 @@ object IvfAnn {
     transform(c, x => (x.cast("double") / n).cast("float"))
   }
 
-  /** (index, centroids): corpus rows tagged with their inverted-list id. */
+  /** (index, centroids): corpus rows tagged with their inverted-list id.
+    *
+    * The returned index DataFrame is CACHED and eagerly materialized — it
+    * is an index, meant to be probed repeatedly (search() alone reads it
+    * twice). Caller owns the cache: `index.unpersist()` when done probing
+    * (the registry queries run under Bench/Verify, which clear the cache
+    * per query). The KMeans input cache is released here, inside the
+    * builder, once the index is materialized.
+    */
   def buildIndex(spark: SparkSession, embeddings: DataFrame, nList: Int,
                  seed: Long = 42L): (DataFrame, DataFrame) = {
     // cache: KMeans re-reads its input every iteration, and the lineage
@@ -42,7 +50,9 @@ object IvfAnn {
     val km = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("v")
       .setPredictionCol("list_id").setMaxIter(10)
     val model = km.fit(vecs)
-    val indexed = model.transform(vecs).drop("v")
+    val indexed = model.transform(vecs).drop("v").cache()
+    indexed.count() // materialize before releasing the input cache below
+    vecs.unpersist(blocking = false)
     val centroids = spark.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
         .toSeq).toDF("list_id", "centroid")

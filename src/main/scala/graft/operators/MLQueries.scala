@@ -162,7 +162,9 @@ object MLQueries {
           gbtMaxIter = 8, gbtMaxDepth = 4)),
         ("enet_gbt5", graft.ml.BoostedHybrid(elasticNetParam = 0.5, regParam = 0.005,
           gbtMaxIter = 8, gbtMaxDepth = 5)))
-      val stack = graft.ml.Stacking.fit(train, grid, k = 3)
+      // metaFolds=1: meta weights fit on the last fold's OOF rows only —
+      // validated in round 2 (earlier short-prefix folds bias the blend)
+      val stack = graft.ml.Stacking.fit(train, grid, k = 3, metaFolds = 1)
       val scored = stack.transform(valid).cache()
       val smape = scored.select(Metrics.smape(col("num_sold"), col("prediction"))).head().getDouble(0)
       val (bestW, bestSmape) = graft.ml.ScaleCorrection.bestWeight(

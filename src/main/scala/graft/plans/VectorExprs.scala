@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 abstract class VectorFoldExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // Can return null beyond input nullability (length mismatch, null
+  // element), so the BinaryExpression default (left.nullable ||
+  // right.nullable) under-reports: two non-nullable inputs (e.g. SQL
+  // literal arrays) would codegen `boolean isNull = false;` as a final
+  // and the interpreted path would NPE instead of yielding NULL.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -37,12 +44,14 @@ abstract class VectorFoldExpr extends BinaryExpression {
   /** Interpreted kernel; null on length mismatch / null element. */
   protected def fold(a: ArrayData, b: ArrayData): Any
 
-  /** Java declarations of the accumulator variables. */
-  protected def genInit: String
+  /** Java declarations of the accumulator variables; `acc` maps each
+    * logical accumulator name to a ctx.freshName'd identifier so nested /
+    * fused codegen contexts can never collide on `dot`/`na`/`ss`/… */
+  protected def genInit(acc: String => String): String
   /** Java statements: given doubles x, y accumulate. */
-  protected def genAccumulate(x: String, y: String): String
+  protected def genAccumulate(acc: String => String, x: String, y: String): String
   /** Java expression producing the final double from the accumulators. */
-  protected def genResult: String
+  protected def genResult(acc: String => String): String
 
   override def nullSafeEval(l: Any, r: Any): Any =
     fold(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -51,20 +60,24 @@ abstract class VectorFoldExpr extends BinaryExpression {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val names = scala.collection.mutable.Map.empty[String, String]
+      val acc: String => String = v => names.getOrElseUpdate(v, ctx.freshName(v))
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  $genInit
+         |  ${genInit(acc)}
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double x = $a.getDouble($i);
-         |    double y = $b.getDouble($i);
-         |    ${genAccumulate("x", "y")}
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    ${genAccumulate(acc, x, y)}
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $genResult;
+         |    ${ev.value} = ${genResult(acc)};
          |  }
          |}
        """.stripMargin
@@ -86,10 +99,11 @@ case class DotExpr(left: Expression, right: Expression) extends VectorFoldExpr {
     }
     dot
   }
-  override protected def genInit: String = "double dot = 0.0;"
-  override protected def genAccumulate(x: String, y: String): String =
-    s"dot += $x * $y;"
-  override protected def genResult: String = "dot"
+  override protected def genInit(acc: String => String): String =
+    s"double ${acc("dot")} = 0.0;"
+  override protected def genAccumulate(acc: String => String, x: String, y: String): String =
+    s"${acc("dot")} += $x * $y;"
+  override protected def genResult(acc: String => String): String = acc("dot")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
     copy(left = l, right = r)
 }
@@ -110,12 +124,12 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorFold
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
-  override protected def genInit: String =
-    "double dot = 0.0; double na = 0.0; double nb = 0.0;"
-  override protected def genAccumulate(x: String, y: String): String =
-    s"dot += $x * $y; na += $x * $x; nb += $y * $y;"
-  override protected def genResult: String =
-    "dot / (Math.sqrt(na) * Math.sqrt(nb))"
+  override protected def genInit(acc: String => String): String =
+    s"double ${acc("dot")} = 0.0; double ${acc("na")} = 0.0; double ${acc("nb")} = 0.0;"
+  override protected def genAccumulate(acc: String => String, x: String, y: String): String =
+    s"${acc("dot")} += $x * $y; ${acc("na")} += $x * $x; ${acc("nb")} += $y * $y;"
+  override protected def genResult(acc: String => String): String =
+    s"${acc("dot")} / (Math.sqrt(${acc("na")}) * Math.sqrt(${acc("nb")}))"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
     copy(left = l, right = r)
 }
@@ -131,6 +145,8 @@ case class ArrayEqCountExpr(left: Expression, right: Expression) extends BinaryE
 
   override def prettyName: String = "graft_eq_count"
   override def dataType: DataType = IntegerType
+  // null on length mismatch / null element even for non-nullable inputs
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -197,10 +213,12 @@ case class L2DistExpr(left: Expression, right: Expression) extends VectorFoldExp
     }
     math.sqrt(ss)
   }
-  override protected def genInit: String = "double ss = 0.0;"
-  override protected def genAccumulate(x: String, y: String): String =
-    s"double d = $x - $y; ss += d * d;"
-  override protected def genResult: String = "Math.sqrt(ss)"
+  override protected def genInit(acc: String => String): String =
+    s"double ${acc("ss")} = 0.0;"
+  override protected def genAccumulate(acc: String => String, x: String, y: String): String =
+    s"double ${acc("d")} = $x - $y; ${acc("ss")} += ${acc("d")} * ${acc("d")};"
+  override protected def genResult(acc: String => String): String =
+    s"Math.sqrt(${acc("ss")})"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistExpr =
     copy(left = l, right = r)
 }
