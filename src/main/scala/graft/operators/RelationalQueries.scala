@@ -827,7 +827,49 @@ object RelationalQueries {
         FROM lineitem) t
       WHERE rank <= 5 ORDER BY l_returnflag, rank"""))
 
+  /** Full ranking-function suite (rank / dense_rank / percent_rank /
+    * cume_dist / ntile / lead / nth_value) — the analytic functions q17
+    * doesn't cover. Order within each partition is made total by the
+    * unique o_orderkey tie-break, so every function is deterministic on
+    * both engines (and RANGE vs ROWS default frames coincide).
+    *
+    * Scale note: partitionBy on a 5-value key means at most 5-way
+    * parallelism for the sort — fine here because the measure is a
+    * per-priority ranking by construction. A scale-up of this shape with
+    * millions of rows per priority would move to the q79 bounded-heap
+    * aggregator (for top-k) or a range-partitioned two-phase rank; the
+    * full-rank output itself is inherently one sorted pass per group.
+    */
+  val q84 = GQuery(
+    "q84_rank_suite",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          Metrics.canonRound(percent_rank().over(w), 6).as("prank"),
+          Metrics.canonRound(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).as("quartile"),
+          lead("o_orderkey", 1).over(w).as("next_orderkey"),
+          nth_value(col("o_orderkey"), 3).over(w).as("third_orderkey"))
+        .orderBy("o_orderpriority", "rnk")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+      CAST(rank() OVER w AS INTEGER) AS rnk,
+      CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+      floor((percent_rank() OVER w) * 1e6 + 0.5)/1e6 AS prank,
+      floor((cume_dist() OVER w) * 1e6 + 0.5)/1e6 AS cdist,
+      CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      lead(o_orderkey, 1) OVER w AS next_orderkey,
+      nth_value(o_orderkey, 3) OVER w AS third_orderkey
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, rnk"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79)
+    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84)
 }

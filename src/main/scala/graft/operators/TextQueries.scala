@@ -338,5 +338,37 @@ object TextQueries {
       SELECT lang, term, df, CAST(rank AS INTEGER) AS rank
       FROM r WHERE rank <= 5 ORDER BY lang, rank"""))
 
-  def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78)
+  /** Fuzzy entity matching: blocked levenshtein self-join on part names.
+    * Blocking on p_brand turns the O(n²) all-pairs comparison into
+    * per-block quadratics (the standard entity-resolution shape — at 100 TB
+    * the blocking key IS the scalability knob, and a too-hot block shows up
+    * like an LSH bucket blowup, handled the same way: cap or sub-block).
+    * The edit distance uses Spark's thresholded levenshtein(l, r, k) —
+    * banded DP that abandons a pair once the distance exceeds k, so cost
+    * per pair is O(k·len) not O(len²).
+    */
+  val q85 = GQuery(
+    "q85_fuzzy_match",
+    (s, dir) => {
+      val p = Tables.part(s, dir).select(
+        col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
+        .filter(col("dist") >= 0) // thresholded form returns -1 past k
+        .select(col("id_a"), col("id_b"), col("p_brand"), col("dist"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        a.p_brand AS p_brand,
+        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+      ORDER BY id_a, id_b"""))
+
+  def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
+    q85)
 }
