@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star / small-star
+  * rounds (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14 — public literature). This is the piece that turns LSH candidate
+  * PAIRS into duplicate CLUSTERS: near-dup relations are not transitive, so
+  * corpus dedup keeps one survivor per connected component of the pair
+  * graph, not per pair.
+  *
+  * Why this algorithm at 100 TB: each round is two groupBy/join rounds over
+  * the current edge set — pure shuffle-based dataflow, no driver-side graph,
+  * and the edge set only shrinks toward the star forest. Convergence is
+  * O(log²  n) rounds in theory, 2-4 rounds in practice for dedup graphs
+  * (small-diameter clusters). Contrast with label propagation, whose round
+  * count is the component DIAMETER — a 1000-node chain takes 1000 rounds
+  * there, ~10 here.
+  *
+  * Per-round hygiene: `localCheckpoint(eager)` truncates the lineage that
+  * iterative joins otherwise stack up (each round would replan the whole
+  * history and re-execute it on every action). On a real cluster with a
+  * fault-tolerance requirement, swap for reliable `checkpoint` on HDFS —
+  * same call shape.
+  *
+  * Reference behavior anchor: the reference dedups via per-key groupBy
+  * (kaggle/kaggle.py drop_duplicates shapes); clustering generalizes that to
+  * the near-dup relation produced by MinHash/SimHash banding (SURVEY §2
+  * north-star extras).
+  */
+object ConnectedComponents {
+
+  /** One large-star round: every node links its larger neighbors to the
+    * minimum of its closed neighborhood.
+    */
+  private[operators] def largeStar(e: DataFrame): DataFrame = {
+    val und = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = und.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    und.join(m, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node links its smaller-or-equal neighbors
+    * (and itself) to their minimum.
+    */
+  private[operators] def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+    val m = dir.groupBy("u").agg(min("v").as("m"))
+    val linkNeighbors = dir.join(m, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val linkSelf = m.select(col("u"), col("m").as("v"))
+    linkNeighbors.union(linkSelf)
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** (count, hash-xor) set signature: two DISTINCT edge sets with equal
+    * signatures are equal up to a 2⁻⁶⁴ hash-collision chance — the cheap
+    * convergence test (an `except().isEmpty` would cost two extra shuffles
+    * per round). XOR, not SUM: order-independent like sum but cannot
+    * overflow under ANSI mode.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(call_function("bit_xor", xxhash64(col("u"), col("v"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Connected components of the undirected graph given by `edges` (two
+    * numeric columns; self-loops and duplicates tolerated). Returns
+    * (id, comp) for every NON-ROOT node — i.e. nodes absent from the output
+    * are their own component representative (singletons included). comp is
+    * the minimum node id of the component.
+    */
+  def components(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val cols = edges.columns
+    require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
+    var e = edges.select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var sig = signature(e)
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    // At the fixpoint e is a star forest (proved in the paper); the min-agg
+    // is belt-and-braces determinism, not a correctness crutch.
+    e.groupBy("u").agg(min("v").as("comp")).select(col("u").as("id"), col("comp"))
+  }
+}

@@ -173,5 +173,100 @@ object DedupQueries {
       SELECT doc_id, md5($cat) AS sig_digest FROM sig ORDER BY doc_id"""
     })
 
-  def all: Seq[GQuery] = Seq(q47, q48, q56)
+  /** End-to-end dedup CLUSTERING: md5-MinHash signatures → LSH banding →
+    * candidate pairs → signature-agreement filter → connected components →
+    * per-document cluster assignment. Near-duplication is not transitive,
+    * so real corpus dedup keeps one survivor per connected component of the
+    * pair graph — this query is that missing last mile over q56's
+    * cross-engine-verifiable signature path (md5 end-to-end, so the WHOLE
+    * pipeline including the recursive-CTE components hash-matches DuckDB).
+    *
+    * Scale shape: signatures/banding as in q47/q56 (explode → min-agg,
+    * bucket cap against blowup); the pair filter joins signatures back to
+    * the CAPPED candidate set only (the zip_with agreement count is an
+    * interpreted HOF — fine per candidate pair, never per corpus row); the
+    * component step is O(log) shuffle rounds (see ConnectedComponents).
+    */
+  val q83 = GQuery(
+    "q83_dedup_clusters",
+    (s, dir) => {
+      val nH = 8
+      val docs = Tables.documents(s, dir)
+      val sh = docs.select(col("doc_id"),
+        explode(TextQueries.bigrams(split(col("text"), " "))).as("sh"))
+      val aggs = (0 until nH).map(i => min(md5(concat(col("sh"), lit(s"#$i")))).as(s"m$i"))
+      // cached: consumed by banding AND twice by the pair filter
+      val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).cache()
+      val bandedSig = sig.select(col("doc_id"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"), concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      val bb = capBuckets(bandedSig, cap = 50)
+      val pairs = bb.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+        .join(bb.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val sigArr = array((0 until nH).map(i => col(s"m$i")): _*)
+      val sa = sig.select(col("doc_id").as("id_a"), sigArr.as("sig_a"))
+      val sb = sig.select(col("doc_id").as("id_b"), sigArr.as("sig_b"))
+      val edges = pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("n_eq",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+        .filter(col("n_eq") >= nH / 2)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+      val comp = ConnectedComponents.components(edges)
+      val assign = docs.select("doc_id")
+        .join(comp, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      val sizes = assign.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      assign.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val nH = 8
+      val mins = (0 until nH).map(i => s"min(md5(s || '#$i')) AS m$i").mkString(",\n          ")
+      val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+      val bandCase = "CASE b WHEN 0 THEN m0 || m1 WHEN 1 THEN m2 || m3 " +
+        "WHEN 2 THEN m4 || m5 ELSE m6 || m7 END"
+      s"""WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+        FROM toks),
+      sig AS (
+        SELECT doc_id,
+          $mins
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b, $bandCase AS bh
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      capped AS (
+        SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, bh) <= 50),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM capped a JOIN capped c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+      good AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+        WHERE ($eqSum) >= ${nH / 2}),
+      edges AS (
+        SELECT id_a AS u, id_b AS v FROM good
+        UNION ALL SELECT id_b, id_a FROM good),
+      r AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.v AS id, r.lbl FROM r JOIN edges e ON e.u = r.id),
+      assign AS (
+        SELECT id AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY id),
+      sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id)
+      SELECT a.doc_id, a.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+      FROM assign a JOIN sizes s USING (cluster_id)
+      ORDER BY a.doc_id"""
+    })
+
+  def all: Seq[GQuery] = Seq(q47, q48, q56, q83)
 }
