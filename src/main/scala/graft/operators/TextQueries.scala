@@ -369,6 +369,37 @@ object TextQueries {
       WHERE levenshtein(a.p_name, b.p_name) <= 3
       ORDER BY id_a, id_b"""))
 
+  /** Novelty filter against a reference corpus: incoming documents
+    * (src0-src3) whose canonical token-set fingerprint does not appear in
+    * the reference corpus (src4+), via the bloom-prefiltered exact anti
+    * join (operators.BloomJoin — see there for the scale story). The
+    * oracle is the plain NOT EXISTS anti join: bloom pruning must be
+    * semantically invisible.
+    */
+  val q86 = GQuery(
+    "q86_bloom_novelty",
+    (s, dir) => {
+      val fp = md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
+      val d = Tables.documents(s, dir)
+        .withColumn("fp", fp)
+        .withColumn("sn", regexp_replace(col("source"), "src", "").cast("int"))
+      val incoming = d.filter(col("sn") < 4)
+      val ref = d.filter(col("sn") >= 4)
+      BloomJoin.anti(incoming, ref, "fp", expectedItems = 1000000L)
+        .select(col("doc_id"), col("source"), col("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, source,
+          CAST(replace(source, 'src', '') AS INT) AS sn,
+          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        FROM documents)
+      SELECT a.doc_id, a.source, a.fp
+      FROM d a
+      WHERE a.sn < 4
+        AND NOT EXISTS (SELECT 1 FROM d b WHERE b.sn >= 4 AND b.fp = a.fp)
+      ORDER BY a.doc_id"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85)
+    q85, q86)
 }

@@ -37,6 +37,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => L2DistExpr(exprs(0), exprs(1)))
     inject(e, "graft_eq_count", 2, classOf[ArrayEqCountExpr],
       exprs => ArrayEqCountExpr(exprs(0), exprs(1)))
+    // Spark's internal bloom-filter pair, surfaced for the user-driven
+    // "probe against a reference corpus" shape (operators.BloomJoin) that
+    // the automatic runtime-filter rewrite cannot express. The aggregate
+    // builder returns the bare AggregateFunction — the analyzer wraps it.
+    inject(e, "graft_bloom_agg", 2,
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1)))
+    inject(e, "graft_might_contain", 2,
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)))
     e.injectOptimizerRule(_ => CollapseIdempotentRound)
   }
 }
