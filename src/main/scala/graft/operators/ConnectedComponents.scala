@@ -83,15 +83,17 @@ object ConnectedComponents {
   def components(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
     val cols = edges.columns
     require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
+    // lazy checkpoints: the convergence-signature action right after is
+    // what materializes them — one Spark job per round instead of two
     var e = edges.select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var sig = signature(e)
     var round = 0
-    var converged = e.isEmpty
+    var converged = sig._1 == 0L
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       e = next
