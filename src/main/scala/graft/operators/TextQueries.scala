@@ -339,11 +339,12 @@ object TextQueries {
       FROM r WHERE rank <= 5 ORDER BY lang, rank"""))
 
   /** Fuzzy entity matching: blocked levenshtein self-join on part names.
-    * Blocking on (p_brand, p_size) turns the O(n²) all-pairs comparison
+    * Blocking on (p_brand, p_type) turns the O(n²) all-pairs comparison
     * into per-block quadratics — the standard entity-resolution shape. At
     * 100 TB the blocking key IS the scalability knob (brand alone left 8M
     * candidate pairs at sf0.1 and the edit distance dominated the query;
-    * the two-column block cuts that 50×), and a too-hot block shows up
+    * the two-column block cuts that 6× while keeping within-block matches
+    * at every fixture SF), and a too-hot block shows up
     * like an LSH bucket blowup, handled the same way: cap or sub-block.
     * The edit distance uses Spark's thresholded levenshtein(l, r, k) —
     * banded DP that abandons a pair once the distance exceeds k, so cost
@@ -353,12 +354,12 @@ object TextQueries {
     "q85_fuzzy_match",
     (s, dir) => {
       val p = Tables.part(s, dir).select(
-        col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
-      val a = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
+      val a = p.select(col("p_brand"), col("p_type"),
         col("p_partkey").as("id_a"), col("p_name").as("name_a"))
-      val b = p.select(col("p_brand"), col("p_size"),
+      val b = p.select(col("p_brand"), col("p_type"),
         col("p_partkey").as("id_b"), col("p_name").as("name_b"))
-      a.join(b, Seq("p_brand", "p_size"))
+      a.join(b, Seq("p_brand", "p_type"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
         .filter(col("dist") >= 0) // thresholded form returns -1 past k
@@ -369,7 +370,7 @@ object TextQueries {
         a.p_brand AS p_brand,
         CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
       FROM part a JOIN part b
-        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
            AND a.p_partkey < b.p_partkey
       WHERE levenshtein(a.p_name, b.p_name) <= 3
       ORDER BY id_a, id_b"""))
