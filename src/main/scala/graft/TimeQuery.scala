@@ -16,6 +16,10 @@ object TimeQuery {
     exec("q01_pricing_summary") // warmup
     names.foreach { name =>
       val ts = (1 to reps).map { _ =>
+        // cold per rep, like Bench: caches built by a query (or by a
+        // PREVIOUS query — canonicalized-plan cache matching crosses
+        // queries sharing subtrees) would otherwise contaminate timings
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         exec(name)
         (System.nanoTime() - t0) / 1e9

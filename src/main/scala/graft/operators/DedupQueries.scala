@@ -73,10 +73,21 @@ object DedupQueries {
     * `spark.sharedState.cacheManager`) between corpora.
     */
   def capBuckets(b: DataFrame, cap: Int = 50): DataFrame = {
-    val bc = b.cache()
-    val ok = bc.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= cap)
-    bc.join(ok, Seq("band", "bh")).drop("bucket_n")
+    // count-over-window, not census-agg + join-back: one shuffle on the
+    // bucket key instead of two, and one fewer job. Same partitioning
+    // either way — the window's per-bucket sort is trivial (bucket size is
+    // exactly what the cap bounds).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val capped = b.withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= cap).drop("bucket_n")
+      .cache()
+    // eager materialization: the downstream candidate self-join reads this
+    // frame on BOTH sides of one job, and concurrent consumers of an
+    // unmaterialized cache race partition-by-partition — each side can end
+    // up recomputing the whole signature pipeline. One count() up front
+    // guarantees every later read is a cache hit.
+    capped.count()
+    capped
   }
 
   /** MinHash-LSH near-dup pairs: 16 hashes in 8 bands × 2 rows. Documents
@@ -237,10 +248,12 @@ object DedupQueries {
         }: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bh"))
       val bb = capBuckets(bandedSig, cap = 50)
+      // no distinct: multi-band repeats (≤4×) cost less than the extra
+      // shuffle, and ConnectedComponents dedups its edge set anyway
       val pairs = bb.select(col("band"), col("bh"), col("doc_id").as("id_a"))
         .join(bb.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+        .select("id_a", "id_b")
       val sigArr = array((0 until nH).map(i => col(s"m$i")): _*)
       val sa = sig.select(col("doc_id").as("id_a"), sigArr.as("sig_a"))
       val sb = sig.select(col("doc_id").as("id_b"), sigArr.as("sig_b"))

@@ -6,53 +6,62 @@ import graft.SparkSpec
 
 class ConnectedComponentsSpec extends SparkSpec {
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** threshold=0 forces the distributed star-contraction path;
+    * default exercises the driver union-find fast path.
+    */
+  private def cc(edges: Seq[(Long, Long)], distributed: Boolean): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.components(edges.toDF("u", "v"))
+    val threshold = if (distributed) 0L else 1L << 20
+    ConnectedComponents.components(edges.toDF("u", "v"),
+        smallGraphThreshold = threshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  /** Reference union-find on the driver — the oracle for small graphs. */
-  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+  for (distributed <- Seq(false, true)) {
+    val tag = if (distributed) "distributed" else "driver"
+
+    test(s"[$tag] chain collapses to its minimum") {
+      val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), distributed)
+      assert(got == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
     }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+
+    test(s"[$tag] two components plus isolated self-loop") {
+      // self-loop (9,9) and duplicate/reversed edges must be tolerated
+      val got = cc(Seq((10L, 11L), (11L, 10L), (3L, 7L), (7L, 5L), (9L, 9L), (3L, 7L)),
+        distributed)
+      assert(got == Map(11L -> 10L, 7L -> 3L, 5L -> 3L))
     }
-    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-    nodes.map(n => n -> find(n)).filter { case (n, r) => n != r }.toMap
-  }
 
-  test("chain collapses to its minimum") {
-    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
-    assert(got == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
-  }
+    test(s"[$tag] empty edge set yields empty assignment") {
+      assert(cc(Seq.empty, distributed).isEmpty)
+    }
 
-  test("two components plus isolated self-loop") {
-    // self-loop (9,9) and duplicate/reversed edges must be tolerated
-    val got = cc(Seq((10L, 11L), (11L, 10L), (3L, 7L), (7L, 5L), (9L, 9L), (3L, 7L)))
-    assert(got == Map(11L -> 10L, 7L -> 3L, 5L -> 3L))
-  }
-
-  test("empty edge set yields empty assignment") {
-    assert(cc(Seq.empty).isEmpty)
-  }
-
-  test("random graph matches driver-side union-find") {
-    val rnd = new scala.util.Random(7)
-    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
-    assert(cc(edges) == unionFind(edges))
+    test(s"[$tag] random graph matches reference union-find") {
+      val rnd = new scala.util.Random(7)
+      val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      val want = ConnectedComponents.unionFind(edges.toArray)
+      assert(cc(edges, distributed) == want)
+    }
   }
 
   test("long path converges within the round budget (log, not diameter)") {
     // a 200-node path has diameter 199: label propagation would need ~199
-    // rounds; star-contraction must land well inside the default budget
+    // rounds; star-contraction must land well inside the default budget of
+    // 25 — this is the distributed path's termination guarantee
     val edges = (0L until 199L).map(i => (i, i + 1))
-    val got = cc(edges)
+    val got = cc(edges, distributed = true)
     assert(got.size == 199 && got.values.forall(_ == 0L))
+  }
+
+  test("both paths agree on a clustered random graph") {
+    val rnd = new scala.util.Random(11)
+    // dedup-shaped graph: many small cliques + noise edges
+    val cliques = (0 until 40).flatMap { c =>
+      val base = c * 10L
+      Seq((base, base + 1), (base + 1, base + 2), (base, base + 2))
+    }
+    val noise = Seq.fill(60)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+    val edges = cliques ++ noise
+    assert(cc(edges, distributed = false) == cc(edges, distributed = true))
   }
 }
