@@ -406,6 +406,52 @@ object TextQueries {
         AND NOT EXISTS (SELECT 1 FROM d b WHERE b.sn >= 4 AND b.fp = a.fp)
       ORDER BY a.doc_id"""))
 
+  /** EXACT all-pairs shingle-set similarity join (Jaccard ≥ 0.8) via
+    * prefix + positional filtering — upgrades q46's sampled brute-force
+    * check to the complete exact join, sub-quadratically (see
+    * operators.SetSimJoin). Shingles are compared as xxhash64 longs (q46
+    * precedent: primitive array_intersect fast path, 8-byte join keys,
+    * and the verify sides stay broadcastable); the oracle computes the
+    * same sets on the raw strings — the hash compare therefore also
+    * witnesses collision-freedom on the fixtures. The oracle is the
+    * O(n²) brute force: completeness of the filters is exactly what the
+    * hash compare proves.
+    */
+  val q87 = GQuery(
+    "q87_setsim_join",
+    (s, dir) => {
+      // the shingle-set construction is an interpreted HOF chain
+      // (transform/array_distinct are CodegenFallback) — cache it so the
+      // operator's three consumers (token explode + both verify sides)
+      // evaluate it once per document, not once per consumer (11.7s → ~2s
+      // for the prefix phase at sf0.1). Cache ownership per capBuckets.
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        array_distinct(transform(bigrams(tokens(col("text"))), sh => xxhash64(sh))).as("sh"))
+        .cache()
+      d.count()
+      SetSimJoin.jaccardJoin(d, "doc_id", "sh", 0.8)
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Metrics.canonRound(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(w)-1),
+            i -> w[i] || ' ' || w[i+1])) AS s
+        FROM tk),
+      j AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+          len(a.s) AS na, len(b.s) AS nb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        floor((inter / (na + nb - inter)) * 1e4 + 0.5)/1e4 AS jaccard
+      FROM j
+      WHERE inter / (na + nb - inter) >= 0.8
+      ORDER BY id_a, id_b"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85, q86)
+    q85, q86, q87)
 }
