@@ -76,6 +76,10 @@ object ScaleSmoke {
     val dk = replicate(d1, Seq("doc_id"))
       .withColumn("text", concat(col("text"), lit(" repmark"), pmod(col("doc_id"), lit(k.toLong))))
     val ek = replicate(e1, Seq("user_id", "event_id"))
+    val k4 = math.min(k, 4)
+    val d4 = d1.withColumn("__rep", explode(sequence(lit(0L), lit(k4 - 1L))))
+      .withColumn("doc_id", col("doc_id") * k4 + col("__rep")).drop("__rep")
+      .withColumn("text", concat(col("text"), lit(" repmark"), pmod(col("doc_id"), lit(k4.toLong))))
 
     // top-k per group, both idioms — the window form shuffles+sorts every
     // row; the bounded-heap aggregator partial-aggregates map-side
@@ -90,13 +94,47 @@ object ScaleSmoke {
         .agg(topk(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")).as("top"))
     }
 
+    // connected components, distributed path forced (threshold 0): round
+    // count must stay logarithmic as the pair graph grows
+    def ccDistributed(docs: DataFrame) = {
+      val edges = lshPairs(docs).select(col("id_a").as("u"), col("id_b").as("v"))
+      operators.ConnectedComponents.components(edges, smallGraphThreshold = 0L)
+    }
+
+    // exact set-similarity join (prefix+positional filtering). NOTE the
+    // replica corpus is a stress case: replication grows the corpus
+    // without growing the vocabulary, so token frequencies inflate k× and
+    // prefix selectivity degrades quadratically (measured 41× time at 10×
+    // data) — real corpora add rare tokens as they grow. Run at replica 4
+    // to keep the smoke fast; the super-linear ratio is the finding.
+    def setsim(docs: DataFrame) = {
+      val d = docs.select(col("doc_id"),
+        array_distinct(transform(
+          operators.TextQueries.bigrams(split(col("text"), " ")),
+          sh => xxhash64(sh))).as("sh")).cache()
+      d.count()
+      operators.SetSimJoin.jaccardJoin(d, "doc_id", "sh", 0.8)
+    }
+
+    // bloom-prefiltered anti join: novel-document filter vs a 4×-larger
+    // reference corpus
+    def bloomAnti(docs: DataFrame) = {
+      val dd = docs.withColumn("fp", md5(col("text")))
+        .withColumn("sn", pmod(col("doc_id"), lit(5L)))
+      operators.BloomJoin.anti(
+        dd.filter(col("sn") === 0), dd.filter(col("sn") =!= 0), "fp", 1000000L)
+    }
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("scan_agg", () => noop(scanAgg(l1)), () => noop(scanAgg(lk))),
       ("join_agg", () => noop(joinAgg(l1, o1)), () => noop(joinAgg(lk, ok))),
       ("minhash_lsh", () => noop(lshPairs(d1)), () => noop(lshPairs(dk))),
       ("range_join", () => noop(rangeJoin(e1)), () => noop(rangeJoin(ek))),
       ("topk_window", () => noop(topkWindow(l1)), () => noop(topkWindow(lk))),
-      ("topk_agg", () => noop(topkAgg(l1)), () => noop(topkAgg(lk))))
+      ("topk_agg", () => noop(topkAgg(l1)), () => noop(topkAgg(lk))),
+      ("cc_distributed", () => noop(ccDistributed(d1)), () => noop(ccDistributed(dk))),
+      ("bloom_anti", () => noop(bloomAnti(d1)), () => noop(bloomAnti(dk))),
+      (s"setsim_join_k$k4", () => noop(setsim(d1)), () => noop(setsim(d4))))
 
     noop(scanAgg(l1)) // warmup
     val results = shapes.map { case (name, base, big) =>
