@@ -166,6 +166,23 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dims must not sort-merge at this scale")
   }
 
+  test("q86 plan prunes through might_contain before the confirming join") {
+    val plan = graft.registry.Registry.queries("q86_bloom_novelty")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the bloom predicate must sit in the plan as a filter (pruning
+    // BEFORE the join), and the confirm path must be a real join
+    assert(plan.contains("might_contain"), plan.take(600))
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q83 candidate generation and assignment avoid nested-loop joins") {
+    val plan = graft.registry.Registry.queries("q83_dedup_clusters")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(20).mkString("\n"))
+  }
+
   test("co-bucketed join is shuffle-free; unbucketed one is not (PLANS.md)") {
     val o = Tables.orders(spark, sf001)
     val l = Tables.lineitem(spark, sf001)
