@@ -869,7 +869,38 @@ object RelationalQueries {
                    ORDER BY o_totalprice DESC, o_orderkey)
       ORDER BY o_orderpriority, rnk"""))
 
+  /** Fixed-width histogram + cumulative distribution: portable binning
+    * (floor division — no engine-specific width_bucket) with a running
+    * share over the tiny bin table. The heavy groupBy is map-side
+    * combined to ≤ nbins rows × partitions; the window only ever sees
+    * the bins.
+    */
+  val q89 = GQuery(
+    "q89_histogram",
+    (s, dir) => {
+      val binW = 25000.0
+      val w = Window.orderBy("bin")
+      val bins = Tables.orders(s, dir)
+        .select(least(floor(col("o_totalprice") / binW), lit(19.0)).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+      val total = bins.agg(sum("n").as("total"))
+      bins.crossJoin(broadcast(total))
+        .withColumn("cum_share",
+          Metrics.canonRound(
+            sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)) / col("total"), 6))
+        .select(col("bin"), col("n"), col("cum_share"))
+        .orderBy("bin")
+    },
+    Some("""WITH b AS (
+        SELECT CAST(least(floor(o_totalprice / 25000.0), 19.0) AS INTEGER) AS bin,
+               count(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT bin, n,
+        floor((CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / (SELECT sum(n) FROM b)) * 1e6 + 0.5)/1e6 AS cum_share
+      FROM b ORDER BY bin"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84)
+    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89)
 }

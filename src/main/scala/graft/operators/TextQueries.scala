@@ -452,6 +452,28 @@ object TextQueries {
       WHERE inter / (na + nb - inter) >= 0.8
       ORDER BY id_a, id_b"""))
 
+  /** Stratified deterministic sampling: per-language sampling fractions
+    * out of 16 via the first hex digit of md5(doc_id) — the q55 hash-split
+    * idea generalized to per-stratum rates. Unlike `sampleBy` (rand()
+    * per row), the draw is a pure function of the key: stable under
+    * reruns, repartitioning, and data growth — the property a training-
+    * data pipeline needs for reproducible corpus subsets.
+    */
+  val q88 = GQuery(
+    "q88_stratified_sample",
+    (s, dir) => {
+      // en over-sampled 8/16, everything else 4/16
+      val threshold = when(col("lang") === "en", lit("8")).otherwise(lit("4"))
+      Tables.documents(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < threshold)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+            (CASE WHEN lang = 'en' THEN '8' ELSE '4' END)
+      ORDER BY doc_id"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85, q86, q87)
+    q85, q86, q87, q88)
 }
