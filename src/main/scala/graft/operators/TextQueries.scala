@@ -474,6 +474,55 @@ object TextQueries {
             (CASE WHEN lang = 'en' THEN '8' ELSE '4' END)
       ORDER BY doc_id"""))
 
+  /** TF-IDF scored top terms per document. Scoring uses the log-free
+    * rational idf variant score = (tf/len)·(N/df): pure IEEE arithmetic,
+    * so ranks are bit-identical across engines (ln() differs in the last
+    * ulp between libm implementations and could flip near-tie ranks; the
+    * log idf is a one-line swap where cross-engine hashing isn't a
+    * requirement). Dataflow: one explode → (doc,term) counts (map-side
+    * combined) → broadcast df/N lookups → per-doc ranking window over the
+    * small aggregate — the explode never reaches the window. Vocabulary-
+    * level frames (df) stay broadcastable at corpus scale; N is one row.
+    */
+  val q90 = GQuery(
+    "q90_tfidf_terms",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val dfreq = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      tf.join(len, "doc_id").join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf").cast("double") / col("len")) * (col("n_docs").cast("double") / col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("int").as("rank"), col("term"),
+          graft.functions.Metrics.canonRound(col("score"), 6).as("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      len AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.term,
+          (CAST(t.tf AS DOUBLE) / l.len) * (CAST(n.n_docs AS DOUBLE) / d.df) AS score
+        FROM tf t JOIN len l USING (doc_id) JOIN dfreq d USING (term), n),
+      ranked AS (
+        SELECT doc_id, term, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+        floor((score) * 1e6 + 0.5)/1e6 AS score
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85, q86, q87, q88)
+    q85, q86, q87, q88, q90)
 }
