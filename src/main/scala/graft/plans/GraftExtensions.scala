@@ -50,5 +50,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1)))
     e.injectOptimizerRule(_ => CollapseIdempotentRound)
+    e.injectOptimizerRule(_ => ThresholdLevenshtein)
   }
 }

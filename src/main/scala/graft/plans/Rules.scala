@@ -1,7 +1,11 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+  Levenshtein, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
 
 /** Optimizer rule (the `Rule[LogicalPlan]` tier of SURVEY §4.3, injected
   * through SparkSessionExtensions alongside the expressions): collapse
@@ -16,5 +20,41 @@ object CollapseIdempotentRound extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case GeometricRoundExpr(inner: GeometricRoundExpr) => inner
+    }
+}
+
+/** Optimizer rule: bound edit-distance predicates get the banded DP.
+  *
+  * `levenshtein(a, b) <= k` computes the FULL O(|a|·|b|) dynamic program
+  * per row, then throws most of it away. Spark's thresholded form
+  * `levenshtein(a, b, k)` runs the banded DP — O(k·min(|a|,|b|)) — and
+  * returns -1 past the threshold, so for k ≥ 0:
+  *
+  *   lev(a,b) <= k  ⟺  lev(a,b,k) >= 0
+  *   lev(a,b) <  k  ⟺  lev(a,b,k) >= 0 ∧ lev(a,b,k) < k
+  *
+  * Null semantics are preserved (both forms are null iff an input is
+  * null). The rewrite is what q85 writes by hand; the rule grants it to
+  * every user predicate, including SQL (`WHERE levenshtein(a,b) <= 3`).
+  * In a fuzzy self-join at scale the per-pair DP is the entire query
+  * cost, so this is the difference between O(k·len) and O(len²) per
+  * candidate.
+  */
+object ThresholdLevenshtein extends Rule[LogicalPlan] {
+  private def thresholded(a: Expression, b: Expression, k: Int): Expression =
+    Levenshtein(a, b, Some(Literal(k)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case LessThanOrEqual(Levenshtein(a, b, None), lit @ Literal(k: Int, IntegerType)) if k >= 0 =>
+        GreaterThanOrEqual(thresholded(a, b, k), Literal(0))
+      case GreaterThanOrEqual(lit @ Literal(k: Int, IntegerType), Levenshtein(a, b, None)) if k >= 0 =>
+        GreaterThanOrEqual(thresholded(a, b, k), Literal(0))
+      case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType)) if k > 0 =>
+        And(GreaterThanOrEqual(thresholded(a, b, k), Literal(0)),
+          LessThan(thresholded(a, b, k), Literal(k)))
+      case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None)) if k > 0 =>
+        And(GreaterThanOrEqual(thresholded(a, b, k), Literal(0)),
+          LessThan(thresholded(a, b, k), Literal(k)))
     }
 }

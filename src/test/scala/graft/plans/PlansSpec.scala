@@ -166,6 +166,30 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dims must not sort-merge at this scale")
   }
 
+  test("ThresholdLevenshtein rewrites bounded edit-distance predicates") {
+    import spark.implicits._
+    val df = Seq(("kitten", "sitting"), ("abc", "abd"), ("abc", "zzzzzz"))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("lev_pairs")
+    // plan assertion needs a non-local source (ConvertToLocalRelation
+    // folds LocalRelation queries entirely) — use the parquet fixture
+    val onScan = Tables.part(spark, sf001)
+      .filter(expr("levenshtein(p_name, 'small ring') <= 2"))
+    val optimized = onScan.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("Some(2)) >= 0"), optimized)
+    assert(onScan.count() >= 1) // 'small ring' itself is a fixture name
+    val q = spark.sql("SELECT a, b FROM lev_pairs WHERE levenshtein(a, b) <= 2")
+    assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("abc", "abd")))
+    // strict < variant keeps semantics too
+    val q2 = spark.sql("SELECT count(*) FROM lev_pairs WHERE levenshtein(a, b) < 3")
+    assert(q2.head().getLong(0) == 1L)
+    // null inputs stay null -> filtered, same as the untransformed predicate
+    val q3 = spark.sql(
+      "SELECT count(*) FROM (SELECT CAST(NULL AS STRING) a, 'x' b) WHERE levenshtein(a, b) <= 2")
+    assert(q3.head().getLong(0) == 0L)
+  }
+
   test("q86 plan prunes through might_contain before the confirming join") {
     val plan = graft.registry.Registry.queries("q86_bloom_novelty")(spark, sf001)
       .queryExecution.executedPlan.toString
