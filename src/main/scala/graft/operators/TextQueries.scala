@@ -523,6 +523,77 @@ object TextQueries {
         floor((score) * 1e6 + 0.5)/1e6 AS score
       FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** Document chunking: overlapping token windows (size 50, stride 25) —
+    * the pre-tokenization shape an LLM training pipeline feeds to
+    * packing/tokenization. Pure per-document work (sequence + posexplode +
+    * slice): embarrassingly parallel with the scan, no shuffle until the
+    * final sort. Chunk identity is content-addressed (md5 of the window)
+    * so downstream dedup composes.
+    */
+  val q91 = GQuery(
+    "q91_chunking",
+    (s, dir) => {
+      val size50 = 50
+      val stride = 25
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("w"), col("n"),
+          posexplode(sequence(lit(0), col("n") - 1, lit(stride))).as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          slice(col("w"), col("start") + 1, lit(size50)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("chunk_len"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+        FROM documents),
+      st AS (
+        SELECT doc_id, w, n,
+          unnest(generate_series(0, n - 1, 25)) AS start
+        FROM t WHERE n > 0),
+      ch AS (
+        SELECT doc_id, CAST(start / 25 AS INTEGER) AS chunk_idx,
+          w[start + 1 : least(start + 50, n)] AS chunk
+        FROM st)
+      SELECT doc_id, chunk_idx,
+        CAST(len(chunk) AS INTEGER) AS chunk_len,
+        md5(array_to_string(chunk, ' ')) AS chunk_hash
+      FROM ch ORDER BY doc_id, chunk_idx"""))
+
+  /** Sequence packing: assign documents to ~512-token training bins per
+    * language, in one pass — bin = floor(preceding-cumsum / capacity) over
+    * a deterministic (lang, doc_id) order. This is the standard streaming
+    * approximation of greedy bin packing (a document may straddle a
+    * boundary; the chunker upstream bounds the overshoot), chosen because
+    * true greedy packing is inherently sequential per group while this
+    * form is one window over data already sorted by the partition key.
+    */
+  val q92 = GQuery(
+    "q92_sequence_packing",
+    (s, dir) => {
+      val cap = 512L
+      val win = org.apache.spark.sql.expressions.Window
+      val w = win.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(win.unboundedPreceding, win.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
+        .withColumn("bin",
+          floor((sum("n_tokens").over(w) - col("n_tokens")) / cap).cast("int"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        CAST(floor((sum(len(string_split(text, ' ')))
+                      OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - len(string_split(text, ' '))) / 512.0) AS INTEGER) AS bin
+      FROM documents ORDER BY doc_id"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85, q86, q87, q88, q90)
+    q85, q86, q87, q88, q90, q91, q92)
 }
