@@ -126,5 +126,58 @@ object FeatureQueries {
       (month(o_orderdate) = 12 AND day(o_orderdate) BETWEEN 24 AND 31) AS dec24_31
       FROM orders ORDER BY o_orderkey"""))
 
-  def all: Seq[GQuery] = Seq(q70, q71, q72, q73, q74, q75)
+  /** Distributed periodogram (SURVEY W5 — the reference computes this
+    * driver-side with scipy.signal.periodogram as a plot diagnostic; here
+    * it is a genuine distributed query): brute-force DFT power spectrum of
+    * the mean-centered daily order-count series over harmonics k=1..60.
+    * O(N·K) as a crossJoin of the tiny per-day aggregate (366 rows) with
+    * the harmonic axis — at 100 TB the per-day aggregate is still tiny
+    * (the scan is the cost, and it is one map-side-combined groupBy).
+    *
+    * Both spectral sums go through Metrics.exactSum (invariant: sums of
+    * non-integral doubles must be accumulation-order-independent or the
+    * oracle hash breaks).
+    */
+  val q93 = GQuery(
+    "q93_periodogram",
+    (s, dir) => {
+      val twoPi = 6.283185307179586
+      val nDays = 366.0 // 1996 is a leap year
+      val daily = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1996)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).cast("double").as("n"))
+        .withColumn("t", (dayofyear(col("d")) - 1).cast("double"))
+      val m = daily.agg(avg("n").as("mean")) // avg of integers: order-exact
+      val ks = s.range(1, 61).select(col("id").cast("int").as("k"))
+      val ang = lit(twoPi) * col("k") * col("t") / lit(nDays)
+      daily.crossJoin(broadcast(m)).crossJoin(broadcast(ks))
+        .withColumn("x", col("n") - col("mean"))
+        .groupBy("k")
+        .agg(
+          graft.functions.Metrics.exactSum(col("x") * cos(ang)).as("c"),
+          graft.functions.Metrics.exactSum(col("x") * sin(ang)).as("s"))
+        .select(col("k"),
+          graft.functions.Metrics.canonRound(col("c") * col("c") + col("s") * col("s"), 2)
+            .as("power"))
+        .orderBy("k")
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS DOUBLE) AS n
+        FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+      m AS (SELECT avg(n) AS mean FROM daily),
+      cen AS (
+        SELECT CAST(dayofyear(d) - 1 AS DOUBLE) AS t, n - mean AS x
+        FROM daily, m),
+      ks AS (SELECT unnest(generate_series(1, 60)) AS k),
+      sums AS (
+        SELECT k,
+          CAST(sum(CAST(floor((x * cos(6.283185307179586 * k * t / 366.0)) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE) AS c,
+          CAST(sum(CAST(floor((x * sin(6.283185307179586 * k * t / 366.0)) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE) AS s
+        FROM cen, ks GROUP BY k)
+      SELECT CAST(k AS INTEGER) AS k,
+        floor((c * c + s * s) * 1e2 + 0.5)/1e2 AS power
+      FROM sums ORDER BY k"""))
+
+  def all: Seq[GQuery] = Seq(q70, q71, q72, q73, q74, q75, q93)
 }
