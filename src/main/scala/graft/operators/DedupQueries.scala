@@ -39,7 +39,7 @@ object DedupQueries {
     def rotl(c: Column, i: Int): Column =
       if (i == 0) c else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
     val sh = docs.select(col("doc_id"),
-        explode(TextQueries.bigrams(split(col("text"), " "))).as("sh"))
+        call_function("graft_shingles", col("text")).as("sh"))
       .withColumn("h1", xxhash64(col("sh")))
       .withColumn("h2", xxhash64(col("sh"), lit(1)))
     val aggs = (0 until nHashes).map(i =>
@@ -174,7 +174,7 @@ object DedupQueries {
     (s, dir) => {
       val nH = 8
       val sh = Tables.documents(s, dir).select(col("doc_id"),
-        explode(TextQueries.bigrams(split(col("text"), " "))).as("sh"))
+        call_function("graft_shingles", col("text")).as("sh"))
       val withHalves = sh
         .withColumn("md", md5(col("sh")))
         .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))
@@ -231,7 +231,7 @@ object DedupQueries {
       val nH = 8
       val docs = Tables.documents(s, dir)
       val sh = docs.select(col("doc_id"),
-        explode(TextQueries.bigrams(split(col("text"), " "))).as("sh"))
+        call_function("graft_shingles", col("text")).as("sh"))
       // one md5 per shingle, K-M-expanded to 8 slots — see q56
       val halves = sh.withColumn("md", md5(col("sh")))
         .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))

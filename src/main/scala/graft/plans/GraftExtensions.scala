@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1)))
+    inject(e, "graft_shingles", 1, classOf[ShinglesGenerator],
+      exprs => ShinglesGenerator(exprs.head))
     e.injectOptimizerRule(_ => CollapseIdempotentRound)
     e.injectOptimizerRule(_ => ThresholdLevenshtein)
   }

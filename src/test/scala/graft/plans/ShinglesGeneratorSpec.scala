@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ShinglesGeneratorSpec extends SparkSpec {
+
+  private def viaGenerator(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, Option(t)) }.toDF("id", "text")
+      .select(col("id"), call_function("graft_shingles", col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+  }
+
+  private def viaHofs(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, Option(t)) }.toDF("id", "text")
+      .select(col("id"),
+        explode(graft.operators.TextQueries.bigrams(split(col("text"), " "))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+  }
+
+  test("generator matches explode(bigrams(split)) including edge cases") {
+    val texts = Seq(
+      "the quick brown fox",
+      "single",
+      "",
+      "a b",
+      "double  space tail ",
+      null)
+    assert(viaGenerator(texts) == viaHofs(texts))
+  }
+
+  test("works from SQL via LATERAL VIEW") {
+    import spark.implicits._
+    Seq((1L, "x y z")).toDF("id", "text").createOrReplaceTempView("sg_docs")
+    val rows = spark.sql(
+      "SELECT id, s.shingle FROM sg_docs LATERAL VIEW graft_shingles(text) s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "x y"), (1L, "y z")))
+  }
+
+  test("wrong input type is an analysis error") {
+    import spark.implicits._
+    val df = Seq(1).toDF("n")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_shingles", col("n"))).collect()
+    }
+    assert(e.getMessage.contains("graft_shingles") || e.getMessage.contains("STRING"))
+  }
+}
