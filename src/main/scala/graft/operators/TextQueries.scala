@@ -420,13 +420,18 @@ object TextQueries {
   val q87 = GQuery(
     "q87_setsim_join",
     (s, dir) => {
-      // the shingle-set construction is an interpreted HOF chain
-      // (transform/array_distinct are CodegenFallback) — cache it so the
-      // operator's three consumers (token explode + both verify sides)
-      // evaluate it once per document, not once per consumer (11.7s → ~2s
-      // for the prefix phase at sf0.1). Cache ownership per capBuckets.
-      val d = Tables.documents(s, dir).select(col("doc_id"),
-        array_distinct(transform(bigrams(tokens(col("text"))), sh => xxhash64(sh))).as("sh"))
+      // shingle sets via the fused generator + codegen xxhash64 +
+      // map-side-combined collect_set — no interpreted HOF chain (the
+      // transform/array_distinct composition was CodegenFallback and the
+      // single most expensive stage of this query). Cached because the
+      // operator reads it three times (token explode + both verify
+      // sides); ownership per capBuckets. Docs with <2 tokens have no
+      // shingles and drop out here — they can never reach threshold 0.8
+      // anyway (empty sets pair with nothing).
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), call_function("graft_shingles", col("text")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        .groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
         .cache()
       d.count()
       SetSimJoin.jaccardJoin(d, "doc_id", "sh", 0.8)
