@@ -5,31 +5,55 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end corpus deduplication: the user-facing composite over the
   * dedup primitives — exact dedup first (hash-groupBy), then MinHash-LSH
-  * near-dup pairs, then greedy survivor selection (drop any doc that
-  * near-matches a lower doc_id).
+  * near-dup pairs, then survivor selection. Two survivor policies ship:
   *
-  * Greedy-by-id is one anti-join over the pair list — no iterative
-  * connected components, so it's a fixed 3-shuffle pipeline at any scale.
-  * (Chained near-dups A~B~C with A≁C keep only A; acceptable for training-
-  * data dedup where over-dropping borderline chains is the safe side.)
+  *  - `dedupCorpus` (greedy-by-id): drop any doc that near-matches a
+  *    lower doc_id — one anti-join over the pair list, a fixed-shuffle
+  *    pipeline at any scale.
+  *  - `dedupCorpusClustered`: connected components over the pair graph,
+  *    keep one survivor per component — the transitive-closure semantics
+  *    the dedup literature assumes (see the method doc for where they
+  *    differ).
   */
 object DedupPipeline {
 
   /** @return surviving documents (same schema as input). */
   def dedupCorpus(docs: DataFrame, estJaccardThreshold: Double = 0.5): DataFrame = {
-    // 1. exact: keep min doc_id per identical text
-    val exactSurvivors = docs
-      .withColumn("__keep", min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
-      .filter(col("doc_id") === col("__keep"))
-      .drop("__keep")
-    // 2. near-dup pairs among exact survivors
+    val exactSurvivors = dedupExact(docs)
     val sigs = DedupQueries.minhashSignatures(exactSurvivors)
     val pairs = nearDupPairs(sigs, estJaccardThreshold)
     // 3. drop the higher id of every pair
     exactSurvivors.join(pairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
   }
+
+  /** Transitive variant: survivors are the per-COMPONENT minima of the
+    * near-dup pair graph (ConnectedComponents), not the per-pair local
+    * minima. The two differ on hub shapes — edges {1~5, 2~5} keep {1, 2}
+    * under greedy (1 and 2 never pair each other) but only {1} here
+    * (5 bridges them transitively). Clustered is the literature-standard
+    * corpus dedup (near-duplication treated as an equivalence closure;
+    * drops more aggressively); greedy is one fixed anti-join with no
+    * iteration. Both ship because the right choice is a policy call.
+    */
+  def dedupCorpusClustered(docs: DataFrame, estJaccardThreshold: Double = 0.5): DataFrame = {
+    val exactSurvivors = dedupExact(docs)
+    val sigs = DedupQueries.minhashSignatures(exactSurvivors)
+    val pairs = nearDupPairs(sigs, estJaccardThreshold)
+    val comp = ConnectedComponents.components(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+    // components() returns only NON-root nodes -> anti-joining them away
+    // keeps exactly the per-component minima plus all untouched docs
+    exactSurvivors.join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
+  /** Exact dedup: keep min doc_id per identical text (16-byte shuffle key). */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__keep", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("__keep"))
+      .drop("__keep")
 
   /** Banded candidate pairs with estimated Jaccard above threshold —
     * shares DedupQueries' banding AND its dense-bucket cap (without the
@@ -42,8 +66,9 @@ object DedupPipeline {
     val banded = DedupQueries.capBuckets(DedupQueries.banded(sigs, bands, rows))
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val nMatching = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+    // codegen signature-agreement count — the zip_with/filter HOF pair is
+    // CodegenFallback and this runs per candidate PAIR (NOTES invariant 8)
+    val nMatching = call_function("graft_eq_count", col("sig_a"), col("sig_b"))
     a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (nMatching.cast("double") / DedupQueries.NumHashes).as("est_jaccard"))

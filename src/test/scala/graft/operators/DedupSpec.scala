@@ -56,6 +56,25 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(1L, 4L), s"survivors=$survivors")
   }
 
+  test("clustered dedup applies transitive closure where greedy keeps hubs' spokes") {
+    // hub shape: docs 1 and 2 each near-match hub 5 but not each other
+    // (each shares a different half of 5's shingles)
+    // token prefixes chosen so the seeded LSH finds BOTH spoke-hub pairs
+    // (spoke-hub jaccard is only ~0.5; banding hit-rate ~0.9 per pair)
+    val left = (1 to 30).map(i => s"aa$i").mkString(" ")
+    val right = (1 to 30).map(i => s"bb$i").mkString(" ")
+    val hub = ((1 to 30).map(i => s"aa$i") ++ (1 to 30).map(i => s"bb$i")).mkString(" ")
+    val d = docs(1L -> left, 2L -> right, 5L -> hub)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // low threshold so BOTH ~0.5-jaccard spoke-hub pairs qualify (the
+    // 16-slot estimate is deterministic but noisy; 0.3 lost one spoke)
+    val greedy = ids(DedupPipeline.dedupCorpus(d, estJaccardThreshold = 0.2))
+    val clustered = ids(DedupPipeline.dedupCorpusClustered(d, estJaccardThreshold = 0.2))
+    assert(greedy == Set(1L, 2L), s"greedy=$greedy")
+    assert(clustered == Set(1L), s"clustered=$clustered")
+  }
+
   test("exact dedup groups identical documents (q40 logic)") {
     import spark.implicits._
     val dup = docs(1L -> "a b c", 2L -> "a b c", 3L -> "a b d")
