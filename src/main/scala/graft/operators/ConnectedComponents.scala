@@ -79,9 +79,19 @@ object ConnectedComponents {
     */
   private[operators] def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
+    // iterative find + path compression: a recursive find overflows the
+    // stack on long parent chains (e.g. a path graph whose edges arrive
+    // in descending order), and the threshold admits ~10⁶-edge graphs
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x
+      while (cur != root) {
+        val next = parent.getOrElse(cur, cur)
+        parent(cur) = root
+        cur = next
+      }
+      root
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

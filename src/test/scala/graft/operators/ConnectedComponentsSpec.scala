@@ -44,6 +44,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("driver union-find survives a deep descending chain (no recursion)") {
+    // edges in descending order build the worst-case parent chain; a
+    // recursive find would overflow the stack at this depth
+    val n = 200000
+    val edges = (n to 1 by -1).map(i => (i.toLong - 1, i.toLong)).toArray
+    val got = ConnectedComponents.unionFind(edges)
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
   test("long path converges within the round budget (log, not diameter)") {
     // a 200-node path has diameter 199: label propagation would need ~199
     // rounds; star-contraction must land well inside the default budget of
