@@ -108,10 +108,14 @@ object ScaleSmoke {
     // data) — real corpora add rare tokens as they grow. Run at replica 4
     // to keep the smoke fast; the super-linear ratio is the finding.
     def setsim(docs: DataFrame) = {
-      val d = docs.select(col("doc_id"),
-        array_distinct(transform(
-          operators.TextQueries.bigrams(split(col("text"), " ")),
-          sh => xxhash64(sh))).as("sh")).cache()
+      // same set construction as q87: fused generator + codegen hash +
+      // map-side-combined collect_set (the HOF composition it replaced
+      // was the single most expensive stage)
+      val d = docs
+        .select(col("doc_id"), call_function("graft_shingles", col("text")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        .groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
+        .cache()
       d.count()
       operators.SetSimJoin.jaccardJoin(d, "doc_id", "sh", 0.8)
     }

@@ -54,6 +54,12 @@ object BloomJoin {
 
   /** Exact left_anti(big ▷ ref on key), bloom-pruned: rows the sketch rules
     * out skip the join entirely; only might-contain rows are confirmed.
+    *
+    * The probe side is read TWICE (the definite-novel filter and the
+    * confirm branch) — that split is what keeps definite-novel rows out
+    * of the shuffle, and two predicate-filtered scans are cheap at scale.
+    * If `key` is an EXPENSIVE derived expression, cache the keyed frame
+    * before calling (q86 does) or the expression re-evaluates per branch.
     */
   def anti(big: DataFrame, ref: DataFrame, key: String, expectedItems: Long): DataFrame = {
     val bloom = buildBloom(ref, key, expectedItems)

@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   * count is the component DIAMETER — a 1000-node chain takes 1000 rounds
   * there, ~10 here.
   *
-  * Per-round hygiene: `localCheckpoint(eager)` truncates the lineage that
+  * Per-round hygiene: lazy `localCheckpoint` truncates the lineage that
   * iterative joins otherwise stack up (each round would replan the whole
   * history and re-execute it on every action). On a real cluster with a
   * fault-tolerance requirement, swap for reliable `checkpoint` on HDFS —
-  * same call shape.
+  * same call shape. Superseded rounds' checkpoint blocks are released by
+  * the ContextCleaner once the loop rebinds past them (explicit
+  * unpersist-by-RDD-id is unsafe here: the id registry is
+  * context-global, and under a concurrent harness a snapshot diff could
+  * capture — and later free — another query's blocks). Rounds shrink the
+  * edge set monotonically, so transient retention is bounded by a couple
+  * of rounds of the initial edge set.
   *
   * Reference behavior anchor: the reference dedups via per-key groupBy
   * (kaggle/kaggle.py drop_duplicates shapes); clustering generalizes that to

@@ -67,10 +67,12 @@ object DedupQueries {
     *
     * CACHE CONTRACT: the cache lives until the caller clears it — the
     * result is lazy, so this function cannot know when the last consumer
-    * has materialized. Registry queries run under Bench/Verify, which
-    * call `spark.catalog.clearCache()` per query; a long-lived session
-    * composing LSH pipelines should do the same (or unpersist via
-    * `spark.sharedState.cacheManager`) between corpora.
+    * has materialized. Bench/TimeQuery/ScaleSmoke clear the cache per
+    * query; Verify intentionally does NOT (it runs queries 4-way
+    * concurrently, where a global clearCache would clobber other queries'
+    * eagerly-materialized caches — at the sf0.01 gate the accumulated
+    * caches are a few MB). A long-lived session composing LSH pipelines
+    * should unpersist between corpora.
     */
   def capBuckets(b: DataFrame, cap: Int = 50): DataFrame = {
     // count-over-window, not census-agg + join-back: one shuffle on the

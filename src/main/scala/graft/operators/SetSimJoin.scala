@@ -34,6 +34,14 @@ object SetSimJoin {
     * has Jaccard similarity ≥ t. Returns (id_a, id_b, jaccard) with
     * id_a < id_b, jaccard unrounded.
     */
+  /** ⌈x⌉ with a one-sided epsilon guard: IEEE rounding can land t·n a
+    * hair ABOVE an exact integer (0.07·100 = 7.000000000000001), and a
+    * plain ceil would then over-tighten the completeness-critical filters
+    * by a full token, silently dropping exact-boundary pairs. The epsilon
+    * only ever RELAXES a filter — verification stays exact.
+    */
+  private def ceilSafe(x: org.apache.spark.sql.Column) = ceil(x - lit(1e-9))
+
   def jaccardJoin(df: DataFrame, idCol: String, setCol: String, t: Double): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
     val toks = df.select(col(idCol).as("sid"), explode(col(setCol)).as("tok"))
@@ -45,12 +53,12 @@ object SetSimJoin {
     val prefix = toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(wSize))
-      .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + lit(1))
+      .filter(col("rn") <= col("n") - ceilSafe(lit(t) * col("n")) + lit(1))
       .select(col("sid"), col("tok"), col("rn"), col("n"))
       .cache()
     // eager: both sides of the candidate self-join read this frame in one
-    // job — same racing-consumers rule as DedupQueries.capBuckets (cache
-    // ownership likewise: Bench/Verify clear per query)
+    // job — same racing-consumers rule as DedupQueries.capBuckets (same
+    // cache-ownership contract too)
     prefix.count()
     val a = prefix.select(col("tok"),
       col("sid").as("id_a"), col("rn").as("ra"), col("n").as("na"))
@@ -59,14 +67,14 @@ object SetSimJoin {
     val cand = a.join(b, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       // length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t
-      .filter(col("nb") >= ceil(lit(t) * col("na")) &&
-        col("na") >= ceil(lit(t) * col("nb")))
+      .filter(col("nb") >= ceilSafe(lit(t) * col("na")) &&
+        col("na") >= ceilSafe(lit(t) * col("nb")))
       // positional filter (PPJoin): a match at ranks (ra, rb) caps the
       // achievable overlap at 1 + min(|A|−ra, |B|−rb); J ≥ t needs
       // overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉. Safe under ANY-token semantics:
       // a qualifying pair's FIRST shared prefix token always passes.
       .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
-        ceil(lit(t / (1 + t)) * (col("na") + col("nb"))))
+        ceilSafe(lit(t / (1 + t)) * (col("na") + col("nb"))))
       .select("id_a", "id_b").distinct()
     val va = df.select(col(idCol).as("id_a"), col(setCol).as("set_a"))
     val vb = df.select(col(idCol).as("id_b"), col(setCol).as("set_b"))

@@ -386,9 +386,15 @@ object TextQueries {
     "q86_bloom_novelty",
     (s, dir) => {
       val fp = md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text"))))))
+      // cached + eager: the fingerprint is the expensive per-row
+      // expression here and BloomJoin.anti's split (definite ∪ confirmed)
+      // plus the bloom build would otherwise re-derive it 4× from the
+      // scan. Ownership: Bench/TimeQuery clear per query.
       val d = Tables.documents(s, dir)
         .withColumn("fp", fp)
         .withColumn("sn", regexp_replace(col("source"), "src", "").cast("int"))
+        .cache()
+      d.count()
       val incoming = d.filter(col("sn") < 4)
       val ref = d.filter(col("sn") >= 4)
       BloomJoin.anti(incoming, ref, "fp", expectedItems = 1000000L)

@@ -46,15 +46,16 @@ object ThresholdLevenshtein extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case LessThanOrEqual(Levenshtein(a, b, None), lit @ Literal(k: Int, IntegerType)) if k >= 0 =>
+      case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType)) if k >= 0 =>
         GreaterThanOrEqual(thresholded(a, b, k), Literal(0))
-      case GreaterThanOrEqual(lit @ Literal(k: Int, IntegerType), Levenshtein(a, b, None)) if k >= 0 =>
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None)) if k >= 0 =>
         GreaterThanOrEqual(thresholded(a, b, k), Literal(0))
+      // lev < k ⟺ lev ≤ k−1 ⟺ lev(a,b,k−1) ≥ 0: one banded evaluation
+      // with a tighter band (the And(two thresholded forms) alternative
+      // evaluates the DP twice per row — conjuncts don't reliably CSE)
       case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType)) if k > 0 =>
-        And(GreaterThanOrEqual(thresholded(a, b, k), Literal(0)),
-          LessThan(thresholded(a, b, k), Literal(k)))
+        GreaterThanOrEqual(thresholded(a, b, k - 1), Literal(0))
       case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None)) if k > 0 =>
-        And(GreaterThanOrEqual(thresholded(a, b, k), Literal(0)),
-          LessThan(thresholded(a, b, k), Literal(k)))
+        GreaterThanOrEqual(thresholded(a, b, k - 1), Literal(0))
     }
 }

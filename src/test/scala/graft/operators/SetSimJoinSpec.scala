@@ -55,6 +55,17 @@ class SetSimJoinSpec extends SparkSpec {
     assert(run(rows, 0.51).isEmpty)
   }
 
+  test("exact-boundary threshold with FP-hostile t*n is not over-pruned") {
+    // J(A,B) = 7/100 = 0.07 exactly, and 0.07*100 = 7.000000000000001 in
+    // doubles: a plain ceil in the length filter demanded |B| >= 8 and
+    // silently dropped the qualifying pair (review finding)
+    val a = (1 to 100).map(i => s"t$i")
+    val b = (1 to 7).map(i => s"t$i")
+    val rows = Seq(1L -> a, 2L -> b)
+    assert(run(rows, 0.07) == Set((1L, 2L)))
+    assert(run(rows, 0.0701).isEmpty)
+  }
+
   test("candidate generation is a hash join, not a cross product") {
     val rows = (0L until 30L).map(id => id -> Seq(s"u$id", "shared"))
     val plan = SetSimJoin.jaccardJoin(mkSets(rows), "id", "s", 0.5)
