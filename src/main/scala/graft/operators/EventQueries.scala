@@ -336,5 +336,35 @@ object EventQueries {
       FROM events WHERE event_type IN ('click', 'purchase', 'view')
       GROUP BY user_id, event_type ORDER BY user_id, event_type"""))
 
-  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q68, q76, q77)
+  /** Event-sequence transition mining: per-user (previous → current)
+    * event-type pairs via one lag window, counted with map-side combine —
+    * the first-order-Markov summary a clickstream/behavior pipeline
+    * derives. The window sorts within user only (events are already
+    * user-partitioned by the shuffle); the transition matrix is tiny
+    * (|event_type|²) however large the log is.
+    */
+  val q94 = GQuery(
+    "q94_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "cur_type")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      t AS (
+        SELECT event_type AS cur_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM e)
+      SELECT prev_type, cur_type, count(*) AS n
+      FROM t WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, cur_type
+      ORDER BY prev_type, cur_type"""))
+
+  def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q68, q76, q77, q94)
 }
