@@ -900,7 +900,45 @@ object RelationalQueries {
                / (SELECT sum(n) FROM b)) * 1e6 + 0.5)/1e6 AS cum_share
       FROM b ORDER BY bin"""))
 
+  /** RFM behavioral features per customer — recency (days since last
+    * order, anchored to the corpus max date), frequency (order count),
+    * monetary (exact sum), plus an ntile segment per dimension: the
+    * classic churn/value feature block, one map-side-combined groupBy +
+    * three rankings over the (already small) per-customer aggregate.
+    */
+  val q95 = GQuery(
+    "q95_rfm_features",
+    (s, dir) => {
+      val anchor = Tables.orders(s, dir).agg(max(to_date(col("o_orderdate"))).as("anchor"))
+      val rfm = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("frequency"),
+          Metrics.canonRound(Metrics.exactSum(col("o_totalprice")), 2).as("monetary"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("recency_days", datediff(col("anchor"), col("last_order")).cast("int"))
+      def seg(c: String, asc: Boolean) = ntile(4).over(
+        Window.orderBy(if (asc) col(c).asc else col(c).desc, col("o_custkey")))
+      rfm.select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+          seg("recency_days", asc = true).as("r_seg"),
+          seg("frequency", asc = false).as("f_seg"),
+          seg("monetary", asc = false).as("m_seg"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS a FROM orders),
+      rfm AS (
+        SELECT o_custkey,
+          CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), (SELECT a FROM anchor)) AS INTEGER) AS recency_days,
+          count(*) AS frequency,
+          floor((CAST(sum(CAST(floor((o_totalprice) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)) * 1e2 + 0.5)/1e2 AS monetary
+        FROM orders GROUP BY o_custkey)
+      SELECT o_custkey, recency_days, frequency, monetary,
+        CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS INTEGER) AS r_seg,
+        CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_seg,
+        CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_seg
+      FROM rfm ORDER BY o_custkey"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89)
+    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95)
 }
