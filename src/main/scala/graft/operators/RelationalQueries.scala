@@ -904,7 +904,15 @@ object RelationalQueries {
     * order, anchored to the corpus max date), frequency (order count),
     * monetary (exact sum), plus an ntile segment per dimension: the
     * classic churn/value feature block, one map-side-combined groupBy +
-    * three rankings over the (already small) per-customer aggregate.
+    * three rankings over the per-customer aggregate.
+    *
+    * Scale note: a global (unpartitioned) ntile is a single-task sort —
+    * fine while the customer aggregate fits one task, which it does at
+    * the fixture scales and far beyond, but a 100 TB deployment with
+    * hundreds of millions of customers swaps each ntile for
+    * percentile_approx quartile thresholds + a CASE lookup (one pass, no
+    * global sort, approximate boundaries); kept exact-ntile here because
+    * the segment boundaries are the oracle-checked output.
     */
   val q95 = GQuery(
     "q95_rfm_features",
