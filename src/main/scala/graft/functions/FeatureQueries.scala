@@ -179,5 +179,43 @@ object FeatureQueries {
         floor((c * c + s * s) * 1e2 + 0.5)/1e2 AS power
       FROM sums ORDER BY k"""))
 
-  def all: Seq[GQuery] = Seq(q70, q71, q72, q73, q74, q75, q93)
+  /** Time-series gap filling: dense date axis, left join the sparse daily
+    * aggregate, last-observation-carried-forward via last(_, ignoreNulls)
+    * over an unbounded-preceding frame, with an is_imputed flag — the
+    * standard imputation operator a feature pipeline runs before modeling.
+    * Leading days before the first observation stay NULL (both engines).
+    * The global orderBy window is per-SERIES in a real deployment
+    * (partitionBy series key); the axis here is one year of days.
+    */
+  val q97 = GQuery(
+    "q97_gap_fill",
+    (s, dir) => {
+      val axis = DateFeatures.dateAxis(s, "1996-01-01", "1996-12-31")
+      val daily = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1996)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(graft.functions.Metrics.canonRound(
+          graft.functions.Metrics.exactMean(col("o_totalprice")), 4).as("avg_spend"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      axis.join(daily, Seq("d"), "left")
+        .select(col("d").cast("timestamp_ntz").as("d"),
+          last(col("avg_spend"), ignoreNulls = true).over(w).as("avg_spend_filled"),
+          col("avg_spend").isNull.as("is_imputed"))
+        .orderBy("d")
+    },
+    Some("""WITH axis AS (
+        SELECT CAST(unnest(generate_series(DATE '1996-01-01', DATE '1996-12-31', INTERVAL 1 DAY)) AS DATE) AS d),
+      daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+          floor((CAST(sum(CAST(floor((o_totalprice) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*)) * 1e4 + 0.5)/1e4 AS avg_spend
+        FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+      SELECT CAST(a.d AS TIMESTAMP) AS d,
+        last_value(daily.avg_spend IGNORE NULLS)
+          OVER (ORDER BY a.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_spend_filled,
+        daily.avg_spend IS NULL AS is_imputed
+      FROM axis a LEFT JOIN daily ON a.d = daily.d
+      ORDER BY d"""))
+
+  def all: Seq[GQuery] = Seq(q70, q71, q72, q73, q74, q75, q93, q97)
 }

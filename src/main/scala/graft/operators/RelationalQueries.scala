@@ -946,7 +946,50 @@ object RelationalQueries {
         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_seg
       FROM rfm ORDER BY o_custkey"""))
 
+  /** IQR-fence outlier detection per group: exact quartiles (q69's
+    * operator) → broadcast fence lookup → one fact-scan filter. Fences
+    * are rounded to the canonical grid on both engines before comparing
+    * so a boundary row cannot flip on interpolation ulps. The 0.5·IQR
+    * multiplier (vs the textbook 1.5) is a fixture artifact — the
+    * synthetic prices are near-uniform and HAVE no 1.5·IQR tail; the
+    * operator shape is identical. Scale: the quartile aggregate is per
+    * group (tiny), the scan is one pass; at 100 TB swap percentile for
+    * percentile_approx — same call shape (A4).
+    */
+  val q96 = GQuery(
+    "q96_iqr_outliers",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val q = l.groupBy("l_returnflag").agg(
+        Metrics.canonRound(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
+        Metrics.canonRound(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+        .withColumn("lo", Metrics.canonRound(col("q1") - (col("q3") - col("q1")) * 0.5, 4))
+        .withColumn("hi", Metrics.canonRound(col("q3") + (col("q3") - col("q1")) * 0.5, 4))
+      l.join(broadcast(q), "l_returnflag")
+        .filter(col("l_extendedprice") < col("lo") || col("l_extendedprice") > col("hi"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          Metrics.canonRound(col("l_extendedprice"), 2).as("price"),
+          (col("l_extendedprice") > col("hi")).as("is_high"))
+        .orderBy("l_orderkey", "l_linenumber", "price")
+    },
+    Some("""WITH q AS (
+        SELECT l_returnflag,
+          floor((quantile_cont(l_extendedprice, 0.25)) * 1e4 + 0.5)/1e4 AS q1,
+          floor((quantile_cont(l_extendedprice, 0.75)) * 1e4 + 0.5)/1e4 AS q3
+        FROM lineitem GROUP BY 1),
+      f AS (
+        SELECT l_returnflag,
+          floor((q1 - (q3 - q1) * 0.5) * 1e4 + 0.5)/1e4 AS lo,
+          floor((q3 + (q3 - q1) * 0.5) * 1e4 + 0.5)/1e4 AS hi
+        FROM q)
+      SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        floor((l_extendedprice) * 1e2 + 0.5)/1e2 AS price,
+        l_extendedprice > hi AS is_high
+      FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+      WHERE l_extendedprice < lo OR l_extendedprice > hi
+      ORDER BY l_orderkey, l_linenumber, price"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95)
+    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96)
 }
