@@ -989,7 +989,34 @@ object RelationalQueries {
       WHERE l_extendedprice < lo OR l_extendedprice > hi
       ORDER BY l_orderkey, l_linenumber, price"""))
 
+  /** Mergeable-sketch rollup: per-month HLL sketches of distinct
+    * customers, UNIONED to per-year estimates — the pattern that makes
+    * distinct-count rollups feasible at 100 TB (sketches re-aggregate
+    * across grains; exact distincts don't — a yearly exact count must
+    * re-scan, it cannot reuse monthly results). DataSketches HLL via
+    * hll_sketch_agg / hll_union_agg / hll_sketch_estimate; the estimate
+    * is order-independent (max-per-bucket), so output is deterministic.
+    * The exact yearly count rides along as the audit column (q27's
+    * pattern); no DuckDB oracle — different sketch implementation.
+    */
+  val q98 = GQuery(
+    "q98_sketch_rollup",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("y", year(col("o_orderdate")))
+        .withColumn("m", month(col("o_orderdate")))
+      val monthly = o.groupBy("y", "m")
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      val yearly = monthly.groupBy("y")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_customers"))
+      val exact = o.groupBy("y").agg(countDistinct("o_custkey").as("exact_customers"))
+      yearly.join(exact, "y")
+        .select(col("y").cast("int").as("y"), col("est_customers"), col("exact_customers"))
+        .orderBy("y")
+    },
+    None)
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96)
+    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96, q98)
 }

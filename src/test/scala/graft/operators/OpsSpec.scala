@@ -20,6 +20,16 @@ class OpsSpec extends SparkSpec {
       }
   }
 
+  test("sketch rollup estimates stay within HLL error of exact (q98)") {
+    // lgK=12 -> rsd ~1.6%; 5% ceiling leaves slack without hiding breakage
+    graft.registry.Registry.queries("q98_sketch_rollup")(spark, sf001)
+      .collect().foreach { r =>
+        val est = r.getLong(1); val exact = r.getLong(2)
+        assert(exact > 0 && math.abs(est - exact).toDouble / exact < 0.05,
+          s"year ${r.getInt(0)}: est $est vs exact $exact")
+      }
+  }
+
   test("feature selector picks 5 distinct in-range features (q67)") {
     val idx = graft.registry.Registry.queries("q67_feature_selector")(spark, sf001)
       .collect().map(_.getLong(0)).toSeq
