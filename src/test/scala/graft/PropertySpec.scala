@@ -110,4 +110,23 @@ object PropertySpec extends Properties("graft.kernels") {
       val bucket = Integer.parseInt(hex.substring(0, 1), 16)
       bucket >= 0 && bucket < 16
     }
+
+  // random texts over a small alphabet INCLUDING the delimiter, so empty
+  // tokens, leading/trailing/double spaces all occur
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "bb", "ç", " ", "", "d e")).map(_.mkString(""))
+
+  property("shingles generator matches the split+sliding reference model") =
+    forAll(textGen) { s =>
+      val expr = graft.plans.ShinglesGenerator(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType))
+      val got = expr.eval(null).iterator.map(_.getString(0)).toSeq
+      // reference: same regex split as split(text, ' '), adjacent pairs
+      val toks = s.split(" ", -1).toSeq
+      val want = if (toks.length < 2) Seq.empty
+                 else toks.sliding(2).map(_.mkString(" ")).toSeq
+      got == want
+    }
 }
