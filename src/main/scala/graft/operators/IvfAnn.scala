@@ -47,8 +47,11 @@ object IvfAnn {
       .withColumn("unit", normalized(col("embedding")))
       .withColumn("v", array_to_vector(col("unit")))
       .cache()
+    // random init, not k-means|| (which costs several extra full passes):
+    // an IVF coarse quantizer only partitions space — multi-probe search
+    // absorbs mediocre cluster boundaries, and the recall spec holds
     val km = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("v")
-      .setPredictionCol("list_id").setMaxIter(10)
+      .setPredictionCol("list_id").setMaxIter(10).setInitMode("random")
     val model = km.fit(vecs)
     val indexed = model.transform(vecs).drop("v").cache()
     indexed.count() // materialize before releasing the input cache below
