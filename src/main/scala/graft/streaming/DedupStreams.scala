@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** STREAMING near-duplicate detection — the stateful twin of the batch
+  * MinHash-LSH pipeline (DedupQueries/DedupPipeline). Batch LSH can only
+  * pair documents inside one corpus snapshot; an ingestion pipeline needs
+  * "is this NEW document a near-dup of anything seen SO FAR", across
+  * micro-batches, without re-scanning history. The LSH bucket IS the
+  * state key: per (band, band-hash) bucket, keep the (doc_id, signature)
+  * entries seen so far (capped like the batch bucket cap), and compare
+  * each arriving signature against its bucket's survivors only — the
+  * same sub-quadratic candidate structure as the batch band join, but
+  * maintained incrementally by flatMapGroupsWithState.
+  *
+  * Signatures match the batch `DedupQueries.minhashSignatures` exactly
+  * (same xxhash64 Kirsch-Mitzenmacher mixing), so the streaming pair set
+  * is spec-compared against the batch pair set on the same corpus.
+  *
+  * Scale notes: state size is (buckets × cap) signature entries, bounded
+  * exactly like the batch bucket cap bounds the band join; a production
+  * deployment adds state TTL (GroupStateTimeout) to age out buckets —
+  * dedup-against-recent-history — which changes no dataflow.
+  */
+object DedupStreams {
+
+  val NumHashes = 16
+  val Bands = 8
+
+  case class DocBand(doc_id: Long, band: Int, bh: Long, sig: Seq[Long])
+  case class BucketState(entries: List[(Long, Seq[Long])])
+  case class DupOut(doc_id: Long, dup_of: Long, n_eq: Int)
+
+  /** Per-row MinHash signature — bit-identical to the batch explode+min-agg
+    * formulation, computed as array expressions so no streaming-state
+    * aggregation is needed (signatures are per-document, not per-group).
+    */
+  def signatureCol(text: Column, nHashes: Int = NumHashes): Column = {
+    def rotl(c: Column, i: Int): Column =
+      if (i == 0) c else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
+    val sh = graft.operators.TextQueries.bigrams(split(text, " "))
+    array((0 until nHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s).bitwiseXOR(rotl(xxhash64(s, lit(1)), i))))
+    }: _*)
+  }
+
+  /** Streaming (doc_id, text) → (doc_id, dup_of, n_eq) pairs, where
+    * dup_of is an earlier-seen document agreeing on ≥ minAgree of the
+    * signature slots and sharing at least one LSH band bucket. Runs the
+    * stream to completion against `dir` (a landing directory of parquet
+    * files) and returns the collected result — test/local harness shape,
+    * like the other EventStreams entry points.
+    */
+  def nearDupStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType,
+                    minAgree: Int = NumHashes / 2, bucketCap: Int = 50,
+                    queryName: String = "stream_neardup"): DataFrame = {
+    import spark.implicits._
+    val rows = NumHashes / Bands
+    val docs = spark.readStream.schema(schema).parquet(dir)
+      .select(col("doc_id"), signatureCol(col("text")).as("sig"))
+      .filter(!exists(col("sig"), s => s.isNull)) // <2-token docs have no shingles
+    val bandedDocs = docs.select(col("doc_id"), col("sig"),
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string")).as("bh"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"), col("sig"))
+      .as[DocBand]
+
+    def update(key: (Int, Long), incoming: Iterator[DocBand],
+               state: GroupState[BucketState]): Iterator[DupOut] = {
+      // deterministic arrival order inside a batch; dedup multi-band rows
+      val sorted = incoming.toSeq.sortBy(_.doc_id)
+      var entries = state.getOption.map(_.entries).getOrElse(Nil)
+      var out = List.empty[DupOut]
+      sorted.foreach { d =>
+        if (!entries.exists(_._1 == d.doc_id)) {
+          entries.foreach { case (id, sig) =>
+            if (id < d.doc_id) {
+              val nEq = sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
+              if (nEq >= minAgree) out ::= DupOut(d.doc_id, id, nEq)
+            }
+          }
+          // cap like the batch bucket cap: an over-dense bucket stops
+          // accumulating candidates instead of going quadratic
+          if (entries.size < bucketCap) entries = (d.doc_id, d.sig) :: entries
+        }
+      }
+      state.update(BucketState(entries))
+      out.reverseIterator
+    }
+
+    val dups = bandedDocs
+      .groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+    val q = dups.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // a pair found through several bands appears once per band — collapse
+    spark.table(queryName)
+      .groupBy("doc_id", "dup_of").agg(max("n_eq").as("n_eq"))
+      .orderBy("doc_id", "dup_of")
+  }
+}

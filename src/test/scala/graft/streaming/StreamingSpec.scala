@@ -70,6 +70,41 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("streaming near-dup detection agrees with batch LSH across micro-batches") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_neardup_").toString
+    def feed(rows: Seq[(Long, String)], name: String): Unit = {
+      val staging = Files.createTempDirectory("graft_neardup_stage_")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val listing = Files.list(staging)
+      try {
+        val part = listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      } finally listing.close()
+    }
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 47).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
+    val near2 = ((1 to 48).map(i => s"w$i") ++ Seq("y1", "y2")).mkString(" ")
+    val other = (100 to 150).map(i => s"w$i").mkString(" ")
+    val batch1 = Seq(1L -> base, 2L -> near, 3L -> other)
+    val batch2 = Seq(4L -> near2, 5L -> "tiny") // 4 ~ 1/2 arrives a batch LATER
+    feed(batch1, "b1.parquet")
+    feed(batch2, "b2.parquet")
+    val schema = batch1.toDF("doc_id", "text").schema
+    val stream = graft.streaming.DedupStreams.nearDupStream(spark, dir, schema)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (earlier, later)
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val batchPairs = graft.operators.DedupPipeline.nearDupPairs(
+        graft.operators.DedupQueries.minhashSignatures(all), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batchPairs, s"stream=$stream batch=$batchPairs")
+    // the cross-batch pair must exist: doc 4 arrived a micro-batch after 1
+    assert(stream.exists { case (a, b) => b == 4L },
+      s"no cross-batch pair found in $stream")
+  }
+
   test("stateful streaming sessionization agrees with the batch window idiom") {
     import org.apache.spark.sql.functions.col
     val streamed = EventStreams.sessionizeStream(spark, sf001, queryName = "spec_stream_sessions")
