@@ -66,6 +66,18 @@ class SetSimJoinSpec extends SparkSpec {
     assert(run(rows, 0.0701).isEmpty)
   }
 
+  test("brute parity across FP-hostile thresholds") {
+    // thresholds whose t*n products land just off exact integers in IEEE
+    // doubles — the class of inputs the ceilSafe guard exists for
+    val rnd = new scala.util.Random(29)
+    val vocab = (0 until 40).map(i => s"v$i")
+    val rows = (0L until 60L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    }
+    for (t <- Seq(0.07, 0.1, 1.0 / 3, 0.14, 2.0 / 3, 0.9))
+      assert(run(rows, t) == brute(rows, t), s"threshold $t")
+  }
+
   test("candidate generation is a hash join, not a cross product") {
     val rows = (0L until 30L).map(id => id -> Seq(s"u$id", "shared"))
     val plan = SetSimJoin.jaccardJoin(mkSets(rows), "id", "s", 0.5)
