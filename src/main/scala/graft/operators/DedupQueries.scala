@@ -324,5 +324,24 @@ object DedupQueries {
       ORDER BY a.doc_id"""
     })
 
-  def all: Seq[GQuery] = Seq(q47, q48, q56, q83)
+  /** End-to-end corpus dedup SUMMARY through the user-facing composite
+    * (DedupPipeline.dedupCorpusClustered: exact dedup → LSH pairs →
+    * connected components → one survivor per component), reported as a
+    * per-source survival rate. xxhash64 signatures → rows-only check
+    * (the md5 twin q83 oracle-proves the same dataflow).
+    */
+  val q99 = GQuery(
+    "q99_dedup_rate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val survivors = DedupPipeline.dedupCorpusClustered(docs, estJaccardThreshold = 0.5)
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(survivors.groupBy("source").agg(count(lit(1)).as("n_survivors")), Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"))
+        .orderBy("source")
+    },
+    None)
+
+  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99)
 }

@@ -365,6 +365,26 @@ object EventQueries {
       GROUP BY prev_type, cur_type
       ORDER BY prev_type, cur_type"""))
 
+  /** Streaming near-dup over the documents fixture (streaming.DedupStreams:
+    * LSH bucket = flatMapGroupsWithState key). Single-file source here, so
+    * the output equals the batch band join ≥ 8/16 pairs — the cross-batch
+    * statefulness is spec-verified in StreamingSpec; this entry gives the
+    * stateful path driver-level coverage. xxhash64 sigs → rows-only.
+    */
+  val q100 = GQuery(
+    "q100_stream_neardup",
+    (s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_neardup_q100_")
+      stage.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.DedupStreams.nearDupStream(
+        s, stage.toString, schema, queryName = "stream_neardup_q100")
+    },
+    None)
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q68, q76, q77, q94)
+    q68, q76, q77, q94, q100)
 }
