@@ -70,6 +70,20 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("compiled streaming signatures are bitwise-equal to batch minhashSignatures") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    val batch = graft.operators.DedupQueries.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      val scalaSig = graft.streaming.DedupStreams.sigOf(text).map(_.toSeq)
+      assert(scalaSig == batch.get(id), s"doc $id")
+    }
+    assert(batch.nonEmpty)
+  }
+
   test("streaming near-dup detection agrees with batch LSH across micro-batches") {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
