@@ -217,5 +217,48 @@ object FeatureQueries {
       FROM axis a LEFT JOIN daily ON a.d = daily.d
       ORDER BY d"""))
 
-  def all: Seq[GQuery] = Seq(q70, q71, q72, q73, q74, q75, q93, q97)
+  /** Moving-average crossover signals: 7-day vs 28-day trailing means of
+    * the daily order count over a DENSE date axis (missing days count 0,
+    * so ROWS frames equal day windows — the q97 gap-fill trick applied to
+    * frame semantics), plus the crossover flag. Inputs are integer counts,
+    * so the window means are bit-identical across engines without the
+    * decimal-snap machinery. One small sort (366 rows) — per-series
+    * windows partition by the series key at scale.
+    */
+  val q101 = GQuery(
+    "q101_ma_crossover",
+    (s, dir) => {
+      val axis = DateFeatures.dateAxis(s, "1996-01-01", "1996-12-31")
+      val daily = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1996)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val win = org.apache.spark.sql.expressions.Window
+      def ma(days: Int) = graft.functions.Metrics.canonRound(
+        avg("n").over(win.orderBy("d").rowsBetween(-(days - 1), 0)), 4)
+      axis.join(daily, Seq("d"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .select(col("d").cast("timestamp_ntz").as("d"), col("n"),
+          ma(7).as("ma7"), ma(28).as("ma28"))
+        .withColumn("bullish", col("ma7") > col("ma28"))
+        .orderBy("d")
+    },
+    Some("""WITH axis AS (
+        SELECT CAST(unnest(generate_series(DATE '1996-01-01', DATE '1996-12-31', INTERVAL 1 DAY)) AS DATE) AS d),
+      daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+      dense AS (
+        SELECT a.d, coalesce(daily.n, 0) AS n
+        FROM axis a LEFT JOIN daily ON a.d = daily.d),
+      ma AS (
+        SELECT d, n,
+          floor((avg(n) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 1e4 + 0.5)/1e4 AS ma7,
+          floor((avg(n) OVER (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)) * 1e4 + 0.5)/1e4 AS ma28
+        FROM dense)
+      SELECT CAST(d AS TIMESTAMP) AS d, CAST(n AS BIGINT) AS n, ma7, ma28,
+        ma7 > ma28 AS bullish
+      FROM ma ORDER BY d"""))
+
+  def all: Seq[GQuery] = Seq(q70, q71, q72, q73, q74, q75, q93, q97, q101)
 }
