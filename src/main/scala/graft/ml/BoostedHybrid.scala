@@ -36,6 +36,7 @@ final case class BoostedHybrid(
     regParam: Double = 0.01,
     gbtMaxIter: Int = 15,
     gbtMaxDepth: Int = 5,
+    gbtStepSize: Double = 0.1,
     seed: Long = 42L) {
 
   def fit(train: DataFrame): BoostedHybridModel = {
@@ -48,8 +49,8 @@ final case class BoostedHybrid(
       .withColumn("resid", col(labelCol) - col("pred_1"))
     val gbt = new GBTRegressor()
       .setFeaturesCol(featuresCol).setLabelCol("resid")
-      .setMaxIter(gbtMaxIter).setMaxDepth(gbtMaxDepth).setSeed(seed)
-      .setPredictionCol("pred_2")
+      .setMaxIter(gbtMaxIter).setMaxDepth(gbtMaxDepth).setStepSize(gbtStepSize)
+      .setSeed(seed).setPredictionCol("pred_2")
     val m2 = gbt.fit(withResid)
     BoostedHybridModel(m1, m2, labelCol)
   }

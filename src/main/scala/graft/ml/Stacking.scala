@@ -28,6 +28,27 @@ object Stacking {
     } yield (s"${l1name}_$l2name",
       BoostedHybrid(elasticNetParam = enet, regParam = reg, gbtMaxDepth = depth))
 
+  /** The reference's full PRODUCTION grid shape (kaggle/kaggle.py:769-778):
+    * 4 linear stage-1 variants (Ridge / Lasso / ElasticNet / OLS — the
+    * reference's Ridge/Lasso/ElasticNet/LinearRegression zoo) × 3 GBM
+    * stage-2 variants (three distinct depth/iteration/learning-rate
+    * profiles standing in for XGB / LGBM / CatBoost, kaggle.py:720-746,
+    * which have no MLlib jars in this environment) = 12 BoostedHybrid
+    * combos. Per-base budgets are bounded (≤20 trees vs the reference's
+    * n_estimators=1000) so the 12×15-fold demo completes in ~a minute on
+    * one node; the grid SHAPE, not the tree budget, is what is mirrored.
+    */
+  def productionGrid: Seq[(String, BoostedHybrid)] =
+    for {
+      (l1name, enet, reg) <- Seq(
+        ("ridge", 0.0, 0.1), ("lasso", 1.0, 0.01),
+        ("enet", 0.5, 0.05), ("ols", 0.0, 0.0))
+      (l2name, iter, depth, step) <- Seq(
+        ("gbtA", 15, 4, 0.1), ("gbtB", 20, 3, 0.15), ("gbtC", 10, 5, 0.2))
+    } yield (s"${l1name}_$l2name",
+      BoostedHybrid(elasticNetParam = enet, regParam = reg,
+        gbtMaxIter = iter, gbtMaxDepth = depth, gbtStepSize = step))
+
   /** Equal-width date boundaries between lo/hi for k rolling-origin folds. */
   def timeFolds(df: DataFrame, dateCol: String, k: Int): Seq[(String, String)] = {
     val Seq(lo, hi) = df.agg(min(to_date(col(dateCol))).cast("string"),
