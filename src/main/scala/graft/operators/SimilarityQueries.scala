@@ -20,23 +20,26 @@ import graft.registry.GQuery
   */
 object SimilarityQueries {
 
+  /** Brute-force cosine top-k over `e` for the fixed probe set
+    * (vec_id < 5): (q_id, vec_id, cos_sim, rank), rank ≤ k.
+    */
+  def bruteForceTopK(e: DataFrame, k: Int): DataFrame = {
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val sims = e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.Metrics.canonRound(VectorOps.cosine(col("q_vec"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k for a fixed probe set (vec_id < 5), exact,
     * verified against DuckDB's list_cosine_similarity in double precision.
     */
   val q50 = GQuery(
     "q50_knn_bruteforce",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val sims = e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          graft.functions.Metrics.canonRound(VectorOps.cosine(col("q_vec"), col("embedding")), 6).as("cos_sim"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
-      sims.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .orderBy("q_id", "rank")
-    },
+    (s, dir) => bruteForceTopK(Tables.embeddings(s, dir), 10).orderBy("q_id", "rank"),
     Some("""WITH probes AS (
         SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
       sims AS (
@@ -78,39 +81,132 @@ object SimilarityQueries {
     bits.reduce((a, b) => a + b)
   }
 
+  private val Dim = 64; private val NPlanes = 16; private val BandBits = 8
+
+  /** LSH-bucketed ANN top-k over `e` for the fixed probe set (vec_id < 5):
+    * banded hyperplane signatures, candidates = equi join on (band, bh),
+    * exact cosine rank within candidates. (q_id, vec_id, cos_sim, rank).
+    */
+  def lshTopK(e0: DataFrame, k: Int): DataFrame = {
+    val nBands = NPlanes / BandBits
+    val e = e0
+      .withColumn("sig", simhashSignature(col("embedding"), NPlanes, Dim))
+      .withColumn("bb", explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * BandBits).bitwiseAND((1L << BandBits) - 1).as("bh"))
+      }: _*)))
+      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bh"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("band"), col("bh"))
+    val cands = e.join(broadcast(probes), Seq("band", "bh"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q_vec"), col("embedding"))
+      .distinct() // a pair may match on both bands
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.Metrics.canonRound(VectorOps.cosine(col("q_vec"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The ±1 hyperplanes as DuckDB VALUES rows — the planes are COMPILE-TIME
+    * literals (planeSign), so the oracle runs the identical LSH: same signs,
+    * double-precision dots (sign margins on the fixtures are ≥6e-5, nine
+    * orders above accumulation-order noise, so `dot >= 0` is engine-stable).
+    */
+  private def signsValues: String =
+    (0 until NPlanes).map { p =>
+      val arr = (0 until Dim).map(d => if (planeSign(p, d) > 0) "1.0" else "-1.0").mkString(",")
+      s"($p, [$arr])"
+    }.mkString(",")
+
+  /** Shared oracle CTE prelude: ann candidates + brute-force truth, both
+    * ranked. Kept as ONE string so q51 and the recall audit q102 cannot
+    * drift apart.
+    */
+  private def lshOracleCtes: String =
+    s"""WITH signs(p, s) AS (VALUES $signsValues),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sigt AS (
+        SELECT e.vec_id,
+          sum(CASE WHEN list_dot_product(e.v, signs.s) >= 0 THEN (1::BIGINT << signs.p) ELSE 0 END) AS sig
+        FROM e CROSS JOIN signs GROUP BY e.vec_id),
+      bandedq AS (
+        SELECT vec_id, b, (sig >> (b*$BandBits)) & ${(1 << BandBits) - 1} AS bh
+        FROM sigt, (SELECT unnest([0, 1]) AS b)),
+      probes AS (SELECT vec_id AS q_id, b, bh FROM bandedq WHERE vec_id < 5),
+      cands AS (
+        SELECT DISTINCT p.q_id, c.vec_id
+        FROM bandedq c JOIN probes p ON c.b = p.b AND c.bh = p.bh AND c.vec_id <> p.q_id),
+      sims AS (
+        SELECT cd.q_id, cd.vec_id,
+          floor(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])) * 1e6 + 0.5)/1e6 AS cos_sim
+        FROM cands cd
+        JOIN embeddings eq ON eq.vec_id = cd.q_id
+        JOIN embeddings ec ON ec.vec_id = cd.vec_id),
+      ranked AS (
+        SELECT q_id, vec_id, cos_sim,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM sims),
+      truth_sims AS (
+        SELECT p.vec_id AS q_id, c.vec_id,
+          floor(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5)/1e6 AS cos_sim
+        FROM embeddings p CROSS JOIN embeddings c
+        WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id),
+      truth AS (
+        SELECT q_id, vec_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM truth_sims)"""
+
   /** ANN via banded hyperplane-LSH: 16 planes split into 2 bands of 8 bits.
     * A corpus vector is a candidate if it matches a probe on EITHER band
     * (multi-probe OR-amplification), so recall survives single-bit flips
     * while candidate generation stays an equi hash join on (band, value) —
-    * the 100 TB plan; no cross product anywhere. Spark-only (not
-    * SQL-expressible → rows-only correctness check).
+    * the 100 TB plan; no cross product anywhere. Fully DuckDB-verifiable:
+    * the hyperplanes are compile-time literals, re-shipped into the oracle
+    * SQL as VALUES rows.
     */
   val q51 = GQuery(
     "q51_ann_lsh",
+    (s, dir) => lshTopK(Tables.embeddings(s, dir), 10).orderBy("q_id", "rank"),
+    Some(
+      s"""$lshOracleCtes
+      SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""))
+
+  /** Recall@10 of the LSH path (q51) against brute-force truth (q50),
+    * per probe — the ANN quality metric as a VERIFIED query, not just a
+    * spec assertion: both rankings are deterministic (literal hyperplanes,
+    * rounded-cosine order with vec_id tie-break), so the DuckDB oracle
+    * recomputes the identical recall. IVF recall (q53) stays spec-only —
+    * its k-means quantizer is not SQL-expressible.
+    */
+  val q102 = GQuery(
+    "q102_ann_recall",
     (s, dir) => {
-      val dim = 64; val nPlanes = 16; val bandBits = 8
-      val nBands = nPlanes / bandBits
       val e = Tables.embeddings(s, dir)
-        .withColumn("sig", simhashSignature(col("embedding"), nPlanes, dim))
-        .withColumn("bb", explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * bandBits).bitwiseAND((1L << bandBits) - 1).as("bh"))
-        }: _*)))
-        .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bh"))
-      val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("band"), col("bh"))
-      val cands = e.join(broadcast(probes), Seq("band", "bh"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), col("q_vec"), col("embedding"))
-        .distinct() // a pair may match on both bands
-        .select(col("q_id"), col("vec_id"),
-          graft.functions.Metrics.canonRound(VectorOps.cosine(col("q_vec"), col("embedding")), 6).as("cos_sim"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
-      cands.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .orderBy("q_id", "rank")
+      val truth = bruteForceTopK(e, 10).select(col("q_id"), col("vec_id"))
+      val ann = lshTopK(e, 10).select(col("q_id"), col("vec_id"))
+      val base = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))
+      val hits = ann.join(truth, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      base.join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_at_10", col("n_hits") / lit(10.0))
+        .orderBy("q_id")
     },
-    None)
+    Some(
+      s"""$lshOracleCtes,
+      hits AS (
+        SELECT a.q_id, count(*) AS n_hits
+        FROM ranked a JOIN truth t ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+        WHERE a.rank <= 10 AND t.rank <= 10
+        GROUP BY a.q_id)
+      SELECT e.vec_id AS q_id,
+        coalesce(h.n_hits, 0) AS n_hits,
+        coalesce(h.n_hits, 0) / 10.0 AS recall_at_10
+      FROM embeddings e LEFT JOIN hits h ON h.q_id = e.vec_id
+      WHERE e.vec_id < 5 ORDER BY q_id"""))
 
   /** Embedding-cosine near-duplicate pairs on a deterministic sample —
     * the embedding flavor of dedup. Exact on the sample; the full-corpus
@@ -150,5 +246,5 @@ object SimilarityQueries {
     },
     None)
 
-  def all: Seq[GQuery] = Seq(q50, q51, q52, q53)
+  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102)
 }
