@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   * end-to-end with a bounded per-base budget.
   *
   * Partitioning: the frame is coalesced to 4 partitions — at 26.3k rows
-  * each GBT tree-level job otherwise schedules 32 near-empty tasks, and
-  * task launch, not compute, dominates (measured: default layout 7.8s vs
-  * 4.0s at coalesce(4) for the identical fit). A cluster-scale run would
-  * leave the layout alone; right-sizing partitions to the data is exactly
-  * what a real deployment does at either scale. Note MLlib's split-finding
-  * row sample is partition-dependent, so SMAPE shifts a few tenths with
-  * layout — both configs below are re-cited in BENCH.md.
+  * each GBT tree-level job otherwise schedules dozens of near-empty tasks,
+  * and task launch, not compute, dominates (measured at HEAD: default
+  * layout 7.6s vs 4.9-5.7s at coalesce(4) for the identical warm fit).
+  * A cluster-scale run would leave the layout alone; right-sizing
+  * partitions to the data is exactly what a real deployment does at
+  * either scale. CAVEAT (measured, BENCH.md "Reference-scale training
+  * parity"): MLlib samples ~10k rows for its split-quantile candidates
+  * and the sample is partition-dependent, so validation SMAPE on this
+  * 23k-row synthetic moves by POINTS across layouts (10.7 at the default
+  * 18-partition layout, 12.4-13.6 at coalesce(4), 16.7 at coalesce(8)) —
+  * layout noise in the split candidates, not a real quality ranking.
+  * Both configs and both layouts are cited in BENCH.md.
   */
 object BaselineParity {
   def main(args: Array[String]): Unit = {
@@ -51,19 +56,26 @@ object BaselineParity {
     println(f"[parity] flagship validation SMAPE: $smape%.2f (cold-fit model: ${smapeOf(modelCold.transform(valid))}%.2f)")
 
     // parity-scale config: depth 4 — at 26.3k rows the extra level buys no
-    // SMAPE (measured: depth 4 scores slightly BETTER on this layout) and
-    // costs ~20% wall
+    // SMAPE (measured: 13.66 vs 13.59 on this layout — equal within the
+    // split-sampling noise above) and costs ~20% wall
     val model4 = timed("BoostedHybrid fit, parity config (15 trees × depth 4)")(
       graft.ml.BoostedHybrid(gbtMaxDepth = 4).fit(train))
     println(f"[parity] parity-config validation SMAPE: ${smapeOf(model4.transform(valid))}%.2f")
 
     // PRODUCTION ensemble shape (kaggle.py:729-778,791): 12-combo grid ×
     // 15 rolling-origin folds feeding the ridge meta-fit + 12 full-train
-    // final bases = 192 distributed fits, thread-pooled.
+    // final bases = 192 distributed fits, thread-pooled. metaFolds is left
+    // at its all-folds default DELIBERATELY: the reference's
+    // StackingRegressor(cv=FOLDS) feeds every fold's OOF rows to the meta
+    // fit, and this stage mirrors that classic shape — expect a worse
+    // SMAPE than the flagship q64 path, which opts into metaFolds=1
+    // because early-fold models train on short prefixes of a trending
+    // series (Stacking.fit doc).
     val stack = timed("PRODUCTION stack: 12 combos × 15 folds + ridge meta (192 fits)")(
       graft.ml.Stacking.fit(train, graft.ml.Stacking.productionGrid,
         k = 16, parallelism = 12))
-    println(f"[parity] production-stack validation SMAPE: ${smapeOf(stack.transform(valid))}%.2f")
+    println(f"[parity] production-stack validation SMAPE: ${smapeOf(stack.transform(valid))}%.2f" +
+      " (classic all-folds meta, mirroring the reference's cv=15 — the flagship metaFolds=1 path scores better by design)")
     spark.stop()
   }
 }

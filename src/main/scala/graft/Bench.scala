@@ -36,12 +36,20 @@ object Bench {
       val t = if (t1 > 2.0) math.min(t1, timedRun(name)) else t1
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
-      .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    def jsonLine(keyOf: String => String): String = {
+      val qs = results.map { case (k, v) => "\"" + keyOf(k) + f"""":${v}%.3f""" }
+        .mkString("{", ",", "}")
+      val errors = results.collect { case (k, v) if v < 0 => "\"" + keyOf(k) + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    }
+    // full names first for humans; the LAST line — the one the driver
+    // parses — uses the qNN short keys, because the full-name line grew
+    // past the driver's 4096-char output-tail capture at ~100 queries and
+    // arrived truncated (BENCH_r03/r04 both recorded parsed:null)
+    println(jsonLine(identity))
+    println(jsonLine(_.split("_")(0)))
     spark.stop()
   }
 }

@@ -29,13 +29,15 @@ object Stacking {
       BoostedHybrid(elasticNetParam = enet, regParam = reg, gbtMaxDepth = depth))
 
   /** The reference's full PRODUCTION grid shape (kaggle/kaggle.py:769-778):
-    * 4 linear stage-1 variants (Ridge / Lasso / ElasticNet / OLS — the
-    * reference's Ridge/Lasso/ElasticNet/LinearRegression zoo) × 3 GBM
-    * stage-2 variants (three distinct depth/iteration/learning-rate
-    * profiles standing in for XGB / LGBM / CatBoost, kaggle.py:720-746,
-    * which have no MLlib jars in this environment) = 12 BoostedHybrid
-    * combos. Per-base budgets are bounded (≤20 trees vs the reference's
-    * n_estimators=1000) so the 12×15-fold demo completes in ~a minute on
+    * 4 stage-1 variants × 3 GBM stage-2 variants = 12 BoostedHybrid
+    * combos. The reference's stage-1 zoo is ElasticNet / Ridge /
+    * LinearRegression / MLPRegressor (kaggle.py:731-743); the "lasso" slot
+    * here stands in for the MLPRegressor (MLlib ships no regression MLP —
+    * SURVEY E7), keeping the 4×3 shape. The GBM profiles (three distinct
+    * depth/iteration/learning-rate settings) stand in for XGB / LGBM /
+    * CatBoost (kaggle.py:720-746), which have no MLlib jars in this
+    * environment. Per-base budgets are bounded (≤20 trees vs the reference's
+    * n_estimators=1000) so the 12×15-fold demo completes in ~2 minutes on
     * one node; the grid SHAPE, not the tree budget, is what is mirrored.
     */
   def productionGrid: Seq[(String, BoostedHybrid)] =
