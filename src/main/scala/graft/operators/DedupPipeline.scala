@@ -36,10 +36,21 @@ object DedupPipeline {
     * drops more aggressively); greedy is one fixed anti-join with no
     * iteration. Both ship because the right choice is a policy call.
     */
-  def dedupCorpusClustered(docs: DataFrame, estJaccardThreshold: Double = 0.5): DataFrame = {
+  /** @param md5Sigs route signatures through the md5/Kirsch-Mitzenmacher
+    * path (8 slots, 4 string-keyed bands — DedupQueries.minhashSignaturesMd5)
+    * instead of the default 16-slot xxhash64 path. Same dataflow; the md5
+    * twin is reproducible in engines without xxhash64, which is what lets
+    * the q99 composite be DuckDB-oracle-checked end to end (q83 proves the
+    * same signature path in isolation). xxhash64 stays the default: one
+    * 64-bit mix vs a full md5 per shingle is the throughput choice.
+    */
+  def dedupCorpusClustered(docs: DataFrame, estJaccardThreshold: Double = 0.5,
+                           md5Sigs: Boolean = false): DataFrame = {
     val exactSurvivors = dedupExact(docs)
-    val sigs = DedupQueries.minhashSignatures(exactSurvivors)
-    val pairs = nearDupPairs(sigs, estJaccardThreshold)
+    val pairs =
+      if (md5Sigs)
+        nearDupPairsMd5(DedupQueries.minhashSignaturesMd5(exactSurvivors, 8), estJaccardThreshold)
+      else nearDupPairs(DedupQueries.minhashSignatures(exactSurvivors), estJaccardThreshold)
     val comp = ConnectedComponents.components(
       pairs.select(col("id_a").as("u"), col("id_b").as("v")))
     // components() returns only NON-root nodes -> anti-joining them away
@@ -60,10 +71,22 @@ object DedupPipeline {
     * cap, templated near-identical corpora reintroduce the O(n²) bucket
     * blowup this pipeline exists to avoid).
     */
-  def nearDupPairs(sigs: DataFrame, threshold: Double): DataFrame = {
-    val bands = DedupQueries.Bands
-    val rows = DedupQueries.NumHashes / bands
-    val banded = DedupQueries.capBuckets(DedupQueries.banded(sigs, bands, rows))
+  def nearDupPairs(sigs: DataFrame, threshold: Double): DataFrame =
+    nearDupPairsFrom(
+      DedupQueries.banded(sigs, DedupQueries.Bands, DedupQueries.NumHashes / DedupQueries.Bands),
+      DedupQueries.NumHashes, threshold)
+
+  /** Pair generation for md5/K-M signatures (`minhashSignaturesMd5`):
+    * `nHashes` slots in nHashes/2 string-keyed bands of 2.
+    */
+  def nearDupPairsMd5(sigs: DataFrame, threshold: Double, nHashes: Int = 8): DataFrame =
+    nearDupPairsFrom(DedupQueries.bandedConcat(sigs, nHashes / 2, rows = 2), nHashes, threshold)
+
+  /** Candidate pairs from an already-banded signature frame
+    * (doc_id, sig, band, bh) — shared by the xxhash64 and md5 paths.
+    */
+  private def nearDupPairsFrom(bandedSigs: DataFrame, nHashes: Int, threshold: Double): DataFrame = {
+    val banded = DedupQueries.capBuckets(bandedSigs)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     // codegen signature-agreement count — the zip_with/filter HOF pair is
@@ -71,7 +94,7 @@ object DedupPipeline {
     val nMatching = call_function("graft_eq_count", col("sig_a"), col("sig_b"))
     a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (nMatching.cast("double") / DedupQueries.NumHashes).as("est_jaccard"))
+        (nMatching.cast("double") / nHashes).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
   }

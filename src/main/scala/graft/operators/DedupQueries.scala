@@ -57,6 +57,39 @@ object DedupQueries {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
 
+  /** Cross-engine-verifiable MinHash signatures: ONE md5 per shingle split
+    * into two 60-bit halves, Kirsch-Mitzenmacher-expanded to `nHashes`
+    * slots (slot_i = h1 XOR i·h2 — i·h2 < 8·2⁶⁰ < 2⁶³ cannot ANSI-overflow
+    * and the whole pipeline is bit-identical in DuckDB). The xxhash64 path
+    * above stays the throughput ceiling; this one is the oracle-checkable
+    * twin (q56/q83/q99).
+    */
+  def minhashSignaturesMd5(docs: DataFrame, nHashes: Int = 8): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        call_function("graft_shingles", col("text")).as("sh"))
+      .withColumn("md", md5(col("sh")))
+      .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("md"), 17, 15), 16, 10).cast("long"))
+    val aggs = (0 until nHashes).map(i =>
+      min(col("h1").bitwiseXOR(col("h2") * lit(i.toLong))).as(s"m$i"))
+    sh.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Banding with a STRING bucket key (slot values joined by '-') instead
+    * of the xxhash64 bucket hash — same dataflow, but expressible
+    * verbatim in the DuckDB oracle. Slot count per band is `rows`.
+    */
+  def bandedConcat(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          array_join(transform(slice(col("sig"), b * rows + 1, rows),
+            _.cast("string")), "-").as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+
   /** Drop over-dense buckets. The input is CACHED first: it is consumed
     * three times downstream (bucket census + both sides of the candidate
     * self-join), and Spark re-derives an uncached subtree per reference —
@@ -232,23 +265,11 @@ object DedupQueries {
     (s, dir) => {
       val nH = 8
       val docs = Tables.documents(s, dir)
-      val sh = docs.select(col("doc_id"),
-        call_function("graft_shingles", col("text")).as("sh"))
       // one md5 per shingle, K-M-expanded to 8 slots — see q56
-      val halves = sh.withColumn("md", md5(col("sh")))
-        .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))
-        .withColumn("h2", conv(substring(col("md"), 17, 15), 16, 10).cast("long"))
-      val aggs = (0 until nH).map(i =>
-        min(col("h1").bitwiseXOR(col("h2") * lit(i.toLong))).as(s"m$i"))
       // cached: consumed by banding AND twice by the pair filter
-      val sig = halves.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).cache()
-      val bandedSig = sig.select(col("doc_id"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("-", col(s"m${2 * b}").cast("string"),
-              col(s"m${2 * b + 1}").cast("string")).as("bh"))
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      val sig = minhashSignaturesMd5(docs, nH).cache()
+      val bandedSig = bandedConcat(sig, bands = 4, rows = 2)
+        .select(col("doc_id"), col("band"), col("bh"))
       val bb = capBuckets(bandedSig, cap = 50)
       // no distinct: multi-band repeats (≤4×) cost less than the extra
       // shuffle, and ConnectedComponents dedups its edge set anyway
@@ -256,9 +277,8 @@ object DedupQueries {
         .join(bb.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
-      val sigArr = array((0 until nH).map(i => col(s"m$i")): _*)
-      val sa = sig.select(col("doc_id").as("id_a"), sigArr.as("sig_a"))
-      val sb = sig.select(col("doc_id").as("id_b"), sigArr.as("sig_b"))
+      val sa = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val sb = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
       val edges = pairs.join(sa, "id_a").join(sb, "id_b")
         .withColumn("n_eq", call_function("graft_eq_count", col("sig_a"), col("sig_b")))
         .filter(col("n_eq") >= nH / 2)
@@ -327,21 +347,82 @@ object DedupQueries {
   /** End-to-end corpus dedup SUMMARY through the user-facing composite
     * (DedupPipeline.dedupCorpusClustered: exact dedup → LSH pairs →
     * connected components → one survivor per component), reported as a
-    * per-source survival rate. xxhash64 signatures → rows-only check
-    * (the md5 twin q83 oracle-proves the same dataflow).
+    * per-source survival rate. Routed through the md5/K-M signature path
+    * so the ENTIRE composite — exact dedup, signatures, banding, bucket
+    * cap, pair filter, connected components, survivor policy, rate
+    * rollup — is DuckDB-oracle-checked, not just the q83 slice of it.
     */
   val q99 = GQuery(
     "q99_dedup_rate",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val survivors = DedupPipeline.dedupCorpusClustered(docs, estJaccardThreshold = 0.5)
+      val survivors = DedupPipeline.dedupCorpusClustered(docs,
+        estJaccardThreshold = 0.5, md5Sigs = true)
       docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
         .join(survivors.groupBy("source").agg(count(lit(1)).as("n_survivors")), Seq("source"), "left")
         .select(col("source"), col("n_docs"),
           coalesce(col("n_survivors"), lit(0L)).as("n_survivors"))
         .orderBy("source")
     },
-    None)
+    Some {
+      val nH = 8
+      val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
+      val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+      val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
+        "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
+        "ELSE concat_ws('-', m6, m7) END"
+      s"""WITH RECURSIVE exact AS (
+        SELECT doc_id, source, text FROM documents
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+      toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM exact),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+        FROM toks),
+      md AS (
+        SELECT doc_id, md5(s) AS md FROM sh),
+      halves AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md, 1, 15)) AS BIGINT) AS h1,
+          CAST(('0x' || substr(md, 17, 15)) AS BIGINT) AS h2
+        FROM md),
+      sig AS (
+        SELECT doc_id,
+          $mins
+        FROM halves GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b, $bandCase AS bh
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      capped AS (
+        SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, bh) <= 50),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM capped a JOIN capped c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+      good AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+        WHERE ($eqSum) >= ${nH / 2}),
+      edges AS (
+        SELECT id_a AS u, id_b AS v FROM good
+        UNION ALL SELECT id_b, id_a FROM good),
+      r AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM exact
+        UNION
+        SELECT e.v AS id, r.lbl FROM r JOIN edges e ON e.u = r.id),
+      assign AS (
+        SELECT id AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY id),
+      counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      surv AS (
+        SELECT e.source, count(*) AS n_survivors
+        FROM assign a JOIN exact e ON e.doc_id = a.doc_id
+        WHERE a.cluster_id = a.doc_id
+        GROUP BY e.source)
+      SELECT c.source, c.n_docs, coalesce(s.n_survivors, 0) AS n_survivors
+      FROM counts c LEFT JOIN surv s USING (source)
+      ORDER BY c.source"""
+    })
 
   def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99)
 }

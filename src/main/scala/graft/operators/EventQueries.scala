@@ -366,10 +366,14 @@ object EventQueries {
       ORDER BY prev_type, cur_type"""))
 
   /** Streaming near-dup over the documents fixture (streaming.DedupStreams:
-    * LSH bucket = flatMapGroupsWithState key). Single-file source here, so
-    * the output equals the batch band join ≥ 8/16 pairs — the cross-batch
-    * statefulness is spec-verified in StreamingSpec; this entry gives the
-    * stateful path driver-level coverage. xxhash64 sigs → rows-only.
+    * LSH bucket = flatMapGroupsWithState key), on the md5/K-M signature
+    * scheme so the STATEFUL pipeline itself is DuckDB-oracle-checked: a
+    * single-file source is one deterministic micro-batch processed in
+    * doc_id order per bucket, which makes the streaming bucket-cap
+    * semantics (the first `cap` arrivals stay comparable; later arrivals
+    * still probe them) exactly a `row_number ≤ cap` predicate in SQL.
+    * Cross-batch statefulness — the part one batch can't show — is
+    * spec-verified in StreamingSpec on multi-file feeds.
     */
   val q100 = GQuery(
     "q100_stream_neardup",
@@ -380,10 +384,54 @@ object EventQueries {
         stage.resolve("documents.parquet"),
         java.nio.file.Paths.get(s"$dir/documents.parquet"))
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      graft.streaming.DedupStreams.nearDupStream(
+      graft.streaming.DedupStreams.nearDupStreamMd5(
         s, stage.toString, schema, queryName = "stream_neardup_q100")
     },
-    None)
+    Some {
+      val nH = 8
+      val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
+      val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+      val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
+        "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
+        "ELSE concat_ws('-', m6, m7) END"
+      s"""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+        FROM toks),
+      md AS (
+        SELECT doc_id, md5(s) AS md FROM sh),
+      halves AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md, 1, 15)) AS BIGINT) AS h1,
+          CAST(('0x' || substr(md, 17, 15)) AS BIGINT) AS h2
+        FROM md),
+      sig AS (
+        SELECT doc_id,
+          $mins
+        FROM halves GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b, $bandCase AS bh
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      ranked AS (
+        SELECT doc_id, b, bh,
+          row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rn
+        FROM bands),
+      rawpairs AS (
+        SELECT later.doc_id AS doc_id, earlier.doc_id AS dup_of, ($eqSum) AS n_eq
+        FROM ranked earlier
+        JOIN ranked later
+          ON earlier.b = later.b AND earlier.bh = later.bh
+         AND earlier.doc_id < later.doc_id
+         AND earlier.rn <= 50
+        JOIN sig sa ON sa.doc_id = earlier.doc_id
+        JOIN sig sb ON sb.doc_id = later.doc_id)
+      SELECT doc_id, dup_of, CAST(max(n_eq) AS INTEGER) AS n_eq
+      FROM rawpairs WHERE n_eq >= ${nH / 2}
+      GROUP BY doc_id, dup_of
+      ORDER BY doc_id, dup_of"""
+    })
 
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q68, q76, q77, q94, q100)

@@ -29,7 +29,7 @@ object DedupStreams {
   val NumHashes = 16
   val Bands = 8
 
-  case class DocBand(doc_id: Long, band: Int, bh: Long, sig: Seq[Long])
+  case class DocBand(doc_id: Long, band: Int, bh: String, sig: Seq[Long])
   case class BucketState(entries: List[(Long, Seq[Long])])
   case class DupOut(doc_id: Long, dup_of: Long, n_eq: Int)
 
@@ -71,6 +71,41 @@ object DedupStreams {
     Some(acc)
   }
 
+  /** md5/Kirsch-Mitzenmacher signature in compiled Scala, BIT-IDENTICAL to
+    * the batch `DedupQueries.minhashSignaturesMd5`: md5 hex of the shingle's
+    * UTF-8 bytes, h1/h2 = hex[0,15) / hex[16,31) parsed base-16 (60-bit
+    * positive longs, exactly Spark's conv(substring(md,1,15),16,10)),
+    * slot_i = h1 XOR i·h2. The md5 twin exists so the STREAMING pipeline is
+    * DuckDB-oracle-checkable end to end (q100); the xxhash64 path above
+    * stays the throughput default. Parity is spec-asserted
+    * signature-by-signature against the batch formulation.
+    */
+  private[streaming] def sigOfMd5(text: String, nHashes: Int = 8): Option[Array[Long]] = {
+    if (text == null) return None
+    val toks = text.split(" ", -1)
+    if (toks.length < 2) return None
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val acc = Array.fill(nHashes)(Long.MaxValue)
+    var i = 0
+    while (i < toks.length - 1) {
+      val bytes = digest.digest((toks(i) + " " + toks(i + 1))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digest.reset()
+      val hex = new StringBuilder(32)
+      bytes.foreach(b => hex.append(f"${b & 0xff}%02x"))
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(16, 31), 16)
+      var j = 0
+      while (j < nHashes) {
+        val v = h1 ^ (j.toLong * h2)
+        if (v < acc(j)) acc(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    Some(acc)
+  }
+
   /** Streaming (doc_id, text) → (doc_id, dup_of, n_eq) pairs, where
     * dup_of is an earlier-seen document agreeing on ≥ minAgree of the
     * signature slots and sharing at least one LSH band bucket. Runs the
@@ -80,23 +115,49 @@ object DedupStreams {
     */
   def nearDupStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType,
                     minAgree: Int = NumHashes / 2, bucketCap: Int = 50,
-                    queryName: String = "stream_neardup"): DataFrame = {
+                    queryName: String = "stream_neardup"): DataFrame =
+    runNearDupStream(spark, dir, schema, sigOf(_),
+      bands = Bands, rows = NumHashes / Bands,
+      bandKey = (sig, b, r) => xxhash64(slice(sig, b * r + 1, r).cast("string")).cast("string"),
+      minAgree = minAgree, bucketCap = bucketCap, queryName = queryName)
+
+  /** The md5/K-M twin of [[nearDupStream]] (8 slots, 4 string-keyed bands —
+    * the q56/q83/q99 signature scheme): identical stateful dataflow, but
+    * every step is engine-reproducible, so the registry's q100 entry is
+    * DuckDB-oracle-checked rather than rows-only. The string band key is
+    * the slot values joined by '-' (no bucket-hash collisions to reason
+    * about cross-engine).
+    */
+  def nearDupStreamMd5(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType,
+                       nHashes: Int = 8, minAgree: Int = 4, bucketCap: Int = 50,
+                       queryName: String = "stream_neardup_md5"): DataFrame =
+    runNearDupStream(spark, dir, schema, sigOfMd5(_, nHashes),
+      bands = nHashes / 2, rows = 2,
+      bandKey = (sig, b, r) =>
+        array_join(transform(slice(sig, b * r + 1, r), _.cast("string")), "-"),
+      minAgree = minAgree, bucketCap = bucketCap, queryName = queryName)
+
+  private def runNearDupStream(spark: SparkSession, dir: String,
+                               schema: org.apache.spark.sql.types.StructType,
+                               sigFn: String => Option[Array[Long]],
+                               bands: Int, rows: Int,
+                               bandKey: (Column, Int, Int) => Column,
+                               minAgree: Int, bucketCap: Int,
+                               queryName: String): DataFrame = {
     import spark.implicits._
-    val rows = NumHashes / Bands
     val docs = spark.readStream.schema(schema).parquet(dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        sigOf(text).map(sig => (id, sig.toSeq)) })
+        sigFn(text).map(sig => (id, sig.toSeq)) })
       .toDF("doc_id", "sig")
     val bandedDocs = docs.select(col("doc_id"), col("sig"),
-        explode(array((0 until Bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string")).as("bh"))
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"), bandKey(col("sig"), b, rows).as("bh"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"), col("sig"))
       .as[DocBand]
 
-    def update(key: (Int, Long), incoming: Iterator[DocBand],
+    def update(key: (Int, String), incoming: Iterator[DocBand],
                state: GroupState[BucketState]): Iterator[DupOut] = {
       // deterministic arrival order inside a batch; dedup multi-band rows
       val sorted = incoming.toSeq.sortBy(_.doc_id)

@@ -84,6 +84,54 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("compiled streaming md5 signatures are bitwise-equal to batch minhashSignaturesMd5") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val batch = graft.operators.DedupQueries.minhashSignaturesMd5(docs, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      val scalaSig = graft.streaming.DedupStreams.sigOfMd5(text).map(_.toSeq)
+      assert(scalaSig == batch.get(id), s"doc $id")
+    }
+    assert(batch.nonEmpty)
+  }
+
+  test("md5 streaming near-dup agrees with its batch twin across micro-batches") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_neardup_md5_").toString
+    def feed(rows: Seq[(Long, String)], name: String): Unit = {
+      val staging = Files.createTempDirectory("graft_neardup_md5_stage_")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val listing = Files.list(staging)
+      try {
+        val part = listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      } finally listing.close()
+    }
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 47).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
+    val near2 = ((1 to 48).map(i => s"w$i") ++ Seq("y1", "y2")).mkString(" ")
+    val other = (100 to 150).map(i => s"w$i").mkString(" ")
+    val batch1 = Seq(1L -> base, 2L -> near, 3L -> other)
+    val batch2 = Seq(4L -> near2, 5L -> "tiny")
+    feed(batch1, "b1.parquet")
+    feed(batch2, "b2.parquet")
+    val schema = batch1.toDF("doc_id", "text").schema
+    val stream = graft.streaming.DedupStreams
+      .nearDupStreamMd5(spark, dir, schema, queryName = "spec_neardup_md5")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (earlier, later)
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val batchPairs = graft.operators.DedupPipeline.nearDupPairsMd5(
+        graft.operators.DedupQueries.minhashSignaturesMd5(all, 8), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batchPairs, s"stream=$stream batch=$batchPairs")
+    assert(stream.exists { case (_, b) => b == 4L },
+      s"no cross-batch pair found in $stream")
+  }
+
   test("streaming near-dup detection agrees with batch LSH across micro-batches") {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
