@@ -141,6 +141,16 @@ class OpsSpec extends SparkSpec {
     assert(counts.values.forall(_ == 5))
   }
 
+  test("batch euclideanAnn equals the per-probe approxNearestNeighbors formulation") {
+    val e = Tables.embeddings(spark, sf001)
+    val batch = LshOps.euclideanAnn(spark, e, Seq(0L, 1L, 2L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val perProbe = LshOps.euclideanAnnPerProbe(spark, e, Seq(0L, 1L, 2L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch == perProbe,
+      s"batch-only: ${(batch -- perProbe).take(3)}; perProbe-only: ${(perProbe -- batch).take(3)}")
+  }
+
   test("TF-IDF produces stable-dimensional sparse vectors") {
     val out = TextMl.tfidf(spark, Tables.documents(spark, sf001).limit(50))
     val v = out.select("tfidf").head().getAs[org.apache.spark.ml.linalg.Vector](0)
