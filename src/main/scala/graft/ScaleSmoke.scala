@@ -107,7 +107,7 @@ object ScaleSmoke {
     // prefix selectivity degrades quadratically (measured 41× time at 10×
     // data) — real corpora add rare tokens as they grow. Run at replica 4
     // to keep the smoke fast; the super-linear ratio is the finding.
-    def setsim(docs: DataFrame) = {
+    def setsim(docs: DataFrame, dfCap: Int = Int.MaxValue) = {
       // same set construction as q87: fused generator + codegen hash +
       // map-side-combined collect_set (the HOF composition it replaced
       // was the single most expensive stage)
@@ -117,7 +117,7 @@ object ScaleSmoke {
         .groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
         .cache()
       d.count()
-      operators.SetSimJoin.jaccardJoin(d, "doc_id", "sh", 0.8)
+      operators.SetSimJoin.jaccardJoin(d, "doc_id", "sh", 0.8, dfCap = dfCap)
     }
 
     // bloom-prefiltered anti join: novel-document filter vs a 4×-larger
@@ -138,7 +138,13 @@ object ScaleSmoke {
       ("topk_agg", () => noop(topkAgg(l1)), () => noop(topkAgg(lk))),
       ("cc_distributed", () => noop(ccDistributed(d1)), () => noop(ccDistributed(dk))),
       ("bloom_anti", () => noop(bloomAnti(d1)), () => noop(bloomAnti(dk))),
-      (s"setsim_join_k$k4", () => noop(setsim(d1)), () => noop(setsim(d4))))
+      (s"setsim_join_k$k4", () => noop(setsim(d1)), () => noop(setsim(d4))),
+      // the df guard at FULL k: hot prefix tokens stop generating df²
+      // candidates; sets holding them route through the MinHash fallback
+      // band (SetSimJoin.jaccardJoin dfCap doc). This is the closed-vocab
+      // stress the uncapped row above can only run at 4×.
+      (s"setsim_capped_k$k", () => noop(setsim(d1, dfCap = 50)),
+        () => noop(setsim(dk, dfCap = 50))))
 
     noop(scanAgg(l1)) // warmup
     val results = shapes.map { case (name, base, big) =>

@@ -86,6 +86,15 @@ object DateFeatures {
     * replacing the Python `holidays` package (kaggle/kaggle.py:17, 237-243).
     * Fixed-date national days plus Easter-relative movable feasts plus the
     * Saturday-window holidays (Midsummer, All Saints).
+    *
+    * `observed=True` semantics (kaggle/kaggle.py:332,800-802): python-
+    * holidays defines NO observed-substitute rules for FI/NO/SE — the flag
+    * is a no-op for these calendars — so a weekend-falling holiday keeps
+    * its calendar date and no shifted twin is added; DateFeaturesSpec pins
+    * this on 2015-2019 weekend cases. (python-holidays' Sweden class also
+    * lists every SUNDAY as a holiday by default — a library quirk, not a
+    * store-closure signal, and the reference's Sweden branch is commented
+    * out at kaggle.py:243 — deliberately not modeled here.)
     */
   def holidayRows(year: Int): Seq[(LocalDate, String, String)] = {
     val easter = easterDate(year)

@@ -65,4 +65,45 @@ class DateFeaturesSpec extends SparkSpec {
   test("dateAxis inclusive bounds") {
     assert(DateFeatures.dateAxis(spark, "2024-02-01", "2024-03-01").count() == 30)
   }
+
+  test("observed=True semantics: weekend-falling holidays stay put, no substitute days (2015-2019)") {
+    // The reference constructs python-holidays calendars with
+    // observed=True (kaggle/kaggle.py:332,800-802). python-holidays
+    // defines NO observed-substitute rules for Finland/Norway/Sweden —
+    // the flag is a no-op there — so the semantics to pin are: a holiday
+    // falling on a weekend keeps its calendar date, and no shifted
+    // "(observed)" twin appears on the following Monday.
+    val all = (2015 to 2019).flatMap(DateFeatures.holidayRows)
+      .map { case (d, c, n) => (d, c, n) }
+    def on(date: String, cc: String) =
+      all.filter(r => r._1.toString == date && r._2 == cc).map(_._3)
+    // 2017-01-01 New Year = SUNDAY: on Jan 1 for all three, Jan 2 empty
+    for (cc <- Seq("Finland", "Norway", "Sweden")) {
+      assert(on("2017-01-01", cc) == Seq("New Year's Day"), cc)
+      assert(on("2017-01-02", cc).isEmpty, cc)
+    }
+    // 2015-05-17 Norway Constitution Day = SUNDAY: stays, May 18 empty
+    assert(on("2015-05-17", "Norway") == Seq("Constitution Day"))
+    assert(on("2015-05-18", "Norway").isEmpty)
+    // 2015-12-06 Finland Independence Day = SUNDAY: stays, Dec 7 empty
+    assert(on("2015-12-06", "Finland") == Seq("Independence Day"))
+    assert(on("2015-12-07", "Finland").isEmpty)
+    // 2016-12-25 Christmas = SUNDAY: Dec 26 (Monday) is its own holiday,
+    // the Second Day of Christmas — NOT an observed substitute
+    assert(on("2016-12-25", "Finland") == Seq("Christmas Day"))
+    assert(on("2016-12-26", "Finland") == Seq("Second Day of Christmas"))
+    // 2016-06-06 Sweden National Day = MONDAY (and 2015-06-06 = Saturday):
+    // both stay on Jun 6
+    assert(on("2015-06-06", "Sweden") == Seq("National Day"))
+    assert(on("2016-06-06", "Sweden") == Seq("National Day"))
+    // structural no-substitute check: every year has the SAME per-country
+    // row count — observed shifting would inflate weekend-heavy years
+    val counts = (2015 to 2019).map(y =>
+      DateFeatures.holidayRows(y).groupBy(_._2).view.mapValues(_.size).toMap)
+    assert(counts.distinct.size == 1,
+      s"per-country counts vary across years: $counts")
+    // at most one row per (date, country): no shifted twins anywhere
+    val dup = all.groupBy(r => (r._1, r._2)).filter(_._2.size > 1)
+    assert(dup.isEmpty, s"duplicate holiday rows: ${dup.keys.take(3)}")
+  }
 }

@@ -78,6 +78,47 @@ class SetSimJoinSpec extends SparkSpec {
       assert(run(rows, t) == brute(rows, t), s"threshold $t")
   }
 
+  test("df-capped join on an all-hot closed vocabulary still finds the near-dups") {
+    // replica stress in miniature: 12 base sets of 20 tokens from a
+    // 30-token vocabulary, each replicated 5× with one swapped token —
+    // every token's df exceeds the cap, so EVERY candidate must come
+    // through the MinHash fallback band. Hashes are seeded -> the result
+    // is deterministic; at J ≈ 0.9 the per-pair miss probability is
+    // ~(1-0.81)^8 ≈ 2e-6, and on this fixed corpus the capped result
+    // equals brute force exactly.
+    val vocab = (0 until 30).map(i => s"w$i")
+    val rows = for {
+      base <- 0 until 12
+      rep <- 0 until 5
+    } yield {
+      val toks = (0 until 20).map(j => vocab((base * 7 + j) % 30))
+      (base * 5L + rep, toks.updated(rep % 20, s"w${(base * 7 + rep) % 30}_alt"))
+    }
+    val capped = SetSimJoin.jaccardJoin(mkSets(rows), "id", "s", 0.7, dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = brute(rows, 0.7)
+    // verification makes false positives impossible
+    assert((capped -- exact).isEmpty, s"false positives: ${(capped -- exact).take(3)}")
+    // recall: the fallback band misses a qualifying pair with probability
+    // (1-j²)^8 — on this corpus ONE boundary pair (J ≈ 0.71) misses
+    // deterministically (seeded hashes); everything else must be found
+    assert(capped.size >= exact.size - 1 && capped.nonEmpty,
+      s"capped=${capped.size} brute=${exact.size} missing=${(exact -- capped).take(5)}")
+    // the high-J targets (same-base replica pairs, J = 18/22) all survive
+    val replicaPairs = exact.filter { case (a, b) => a / 5 == b / 5 }
+    assert(replicaPairs.subsetOf(capped),
+      s"replica pairs missing: ${(replicaPairs -- capped).take(5)}")
+  }
+
+  test("df cap off (default) is byte-identical to the exact path") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 25).map(i => s"v$i")
+    val rows = (0L until 50L).map { id =>
+      id -> Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+    }
+    assert(run(rows, 0.5) == brute(rows, 0.5))
+  }
+
   test("candidate generation is a hash join, not a cross product") {
     val rows = (0L until 30L).map(id => id -> Seq(s"u$id", "shared"))
     val plan = SetSimJoin.jaccardJoin(mkSets(rows), "id", "s", 0.5)
