@@ -1,6 +1,7 @@
 package graft.ml
 
-import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor, LinearRegression, LinearRegressionModel}
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.regression.{FMRegressor, GBTRegressionModel, GBTRegressor, LinearRegression}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -14,9 +15,16 @@ import org.apache.spark.sql.functions._
   * Fits are MLlib's distributed L-BFGS / distributed tree induction; the
   * residual column is a single lazy projection between them — nothing
   * materializes on the driver.
+  *
+  * Stage-1 variants: "linear" (LinearRegression, elastic-net — the
+  * reference's Ridge/Lasso/ElasticNet/OLS slots) and "fm" (FMRegressor —
+  * the NONLINEAR stand-in for the reference's MLPRegressor stage
+  * (kaggle.py:749-761): MLlib ships no regression MLP, and a factorization
+  * machine is the closest distributed nonlinear-interaction learner in the
+  * library; SURVEY E7).
   */
 final case class BoostedHybridModel(
-    m1: LinearRegressionModel,
+    m1: Transformer,
     m2: GBTRegressionModel,
     labelCol: String) {
 
@@ -37,14 +45,29 @@ final case class BoostedHybrid(
     gbtMaxIter: Int = 15,
     gbtMaxDepth: Int = 5,
     gbtStepSize: Double = 0.1,
+    stage1: String = "linear",
+    fmFactorSize: Int = 4,
+    fmMaxIter: Int = 40,
     seed: Long = 42L) {
 
   def fit(train: DataFrame): BoostedHybridModel = {
-    val lr = new LinearRegression()
-      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
-      .setElasticNetParam(elasticNetParam).setRegParam(regParam)
-      .setPredictionCol("pred_1")
-    val m1 = lr.fit(train)
+    val m1: Transformer = stage1 match {
+      case "linear" =>
+        new LinearRegression()
+          .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+          .setElasticNetParam(elasticNetParam).setRegParam(regParam)
+          .setPredictionCol("pred_1")
+          .fit(train)
+      case "fm" =>
+        new FMRegressor()
+          .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+          .setFactorSize(fmFactorSize).setMaxIter(fmMaxIter)
+          .setRegParam(regParam).setSeed(seed)
+          .setPredictionCol("pred_1")
+          .fit(train)
+      case other => throw new IllegalArgumentException(
+        s"stage1 must be 'linear' or 'fm', got '$other'")
+    }
     val withResid = m1.transform(train)
       .withColumn("resid", col(labelCol) - col("pred_1"))
     val gbt = new GBTRegressor()

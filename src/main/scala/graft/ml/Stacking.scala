@@ -31,25 +31,28 @@ object Stacking {
   /** The reference's full PRODUCTION grid shape (kaggle/kaggle.py:769-778):
     * 4 stage-1 variants × 3 GBM stage-2 variants = 12 BoostedHybrid
     * combos. The reference's stage-1 zoo is ElasticNet / Ridge /
-    * LinearRegression / MLPRegressor (kaggle.py:731-743); the "lasso" slot
-    * here stands in for the MLPRegressor (MLlib ships no regression MLP —
-    * SURVEY E7), keeping the 4×3 shape. The GBM profiles (three distinct
-    * depth/iteration/learning-rate settings) stand in for XGB / LGBM /
-    * CatBoost (kaggle.py:720-746), which have no MLlib jars in this
-    * environment. Per-base budgets are bounded (≤20 trees vs the reference's
-    * n_estimators=1000) so the 12×15-fold demo completes in ~2 minutes on
-    * one node; the grid SHAPE, not the tree budget, is what is mirrored.
+    * LinearRegression / MLPRegressor (kaggle.py:731-743); the fourth slot
+    * here is an FMRegressor — MLlib ships no regression MLP, and a
+    * factorization machine is the library's closest distributed
+    * nonlinear-interaction learner (SURVEY E7). The GBM profiles (three
+    * distinct depth/iteration/learning-rate settings) stand in for XGB /
+    * LGBM / CatBoost (kaggle.py:720-746), which have no MLlib jars in
+    * this environment. Per-base budgets are bounded (≤20 trees vs the
+    * reference's n_estimators=1000) so the 12×15-fold demo completes in
+    * ~2 minutes on one node; the grid SHAPE, not the tree budget, is what
+    * is mirrored.
     */
   def productionGrid: Seq[(String, BoostedHybrid)] =
     for {
-      (l1name, enet, reg) <- Seq(
-        ("ridge", 0.0, 0.1), ("lasso", 1.0, 0.01),
-        ("enet", 0.5, 0.05), ("ols", 0.0, 0.0))
+      (l1name, bh0) <- Seq(
+        ("ridge", BoostedHybrid(elasticNetParam = 0.0, regParam = 0.1)),
+        ("enet", BoostedHybrid(elasticNetParam = 0.5, regParam = 0.05)),
+        ("ols", BoostedHybrid(elasticNetParam = 0.0, regParam = 0.0)),
+        ("fm", BoostedHybrid(stage1 = "fm", regParam = 0.01)))
       (l2name, iter, depth, step) <- Seq(
         ("gbtA", 15, 4, 0.1), ("gbtB", 20, 3, 0.15), ("gbtC", 10, 5, 0.2))
     } yield (s"${l1name}_$l2name",
-      BoostedHybrid(elasticNetParam = enet, regParam = reg,
-        gbtMaxIter = iter, gbtMaxDepth = depth, gbtStepSize = step))
+      bh0.copy(gbtMaxIter = iter, gbtMaxDepth = depth, gbtStepSize = step))
 
   /** Equal-width date boundaries between lo/hi for k rolling-origin folds. */
   def timeFolds(df: DataFrame, dateCol: String, k: Int): Seq[(String, String)] = {

@@ -40,6 +40,17 @@ class SalesMlSpec extends SparkSpec {
     assert(s < naive, s"hybrid $s should beat naive $naive")
   }
 
+  test("FM stage-1 (the MLPRegressor stand-in, E7) trains and beats the SMAPE bar") {
+    // the factorization machine is the nonlinear-interaction stage the
+    // reference's MLPRegressor provides; on this synthetic signal it must
+    // at least clear the same bar as the linear hybrid (on the full
+    // 4-year parity frame it scores ~6.5 vs ~13.6 linear — BENCH.md)
+    val model = BoostedHybrid(stage1 = "fm", gbtMaxIter = 8, gbtMaxDepth = 4,
+      fmMaxIter = 30).fit(train)
+    val s = smapeOf(model.transform(valid))
+    assert(s < 12.0, s"fm hybrid SMAPE $s")
+  }
+
   test("SmapeEvaluator plugs into the Evaluator API") {
     val model = BoostedHybrid(gbtMaxIter = 5, gbtMaxDepth = 3).fit(train)
     val ev = new SmapeEvaluator().setLabelCol("num_sold").setPredictionCol("prediction")
