@@ -424,5 +424,91 @@ object DedupQueries {
       ORDER BY c.source"""
     })
 
-  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99)
+  /** INCREMENTAL near-dup — "is this NEW document a near-dup of the
+    * EXISTING corpus": the batch-ingestion twin of the streaming q100
+    * (and the near-dup complement of q86's exact bloom novelty). The
+    * incoming slice's band keys join the reference slice's band keys —
+    * a two-SIDED equi join, not a self-join, so the reference corpus is
+    * scanned once and only colliding buckets are compared. md5/K-M
+    * signatures end to end → the whole flow (split, signatures, banding,
+    * candidate join, agreement filter, per-doc rollup incl. zero-match
+    * novelty rows) is oracle-checked.
+    */
+  val q105 = GQuery(
+    "q105_incremental_neardup",
+    (s, dir) => {
+      val nH = 8
+      val docs = Tables.documents(s, dir)
+      // one signature pass over the WHOLE corpus, split afterwards —
+      // consumed by banding and twice by the agreement join
+      val sig = minhashSignaturesMd5(docs, nH).cache()
+      sig.count()
+      val banded = bandedConcat(sig, bands = 4, rows = 2)
+      val bIn = banded.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select(col("band"), col("bh"), col("doc_id"))
+      val bRef = banded.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+        .select(col("band"), col("bh"), col("doc_id").as("ref_id"))
+      val pairs = bIn.join(bRef, Seq("band", "bh"))
+        .select("doc_id", "ref_id").distinct()
+      val matches = pairs
+        .join(sig.select(col("doc_id"), col("sig").as("sig_a")), "doc_id")
+        .join(sig.select(col("doc_id").as("ref_id"), col("sig").as("sig_b")), "ref_id")
+        .withColumn("n_eq", call_function("graft_eq_count", col("sig_a"), col("sig_b")))
+        .filter(col("n_eq") >= nH / 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_near_dups"), max(col("n_eq")).as("max_eq"))
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 0).select("doc_id")
+        .join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          coalesce(col("max_eq").cast("double") / nH, lit(0.0)).as("best_est"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val nH = 8
+      val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
+      val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+      val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
+        "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
+        "ELSE concat_ws('-', m6, m7) END"
+      s"""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+        FROM toks),
+      md AS (
+        SELECT doc_id, md5(s) AS md FROM sh),
+      halves AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md, 1, 15)) AS BIGINT) AS h1,
+          CAST(('0x' || substr(md, 17, 15)) AS BIGINT) AS h2
+        FROM md),
+      sig AS (
+        SELECT doc_id,
+          $mins
+        FROM halves GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b, $bandCase AS bh
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      pairs AS (
+        SELECT DISTINCT i.doc_id, r.doc_id AS ref_id
+        FROM bands i JOIN bands r ON i.b = r.b AND i.bh = r.bh
+        WHERE i.doc_id % 5 = 0 AND r.doc_id % 5 <> 0),
+      matches AS (
+        SELECT p.doc_id, count(*) AS n_near_dups, max($eqSum) AS max_eq
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_id
+        JOIN sig sb ON sb.doc_id = p.ref_id
+        WHERE ($eqSum) >= ${nH / 2}
+        GROUP BY p.doc_id)
+      SELECT d.doc_id,
+        coalesce(m.n_near_dups, 0) AS n_near_dups,
+        coalesce(CAST(m.max_eq AS DOUBLE) / $nH, 0.0) AS best_est
+      FROM documents d LEFT JOIN matches m ON m.doc_id = d.doc_id
+      WHERE d.doc_id % 5 = 0
+      ORDER BY d.doc_id"""
+    })
+
+  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105)
 }

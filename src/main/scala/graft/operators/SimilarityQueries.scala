@@ -246,5 +246,58 @@ object SimilarityQueries {
     },
     None)
 
-  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102)
+  /** FULL-CORPUS embedding near-duplicate pairs through the LSH buckets —
+    * the scale path q52's sampled-exact variant defers to: candidates are
+    * the (band, bucket) self-join (equi hash join, no cross product),
+    * confirmed by exact cosine ≥ 0.4. Oracle-checked end to end thanks to
+    * the literal hyperplanes (q51). At 100 TB this is the embedding
+    * flavor of the LSH dedup shape: one signature row per vector, bucket
+    * join, verify only collisions.
+    */
+  val q103 = GQuery(
+    "q103_embedding_neardup_lsh",
+    (s, dir) => {
+      val nBands = NPlanes / BandBits
+      val e = Tables.embeddings(s, dir)
+        .withColumn("sig", simhashSignature(col("embedding"), NPlanes, Dim))
+        .withColumn("bb", explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * BandBits).bitwiseAND((1L << BandBits) - 1).as("bh"))
+        }: _*)))
+        .select(col("vec_id"), col("bb.band"), col("bb.bh"))
+      val cands = e.select(col("band"), col("bh"), col("vec_id").as("id_a"))
+        .join(e.select(col("band"), col("bh"), col("vec_id").as("id_b")), Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val va = Tables.embeddings(s, dir).select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val vb = Tables.embeddings(s, dir).select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      cands.join(va, "id_a").join(vb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      s"""WITH signs(p, s) AS (VALUES $signsValues),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sigt AS (
+        SELECT e.vec_id,
+          sum(CASE WHEN list_dot_product(e.v, signs.s) >= 0 THEN (1::BIGINT << signs.p) ELSE 0 END) AS sig
+        FROM e CROSS JOIN signs GROUP BY e.vec_id),
+      bandedq AS (
+        SELECT vec_id, b, (sig >> (b*$BandBits)) & ${(1 << BandBits) - 1} AS bh
+        FROM sigt, (SELECT unnest([0, 1]) AS b)),
+      cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bandedq a JOIN bandedq c ON a.b = c.b AND a.bh = c.bh AND a.vec_id < c.vec_id),
+      confirmed AS (
+        SELECT cd.id_a, cd.id_b,
+          floor(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) * 1e6 + 0.5)/1e6 AS cos_sim
+        FROM cands cd
+        JOIN embeddings ea ON ea.vec_id = cd.id_a
+        JOIN embeddings eb ON eb.vec_id = cd.id_b)
+      SELECT id_a, id_b, cos_sim FROM confirmed
+      WHERE cos_sim >= 0.4 ORDER BY id_a, id_b"""))
+
+  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103)
 }

@@ -605,6 +605,61 @@ object TextQueries {
                     - len(string_split(text, ' '))) / 512.0) AS INTEGER) AS bin
       FROM documents ORDER BY doc_id"""))
 
+  /** Corpus-trained bigram language-model scoring — the statistical
+    * "perplexity filter" of LLM data pipelines (docs whose token
+    * transitions are improbable under the corpus LM are low-quality /
+    * off-distribution). Train = bigram + first-token occurrence counts
+    * over the whole corpus (two map-side-combined aggregations); score =
+    * per-document mean log P(w₂|w₁) with add-½ smoothing over the corpus
+    * vocabulary. Everything is counts, one log, and one broadcast scalar
+    * (V) — fully distributed, fully oracle-checkable. log parity note:
+    * both engines compute ln on an IEEE-identical ratio (integer counts +
+    * exact 0.5s), and the 1e-4 snap in exactMean absorbs any last-ulp
+    * libm difference.
+    */
+  val q104 = GQuery(
+    "q104_lm_score",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // one row per bigram OCCURRENCE; consumed by both count aggs and
+      // the scoring join → cache eagerly (racing-consumers rule)
+      val big = docs.select(col("doc_id"),
+          call_function("graft_shingles", col("text")).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .cache()
+      big.count()
+      val cb = big.groupBy("bg").agg(count(lit(1)).as("cb"))
+      val cw = big.groupBy("w1").agg(count(lit(1)).as("cw"))
+      val v = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val scored = big.join(cb, "bg").join(cw, "w1")
+        .crossJoin(broadcast(v)) // 1-row scalar
+        .withColumn("logp",
+          log((col("cb") + lit(0.5)) / (col("cw") + lit(0.5) * col("v"))))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          graft.functions.Metrics.exactMean(col("logp")).as("avg_logp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bgx AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM toks),
+      bgw AS (
+        SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgx),
+      cb AS (SELECT bg, count(*) AS cb FROM bgw GROUP BY bg),
+      cw AS (SELECT w1, count(*) AS cw FROM bgw GROUP BY w1),
+      vv AS (SELECT count(DISTINCT tok) AS v
+             FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      scored AS (
+        SELECT b.doc_id, ln((cb.cb + 0.5) / (cw.cw + 0.5 * vv.v)) AS logp
+        FROM bgw b JOIN cb USING (bg) JOIN cw USING (w1) CROSS JOIN vv)
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(CAST(floor((logp)*1e4+0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_logp
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85, q86, q87, q88, q90, q91, q92)
+    q85, q86, q87, q88, q90, q91, q92, q104)
 }
