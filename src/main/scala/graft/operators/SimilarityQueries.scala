@@ -299,5 +299,19 @@ object SimilarityQueries {
       SELECT id_a, id_b, cos_sim FROM confirmed
       WHERE cos_sim >= 0.4 ORDER BY id_a, id_b"""))
 
-  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103)
+  /** Product-quantization ANN (see [[PqAnn]]) — the memory-compressed
+    * fourth member of the ANN family (exact q50 / LSH q51 / IVF q53).
+    * Seeded-but-iterative k-means codebooks → rows-only here; the
+    * recall-vs-brute-force property is asserted in SimilaritySpec.
+    */
+  val q107 = GQuery(
+    "q107_ann_pq",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (encoded, books) = PqAnn.buildIndex(s, e, m = 8, k = 16)
+      PqAnn.search(s, e, encoded, books, probeIds = Seq(0L, 1L, 2L, 3L, 4L), kNN = 10)
+    },
+    None)
+
+  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107)
 }

@@ -617,31 +617,35 @@ object TextQueries {
     * exact 0.5s), and the 1e-4 snap in exactMean absorbs any last-ulp
     * libm difference.
     */
-  val q104 = GQuery(
-    "q104_lm_score",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // one row per bigram OCCURRENCE; consumed by both count aggs and
-      // the scoring join → cache eagerly (racing-consumers rule)
-      val big = docs.select(col("doc_id"),
-          call_function("graft_shingles", col("text")).as("bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-        .cache()
-      big.count()
-      val cb = big.groupBy("bg").agg(count(lit(1)).as("cb"))
-      val cw = big.groupBy("w1").agg(count(lit(1)).as("cw"))
-      val v = docs.select(explode(split(col("text"), " ")).as("tok"))
-        .agg(countDistinct(col("tok")).as("v"))
-      val scored = big.join(cb, "bg").join(cw, "w1")
-        .crossJoin(broadcast(v)) // 1-row scalar
-        .withColumn("logp",
-          log((col("cb") + lit(0.5)) / (col("cw") + lit(0.5) * col("v"))))
-      scored.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          graft.functions.Metrics.exactMean(col("logp")).as("avg_logp"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH toks AS (
+  /** Per-document bigram-LM mean log-probability (doc_id, n_bigrams,
+    * avg_logp) — see q104. Shared by the q106 filter composite.
+    */
+  def lmScores(docs: DataFrame): DataFrame = {
+    // one row per bigram OCCURRENCE; consumed by both count aggs and
+    // the scoring join → cache eagerly (racing-consumers rule)
+    val big = docs.select(col("doc_id"),
+        call_function("graft_shingles", col("text")).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .cache()
+    big.count()
+    val cb = big.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val cw = big.groupBy("w1").agg(count(lit(1)).as("cw"))
+    val v = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = big.join(cb, "bg").join(cw, "w1")
+      .crossJoin(broadcast(v)) // 1-row scalar
+      .withColumn("logp",
+        log((col("cb") + lit(0.5)) / (col("cw") + lit(0.5) * col("v"))))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.Metrics.exactMean(col("logp")).as("avg_logp"))
+  }
+
+  /** The q104/q106 oracle's LM CTE block (ends with `lm(doc_id,
+    * n_bigrams, avg_logp)`), kept as one string so the two cannot drift.
+    */
+  private def lmOracleCtes: String =
+    """toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       bgx AS (
         SELECT doc_id,
@@ -653,13 +657,84 @@ object TextQueries {
       cw AS (SELECT w1, count(*) AS cw FROM bgw GROUP BY w1),
       vv AS (SELECT count(DISTINCT tok) AS v
              FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
-      scored AS (
+      scoredlm AS (
         SELECT b.doc_id, ln((cb.cb + 0.5) / (cw.cw + 0.5 * vv.v)) AS logp
-        FROM bgw b JOIN cb USING (bg) JOIN cw USING (w1) CROSS JOIN vv)
-      SELECT doc_id, count(*) AS n_bigrams,
-        CAST(sum(CAST(floor((logp)*1e4+0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_logp
-      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+        FROM bgw b JOIN cb USING (bg) JOIN cw USING (w1) CROSS JOIN vv),
+      lm AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(sum(CAST(floor((logp)*1e4+0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_logp
+        FROM scoredlm GROUP BY doc_id)"""
+
+  val q104 = GQuery(
+    "q104_lm_score",
+    (s, dir) => lmScores(Tables.documents(s, dir)).orderBy("doc_id"),
+    Some(
+      s"""WITH $lmOracleCtes
+      SELECT doc_id, n_bigrams, avg_logp FROM lm ORDER BY doc_id"""))
+
+  /** The end-to-end CORPUS FILTER a training-data pipeline actually runs,
+    * as one funnel: exact dedup survivor → structural quality gates
+    * (length, q42's quality score) → statistical LM gate (q104's mean
+    * bigram log-prob), reported per source as monotone stage counts.
+    * Every gate compares canonically-ROUNDED values, so the funnel is
+    * hash-verified end to end. Thresholds sit inside the fixture's
+    * observed distributions (quality 0.06-0.29, avg_logp −3.63..−3.26)
+    * so every stage drops someone.
+    */
+  val q106 = GQuery(
+    "q106_corpus_filter",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = tokens(col("text"))
+      val nTok = size(t).cast("double")
+      val nStop = size(filter(t, x => array_contains(stopArray, x))).cast("double")
+      val ttr = size(array_distinct(t)).cast("double") / nTok
+      val stopRatio = nStop / nTok
+      val quality = graft.functions.Metrics.canonRound(
+        least(nTok / 100.0, lit(1.0)) * (lit(1.0) - stopRatio) * ttr, 4)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      val staged = docs
+        .withColumn("is_exact", col("doc_id") === min("doc_id").over(w))
+        .withColumn("n_tok", nTok)
+        .withColumn("q", quality)
+        .join(lmScores(docs).select(col("doc_id"), col("avg_logp")), Seq("doc_id"), "left")
+        .withColumn("pass_quality",
+          col("is_exact") && col("n_tok") >= 20 && col("q") >= 0.15)
+        .withColumn("pass_lm",
+          col("pass_quality") && coalesce(col("avg_logp"), lit(-999.0)) >= -3.42)
+      staged.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("pass_quality"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("pass_lm"), 1L).otherwise(0L)).as("n_final"))
+        .orderBy("source")
+    },
+    Some {
+      val stopList = stopwords.map(w => s"'$w'").mkString(",")
+      s"""WITH $lmOracleCtes,
+      metrics AS (
+        SELECT doc_id, source,
+          (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_exact,
+          CAST(len(string_split(text,' ')) AS DOUBLE) AS n_tok,
+          floor((least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0, 1.0)
+            * (1.0 - CAST(len(list_filter(string_split(text,' '), x -> x IN ($stopList))) AS DOUBLE)
+                     / CAST(len(string_split(text,' ')) AS DOUBLE))
+            * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+               / CAST(len(string_split(text,' ')) AS DOUBLE))) * 1e4 + 0.5)/1e4 AS q
+        FROM documents),
+      staged AS (
+        SELECT m.source, m.is_exact,
+          (m.is_exact AND m.n_tok >= 20 AND m.q >= 0.15) AS pass_quality,
+          (m.is_exact AND m.n_tok >= 20 AND m.q >= 0.15
+            AND coalesce(lm.avg_logp, -999.0) >= -3.42) AS pass_lm
+        FROM metrics m LEFT JOIN lm ON lm.doc_id = m.doc_id)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        CAST(sum(CASE WHEN pass_lm THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+      FROM staged GROUP BY source ORDER BY source"""
+    })
 
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85, q86, q87, q88, q90, q91, q92, q104)
+    q85, q86, q87, q88, q90, q91, q92, q104, q106)
 }

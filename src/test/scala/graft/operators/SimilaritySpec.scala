@@ -24,6 +24,18 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 $mean, per-probe $recalls")
   }
 
+  test("PQ ANN recall@10 vs brute force is usable (8 subspaces x 16 codes, ADC shortlist + exact re-rank)") {
+    val exact = topk("q50_knn_bruteforce")
+    val pq = topk("q107_ann_pq")
+    val recalls = exact.keys.toSeq.map { q =>
+      val e = exact(q).toSet
+      val a = pq.getOrElse(q, Nil).toSet
+      (e intersect a).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 $mean, per-probe $recalls")
+  }
+
   test("IVF results are a subset of the probed lists' exact cosines (no fabrication)") {
     val exact = topk("q50_knn_bruteforce")
     val ivf = topk("q53_ann_ivf")
