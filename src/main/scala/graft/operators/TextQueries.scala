@@ -63,6 +63,33 @@ object TextQueries {
   /** Heuristic quality score: stopword ratio, type-token ratio, length —
     * the length/punct/stopword-ratio style scorer the north star lists.
     */
+  /** q42's quality-score expression over a token array — factored so the
+    * q112 percentile gate scores with the exact same formula (drift
+    * between the scorer and the gate would silently pass both oracles
+    * while gating on a different quantity).
+    */
+  def qualityExpr(t: Column): Column = {
+    val nTok = size(t).cast("double")
+    val nStop = size(filter(t, x => array_contains(stopArray, x))).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio = nStop / nTok
+    least(nTok / 100.0, lit(1.0)) * (lit(1.0) - stopRatio) * ttr
+  }
+
+  /** DuckDB CTE body mirroring qualityExpr, canonically rounded: yields
+    * `qscore(doc_id, lang, q)`. Shared by the q112 oracle.
+    */
+  def qualityScoreSqlCte: String = s"""qscore AS (
+      SELECT doc_id, lang,
+        floor((least(tok_n / 100.0, 1.0) * (1.0 - stop_n / tok_n) * (uniq_n / tok_n)) * 1e4 + 0.5)/1e4 AS q
+      FROM (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text,' ')) AS DOUBLE) AS tok_n,
+          CAST(len(list_filter(string_split(text,' '),
+               x -> x IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) AS stop_n,
+          CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS uniq_n
+        FROM documents) t)"""
+
   val q42 = GQuery(
     "q42_quality_score",
     (s, dir) => {
@@ -75,7 +102,7 @@ object TextQueries {
         .select(col("doc_id"), col("lang"),
           graft.functions.Metrics.canonRound(stopRatio, 4).as("stop_ratio"),
           graft.functions.Metrics.canonRound(ttr, 4).as("type_token_ratio"),
-          graft.functions.Metrics.canonRound(least(nTok / 100.0, lit(1.0)) * (lit(1.0) - stopRatio) * ttr, 4)
+          graft.functions.Metrics.canonRound(qualityExpr(t), 4)
             .as("quality_score"))
         .orderBy("doc_id")
     },

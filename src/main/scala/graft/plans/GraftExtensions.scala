@@ -51,6 +51,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(0), exprs(1)))
     inject(e, "graft_shingles", 1, classOf[ShinglesGenerator],
       exprs => ShinglesGenerator(exprs.head))
+    inject(e, "graft_ngrams", 2, classOf[ShinglesGenerator],
+      exprs => {
+        val n = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map("functionName" -> "graft_ngrams",
+                "expectedNum" -> "a foldable INT n", "actualNum" -> s"$other",
+                "docroot" -> ""))
+          }
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "graft_ngrams",
+              "expectedNum" -> "a foldable INT n", "actualNum" -> "non-foldable",
+              "docroot" -> ""))
+        }
+        ShinglesGenerator(exprs(0), n)
+      })
     e.injectOptimizerRule(_ => CollapseIdempotentRound)
     e.injectOptimizerRule(_ => ThresholdLevenshtein)
   }

@@ -9,21 +9,25 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Table-generating expression (the Generator tier of the custom-Catalyst
   * surface, alongside scalar Expressions, the TopK/Reservoir Aggregators,
-  * and the optimizer Rules): word-bigram shingles of a text column, one
-  * output row per adjacent token pair.
+  * and the optimizer Rules): word n-gram shingles of a text column, one
+  * output row per window of `n` adjacent tokens (default 2 = bigrams).
   *
-  * Semantically identical to `explode(bigrams(split(text, ' ')))` — same
-  * regex-split, same ' '-joined pairs, empty for <2 tokens, no rows for
+  * Semantically identical to `explode(bigrams(split(text, ' ')))` (and,
+  * for n > 2, to the PipelineQueries.ngrams HOF composition) — same
+  * regex-split, same ' '-joined windows, empty for <n tokens, no rows for
   * NULL text (oracle-compatibility is proved by q56/q83 still
   * hash-matching after the swap). What the fused form saves is the
   * intermediate work: the HOF composition materializes a token ARRAY,
   * then an interpreted `transform` builds a shingle ARRAY, then explode
   * walks it — this generator goes straight from the string to output
   * rows, one UTF8String concat per shingle, no per-document arrays.
-  * Registered as `graft_shingles` (SQL: LATERAL VIEW compatible).
+  * Registered as `graft_shingles` (1-arg bigram form) and `graft_ngrams`
+  * (2-arg form, n a foldable literal); SQL LATERAL VIEW compatible.
   */
-case class ShinglesGenerator(child: Expression)
+case class ShinglesGenerator(child: Expression, n: Int = 2)
     extends UnaryExpression with Generator with CodegenFallback {
+
+  require(n >= 2, s"graft_ngrams needs n >= 2, got $n")
 
   private val space = UTF8String.fromString(" ")
 
@@ -42,12 +46,14 @@ case class ShinglesGenerator(child: Expression)
     else {
       // same split semantics as the SQL split(text, ' ') the HOF path uses
       val toks = v.asInstanceOf[UTF8String].split(space, -1)
-      if (toks.length < 2) Nil
+      if (toks.length < n) Nil
       else new Iterator[InternalRow] {
         private var i = 0
-        override def hasNext: Boolean = i < toks.length - 1
+        override def hasNext: Boolean = i <= toks.length - n
         override def next(): InternalRow = {
-          val r = InternalRow(UTF8String.concatWs(space, toks(i), toks(i + 1)))
+          val window = new Array[UTF8String](n)
+          System.arraycopy(toks, i, window, 0, n)
+          val r = InternalRow(UTF8String.concatWs(space, window: _*))
           i += 1
           r
         }

@@ -20,6 +20,7 @@ object Registry {
     graft.operators.RelationalQueries.all,
     graft.operators.EventQueries.all,
     graft.operators.TextQueries.all,
+    graft.operators.PipelineQueries.all,
     graft.operators.DedupQueries.all,
     graft.operators.SimilarityQueries.all,
     graft.operators.MLQueries.all,

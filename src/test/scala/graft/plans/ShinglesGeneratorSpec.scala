@@ -49,4 +49,46 @@ class ShinglesGeneratorSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_shingles") || e.getMessage.contains("STRING"))
   }
+
+  private def ngramTexts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "one two three",     // exactly n for n=3
+    "short pair",        // below n for n>2
+    "single",
+    "",
+    null)
+
+  test("graft_ngrams matches the PipelineQueries.ngrams HOF composition") {
+    import spark.implicits._
+    for (n <- Seq(2, 3, 5, 8)) {
+      val df = ngramTexts.zipWithIndex.map { case (t, i) => (i.toLong, Option(t)) }
+        .toDF("id", "text")
+      val gen = df.select(col("id"),
+          call_function("graft_ngrams", col("text"), lit(n)).as("ng"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+      val hof = df.select(col("id"),
+          explode(graft.operators.PipelineQueries.ngrams(split(col("text"), " "), n)).as("ng"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+      assert(gen == hof, s"n=$n")
+    }
+  }
+
+  test("graft_ngrams(text, 2) is exactly graft_shingles(text)") {
+    import spark.implicits._
+    val df = ngramTexts.zipWithIndex.map { case (t, i) => (i.toLong, Option(t)) }
+      .toDF("id", "text")
+    val two = df.select(call_function("graft_ngrams", col("text"), lit(2)))
+      .collect().map(_.getString(0)).toSeq
+    val bi = df.select(call_function("graft_shingles", col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(two == bi)
+  }
+
+  test("graft_ngrams rejects a non-foldable n") {
+    import spark.implicits._
+    val df = Seq(("a b c", 2)).toDF("text", "n")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_ngrams", col("text"), col("n"))).collect()
+    }
+  }
 }
