@@ -112,7 +112,13 @@ object PipelineQueries {
             .as("contamination_rate"))
         .orderBy("doc_id")
     },
-    Some("""WITH g AS (
+    Some(contaminationOracle))
+
+  /** Shared by q109 (batch) and q114 (streaming) — the result is a set
+    * property of the corpus, independent of arrival order, so one oracle
+    * checks both.
+    */
+  private def contaminationOracle: String = """WITH g AS (
         SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-7),
             i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS ng
         FROM documents),
@@ -125,7 +131,26 @@ object PipelineQueries {
         floor((CAST(h.n_contaminated AS DOUBLE)/CAST(p.n_ngrams AS DOUBLE)) * 1e4 + 0.5)/1e4
           AS contamination_rate
       FROM hits h JOIN per p ON h.doc_id = p.doc_id
-      ORDER BY h.doc_id"""))
+      ORDER BY h.doc_id"""
+
+  /** q109's decontamination scan as an INGEST-TIME stream (see
+    * streaming.ContaminationStreams): documents are checked against the
+    * static benchmark set as they land. Same output, same oracle —
+    * overlap is order-independent, so any micro-batching verifies.
+    */
+  val q114 = GQuery(
+    "q114_stream_contamination",
+    (s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_contam_q114_")
+      stage.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.ContaminationStreams.contaminationStream(
+        s, stage.toString, schema, dir, queryName = "stream_contamination_q114")
+    },
+    Some(contaminationOracle))
 
   /** Domain-mixture weights: temperature-sampled source weights
     * w_s ∝ n_tokens_s^α with α = 0.5 (sqrt is correctly rounded IEEE in
@@ -283,5 +308,5 @@ object PipelineQueries {
               /CAST(sum(n_tokens) OVER () AS DOUBLE)) * 1e4 + 0.5)/1e4 AS cum_token_share
       FROM b ORDER BY seq_bucket"""))
 
-  def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113)
+  def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114)
 }

@@ -185,4 +185,19 @@ class StreamingSpec extends SparkSpec {
     val missingPerUser = (batchSet -- streamSet).groupBy(_._1).view.mapValues(_.size)
     assert(missingPerUser.values.forall(_ == 1), "more than one unemitted session for some user")
   }
+
+  test("streaming contamination equals batch q109 regardless of micro-batching") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    // several landing files + maxFilesPerTrigger=1 → several micro-batches;
+    // overlap is a set property, so the result must not depend on the split
+    val landing = Files.createTempDirectory("graft_contam_spec_").toString
+    docs.repartition(3).write.mode("overwrite").parquet(landing)
+    val streamed = ContaminationStreams.contaminationStream(
+        spark, landing, docs.schema, sf001,
+        maxFilesPerTrigger = Some(1), queryName = "contam_spec")
+      .collect().toSeq
+    val batch = Registry.queries("q109_contamination")(spark, sf001).collect().toSeq
+    assert(streamed == batch)
+  }
 }
