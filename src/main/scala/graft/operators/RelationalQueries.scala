@@ -1016,7 +1016,87 @@ object RelationalQueries {
     },
     None)
 
+  /** Salted skew join, oracle-proved semantics-preserving: the salt is
+    * internal plumbing (big side scatters each key across `salt` buckets,
+    * small side replicates salt×), so the join RESULT must equal the
+    * plain equi join — which is exactly what the DuckDB oracle computes.
+    * This promotes operators.SkewJoin from spec-only into the hash gate.
+    *
+    * Scale: explicit salting is the deterministic fallback when one key
+    * owns a pathological share of the big side and AQE's runtime skew
+    * split can't help (e.g. a single-key broadcast-miss); the aggregate
+    * on top is map-side combinable either way.
+    */
+  val q115 = GQuery(
+    "q115_salted_join",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"))
+      val pt = Tables.part(s, dir).filter(col("p_size") <= 10)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      SkewJoin.saltedJoin(li, pt, "l_partkey", salt = 8)
+        .groupBy("p_brand")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 10
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** MERGE INTO / upsert as a full-outer join: the target is each
+    * customer's state as of the cutover date (latest order), the source
+    * is the post-cutover slice; the merge tags every key insert / update
+    * / keep and emits the new dimension state in one pass — the
+    * DataFrame-native MERGE shape (no per-row mutation loop).
+    *
+    * Scale: two window passes (one per slice, each a single shuffle on
+    * the key) + one full-outer shuffle join on the same key — AQE reuses
+    * the co-partitioning. No driver-side diffing.
+    */
+  val q116 = GQuery(
+    "q116_merge_upsert",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      def latest(df: DataFrame) = df
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("state_date"),
+          col("o_totalprice").as("state_price"))
+      val orders = Tables.orders(s, dir)
+      val target = latest(orders.filter(col("o_orderdate") < lit("2000-01-01")))
+        .withColumnRenamed("state_date", "t_date").withColumnRenamed("state_price", "t_price")
+      val source = latest(orders.filter(col("o_orderdate") >= lit("2000-01-01")))
+        .withColumnRenamed("state_date", "s_date").withColumnRenamed("state_price", "s_price")
+      target.join(source, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          when(col("s_date").isNull, lit("keep"))
+            .when(col("t_date").isNull, lit("insert"))
+            .otherwise(lit("update")).as("action"),
+          coalesce(col("s_date"), col("t_date")).as("state_date"),
+          coalesce(col("s_price"), col("t_price")).as("state_price"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH latest_t AS (
+        SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS t_date, o_totalprice AS t_price,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < DATE '2000-01-01'),
+      latest_s AS (
+        SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS s_date, o_totalprice AS s_price,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate >= DATE '2000-01-01')
+      SELECT coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+        CASE WHEN s.s_date IS NULL THEN 'keep'
+             WHEN t.t_date IS NULL THEN 'insert'
+             ELSE 'update' END AS action,
+        coalesce(s.s_date, t.t_date) AS state_date,
+        coalesce(s.s_price, t.t_price) AS state_price
+      FROM (SELECT * FROM latest_t WHERE rn = 1) t
+      FULL OUTER JOIN (SELECT * FROM latest_s WHERE rn = 1) s ON t.o_custkey = s.o_custkey
+      ORDER BY o_custkey"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96, q98)
+    q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96, q98,
+    q115, q116)
 }

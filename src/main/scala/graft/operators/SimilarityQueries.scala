@@ -313,5 +313,47 @@ object SimilarityQueries {
     },
     None)
 
-  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107)
+  /** Triangle enumeration over the embedding near-dup graph (q52's edge
+    * predicate): a near-dup CLUSTER-DENSITY audit — triangles are the
+    * smallest evidence that near-dup pairs close transitively, i.e. that
+    * the connected-components survivor policy (q83) is collapsing real
+    * cliques and not chains of borderline pairs.
+    *
+    * Distributed shape is the node-iterator / ordered-edge algorithm:
+    * edges kept only as a < b, triangles found by two hash equi joins
+    * (e1.b = e2.a, then close with e3 = (e1.a, e2.b)) — each triangle
+    * enumerated exactly once, no cross product, no driver adjacency. The
+    * edge list is cached: it feeds all three join sides. At 100 TB the
+    * edge list itself would come from the LSH-bucketed path (q103)
+    * instead of the sampled-exact pair join.
+    */
+  val q117 = GQuery(
+    "q117_triangle_count",
+    (s, dir) => {
+      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val a = d.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      val b = d.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+      val e = a.join(b, col("ia") < col("ib"))
+        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
+        .select("ia", "ib")
+        .cache()
+      e.count()
+      val e1 = e.select(col("ia").as("id_a"), col("ib").as("id_b"))
+      val e2 = e.select(col("ia").as("id_b"), col("ib").as("id_c"))
+      val e3 = e.select(col("ia").as("id_a"), col("ib").as("id_c"))
+      e1.join(e2, "id_b").join(e3, Seq("id_a", "id_c"))
+        .select("id_a", "id_b", "id_c")
+        .orderBy("id_a", "id_b", "id_c")
+    },
+    Some("""WITH d AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+      e AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+            FROM d a JOIN d b ON a.vec_id < b.vec_id
+            WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[]))) * 1e6 + 0.5)/1e6 > 0.25)
+      SELECT e1.ia AS id_a, e1.ib AS id_b, e2.ib AS id_c
+      FROM e e1 JOIN e e2 ON e1.ib = e2.ia
+                JOIN e e3 ON e3.ia = e1.ia AND e3.ib = e2.ib
+      ORDER BY id_a, id_b, id_c"""))
+
+  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117)
 }
