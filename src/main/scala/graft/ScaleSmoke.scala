@@ -129,6 +129,28 @@ object ScaleSmoke {
         dd.filter(col("sn") === 0), dd.filter(col("sn") =!= 0), "fp", 1000000L)
     }
 
+    // q109's decontamination shape: fused n-gram generator → 8-byte hash
+    // keys → distinct → benchmark-set equi join. Replicated docs keep the
+    // replica-perturbed text, so the benchmark n-gram set grows ~k× too —
+    // the join stays selective; both sides scale linearly.
+    def contamination(docs: DataFrame) = {
+      val g = docs
+        .select(col("doc_id"), call_function("graft_ngrams", col("text"), lit(8)).as("ngs"))
+        .select(col("doc_id"), xxhash64(col("ngs")).as("ng"))
+        .distinct().cache()
+      g.count()
+      val bench = g.filter(col("doc_id") % 17 === 0).select("ng").distinct()
+      g.filter(col("doc_id") % 17 =!= 0).join(bench, "ng")
+        .groupBy("doc_id").agg(count(lit(1)))
+    }
+
+    // q108's repetition-filter shape: generator → two map-side-combinable
+    // hash aggs, no join anywhere — the pure scan+agg pipeline
+    def repetition(docs: DataFrame) = docs
+      .select(col("doc_id"), call_function("graft_shingles", col("text")).as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c"), count(lit(1)), max("c"))
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("scan_agg", () => noop(scanAgg(l1)), () => noop(scanAgg(lk))),
       ("join_agg", () => noop(joinAgg(l1, o1)), () => noop(joinAgg(lk, ok))),
@@ -138,6 +160,8 @@ object ScaleSmoke {
       ("topk_agg", () => noop(topkAgg(l1)), () => noop(topkAgg(lk))),
       ("cc_distributed", () => noop(ccDistributed(d1)), () => noop(ccDistributed(dk))),
       ("bloom_anti", () => noop(bloomAnti(d1)), () => noop(bloomAnti(dk))),
+      ("contamination", () => noop(contamination(d1)), () => noop(contamination(dk))),
+      ("repetition", () => noop(repetition(d1)), () => noop(repetition(dk))),
       (s"setsim_join_k$k4", () => noop(setsim(d1)), () => noop(setsim(d4))),
       // the df guard at FULL k: hot prefix tokens stop generating df²
       // candidates; sets holding them route through the MinHash fallback
