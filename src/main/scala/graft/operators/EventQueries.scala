@@ -247,6 +247,31 @@ object EventQueries {
       FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
       ORDER BY c.event_id"""))
 
+  /** The same point-in-time alignment through the custom physical operator
+    * (plans.NativeAsOfJoin / AsOfJoinExec — LogicalPlan + Strategy +
+    * SparkPlan injected via GraftExtensions): one hash shuffle per side, a
+    * streaming in-partition merge sweep, no union row inflation. Shares
+    * q39's DuckDB ASOF JOIN oracle, so the custom exec itself is
+    * hash-verified cross-engine; AsOfJoinPlanSpec pins plan shape and
+    * composition parity.
+    */
+  val q118 = GQuery(
+    "q118_asof_native",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      graft.plans.NativeAsOfJoin.asof(clicks, purchases, "user_id", "click_ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          col("click_ts").cast("timestamp_ntz").as("click_ts"),
+          col("asof_ts").cast("timestamp_ntz").as("purchase_ts"),
+          graft.functions.Metrics.canonRound(col("asof_value"), 4).as("purchase_value"))
+        .orderBy("event_id")
+    },
+    q39.oracle)
+
   /** Attribution-window range join: clicks within the 30 minutes before
     * each purchase by the same user, counted per purchase. Exercises
     * operators.RangeJoin — the LARGE×LARGE interval join (bin-bucketed
@@ -434,5 +459,5 @@ object EventQueries {
     })
 
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q68, q76, q77, q94, q100)
+    q68, q76, q77, q94, q100, q118)
 }

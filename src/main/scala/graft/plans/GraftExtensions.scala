@@ -73,5 +73,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
     e.injectOptimizerRule(_ => CollapseIdempotentRound)
     e.injectOptimizerRule(_ => ThresholdLevenshtein)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
