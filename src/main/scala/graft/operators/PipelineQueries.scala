@@ -308,5 +308,103 @@ object PipelineQueries {
               /CAST(sum(n_tokens) OVER () AS DOUBLE)) * 1e4 + 0.5)/1e4 AS cum_token_share
       FROM b ORDER BY seq_bucket"""))
 
-  def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114)
+  /** Duplicated-span removal (exact substring dedup, Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — the suffix-array ExactSubstr dedup, approximated
+    * distributedly): any word 8-gram occurring in ≥2 distinct documents is
+    * a duplicated span; every word covered by such a span is masked out,
+    * and each document is re-emitted with its surviving words plus removal
+    * stats. Unlike document-level dedup (q40/q47), this removes boilerplate
+    * INSIDE otherwise-unique documents.
+    *
+    * Scale shape: occurrences→hot-grams is a hash agg on the gram;
+    * cover-positions is an equi join back on the gram (inflation bounded at
+    * ×k of HOT occurrences only); the rebuild is one groupBy(doc_id). No
+    * windows, no self-join, no driver state. At 100 TB the gram key would
+    * be a 128-bit hash instead of the string (collision-free in practice);
+    * the string key here keeps the whole pipeline DuckDB-verifiable.
+    * Output text is carried as md5(clean_text) so the hash gate checks the
+    * exact reconstruction without shipping megabytes through the oracle.
+    */
+  val q119 = GQuery(
+    "q119_span_dedup",
+    (s, dir) => {
+      val k = 8
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val occ = docs
+        .select(col("doc_id"), posexplode(ngrams(col("ws"), k)))
+        .toDF("doc_id", "p0", "g")
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+      val hot = occ.groupBy("g")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("g")
+      val cov = occ.join(hot, "g")
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1))).as("cp"))
+        .distinct()
+      val wp = docs
+        .select(col("doc_id"), posexplode(col("ws")))
+        .toDF("doc_id", "i0", "word")
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("word"))
+      val kept = wp.join(cov,
+        wp("doc_id") === cov("doc_id") && col("i") === col("cp"), "left_anti")
+      val keptAgg = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept_l"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("word")))),
+            x => x.getField("word")), " ")).as("clean_md5"))
+      docs.select(col("doc_id"), size(col("ws")).as("n_words"))
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("n_kept_l"), lit(0L)).cast("int").as("n_kept"),
+          (col("n_words") - coalesce(col("n_kept_l"), lit(0L)).cast("int")).as("n_removed"),
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      p0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-7)) AS p
+             FROM w WHERE len(ws) >= 8),
+      occ AS (SELECT doc_id, p, array_to_string(ws[p:p+7], ' ') AS g FROM p0),
+      hot AS (SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT doc_id, cp FROM (
+        SELECT o.doc_id, unnest(generate_series(o.p, o.p+7)) AS cp
+        FROM occ o JOIN hot USING (g))),
+      wp0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+      wp AS (SELECT doc_id, i, ws[i] AS word FROM wp0),
+      kept AS (SELECT wp.doc_id, wp.i, wp.word FROM wp
+               LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.i = cov.cp
+               WHERE cov.cp IS NULL),
+      ka AS (SELECT doc_id, count(*) AS n_kept,
+                    md5(string_agg(word, ' ' ORDER BY i)) AS clean_md5
+             FROM kept GROUP BY doc_id)
+      SELECT w.doc_id, CAST(len(w.ws) AS INTEGER) AS n_words,
+        CAST(coalesce(ka.n_kept, 0) AS INTEGER) AS n_kept,
+        CAST(len(w.ws) - coalesce(ka.n_kept, 0) AS INTEGER) AS n_removed,
+        coalesce(ka.clean_md5, md5('')) AS clean_md5
+      FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id
+      ORDER BY w.doc_id"""))
+
+  /** Shuffled-shard export manifest (sources.ShardExport): the
+    * training-data writer's plan — seeded md5 shuffle hash, shard =
+    * hash % 8, per-shard doc/token totals and the md5 digest of the exact
+    * within-shard doc order the writer lays down. Verifies the whole
+    * export layout (assignment AND order) cross-engine; ShardExportSpec
+    * additionally writes real parquet shards and checks the files against
+    * this manifest. No global sort anywhere — see ShardExport scaladoc.
+    */
+  val q120 = GQuery(
+    "q120_shard_manifest",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.sources.ShardExport.manifest(
+        docs, "doc_id", size(split(col("text"), " ")), nShards = 8, seed = "graft")
+    },
+    Some("""WITH d AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok,
+        CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+        FROM documents),
+      s AS (SELECT *, CAST(h % 8 AS INTEGER) AS shard FROM d)
+      SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS seq_md5
+      FROM s GROUP BY shard ORDER BY shard"""))
+
+  def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114, q119, q120)
 }

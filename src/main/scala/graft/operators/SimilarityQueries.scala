@@ -355,5 +355,68 @@ object SimilarityQueries {
                 JOIN e e3 ON e3.ia = e1.ia AND e3.ib = e2.ib
       ORDER BY id_a, id_b, id_c"""))
 
-  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117)
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * quantize the corpus into clusters, then inside each cluster drop any
+    * vector whose cosine to an earlier-ranked member exceeds τ, where rank
+    * = ascending similarity-to-centroid — SemDeDup's "keep the outliers,
+    * drop the redundant core" rule. The paper's k-means quantizer is
+    * replaced by a DETERMINISTIC anchor quantizer (every 31st vector is an
+    * anchor; assignment = max rounded cosine, anchor id tie-break), which
+    * keeps the whole pipeline — assignment, ranking, pruning — exactly
+    * reproducible and DuckDB-verifiable. SimilaritySpec pins the
+    * kept-set/dropped-set invariants.
+    *
+    * Scale shape: anchors are broadcast (k vectors), assignment is one
+    * streamed pass; the quadratic step is confined within clusters — at
+    * scale the quantizer caps cluster sizes (more anchors), exactly as
+    * SemDeDup prescribes, and each cluster's pairing is an equi self-join
+    * on the cluster id.
+    */
+  val q121 = GQuery(
+    "q121_semantic_dedup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val anchors = e.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_emb"))
+      val assigned = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(anchors))
+        .withColumn("cos_c",
+          graft.functions.Metrics.canonRound(VectorOps.cosine(col("embedding"), col("anchor_emb")), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("anchor_id"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"),
+          col("anchor_id").as("cluster"), col("cos_c").as("cos_centroid"))
+      val ranked = assigned.withColumn("pos", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("cos_centroid"), col("vec_id"))))
+      val a = ranked.select(col("cluster"), col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("pos").as("pos_a"))
+      val b = ranked.select(col("cluster").as("cluster_b"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("pos").as("pos_b"))
+      val dups = a.join(b, col("cluster") === col("cluster_b") && col("pos_a") < col("pos_b"))
+        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) >= 0.3)
+        .select(col("id_b").as("dup_id")).distinct()
+      ranked.join(dups, col("vec_id") === col("dup_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("cos_centroid"),
+          col("dup_id").isNull.cast("int").as("keep"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      anch AS (SELECT vec_id AS anchor_id, emb AS aemb FROM e WHERE vec_id % 31 = 0),
+      asg0 AS (SELECT e.vec_id, e.emb, anchor_id,
+        floor(list_cosine_similarity(e.emb, aemb)*1e6 + 0.5)/1e6 AS cos_c FROM e, anch),
+      asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, anchor_id) AS rk
+              FROM asg0),
+      m AS (SELECT vec_id, emb, anchor_id AS cluster, cos_c AS cos_centroid FROM asg WHERE rk = 1),
+      r AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY cos_centroid, vec_id) AS pos
+            FROM m),
+      dups AS (SELECT DISTINCT b.vec_id AS dup_id
+        FROM r a JOIN r b ON a.cluster = b.cluster AND a.pos < b.pos
+        WHERE floor(list_cosine_similarity(a.emb, b.emb)*1e6 + 0.5)/1e6 >= 0.3)
+      SELECT r.vec_id, r.cluster, r.cos_centroid,
+        CAST(CASE WHEN d.dup_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM r LEFT JOIN dups d ON r.vec_id = d.dup_id
+      ORDER BY r.vec_id"""))
+
+  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121)
 }

@@ -45,4 +45,41 @@ class SimilaritySpec extends SparkSpec {
       assert(inExact == exact(q).filter(inExact.contains), s"order broken for probe $q")
     }
   }
+
+  test("SemDeDup kept set equals an independent greedy recomputation") {
+    import graft.Tables
+    val out = Registry.queries("q121_semantic_dedup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    // independent recomputation on the driver from raw embeddings
+    val embs = Tables.embeddings(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(d / math.sqrt(na * nb) * 1e6 + 0.5) / 1e6
+    }
+    val anchors = embs.keys.filter(_ % 31 == 0).toSeq.sorted
+    val assign = embs.keys.toSeq.sorted.map { id =>
+      val best = anchors.map(a => (a, cos(embs(id), embs(a)))).maxBy { case (a, c) => (c, -a) }
+      (id, best._1, best._2)
+    }
+    val expectedKeep = assign.groupBy(_._2).flatMap { case (_, members) =>
+      val ordered = members.sortBy { case (id, _, c) => (c, id) }
+      val kept = scala.collection.mutable.Buffer[Long]()
+      val res = ordered.map { case (id, _, _) =>
+        val dup = ordered.takeWhile(_._1 != id).exists { case (prev, _, _) =>
+          cos(embs(prev), embs(id)) >= 0.3 }
+        if (!dup) kept += id
+        id -> (if (dup) 0 else 1)
+      }
+      res
+    }
+    out.foreach { case (id, _, keep) =>
+      assert(expectedKeep(id) == keep, s"vec $id keep flag")
+    }
+    // every cluster keeps its rank-1 (least-central) member
+    out.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.exists(_._3 == 1), s"cluster $c kept nothing") }
+  }
 }
