@@ -418,5 +418,67 @@ object SimilarityQueries {
       FROM r LEFT JOIN dups d ON r.vec_id = d.dup_id
       ORDER BY r.vec_id"""))
 
-  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121)
+  /** PageRank centrality over the embedding near-dup graph (q52's edge
+    * set) — the "pick the canonical representative by centrality" step of
+    * a dedup pipeline, and the engine's demonstration of an ITERATIVE
+    * distributed algorithm beyond connected components. Power iteration,
+    * d=0.85, 10 fixed rounds, restricted to nodes with ≥1 edge (so no
+    * dangling-mass term); every quantity is deterministic, so the oracle
+    * is the same 10 rounds unrolled as chained CTEs in DuckDB.
+    *
+    * Scale shape per round: one equi join (rank onto edges) + one hash
+    * agg (sum of contributions by target) — the classic Pregel-as-SQL
+    * round. Edge and degree frames are computed once and cached;
+    * iteration count is fixed, so the lineage is bounded and
+    * AQE re-plans each round's shuffle independently.
+    */
+  val q122 = GQuery(
+    "q122_pagerank_centrality",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
+        .select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg")).cache()
+      val edgesD = edges.join(deg, "u").cache() // (u, v, deg)
+      val n = deg.count()
+      var rank = deg.select(col("u").as("vec_id"), lit(1.0 / n).as("pr"))
+      for (_ <- 1 to 10) {
+        val contrib = edgesD.join(rank, col("u") === col("vec_id"))
+          .groupBy(col("v")).agg(sum(col("pr") / col("deg")).as("c"))
+        rank = deg.select(col("u").as("vec_id"))
+          .join(contrib, col("vec_id") === col("v"), "left")
+          .select(col("vec_id"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("pr"))
+      }
+      rank.select(col("vec_id"),
+          graft.functions.Metrics.canonRound(col("pr"), 6).as("pagerank"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val iters = (1 to 10).map { i =>
+        s"""pr$i AS (
+        SELECT e.v AS vec_id, 0.15/(SELECT nn FROM n) + 0.85*sum(p.pr/dg.deg) AS pr
+        FROM edges e JOIN pr${i - 1} p ON p.vec_id = e.u JOIN deg dg ON dg.u = e.u
+        GROUP BY e.v)"""
+      }.mkString(",\n      ")
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE vec_id % 5 = 0),
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM d a JOIN d b ON a.vec_id < b.vec_id
+        WHERE floor(list_cosine_similarity(a.emb, b.emb)*1e6 + 0.5)/1e6 > 0.25),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+      n AS (SELECT count(*) AS nn FROM deg),
+      pr0 AS (SELECT u AS vec_id, 1.0/(SELECT nn FROM n) AS pr FROM deg),
+      $iters
+      SELECT vec_id, floor(pr*1e6 + 0.5)/1e6 AS pagerank FROM pr10 ORDER BY vec_id"""
+    })
+
+  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122)
 }

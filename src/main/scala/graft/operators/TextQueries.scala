@@ -762,6 +762,57 @@ object TextQueries {
       FROM staged GROUP BY source ORDER BY source"""
     })
 
+  /** BM25 retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75) for a fixed
+    * term query over the corpus — the "find training docs about X" search
+    * primitive TF-IDF (q90) stops short of. Scored docs are emitted in
+    * doc_id order with the rounded score rather than score-ranked, so the
+    * oracle comparison never depends on float-ordering ties.
+    *
+    * Scale shape: tf is a hash agg on (doc_id, term) AFTER the term
+    * filter is pushed into the explode output (only query-term rows
+    * shuffle); df and the corpus stats are broadcast scalars. One shuffle
+    * of query-term hits + one per-doc agg.
+    */
+  val q123 = GQuery(
+    "q123_bm25_search",
+    (s, dir) => {
+      val terms = Seq("spark", "query", "join")
+      val k1 = 1.2
+      val bb = 0.75
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val stats = len.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
+      val tf = tok.filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select("doc_id", "term").distinct()
+        .filter(col("term").isin(terms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(len, "doc_id").join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df").cast("double") + 0.5) + 1.0))
+        .withColumn("s", col("idf") * (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") + lit(k1) * (lit(1) - lit(bb) + lit(bb) * col("len").cast("double") / col("avg_len"))))
+        .groupBy("doc_id").agg(sum("s").as("s_sum"), count(lit(1)).as("n_terms_hit"))
+        .select(col("doc_id"), col("n_terms_hit"),
+          graft.functions.Metrics.canonRound(col("s_sum"), 6).as("bm25"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      len AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM len),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             WHERE term IN ('spark','query','join') GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                WHERE term IN ('spark','query','join') GROUP BY 1),
+      sc AS (SELECT t.doc_id,
+          ln((CAST(st.n_docs AS DOUBLE) - d.df + 0.5)/(CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+          * (CAST(t.tf AS DOUBLE)*(1.2 + 1))
+          / (CAST(t.tf AS DOUBLE) + 1.2*(1 - 0.75 + 0.75*CAST(l.len AS DOUBLE)/st.avg_len)) AS s
+        FROM tf t JOIN len l USING (doc_id) JOIN dfreq d USING (term), st)
+      SELECT doc_id, count(*) AS n_terms_hit, floor(sum(s)*1e6 + 0.5)/1e6 AS bm25
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85, q86, q87, q88, q90, q91, q92, q104, q106)
+    q85, q86, q87, q88, q90, q91, q92, q104, q106, q123)
 }
