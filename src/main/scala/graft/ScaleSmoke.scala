@@ -151,6 +151,67 @@ object ScaleSmoke {
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(sum("c"), count(lit(1)), max("c"))
 
+    // q119's span-dedup shape: occurrences → hot-gram hash agg → cover
+    // join → per-doc rebuild. Replication makes every original doc's
+    // grams hot (k clones each), so the cover join emits ~all positions —
+    // the worst case for this operator; every stage must still be linear.
+    def spanDedup(docs: DataFrame) = {
+      val kgram = 8
+      val ds = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val occ = ds.select(col("doc_id"),
+          posexplode(operators.PipelineQueries.ngrams(col("ws"), kgram)))
+        .toDF("doc_id", "p0", "g")
+        .select(col("doc_id"), (col("p0") + 1).as("p"), xxhash64(col("g")).as("g"))
+      val hot = occ.groupBy("g").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("g")
+      val cov = occ.join(hot, "g")
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + (kgram - 1))).as("cp"))
+        .distinct()
+      cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    }
+
+    // q122's iteration shape: 10 PageRank rounds (equi join + hash agg
+    // per round) over an edge list replicated with disjoint node ids —
+    // isolates the per-round scaling from graph construction
+    def pagerank(pairs: DataFrame) = {
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg")).cache()
+      val edgesD = edges.join(deg, "u").cache()
+      val n = math.max(deg.count(), 1L)
+      var rank = deg.select(col("u").as("vec_id"), lit(1.0 / n).as("pr"))
+      for (_ <- 1 to 10) {
+        val contrib = edgesD.join(rank, col("u") === col("vec_id"))
+          .groupBy(col("v")).agg(sum(col("pr") / col("deg")).as("c"))
+        rank = deg.select(col("u").as("vec_id"))
+          .join(contrib, col("vec_id") === col("v"), "left")
+          .select(col("vec_id"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("pr"))
+      }
+      rank
+    }
+    val prPairs = {
+      val em = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 5 === 0)
+      val a = em.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = em.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .filter(functions.VectorOps.cosine(col("va"), col("vb")) > 0.25)
+        .select("id_a", "id_b").cache()
+    }
+    prPairs.count()
+    val prPairsK = replicate(prPairs, Seq("id_a", "id_b"))
+
+    // the as-of merge, both tiers: union+window composition vs the custom
+    // AsOfJoinExec (one shuffle per side, streaming sweep)
+    def asofClicks(e: DataFrame) = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+    def asofPurch(e: DataFrame) = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
+    def asofComposed(e: DataFrame) =
+      operators.AsOfJoin.asof(asofClicks(e), asofPurch(e), "user_id", "click_ts", "ts", Seq("value"))
+    def asofNative(e: DataFrame) =
+      plans.NativeAsOfJoin.asof(asofClicks(e), asofPurch(e), "user_id", "click_ts", "ts", Seq("value"))
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("scan_agg", () => noop(scanAgg(l1)), () => noop(scanAgg(lk))),
       ("join_agg", () => noop(joinAgg(l1, o1)), () => noop(joinAgg(lk, ok))),
@@ -162,6 +223,10 @@ object ScaleSmoke {
       ("bloom_anti", () => noop(bloomAnti(d1)), () => noop(bloomAnti(dk))),
       ("contamination", () => noop(contamination(d1)), () => noop(contamination(dk))),
       ("repetition", () => noop(repetition(d1)), () => noop(repetition(dk))),
+      ("span_dedup", () => noop(spanDedup(d1)), () => noop(spanDedup(dk))),
+      ("pagerank_rounds", () => noop(pagerank(prPairs)), () => noop(pagerank(prPairsK))),
+      ("asof_composed", () => noop(asofComposed(e1)), () => noop(asofComposed(ek))),
+      ("asof_native", () => noop(asofNative(e1)), () => noop(asofNative(ek))),
       (s"setsim_join_k$k4", () => noop(setsim(d1)), () => noop(setsim(d4))),
       // the df guard at FULL k: hot prefix tokens stop generating df²
       // candidates; sets holding them route through the MinHash fallback
