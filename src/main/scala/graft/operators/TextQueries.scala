@@ -813,6 +813,57 @@ object TextQueries {
       SELECT doc_id, count(*) AS n_terms_hit, floor(sum(s)*1e6 + 0.5)/1e6 AS bm25
       FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Count-min sketch heavy-hitter estimation (Cormode-Muthukrishnan
+    * 2005), deterministic edition: d=4 rows × w=256 columns, row hashes by
+    * Kirsch-Mitzenmacher double hashing over the md5 halves (the repo's
+    * standard cross-engine scheme). The sketch build is ONE re-aggregable
+    * hash agg — mergeable across shards/grains exactly like the q98 HLL
+    * rollup — and the query emits each term's CMS estimate next to its
+    * exact count, so the oracle verifies the estimates cell-for-cell AND
+    * the e ≥ exact overestimate invariant is visible in the output.
+    * Completes the sketch family: HLL (cardinality, q27/q98), Bloom
+    * (membership, q86), CMS (frequency).
+    *
+    * Scale shape: the sketch is 1024 cells regardless of corpus size —
+    * the whole point; at 100 TB the same groupBy produces the same 1024
+    * rows and the candidate-estimate join is a broadcast of the sketch.
+    */
+  val q124 = GQuery(
+    "q124_countmin_heavy",
+    (s, dir) => {
+      val d = 4
+      val w = 256L
+      val tok = Tables.documents(s, dir).select(explode(tokens(col("text"))).as("term"))
+      def withSlots(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("md", md5(col("term")))
+        .withColumn("h1", conv(substring(col("md"), 1, 15), 16, 10).cast("long"))
+        .withColumn("h2", conv(substring(col("md"), 17, 15), 16, 10).cast("long"))
+        .select(df.columns.map(col) :+
+          posexplode(array((0 until d).map(i =>
+            pmod(col("h1") + lit(i.toLong) * col("h2"), lit(w))): _*)).as(Seq("row", "slot")): _*)
+      val sketch = withSlots(tok).groupBy("row", "slot").agg(count(lit(1)).as("c"))
+      val terms = tok.groupBy("term").agg(count(lit(1)).as("exact"))
+      withSlots(terms).join(sketch, Seq("row", "slot"))
+        .groupBy("term").agg(max("exact").as("exact"), min("c").as("est"))
+        .select(col("term"), col("exact"), col("est"), (col("est") - col("exact")).as("overcount"))
+        .orderBy("term")
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS term FROM documents),
+      th AS (SELECT term, count(*) AS exact,
+               CAST(('0x' || substr(md5(term),1,15)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(term),17,15)) AS BIGINT) AS h2
+             FROM tok GROUP BY term),
+      rows_ AS (SELECT unnest([0,1,2,3]) AS r),
+      cells AS (SELECT t.term, r.r AS row_, (th.h1 + r.r*th.h2) % 256 AS slot, th.exact
+        FROM tok t JOIN th USING (term), rows_ r),
+      sketch AS (SELECT row_, slot, count(*) AS c FROM cells GROUP BY 1, 2),
+      tslots AS (SELECT term, exact, r.r AS row_, (h1 + r.r*h2) % 256 AS slot
+        FROM th, rows_ r)
+      SELECT ts.term, max(ts.exact) AS exact, min(sk.c) AS est,
+             min(sk.c) - max(ts.exact) AS overcount
+      FROM tslots ts JOIN sketch sk ON ts.row_ = sk.row_ AND ts.slot = sk.slot
+      GROUP BY ts.term ORDER BY ts.term"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85, q86, q87, q88, q90, q91, q92, q104, q106, q123)
+    q85, q86, q87, q88, q90, q91, q92, q104, q106, q123, q124)
 }
