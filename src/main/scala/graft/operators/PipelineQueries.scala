@@ -406,5 +406,45 @@ object PipelineQueries {
         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS seq_md5
       FROM s GROUP BY shard ORDER BY shard"""))
 
-  def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114, q119, q120)
+  /** Z-order clustering witness (sources.ZOrderLayout + the codegen
+    * Morton expression plans.ZValueExpr): rank-code (customer, order-day)
+    * into a 256×256 space, interleave bits, cut 16 z-contiguous files,
+    * and report each file's row count and bounding box — the min/max
+    * footer stats a lakehouse writer persists, i.e. the numbers that
+    * decide whether a predicate on EITHER column can skip the file.
+    *
+    * The ntile windows are the oracle-friendly witness form; the actual
+    * 100 TB writer rank-codes via broadcast quantile boundaries and cuts
+    * files with `repartitionByRange(nFiles, z).sortWithinPartitions(z)` —
+    * see the ZOrderLayout scaladoc. PlansSpec additionally asserts the
+    * layout QUALITY: mean per-file extent is ~1/√16 of the domain in BOTH
+    * dimensions, where a single-column sort leaves the other dimension's
+    * extent at ~100% — which is the whole point of the curve.
+    */
+  val q125 = GQuery(
+    "q125_zorder_layout",
+    (s, dir) => {
+      import graft.sources.ZOrderLayout
+      val coded = Tables.orders(s, dir).select(
+        ZOrderLayout.rankCode(col("o_custkey"), col("o_orderkey"), 256).as("x"),
+        ZOrderLayout.rankCode(to_date(col("o_orderdate")), col("o_orderkey"), 256).as("y"),
+        col("o_orderkey").as("tb"))
+      ZOrderLayout.layoutStats(coded, nFiles = 16)
+    },
+    Some {
+      val z = graft.sources.ZOrderLayout.interleaveSql("x", "y")
+      s"""WITH c AS (SELECT o_orderkey,
+          CAST(ntile(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS INTEGER) AS x,
+          CAST(ntile(256) OVER (ORDER BY CAST(o_orderdate AS DATE), o_orderkey) - 1 AS INTEGER) AS y
+        FROM orders),
+        zc AS (SELECT *, CAST($z AS BIGINT) AS z FROM c),
+        f AS (SELECT *, ntile(16) OVER (ORDER BY z, o_orderkey) AS file_id FROM zc)
+        SELECT CAST(file_id AS INTEGER) AS file_id, count(*) AS n,
+          min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max,
+          min(z) AS z_min, max(z) AS z_max
+        FROM f GROUP BY file_id ORDER BY file_id"""
+    })
+
+  def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114, q119, q120,
+    q125)
 }

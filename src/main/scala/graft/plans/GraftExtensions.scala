@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => L2DistExpr(exprs(0), exprs(1)))
     inject(e, "graft_eq_count", 2, classOf[ArrayEqCountExpr],
       exprs => ArrayEqCountExpr(exprs(0), exprs(1)))
+    inject(e, "graft_zvalue", 2, classOf[ZValueExpr],
+      exprs => ZValueExpr(exprs(0), exprs(1)))
     // Spark's internal bloom-filter pair, surfaced for the user-driven
     // "probe against a reference corpus" shape (operators.BloomJoin) that
     // the automatic runtime-filter rewrite cannot express. The aggregate

@@ -241,6 +241,66 @@ class PlansSpec extends SparkSpec {
     assert(read.count() == l.filter(col("ship_month") === "1996-03").count())
   }
 
+  test("ZValueExpr: Morton interleave parity, nulls, SQL, codegen") {
+    import spark.implicits._
+    // reference interleave: bit i of a -> 2i+1, bit i of b -> 2i
+    def ref(a: Int, b: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1).toLong << (2 * i + 1)
+        z |= ((b >> i) & 1).toLong << (2 * i)
+      }
+      z
+    }
+    val cases = Seq((0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
+      (65536, 2), (70000, 70001)) // >16-bit inputs mask, not error
+    val got = cases.toDF("a", "b")
+      .select(ZValueExpr.zvalue(col("a"), col("b")).as("z")).collect().map(_.getLong(0))
+    cases.map { case (a, b) => ref(a & 0xffff, b & 0xffff) }
+      .zip(got).foreach { case (e, g) => assert(e == g) }
+    // z-curve locality sanity: interleave is monotone along each axis slice
+    assert(ref(3, 0) < ref(4, 0) && ref(0, 3) < ref(0, 4))
+    // nulls propagate
+    val n = Seq((Some(1), None: Option[Int])).toDF("a", "b")
+      .select(ZValueExpr.zvalue(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+    // SQL registration + whole-stage codegen on a real scan
+    assert(spark.sql("SELECT graft_zvalue(3, 5)").head().getLong(0) == ref(3, 5))
+    val plan = Tables.orders(spark, sf001)
+      .select(ZValueExpr.zvalue(col("o_custkey").cast("int"), lit(7)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_zvalue"),
+      plan.linesIterator.take(6).mkString("\n"))
+  }
+
+  test("z-order layout bounds BOTH dimensions where a single-column sort bounds one") {
+    import graft.sources.ZOrderLayout
+    val o = Tables.orders(spark, sf001)
+    val coded = o.select(
+      ZOrderLayout.rankCode(col("o_custkey"), col("o_orderkey"), 256).as("x"),
+      ZOrderLayout.rankCode(to_date(col("o_orderdate")), col("o_orderkey"), 256).as("y"),
+      col("o_orderkey").as("tb"))
+    val (zx, zy) = ZOrderLayout.meanExtentFractions(
+      ZOrderLayout.layoutStats(coded, nFiles = 16))
+    // same file count, files cut along an x-only sort: y extent ~ full domain
+    val singleStats = coded
+      .withColumn("file_id", ntile(16).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("x"), col("tb"))))
+      .groupBy("file_id")
+      .agg(min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+    val (sx, sy) = ZOrderLayout.meanExtentFractions(singleStats)
+    // single sort: perfect on its own dimension, useless on the other
+    assert(sx < 0.10 && sy > 0.90, s"single-sort extents ($sx, $sy)")
+    // z-order: an equal-count z range spans at most ~2 aligned 64x64
+    // tiles, so each dimension's extent sits in [1/4, 1/2] of the domain
+    // (measured ~0.31/0.43) — bounded on BOTH axes, so min/max stats skip
+    // files for predicates on either column
+    assert(zx < 0.55 && zy < 0.55, s"z-order extents ($zx, $zy) should be bounded on both axes")
+    assert(math.max(zx, zy) < sy * 0.6,
+      s"z worst-dimension ${math.max(zx, zy)} should clearly beat single-sort worst $sy")
+  }
+
   test("salted join preserves inner-join semantics") {
     val o = Tables.orders(spark, sf001)
     val c = Tables.customer(spark, sf001)
