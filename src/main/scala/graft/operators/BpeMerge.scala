@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE-style merge-rule learning over a tokenized corpus — the TRAINING
+  * side of a tokenizer (Sennrich et al. 2016, "Neural Machine Translation
+  * of Rare Words with Subword Units"), run at word granularity: each step
+  * counts adjacent token pairs corpus-wide, picks the most frequent
+  * (deterministic tie-break: count desc, then pair lexicographic), fuses
+  * every non-overlapping occurrence left-to-right, and repeats. The
+  * learned merge table IS the tokenizer model.
+  *
+  * Scale shape per step: pair counting is one map-side-combinable hash
+  * agg over the corpus; the winner is a single collected scalar (the same
+  * distributed-build→literal pattern as the bloom probe); merge
+  * application is a narrow per-row string map. K steps = K scans — a real
+  * corpus-scale trainer batches the top-B non-conflicting pairs per scan
+  * to cut rounds, which changes none of the dataflow below.
+  *
+  * Merge application uses the doubled-delimiter encoding so that plain
+  * non-regex `replace` (present, with identical leftmost-first
+  * non-overlapping semantics, in both Spark and DuckDB) implements BPE's
+  * left-to-right fusion exactly: tokens are separated by TWO spaces and
+  * the string is two-space padded; replacing ` a  b ` with ` a_b `
+  * consumes one space from each flank, so adjacent matches cannot overlap
+  * and the doubled-separator invariant survives every step. That makes
+  * the whole iterative training run — counts, winners, and corpus state —
+  * reproducible as 6 unrolled CTE rounds in the DuckDB oracle (q126).
+  */
+object BpeMerge {
+
+  final case class Merge(step: Int, lhs: String, rhs: String, merged: String, cnt: Long)
+
+  /** Two-space padded, two-space separated encoding of a one-space
+    * separated token string.
+    */
+  def doubled(text: Column): Column =
+    concat(lit("  "), replace(text, lit(" "), lit("  ")), lit("  "))
+
+  /** Tokens of a doubled-encoding string. */
+  def tokensOf(s: Column): Column = split(trim(s), "  ")
+
+  /** Learn `steps` merge rules from `docs(textCol)` (one-space separated
+    * tokens). Returns the merge table; the corpus state is internal.
+    */
+  def learn(docs: DataFrame, textCol: String, steps: Int): Seq[Merge] = {
+    var corpus = docs.select(doubled(col(textCol)).as("s")).cache()
+    val out = Seq.newBuilder[Merge]
+    for (step <- 1 to steps) {
+      val toks = tokensOf(col("s"))
+      val best = corpus
+        .select(explode(PipelineQueries.ngrams(toks, 2)).as("g"))
+        .select(split(col("g"), " ").getItem(0).as("lhs"),
+          split(col("g"), " ").getItem(1).as("rhs"))
+        .groupBy("lhs", "rhs").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .head()
+      val (lhs, rhs, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      out += Merge(step, lhs, rhs, s"${lhs}_$rhs", cnt)
+      val next = corpus.select(replace(col("s"),
+        lit(s" $lhs  $rhs "), lit(s" ${lhs}_$rhs ")).as("s")).cache()
+      next.count()
+      corpus.unpersist()
+      corpus = next
+    }
+    corpus.unpersist()
+    out.result()
+  }
+
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+  }
+
+  /** The DuckDB twin of [[learn]]: `steps` unrolled rounds of
+    * count→argmax→replace as chained CTEs over the `documents` table.
+    * Each round's corpus state is MATERIALIZED and its winner joined in
+    * exactly once — with plain CTEs the planner inlines every reference,
+    * so round r's state would be recomputed once per downstream use and
+    * the chain goes exponential in `steps` (measured: ~8 min at sf0.1
+    * for 6 rounds vs seconds materialized).
+    */
+  def oracleSql(steps: Int): String = {
+    val rounds = (1 to steps).map { r =>
+      s"""t$r AS (SELECT doc_id, string_split(trim(s), '  ') AS l FROM c$r),
+      x$r AS (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i FROM t$r WHERE len(l) >= 2),
+      b$r AS MATERIALIZED (SELECT l[i] AS lhs, l[i+1] AS rhs, count(*) AS cnt FROM x$r
+              GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      c${r + 1} AS MATERIALIZED (SELECT doc_id,
+        replace(s, ' '||b.lhs||'  '||b.rhs||' ', ' '||b.lhs||'_'||b.rhs||' ') AS s
+        FROM c$r, b$r b)"""
+    }.mkString(",\n      ")
+    val union = (1 to steps).map(r =>
+      s"SELECT $r AS step, lhs, rhs, lhs||'_'||rhs AS merged, cnt FROM b$r")
+      .mkString("\n        UNION ALL ")
+    s"""WITH c1 AS MATERIALIZED (SELECT doc_id, '  ' || replace(text, ' ', '  ') || '  ' AS s FROM documents),
+      $rounds
+      SELECT * FROM (
+        $union)
+      ORDER BY step"""
+  }
+}

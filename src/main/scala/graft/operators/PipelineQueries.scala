@@ -445,6 +445,20 @@ object PipelineQueries {
         FROM f GROUP BY file_id ORDER BY file_id"""
     })
 
+  /** BPE merge-rule learning (operators.BpeMerge): 6 steps of
+    * count-adjacent-pairs → argmax → fuse, word-granular, over the
+    * documents corpus — distributed tokenizer TRAINING, verified end to
+    * end because the doubled-delimiter replace trick makes every round's
+    * corpus state engine-agnostic. The oracle is the same 6 rounds
+    * unrolled as CTEs.
+    */
+  val q126 = GQuery(
+    "q126_bpe_merges",
+    (s, dir) => graft.operators.BpeMerge.mergesDf(s,
+      graft.operators.BpeMerge.learn(Tables.documents(s, dir), "text", steps = 6))
+      .orderBy("step"),
+    Some(graft.operators.BpeMerge.oracleSql(6)))
+
   def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114, q119, q120,
-    q125)
+    q125, q126)
 }
