@@ -480,5 +480,17 @@ object SimilarityQueries {
       SELECT vec_id, floor(pr*1e6 + 0.5)/1e6 AS pagerank FROM pr10 ORDER BY vec_id"""
     })
 
-  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122)
+  /** Deterministic Lloyd's k-means (operators.KMeansLloyd): 3 full
+    * assign/update rounds, k=8, seeded by the lowest vec_ids — the
+    * oracle-checked member of the clustering family (q53's MLlib KMeans
+    * is rows-only by nature). Every round of the iteration is replayed
+    * by the DuckDB oracle.
+    */
+  val q127 = GQuery(
+    "q127_kmeans_lloyd",
+    (s, dir) => KMeansLloyd.fit(Tables.embeddings(s, dir), k = 8, rounds = 3),
+    Some(KMeansLloyd.oracleSql(k = 8, rounds = 3, dim = 64)))
+
+  def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
+    q127)
 }
