@@ -201,6 +201,36 @@ object ScaleSmoke {
     prPairs.count()
     val prPairsK = replicate(prPairs, Seq("id_a", "id_b"))
 
+    // q125's layout shape. The ntile windows are the oracle-witness form
+    // (single-partition global sorts); a production writer replaces them
+    // with broadcast quantile boundaries + repartitionByRange — this row
+    // measures how far the witness form itself carries before that swap
+    // becomes mandatory.
+    def zorder(o: DataFrame) = {
+      val coded = o.select(
+        sources.ZOrderLayout.rankCode(col("o_custkey"), col("o_orderkey"), 256).as("x"),
+        sources.ZOrderLayout.rankCode(to_date(col("o_orderdate")), col("o_orderkey"), 256).as("y"),
+        col("o_orderkey").as("tb"))
+      sources.ZOrderLayout.layoutStats(coded, nFiles = 16)
+    }
+
+    // q126's training loop at 3 steps: per step one map-side-combinable
+    // pair-count agg + a 1-row collect + a narrow string map. Linear per
+    // step by construction; the smoke pins it.
+    def bpeRounds(docs: DataFrame) =
+      operators.BpeMerge.learn(docs, "text", steps = 3)
+
+    // q127's iteration shape: per round a broadcast assignment join + a
+    // (cluster, dim) hash agg; centroids travel as literals. Embeddings
+    // replicate ADDITIVELY so the k seed ids stay the original distinct
+    // vectors (the multiplicative shift would seed 8 clones of vec 0 and
+    // collapse every round onto one hot cluster key).
+    def kmeansRounds(em: DataFrame) =
+      operators.KMeansLloyd.fit(em, k = 8, rounds = 3)
+    val em1 = Tables.embeddings(spark, sfDir)
+    val emK = em1.withColumn("__rep", explode(sequence(lit(0L), lit(k - 1L))))
+      .withColumn("vec_id", col("vec_id") + lit(500000L) * col("__rep")).drop("__rep")
+
     // the as-of merge, both tiers: union+window composition vs the custom
     // AsOfJoinExec (one shuffle per side, streaming sweep)
     def asofClicks(e: DataFrame) = e.filter(col("event_type") === "click")
@@ -227,6 +257,9 @@ object ScaleSmoke {
       ("pagerank_rounds", () => noop(pagerank(prPairs)), () => noop(pagerank(prPairsK))),
       ("asof_composed", () => noop(asofComposed(e1)), () => noop(asofComposed(ek))),
       ("asof_native", () => noop(asofNative(e1)), () => noop(asofNative(ek))),
+      ("zorder_layout", () => noop(zorder(o1)), () => noop(zorder(ok))),
+      ("bpe_rounds", () => { bpeRounds(d1); () }, () => { bpeRounds(dk); () }),
+      ("kmeans_rounds", () => noop(kmeansRounds(em1)), () => noop(kmeansRounds(emK))),
       (s"setsim_join_k$k4", () => noop(setsim(d1)), () => noop(setsim(d4))),
       // the df guard at FULL k: hot prefix tokens stop generating df²
       // candidates; sets holding them route through the MinHash fallback

@@ -491,6 +491,17 @@ object SimilarityQueries {
     (s, dir) => KMeansLloyd.fit(Tables.embeddings(s, dir), k = 8, rounds = 3),
     Some(KMeansLloyd.oracleSql(k = 8, rounds = 3, dim = 64)))
 
+  /** Contrastive triplet generation (operators.ContrastivePairs):
+    * hardest in-class positive by cosine + two hash-ring-sampled
+    * out-of-class negatives per anchor — label-blocked and bucket-blocked
+    * equi joins only, reproducible draws, fully DuckDB-verified.
+    */
+  val q128 = GQuery(
+    "q128_contrastive_pairs",
+    (s, dir) => ContrastivePairs.triples(
+      Tables.embeddings(s, dir), col("vec_id") % 4 === 0),
+    Some(ContrastivePairs.oracleSql(modFilter = 4, nBuckets = 8)))
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127)
+    q127, q128)
 }
