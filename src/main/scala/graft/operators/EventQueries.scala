@@ -458,6 +458,36 @@ object EventQueries {
       ORDER BY doc_id, dup_of"""
     })
 
+  /** Stateful streaming sessionization (flatMapGroupsWithState with
+    * per-user open-session state, streaming.EventStreams) registered as
+    * an oracle-checked query: the stream emits every CLOSED session, i.e.
+    * the batch sessionization (q32's window idiom) minus each user's
+    * still-open final session — which is exactly what the oracle
+    * computes. State is micros-exact so boundaries hash-match.
+    */
+  val q129 = GQuery(
+    "q129_stream_sessions",
+    (s, dir) => graft.streaming.EventStreams
+      .sessionizeStream(s, dir, queryName = "stream_sessions_q129")
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      g AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+      f AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_sess FROM g),
+      s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f),
+      agg AS (SELECT user_id, sess_id, count(*) AS n_events,
+              min(ts) AS session_start, max(ts) AS session_end
+              FROM s GROUP BY user_id, sess_id),
+      fin AS (SELECT *, max(sess_id) OVER (PARTITION BY user_id) AS last_id FROM agg)
+      SELECT user_id, session_start, session_end, n_events
+      FROM fin WHERE sess_id <> last_id
+      ORDER BY user_id, session_start"""))
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q68, q76, q77, q94, q100, q118)
+    q68, q76, q77, q94, q100, q118, q129)
 }

@@ -121,29 +121,43 @@ object EventStreams {
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
+  /** Timestamp ↔ epoch-micros, exact: the fixture timestamps are
+    * microsecond-grained, and `Timestamp.getTime` alone truncates to ms —
+    * which would silently shift session boundaries and break the q129
+    * oracle's hash compare.
+    */
+  private def toMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private def fromMicros(us: Long): Timestamp = {
+    val ts = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos(((us - math.floorDiv(us, 1000000L) * 1000000L) * 1000L).toInt)
+    ts
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState (the §2.9 custom-
     * state row): per-user state = the open session; a gap > 30 min closes
-    * it. Emits closed sessions; processAllAvailable + a final state sweep
-    * would emit open ones (left open here — the batch q32 is the
-    * completeness oracle).
+    * it. Emits closed sessions — i.e. every session of a user except the
+    * still-open last one, which is exactly expressible in SQL, so the
+    * registry twin (q129) is oracle-checked: batch sessionization minus
+    * each user's final session.
     */
   def sessionizeStream(spark: SparkSession, dir: String, gapMinutes: Int = 30,
                        queryName: String = "stream_sessions"): DataFrame = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60 * 1000L
+    val gapUs = gapMinutes * 60 * 1000000L
     val events = eventsStream(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
 
     def update(userId: Long, rows: Iterator[Event], state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
       var out = List.empty[SessionOut]
       var cur = state.getOption
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = toMicros(e.ts)
         cur match {
-          case Some(ss) if t - ss.end > gapMs =>
-            out ::= SessionOut(userId, new Timestamp(ss.start), new Timestamp(ss.end), ss.n)
+          case Some(ss) if t - ss.end > gapUs =>
+            out ::= SessionOut(userId, fromMicros(ss.start), fromMicros(ss.end), ss.n)
             cur = Some(SessionState(t, t, 1))
           case Some(ss) =>
             cur = Some(SessionState(ss.start, math.max(ss.end, t), ss.n + 1))
