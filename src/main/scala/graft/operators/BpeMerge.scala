@@ -43,28 +43,34 @@ object BpeMerge {
 
   /** Learn `steps` merge rules from `docs(textCol)` (one-space separated
     * tokens). Returns the merge table; the corpus state is internal.
+    *
+    * Pair counting feeds the corpus through `graft_shingles` (the fused
+    * bigram Generator): one cheap codegen'd string pass re-singles the
+    * doubled delimiters, then pairs stream straight out of the scan with
+    * no per-document arrays and no per-pair splits — the winner's "a b"
+    * string is split once, on the driver. Ordering by the joined pair
+    * string equals ordering by (lhs, rhs) because ' ' sorts below every
+    * token character. Round states stay as lineage over one base cache
+    * (step r = r narrow replaces), not per-round materializations.
     */
   def learn(docs: DataFrame, textCol: String, steps: Int): Seq[Merge] = {
-    var corpus = docs.select(doubled(col(textCol)).as("s")).cache()
+    val base = docs.select(doubled(col(textCol)).as("s")).cache()
+    var corpus = base
     val out = Seq.newBuilder[Merge]
     for (step <- 1 to steps) {
-      val toks = tokensOf(col("s"))
       val best = corpus
-        .select(explode(PipelineQueries.ngrams(toks, 2)).as("g"))
-        .select(split(col("g"), " ").getItem(0).as("lhs"),
-          split(col("g"), " ").getItem(1).as("rhs"))
-        .groupBy("lhs", "rhs").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .select(call_function("graft_shingles",
+          replace(trim(col("s")), lit("  "), lit(" "))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g"))
         .head()
-      val (lhs, rhs, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      val (g, cnt) = (best.getString(0), best.getLong(1))
+      val Array(lhs, rhs) = g.split(" ", 2)
       out += Merge(step, lhs, rhs, s"${lhs}_$rhs", cnt)
-      val next = corpus.select(replace(col("s"),
-        lit(s" $lhs  $rhs "), lit(s" ${lhs}_$rhs ")).as("s")).cache()
-      next.count()
-      corpus.unpersist()
-      corpus = next
+      corpus = corpus.select(replace(col("s"),
+        lit(s" $lhs  $rhs "), lit(s" ${lhs}_$rhs ")).as("s"))
     }
-    corpus.unpersist()
+    base.unpersist()
     out.result()
   }
 
