@@ -301,6 +301,27 @@ class PlansSpec extends SparkSpec {
       s"z worst-dimension ${math.max(zx, zy)} should clearly beat single-sort worst $sy")
   }
 
+  test("z-order production write path (range shuffle, no global window) bounds both axes") {
+    import graft.sources.ZOrderLayout
+    // same coding as q125, but files cut the way a real writer cuts them:
+    // repartitionByRange on z (sampled boundaries, one range shuffle) —
+    // no single-partition window anywhere
+    val coded = Tables.orders(spark, sf001).select(
+      ZOrderLayout.rankCode(col("o_custkey"), col("o_orderkey"), 256).as("x"),
+      ZOrderLayout.rankCode(to_date(col("o_orderdate")), col("o_orderkey"), 256).as("y"),
+      col("o_orderkey").as("tb"))
+    val ranged = coded
+      .withColumn("z", ZOrderLayout.zvalue(col("x"), col("y")))
+      .repartitionByRange(16, col("z"), col("tb"))
+    val stats = ranged.groupBy(spark_partition_id().as("file_id"))
+      .agg(min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+    val (zx, zy) = ZOrderLayout.meanExtentFractions(stats)
+    // sampled range boundaries are slightly sloppier than exact ntile
+    // cuts, but the tiles must still bound BOTH dimensions
+    assert(zx < 0.6 && zy < 0.6, s"range-shuffled z layout extents ($zx, $zy)")
+  }
+
   test("salted join preserves inner-join semantics") {
     val o = Tables.orders(spark, sf001)
     val c = Tables.customer(spark, sf001)
