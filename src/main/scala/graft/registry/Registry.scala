@@ -25,7 +25,8 @@ object Registry {
     graft.operators.SimilarityQueries.all,
     graft.operators.MLQueries.all,
     graft.functions.FeatureQueries.all,
-    graft.multimodal.MultimodalQueries.all
+    graft.multimodal.MultimodalQueries.all,
+    graft.operators.TableProfile.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten

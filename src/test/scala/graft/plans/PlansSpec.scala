@@ -322,6 +322,35 @@ class PlansSpec extends SparkSpec {
     assert(zx < 0.6 && zy < 0.6, s"range-shuffled z layout extents ($zx, $zy)")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    Tables.lineitem(spark, sf001)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(s"$tmp/li")
+    val fact = spark.read.parquet(s"$tmp/li")
+    // the dim must be file-based: a filtered LocalRelation is eagerly
+    // evaluated by ConvertToLocalRelation, which removes the Filter node
+    // DPP's selective-predicate check looks for
+    (1 to 12).map(m => (f"1996-$m%02d", if (m <= 3) "Q1" else "QX"))
+      .toDF("ship_month", "qtr")
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val dim = spark.read.parquet(s"$tmp/dim")
+    // the quarter predicate lives on the DIM side only; static pruning
+    // can't see it — the runtime subquery (DPP) must inject the partition
+    // filter into the fact scan
+    val joined = fact.join(dim.filter(col("qtr") === "Q1"), "ship_month")
+      .groupBy("ship_month").agg(sum("l_quantity").as("qty"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    val expected = Tables.lineitem(spark, sf001)
+      .filter(date_format(col("l_shipdate"), "yyyy-MM").isin("1996-01", "1996-02", "1996-03"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM")).agg(sum("l_quantity"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap == expected)
+  }
+
   test("salted join preserves inner-join semantics") {
     val o = Tables.orders(spark, sf001)
     val c = Tables.customer(spark, sf001)
