@@ -129,4 +129,53 @@ object PropertySpec extends Properties("graft.kernels") {
                  else toks.sliding(2).map(_.mkString(" ")).toSeq
       got == want
     }
+
+  private def evalZ(a: Int, b: Int): Long =
+    graft.plans.ZValueExpr(dummy, dummy).nullSafeEval(a, b).asInstanceOf[Long]
+  private val code16 = Gen.chooseNum(0, 65535)
+
+  property("zvalue is a bijection on 16-bit pairs (bits recoverable)") =
+    forAll(code16, code16) { (a, b) =>
+      val z = evalZ(a, b)
+      val ra = (0 until 16).map(i => (((z >> (2 * i + 1)) & 1L) << i).toInt).sum
+      val rb = (0 until 16).map(i => (((z >> (2 * i)) & 1L) << i).toInt).sum
+      ra == a && rb == b
+    }
+
+  property("zvalue is strictly monotone along each axis slice") =
+    forAll(code16, Gen.chooseNum(0, 65534)) { (fixed, v) =>
+      evalZ(v, fixed) < evalZ(v + 1, fixed) && evalZ(fixed, v) < evalZ(fixed, v + 1)
+    }
+
+  property("zvalue interleave bounds: z < 4^16 and z >= max spread bit") =
+    forAll(code16, code16) { (a, b) =>
+      val z = evalZ(a, b)
+      z >= 0 && z < (1L << 32)
+    }
+
+  private val tokenGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val tokensGen = Gen.nonEmptyListOf(tokenGen)
+
+  property("BPE doubled encoding round-trips token sequences") =
+    forAll(tokensGen) { toks =>
+      // '  a  b  ' encode → trim + split on double spaces → original
+      val doubledStr = "  " + toks.mkString("  ") + "  "
+      doubledStr.trim.split("  ", -1).toSeq == toks
+    }
+
+  property("BPE merge via doubled replace equals greedy left-to-right pair fusion") =
+    forAll(tokensGen, tokenGen, tokenGen) { (toks, a, b) =>
+      val doubledStr = "  " + toks.mkString("  ") + "  "
+      val merged = doubledStr.replace(s" $a  $b ", s" ${a}_$b ")
+      val got = merged.trim.split("  ", -1).toSeq
+      // reference greedy fusion
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += s"${a}_$b"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      got == out.toSeq
+    }
 }
