@@ -79,6 +79,29 @@ object BpeMerge {
     merges.toDF()
   }
 
+  /** Apply an already-learned merge table to a corpus (the tokenize-side
+    * of the lifecycle: K chained narrow string maps — no shuffles at
+    * all) and report per-source tokenization stats. Token counts come
+    * from delimiter counts, not splits: in the doubled encoding a corpus
+    * state has exactly (#tokens − 1) interior "  " separators.
+    */
+  def applyStats(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val applied = merges.foldLeft(doubled(col(textCol))) { (s, m) =>
+      replace(s, lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.merged} "))
+    }
+    def nTok(s: org.apache.spark.sql.Column) =
+      (length(s) - length(replace(s, lit("  "), lit(" ")))) - 1
+    docs.select(col("source"),
+        size(split(col(textCol), " ")).cast("long").as("t_before"),
+        nTok(applied).cast("long").as("t_after"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("t_before").as("tokens_before"),
+        sum("t_after").as("tokens_after"))
+      .withColumn("tokens_saved", col("tokens_before") - col("tokens_after"))
+      .orderBy("source")
+  }
+
   /** The DuckDB twin of [[learn]]: `steps` unrolled rounds of
     * count→argmax→replace as chained CTEs over the `documents` table.
     * Each round's corpus state is MATERIALIZED and its winner joined in
@@ -87,7 +110,7 @@ object BpeMerge {
     * the chain goes exponential in `steps` (measured: ~8 min at sf0.1
     * for 6 rounds vs seconds materialized).
     */
-  def oracleSql(steps: Int): String = {
+  private def roundCtes(steps: Int): String = {
     val rounds = (1 to steps).map { r =>
       s"""t$r AS (SELECT doc_id, string_split(trim(s), '  ') AS l FROM c$r),
       x$r AS (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i FROM t$r WHERE len(l) >= 2),
@@ -97,13 +120,33 @@ object BpeMerge {
         replace(s, ' '||b.lhs||'  '||b.rhs||' ', ' '||b.lhs||'_'||b.rhs||' ') AS s
         FROM c$r, b$r b)"""
     }.mkString(",\n      ")
+    s"""c1 AS MATERIALIZED (SELECT doc_id, '  ' || replace(text, ' ', '  ') || '  ' AS s FROM documents),
+      $rounds"""
+  }
+
+  def oracleSql(steps: Int): String = {
     val union = (1 to steps).map(r =>
       s"SELECT $r AS step, lhs, rhs, lhs||'_'||rhs AS merged, cnt FROM b$r")
       .mkString("\n        UNION ALL ")
-    s"""WITH c1 AS MATERIALIZED (SELECT doc_id, '  ' || replace(text, ' ', '  ') || '  ' AS s FROM documents),
-      $rounds
+    s"""WITH ${roundCtes(steps)}
       SELECT * FROM (
         $union)
       ORDER BY step"""
   }
+
+  /** DuckDB twin of learn-then-[[applyStats]]: the same round chain, with
+    * the final corpus state aggregated per source instead of the merge
+    * table emitted.
+    */
+  def applyOracleSql(steps: Int): String =
+    s"""WITH ${roundCtes(steps)},
+      stats AS (SELECT d.source,
+          len(string_split(d.text, ' ')) AS tb,
+          length(c.s) - length(replace(c.s, '  ', ' ')) - 1 AS ta
+        FROM c${steps + 1} c JOIN documents d USING (doc_id))
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(tb) AS BIGINT) AS tokens_before,
+        CAST(sum(ta) AS BIGINT) AS tokens_after,
+        CAST(sum(tb) - sum(ta) AS BIGINT) AS tokens_saved
+      FROM stats GROUP BY source ORDER BY source"""
 }

@@ -459,6 +459,22 @@ object PipelineQueries {
       .orderBy("step"),
     Some(graft.operators.BpeMerge.oracleSql(6)))
 
+  /** BPE tokenizer APPLICATION (the other half of the q126 lifecycle):
+    * apply the learned merge table — K chained narrow string maps, zero
+    * shuffles — and report per-source token compression. Token counts
+    * after merging come from delimiter counting on the doubled encoding
+    * (no re-split). The oracle replays the training chain and aggregates
+    * the final corpus state.
+    */
+  val q131 = GQuery(
+    "q131_bpe_apply",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.BpeMerge.applyStats(docs, "text",
+        graft.operators.BpeMerge.learn(docs, "text", steps = 6))
+    },
+    Some(graft.operators.BpeMerge.applyOracleSql(6)))
+
   def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114, q119, q120,
-    q125, q126)
+    q125, q126, q131)
 }
