@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Power-iteration PageRank over an edge list (directed; callers
+  * symmetrize first for undirected graphs), fixed round count, no
+  * dangling-mass term (callers restrict to nodes with ≥1 out-edge).
+  *
+  * HYBRID execution, same dispatch as ConnectedComponents.components: a
+  * near-dup graph is the similarity RELATION, not the corpus — usually
+  * tiny. At or below `smallGraphThreshold` edges the list is collected
+  * and iterated on the driver (array passes; the ~2 shuffles × rounds of
+  * the distributed loop are pure scheduling overhead there — measured
+  * ~6s → ~0.5s for q122 at sf0.1). Above it, the distributed loop: per
+  * round one equi join of ranks onto the cached (edge, degree) frame and
+  * one hash agg of contributions by target — the classic Pregel-as-SQL
+  * round, identical numerics. Both paths land within the 1e-6 canonical
+  * rounding of each other and of the DuckDB unrolled-CTE oracle
+  * (double-sum association differences are ~1e-16 relative; spec-held).
+  */
+object PageRankOp {
+
+  /** Returns (vec_id, pr) — RAW ranks; callers round for output. */
+  def ranks(edges: DataFrame, rounds: Int, damping: Double = 0.85,
+            smallGraphThreshold: Long = 1L << 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val cols = edges.columns
+    require(cols.length == 2, s"expected 2 edge columns, got ${cols.mkString(",")}")
+    val e = edges.select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg")).cache()
+    val n = deg.count()
+    if (n == 0L) {
+      deg.unpersist()
+      return Seq.empty[(Long, Double)].toDF("vec_id", "pr")
+    }
+    val base = (1.0 - damping) / n
+    if (e.count() <= smallGraphThreshold) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+      val degm = es.groupBy(_._1).map { case (u, xs) => u -> xs.length }
+      var pr = degm.keysIterator.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to rounds) {
+        val contrib = scala.collection.mutable.HashMap.empty[Long, Double]
+        es.foreach { case (u, v) =>
+          contrib.update(v, contrib.getOrElse(v, 0.0) + pr(u) / degm(u))
+        }
+        pr = degm.keysIterator.map(k => k -> (base + damping * contrib.getOrElse(k, 0.0))).toMap
+      }
+      deg.unpersist()
+      pr.toSeq.toDF("vec_id", "pr")
+    } else {
+      val edgesD = e.join(deg, "u").cache() // (u, v, deg)
+      var rank = deg.select(col("u").as("vec_id"), lit(1.0 / n).as("pr"))
+      for (_ <- 1 to rounds) {
+        val contrib = edgesD.join(rank, col("u") === col("vec_id"))
+          .groupBy(col("v")).agg(sum(col("pr") / col("deg")).as("c"))
+        rank = deg.select(col("u").as("vec_id"))
+          .join(contrib, col("vec_id") === col("v"), "left")
+          .select(col("vec_id"),
+            (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0))).as("pr"))
+      }
+      rank
+    }
+  }
+}

@@ -426,11 +426,13 @@ object SimilarityQueries {
     * dangling-mass term); every quantity is deterministic, so the oracle
     * is the same 10 rounds unrolled as chained CTEs in DuckDB.
     *
-    * Scale shape per round: one equi join (rank onto edges) + one hash
-    * agg (sum of contributions by target) — the classic Pregel-as-SQL
-    * round. Edge and degree frames are computed once and cached;
-    * iteration count is fixed, so the lineage is bounded and
-    * AQE re-plans each round's shuffle independently.
+    * Execution is PageRankOp's hybrid: this fixture graph sits far under
+    * the small-graph threshold, so the rounds run as driver array passes
+    * (the near-dup relation is tiny next to the corpus — q83's CC makes
+    * the same call); at scale the distributed loop is one equi join
+    * (rank onto cached edges+degrees) + one hash agg per round, the
+    * classic Pregel-as-SQL shape. ScaleSmoke pins the distributed path's
+    * per-round cost; OpsSpec pins path equality.
     */
   val q122 = GQuery(
     "q122_pagerank_centrality",
@@ -443,19 +445,8 @@ object SimilarityQueries {
         .select("id_a", "id_b")
       val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
         .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg")).cache()
-      val edgesD = edges.join(deg, "u").cache() // (u, v, deg)
-      val n = deg.count()
-      var rank = deg.select(col("u").as("vec_id"), lit(1.0 / n).as("pr"))
-      for (_ <- 1 to 10) {
-        val contrib = edgesD.join(rank, col("u") === col("vec_id"))
-          .groupBy(col("v")).agg(sum(col("pr") / col("deg")).as("c"))
-        rank = deg.select(col("u").as("vec_id"))
-          .join(contrib, col("vec_id") === col("v"), "left")
-          .select(col("vec_id"),
-            (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("pr"))
-      }
-      rank.select(col("vec_id"),
+      PageRankOp.ranks(edges, rounds = 10)
+        .select(col("vec_id"),
           graft.functions.Metrics.canonRound(col("pr"), 6).as("pagerank"))
         .orderBy("vec_id")
     },
