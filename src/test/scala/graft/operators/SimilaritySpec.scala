@@ -82,4 +82,32 @@ class SimilaritySpec extends SparkSpec {
     out.groupBy(_._2).foreach { case (c, ms) =>
       assert(ms.exists(_._3 == 1), s"cluster $c kept nothing") }
   }
+
+  test("contrastive triples: positives share the anchor's label, negatives never do") {
+    import org.apache.spark.sql.functions.col
+    val labels = graft.Tables.embeddings(spark, sf001)
+      .select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Registry.queries("q128_contrastive_pairs")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val anchor = r.getLong(0)
+      val pos = r.getLong(1)
+      assert(pos != anchor, s"anchor $anchor paired with itself")
+      assert(labels(pos) == labels(anchor), s"positive $pos label mismatch for anchor $anchor")
+      Seq(3, 4).foreach { i =>
+        if (!r.isNullAt(i)) {
+          val neg = r.getLong(i)
+          assert(labels(neg) != labels(anchor), s"negative $neg shares anchor $anchor's label")
+        }
+      }
+    }
+  }
+
+  test("contrastive triple generation plans with equi joins only (no cartesian)") {
+    val plan = Registry.queries("q128_contrastive_pairs")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.filter(l => l.contains("Join")).mkString("\n"))
+  }
 }
