@@ -28,7 +28,14 @@ object KMeansLloyd {
   /** Returns (vec_id, cluster, dist): the final-round assignment and its
     * rounded distance-to-centroid.
     */
-  def fit(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def fit(e: DataFrame, k: Int, rounds: Int): DataFrame =
+    fitDetailed(e, k, rounds)._1
+
+  /** [[fit]] plus the centroids the final assignment was computed
+    * against (i.e. the state BEFORE the last mean update) — what a spec
+    * needs to check assignment optimality independently.
+    */
+  def fitDetailed(e: DataFrame, k: Int, rounds: Int): (DataFrame, Seq[(Long, Seq[Double])]) = {
     val spark = e.sparkSession
     import spark.implicits._
     val pts = e.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb")).cache()
@@ -36,7 +43,9 @@ object KMeansLloyd {
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     var assigned: DataFrame = null
+    var usedCentroids = centroids
     for (_ <- 1 to rounds) {
+      usedCentroids = centroids
       val cdf = centroids.toDF("cid", "c")
       assigned = pts.crossJoin(broadcast(cdf))
         .withColumn("d",
@@ -58,8 +67,9 @@ object KMeansLloyd {
       centroids = centroids.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
     }
     pts.unpersist()
-    assigned.select(col("vec_id"), col("cid").cast("int").as("cluster"), col("d").as("dist"))
-      .orderBy("vec_id")
+    (assigned.select(col("vec_id"), col("cid").cast("int").as("cluster"), col("d").as("dist"))
+      .orderBy("vec_id"),
+      usedCentroids)
   }
 
   /** DuckDB twin of [[fit]]: `rounds` unrolled assignment/update rounds.
