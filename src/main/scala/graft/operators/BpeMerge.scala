@@ -48,27 +48,40 @@ object BpeMerge {
     * bigram Generator): one cheap codegen'd string pass re-singles the
     * doubled delimiters, then pairs stream straight out of the scan with
     * no per-document arrays and no per-pair splits — the winner's "a b"
-    * string is split once, on the driver. Ordering by the joined pair
-    * string equals ordering by (lhs, rhs) because ' ' sorts below every
-    * token character. Round states stay as lineage over one base cache
-    * (step r = r narrow replaces), not per-round materializations.
+    * string is split once, per aggregated pair. The tie-break orders by
+    * the SPLIT (lhs, rhs) columns, matching the oracle's ORDER BY lhs,
+    * rhs even for token alphabets with characters below 0x20. Round
+    * states stay as lineage over one base cache (step r = r narrow
+    * replaces), not per-round materializations.
+    *
+    * Learning stops early (returning fewer than `steps` rules) once no
+    * adjacent pair remains — e.g. every document fused to a single token
+    * — where the oracle's per-round CTEs likewise emit no further rows.
     */
   def learn(docs: DataFrame, textCol: String, steps: Int): Seq[Merge] = {
     val base = docs.select(doubled(col(textCol)).as("s")).cache()
     var corpus = base
     val out = Seq.newBuilder[Merge]
-    for (step <- 1 to steps) {
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
       val best = corpus
         .select(call_function("graft_shingles",
           replace(trim(col("s")), lit("  "), lit(" "))).as("g"))
         .groupBy("g").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("g"))
-        .head()
-      val (g, cnt) = (best.getString(0), best.getLong(1))
-      val Array(lhs, rhs) = g.split(" ", 2)
-      out += Merge(step, lhs, rhs, s"${lhs}_$rhs", cnt)
-      corpus = corpus.select(replace(col("s"),
-        lit(s" $lhs  $rhs "), lit(s" ${lhs}_$rhs ")).as("s"))
+        .select(split(col("g"), " ", 2).as("p"), col("cnt"))
+        .select(col("p").getItem(0).as("lhs"), col("p").getItem(1).as("rhs"), col("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .head(1).headOption
+      best match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (lhs, rhs, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          out += Merge(step, lhs, rhs, s"${lhs}_$rhs", cnt)
+          corpus = corpus.select(replace(col("s"),
+            lit(s" $lhs  $rhs "), lit(s" ${lhs}_$rhs ")).as("s"))
+          step += 1
+      }
     }
     base.unpersist()
     out.result()

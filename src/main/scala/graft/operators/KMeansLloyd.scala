@@ -36,11 +36,14 @@ object KMeansLloyd {
     * needs to check assignment optimality independently.
     */
   def fitDetailed(e: DataFrame, k: Int, rounds: Int): (DataFrame, Seq[(Long, Seq[Double])]) = {
+    require(rounds >= 1, s"k-means needs at least one round, got $rounds")
     val spark = e.sparkSession
     import spark.implicits._
     val pts = e.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb")).cache()
-    var centroids: Seq[(Long, Seq[Double])] = pts.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect()
+    // Seed with the k lowest vec_ids as documented — an order-by/limit,
+    // not `vec_id < k`, so non-contiguous or non-zero-based ids still
+    // yield exactly k centroids.
+    var centroids: Seq[(Long, Seq[Double])] = pts.orderBy("vec_id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     var assigned: DataFrame = null
     var usedCentroids = centroids
@@ -66,10 +69,15 @@ object KMeansLloyd {
       // an emptied cluster keeps its centroid (both engines agree on this)
       centroids = centroids.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
     }
+    // Materialize the final-round assignment while the point cache is
+    // still live: unpersisting first would make every downstream read of
+    // the returned frame re-derive the whole embedding lineage.
+    val out = assigned
+      .select(col("vec_id"), col("cid").cast("int").as("cluster"), col("d").as("dist"))
+      .orderBy("vec_id").cache()
+    out.count()
     pts.unpersist()
-    (assigned.select(col("vec_id"), col("cid").cast("int").as("cluster"), col("d").as("dist"))
-      .orderBy("vec_id"),
-      usedCentroids)
+    (out, usedCentroids)
   }
 
   /** DuckDB twin of [[fit]]: `rounds` unrolled assignment/update rounds.
@@ -93,7 +101,7 @@ object KMeansLloyd {
         FROM $prev p LEFT JOIN cn$r n USING (cid))"""
     }.mkString(",\n      ")
     s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      c0 AS MATERIALIZED (SELECT vec_id AS cid, emb AS c FROM e WHERE vec_id < $k),
+      c0 AS MATERIALIZED (SELECT vec_id AS cid, emb AS c FROM e ORDER BY vec_id LIMIT $k),
       $rs
       SELECT vec_id, CAST(cid AS INTEGER) AS cluster, d AS dist
       FROM m$rounds ORDER BY vec_id"""

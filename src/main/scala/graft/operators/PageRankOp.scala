@@ -60,6 +60,13 @@ object PageRankOp {
           .select(col("vec_id"),
             (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0))).as("pr"))
       }
+      // Materialize the result before releasing the loop caches so the
+      // returned frame never re-derives the round chain, then drop them —
+      // otherwise repeated large-graph calls accumulate cached blocks.
+      rank = rank.cache()
+      rank.count()
+      edgesD.unpersist()
+      deg.unpersist()
       rank
     }
   }

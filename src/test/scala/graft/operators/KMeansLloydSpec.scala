@@ -32,6 +32,14 @@ class KMeansLloydSpec extends SparkSpec {
     }
   }
 
+  test("seeding takes the k lowest vec_ids even when ids are sparse, and rounds=0 is rejected") {
+    val e = Tables.embeddings(spark, sf001)
+      .withColumn("vec_id", col("vec_id") * 10 + 3) // non-contiguous, not 0-based
+    val (_, centroids) = KMeansLloyd.fitDetailed(e, k = 4, rounds = 1)
+    assert(centroids.map(_._1) == Seq(3L, 13L, 23L, 33L))
+    intercept[IllegalArgumentException] { KMeansLloyd.fit(e, k = 4, rounds = 0) }
+  }
+
   test("cluster count stays at most k and all seeds own themselves at round 0") {
     val e = Tables.embeddings(spark, sf001)
     val assigned = KMeansLloyd.fit(e, k = 8, rounds = 1)
