@@ -475,6 +475,75 @@ object PipelineQueries {
     },
     Some(graft.operators.BpeMerge.applyOracleSql(6)))
 
+  /** Point-in-time (PIT) enrichment against an SCD-2 dimension — the
+    * composition NOTES/round-5 queued: q111 builds the versioned history,
+    * [[AsOfJoin]] probes it. Dimension = each customer's cumulative state
+    * per order DAY (version key (o_custkey, valid_from) is unique by
+    * construction — the daily grain removes same-timestamp version ties that
+    * would make an as-of pick ambiguous); fact = every lineitem, probing
+    * at its ship date through the order's customer. The question answered
+    * is the feature-store staple: "what was the customer's cumulative
+    * order count / spend AS OF the moment this line shipped" — with no
+    * leakage from later versions.
+    *
+    * Scale: the fact→orders key join shuffles on orderkey (or broadcasts
+    * the order projection when it fits); the as-of itself is AsOfJoin's
+    * single shuffle on custkey + one ordered in-partition sweep — never a
+    * per-row interval scan. Cumulative spend accumulates as
+    * DECIMAL(18,2) snapped to the cent grid, so the running sums are
+    * exact and order-independent in both engines.
+    */
+  val q132 = GQuery(
+    "q132_pit_enrich",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("valid_from")
+      val hist = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate").as("valid_from"))
+        .agg(count(lit(1)).as("n_day"),
+          sum(Metrics.canonRound(col("o_totalprice"), 2).cast("decimal(18,2)")).as("sp_day"))
+        .select(col("o_custkey"), col("valid_from"),
+          sum("n_day").over(w).as("cum_orders"),
+          sum("sp_day").over(w).cast("decimal(38,2)").as("cum_spend"))
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_shipdate"))
+      AsOfJoin.asof(fact, hist, key = "o_custkey",
+          leftTime = "l_shipdate", rightTime = "valid_from",
+          rightCols = Seq("cum_orders", "cum_spend"), prefix = "pit_")
+        // inner as-of semantics: the fixture has lines shipping BEFORE the
+        // customer's first version (synthetic dates) — no state existed
+        // yet, so they carry no PIT features and are dropped, exactly as
+        // DuckDB's inner ASOF JOIN drops them
+        .filter(col("pit_cum_orders").isNotNull)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum("pit_cum_orders").as("sum_cum_orders"),
+          max("pit_cum_orders").as("max_cum_orders"),
+          sum("pit_cum_spend").cast("double").as("sum_cum_spend"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH day AS (
+        SELECT o_custkey, o_orderdate AS valid_from, count(*) AS n_day,
+          sum(CAST(floor(o_totalprice*1e2+0.5)/1e2 AS DECIMAL(18,2))) AS sp_day
+        FROM orders GROUP BY 1, 2),
+      hist AS (
+        SELECT o_custkey, valid_from,
+          CAST(sum(n_day) OVER w AS BIGINT) AS cum_orders,
+          CAST(sum(sp_day) OVER w AS DECIMAL(38,2)) AS cum_spend
+        FROM day WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)),
+      fact AS (
+        SELECT o.o_custkey, l.l_shipdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT f.o_custkey, count(*) AS n_lines,
+        CAST(sum(h.cum_orders) AS BIGINT) AS sum_cum_orders,
+        max(h.cum_orders) AS max_cum_orders,
+        CAST(sum(h.cum_spend) AS DOUBLE) AS sum_cum_spend
+      FROM fact f ASOF JOIN hist h
+        ON f.o_custkey = h.o_custkey AND f.l_shipdate >= h.valid_from
+      GROUP BY f.o_custkey ORDER BY f.o_custkey"""))
+
   def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114, q119, q120,
-    q125, q126, q131)
+    q125, q126, q131, q132)
 }
