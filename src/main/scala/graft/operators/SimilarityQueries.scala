@@ -493,6 +493,34 @@ object SimilarityQueries {
       Tables.embeddings(s, dir), col("vec_id") % 4 === 0),
     Some(ContrastivePairs.oracleSql(modFilter = 4, nBuckets = 8)))
 
+  /** Label propagation (operators.LabelPropagation) over the q52/q122
+    * near-dup graph: seeds = every 4th sampled vector keeps its true
+    * label, 3 synchronous majority-vote rounds extend them hop by hop;
+    * -1 marks nodes propagation never reached. The third member of the
+    * graph family (components q83, centrality q122) — integer counts
+    * only, so the oracle replays all rounds exactly.
+    */
+  val q133 = GQuery(
+    "q133_label_propagation",
+    (s, dir) => {
+      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
+        .select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val nodes = d.select(col("vec_id"),
+        when(col("vec_id") % 4 === 0, col("label")).as("seed_lbl"))
+      LabelPropagation.propagate(nodes, edges, rounds = 3)
+        .select(col("vec_id"),
+          coalesce(col("lbl"), lit(-1)).cast("int").as("label"),
+          (col("vec_id") % 4 === 0).cast("int").as("is_seed"))
+        .orderBy("vec_id")
+    },
+    Some(LabelPropagation.oracleSql(rounds = 3, seedMod = 4)))
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127, q128)
+    q127, q128, q133)
 }
