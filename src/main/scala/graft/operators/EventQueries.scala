@@ -488,6 +488,34 @@ object EventQueries {
       FROM fin WHERE sess_id <> last_id
       ORDER BY user_id, session_start"""))
 
+  /** Sessionization with GroupStateTimeout EVICTION (streaming.
+    * EventStreams.sessionizeEvictAll): event-time timeouts emit an idle
+    * user's open session once the watermark passes end + gap — the state-
+    * bounding half q129 leaves out. Heartbeat batches drive the watermark
+    * 10+ days past the fixture, so the evicted ∪ gap-closed set is
+    * EXACTLY the batch sessionization of every user, which is the oracle
+    * (q129's SQL minus the open-last-session exclusion).
+    */
+  val q134 = GQuery(
+    "q134_stream_session_evict",
+    (s, dir) => graft.streaming.EventStreams
+      .sessionizeEvictAll(s, dir, queryName = "stream_sessions_evict_q134")
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      g AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+      f AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_sess FROM g),
+      s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        count(*) AS n_events
+      FROM s GROUP BY user_id, sess_id
+      ORDER BY user_id, session_start"""))
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q68, q76, q77, q94, q100, q118, q129)
+    q68, q76, q77, q94, q100, q118, q129, q134)
 }

@@ -15,12 +15,15 @@ import graft.Tables
   * reads a directory/Kafka source incrementally — only the source/sink
   * lines change.
   */
-object EventStreams {
+object EventStreams extends Serializable {
 
   /** Streaming source over the events fixture, normalizing the NANOS
-    * timestamp exactly like Tables.events does for batch.
+    * timestamp exactly like Tables.events does for batch. Returns the
+    * staging directory too so callers can feed FURTHER files into the
+    * running stream (the multi-batch harness [[sessionizeEvictAll]]
+    * needs).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStreamStaged(spark: SparkSession, dir: String): (DataFrame, java.nio.file.Path) = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource wants a directory; the fixture is a single file.
     // Stage a symlink in a temp dir — a cluster deployment streams a real
@@ -31,10 +34,15 @@ object EventStreams {
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val raw = spark.readStream.schema(batchSchema).parquet(stage.toString)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val df =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    (df, stage)
   }
+
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStreamStaged(spark, dir)._1
 
   /** Tumbling 1h × event_type counts with a 1h watermark. Returns the
     * completed result as a batch DataFrame via an in-memory sink —
@@ -180,5 +188,103 @@ object EventStreams {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName).orderBy("user_id", "session_start")
+  }
+
+  /** Sessionization with EVENT-TIME TIMEOUT eviction — the piece q129's
+    * NoTimeout variant can't show: an idle user's open session is emitted
+    * (and its state REMOVED) once the watermark passes session_end + gap,
+    * not only when that user's next event happens to arrive. This is what
+    * bounds state on a real stream, where most sessions end by silence.
+    *
+    * The local harness drives the watermark deterministically with two
+    * HEARTBEAT files staged after the fixture batch commits (user_id -1,
+    * filtered from the output; a production stream gets this for free
+    * from continuously arriving data):
+    *  - batch 1: all fixture events → per-user open-session state;
+    *    in-batch gap closures emit on the data path. Watermark after:
+    *    max(fixture ts) − delay.
+    *  - batch 2 (heartbeat +10 d): timeouts fire for sessions already
+    *    gap-expired at the batch-1 watermark.
+    *  - batch 3 (heartbeat +11 d): the watermark is now 10 days past the
+    *    fixture, so EVERY remaining session times out and evicts.
+    * Evicted ∪ gap-closed = exactly the batch sessionization of every
+    * user — the oracle — because all real events commit before the first
+    * timeout can fire, so no eviction can ever split a session an
+    * unprocessed event would have extended.
+    */
+  def sessionizeEvictAll(spark: SparkSession, dir: String, gapMinutes: Int = 30,
+                         queryName: String = "stream_sessions_evict"): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60 * 1000000L
+    val (stream, stage) = eventsStreamStaged(spark, dir)
+    val events = stream
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+
+    def update(userId: Long, rows: Iterator[Event], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val ss = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, fromMicros(ss.start), fromMicros(ss.end), ss.n))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+        var out = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = toMicros(e.ts)
+          cur match {
+            case Some(ss) if t - ss.end > gapUs =>
+              out ::= SessionOut(userId, fromMicros(ss.start), fromMicros(ss.end), ss.n)
+              cur = Some(SessionState(t, t, 1))
+            case Some(ss) =>
+              cur = Some(SessionState(ss.start, math.max(ss.end, t), ss.n + 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { ss =>
+          state.update(ss)
+          // evict when the watermark passes the session's gap horizon
+          state.setTimeoutTimestamp(math.floorDiv(ss.end + gapUs, 1000L))
+        }
+        out.reverseIterator
+      }
+    }
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    // two staged heartbeats carry the watermark 10+ days past the fixture;
+    // each is a data batch, so eviction never depends on the engine's
+    // optional no-data microbatch
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val dayNs = 86400L * 1000000000L
+    val shift: Long => org.apache.spark.sql.Column =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        days => (col("ts") + lit(days * dayNs)).as("ts")
+      else
+        days => (col("ts") + expr(s"INTERVAL $days DAYS")).as("ts")
+    Seq((10L, "hb1"), (11L, "hb2")).foreach { case (days, name) =>
+      val hbDir = java.nio.file.Files.createTempDirectory(s"graft_${name}_")
+      hbDir.toFile.deleteOnExit()
+      raw.orderBy(col("ts").desc).limit(1)
+        .select(lit(-1L).as("event_id"), shift(days), lit(-1L).as("user_id"),
+          lit("heartbeat").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+        .write.mode("overwrite").parquet(hbDir.toString)
+      val part = hbDir.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createSymbolicLink(stage.resolve(s"$name.parquet"), part.toPath)
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(queryName)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start")
   }
 }

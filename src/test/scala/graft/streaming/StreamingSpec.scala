@@ -186,6 +186,27 @@ class StreamingSpec extends SparkSpec {
     assert(missingPerUser.values.forall(_ == 1), "more than one unemitted session for some user")
   }
 
+  test("event-time-timeout eviction emits exactly the open sessions the NoTimeout variant withholds") {
+    import org.apache.spark.sql.functions.col
+    def sessSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toEpochMilli, r.getLong(2))).toSet
+    val evicted = sessSet(EventStreams.sessionizeEvictAll(spark, sf001,
+      queryName = "spec_stream_sessions_evict"))
+    val closedOnly = sessSet(EventStreams.sessionizeStream(spark, sf001,
+      queryName = "spec_stream_sessions_noev"))
+    // the NoTimeout set (gap-closed sessions) must be strictly contained,
+    // and the complement — emittable only through the hasTimedOut path —
+    // is exactly one open session per user
+    assert(closedOnly.subsetOf(evicted),
+      s"gap-closed sessions missing from evicting run: ${(closedOnly -- evicted).take(3)}")
+    val users = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("user_id")).distinct().count()
+    val timedOut = evicted -- closedOnly
+    assert(timedOut.groupBy(_._1).forall(_._2.size == 1), "a user evicted more than one open session")
+    assert(timedOut.size == users, s"expected $users timeout-evicted sessions, got ${timedOut.size}")
+  }
+
   test("streaming contamination equals batch q109 regardless of micro-batching") {
     import java.nio.file.Files
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
