@@ -521,6 +521,18 @@ object SimilarityQueries {
     },
     Some(LabelPropagation.oracleSql(rounds = 3, seedMod = 4)))
 
+  /** Deterministic product quantization + ADC (operators.PqLloyd): the
+    * oracle-checked twin of q107's MLlib-codebook PQ, the same way q127
+    * twins q53 — 2 pinned Lloyd rounds across all 4 subspaces at once,
+    * final-codebook encoding, and the broadcast-distance-table ADC scan,
+    * all replayed by the DuckDB oracle.
+    */
+  val q135 = GQuery(
+    "q135_pq_adc",
+    (s, dir) => PqLloyd.search(Tables.embeddings(s, dir),
+      m = 8, k = 8, rounds = 2, dim = 64, probeMax = 5L, kNN = 10),
+    Some(PqLloyd.oracleSql(m = 8, k = 8, rounds = 2, dim = 64, probeMax = 5L, kNN = 10)))
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127, q128, q133)
+    q127, q128, q133, q135)
 }

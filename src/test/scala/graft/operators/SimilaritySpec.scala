@@ -36,6 +36,34 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 $mean, per-probe $recalls")
   }
 
+  test("deterministic PQ (q135) recall@10 vs exact L2 is usable, and re-rank orders by true distance") {
+    import org.apache.spark.sql.functions._
+    import graft.Tables
+    // exact L2 top-10 ground truth (q135 quantizes RAW vectors, so the
+    // baseline is L2, not q50's cosine)
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val probes = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d"), col("vec_id"))
+    val exact = e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        call_function("graft_l2dist", col("v"), col("qv")).as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rows = Registry.queries("q135_pq_adc")(spark, sf001).collect()
+    val pq = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.keys.toSeq.map(q => (exact(q) intersect pq(q)).size / 10.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 $mean, per-probe $recalls")
+    // within each probe, rank must follow the exact re-ranked distance
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        "l2_dist not monotone in rank")
+    }
+  }
+
   test("IVF results are a subset of the probed lists' exact cosines (no fabrication)") {
     val exact = topk("q50_knn_bruteforce")
     val ivf = topk("q53_ann_ivf")
