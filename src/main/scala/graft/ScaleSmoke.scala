@@ -231,6 +231,48 @@ object ScaleSmoke {
     val emK = em1.withColumn("__rep", explode(sequence(lit(0L), lit(k - 1L))))
       .withColumn("vec_id", col("vec_id") + lit(500000L) * col("__rep")).drop("__rep")
 
+    // q133's round shape: one edge join + one INTEGER hash agg per round
+    // over the replicated near-dup graph (disjoint node ids, like the
+    // pagerank row) — isolates per-round label-propagation scaling
+    def labelProp(pairs: DataFrame) = {
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val nodes = edges.select(col("u").as("vec_id")).distinct()
+        .withColumn("seed_lbl",
+          when(col("vec_id") % 4 === 0, pmod(col("vec_id"), lit(10L)).cast("int")))
+      operators.LabelPropagation.propagate(nodes, edges, rounds = 3)
+    }
+
+    // q132's PIT shape: SCD-2 daily state build (one shuffle + window) →
+    // as-of probe by every lineitem. Replication multiplies orders AND
+    // lines per customer, so the per-customer ordered sweep partitions
+    // grow k× — the stress that matters for the union+window as-of
+    def pitEnrich(l: DataFrame, o: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("valid_from")
+      val hist = o.groupBy(col("o_custkey"), col("o_orderdate").as("valid_from"))
+        .agg(count(lit(1)).as("n_day"),
+          sum(functions.Metrics.canonRound(col("o_totalprice"), 2).cast("decimal(18,2)")).as("sp_day"))
+        .select(col("o_custkey"), col("valid_from"),
+          sum("n_day").over(w).as("cum_orders"),
+          sum("sp_day").over(w).cast("decimal(38,2)").as("cum_spend"))
+      val fact = l.select(col("l_orderkey"), col("l_shipdate"))
+        .join(o.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_shipdate"))
+      operators.AsOfJoin.asof(fact, hist, "o_custkey", "l_shipdate", "valid_from",
+          Seq("cum_orders", "cum_spend"), "pit_")
+        .filter(col("pit_cum_orders").isNotNull)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_lines"), sum("pit_cum_spend").cast("double").as("s"))
+    }
+
+    // q135's two-stage PQ: all-subspace Lloyd training + broadcast
+    // distance-table ADC + exact re-rank; additive replication keeps the
+    // seed ids distinct (see kmeans_rounds)
+    def pqAdc(em: DataFrame) = operators.PqLloyd.search(
+      em, m = 8, k = 8, rounds = 2, dim = 64, probeMax = 5L, kNN = 10)
+
     // the as-of merge, both tiers: union+window composition vs the custom
     // AsOfJoinExec (one shuffle per side, streaming sweep)
     def asofClicks(e: DataFrame) = e.filter(col("event_type") === "click")
@@ -260,6 +302,9 @@ object ScaleSmoke {
       ("zorder_layout", () => noop(zorder(o1)), () => noop(zorder(ok))),
       ("bpe_rounds", () => { bpeRounds(d1); () }, () => { bpeRounds(dk); () }),
       ("kmeans_rounds", () => noop(kmeansRounds(em1)), () => noop(kmeansRounds(emK))),
+      ("label_prop_rounds", () => noop(labelProp(prPairs)), () => noop(labelProp(prPairsK))),
+      ("pit_enrich", () => noop(pitEnrich(l1, o1)), () => noop(pitEnrich(lk, ok))),
+      ("pq_adc", () => noop(pqAdc(em1)), () => noop(pqAdc(emK))),
       (s"setsim_join_k$k4", () => noop(setsim(d1)), () => noop(setsim(d4))),
       // the df guard at FULL k: hot prefix tokens stop generating df²
       // candidates; sets holding them route through the MinHash fallback
