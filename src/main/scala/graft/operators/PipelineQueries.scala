@@ -544,6 +544,86 @@ object PipelineQueries {
         ON f.o_custkey = h.o_custkey AND f.l_shipdate >= h.valid_from
       GROUP BY f.o_custkey ORDER BY f.o_custkey"""))
 
+  /** INCREMENTAL SCD-2 maintenance — q116's MERGE composed with q111's
+    * history build: the pre-cutoff history is the target, the post-cutoff
+    * order batch the source. Each customer's open interval CLOSES at
+    * their first new version's date, the batch's versions chain among
+    * themselves and append (last one open), untouched rows pass through —
+    * and every row carries its merge action (keep/close/insert) as the
+    * audit witness, so the oracle proves the incremental LOGIC, not just
+    * the final state. OpsSpec pins the invariant that makes incremental
+    * maintenance trustworthy: merged history ≡ q111's full rebuild on
+    * the shared columns.
+    *
+    * Scale: the target scan touches only rows needing closure via one
+    * broadcast of the per-customer first-new-version dates (a customer-
+    * count frame, tiny next to the history); the batch side is two
+    * window passes on its own (small) slice. No full-history rewrite —
+    * exactly the shape a Delta/Iceberg MERGE plans for this workload.
+    */
+  val q136 = GQuery(
+    "q136_scd2_merge",
+    (s, dir) => {
+      val cutoff = "2000-01-01"
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val hist = o.filter(col("o_orderdate") < lit(cutoff))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).cast("timestamp_ntz").as("valid_to"),
+          col("o_totalprice"))
+      val srcRaw = o.filter(col("o_orderdate") >= lit(cutoff))
+      val src = srcRaw
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).cast("timestamp_ntz").as("valid_to"),
+          col("o_totalprice"))
+      val firstNew = srcRaw.groupBy("o_custkey")
+        .agg(min(col("o_orderdate")).cast("timestamp_ntz").as("first_new"))
+      val merged = hist.join(broadcast(firstNew), Seq("o_custkey"), "left")
+        .select(col("o_custkey"), col("o_orderkey"), col("valid_from"),
+          coalesce(col("valid_to"), col("first_new")).as("valid_to"),
+          (col("valid_to").isNull && col("first_new").isNull).cast("int").as("is_current"),
+          when(col("valid_to").isNull && col("first_new").isNotNull, lit("close"))
+            .otherwise(lit("keep")).as("action"),
+          col("o_totalprice"))
+        .unionByName(src
+          .select(col("o_custkey"), col("o_orderkey"), col("valid_from"), col("valid_to"),
+            col("valid_to").isNull.cast("int").as("is_current"),
+            lit("insert").as("action"), col("o_totalprice")))
+      merged.orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""WITH hist AS (
+        SELECT o_custkey, o_orderkey,
+          CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+          CAST(lead(o_orderdate) OVER w AS TIMESTAMP) AS valid_to,
+          o_totalprice
+        FROM orders WHERE o_orderdate < DATE '2000-01-01'
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      src AS (
+        SELECT o_custkey, o_orderkey,
+          CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+          CAST(lead(o_orderdate) OVER w AS TIMESTAMP) AS valid_to,
+          o_totalprice
+        FROM orders WHERE o_orderdate >= DATE '2000-01-01'
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      first_new AS (
+        SELECT o_custkey, CAST(min(o_orderdate) AS TIMESTAMP) AS first_new
+        FROM orders WHERE o_orderdate >= DATE '2000-01-01' GROUP BY o_custkey)
+      SELECT h.o_custkey, h.o_orderkey, h.valid_from,
+        coalesce(h.valid_to, f.first_new) AS valid_to,
+        CAST(CASE WHEN h.valid_to IS NULL AND f.first_new IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current,
+        CASE WHEN h.valid_to IS NULL AND f.first_new IS NOT NULL THEN 'close' ELSE 'keep' END AS action,
+        h.o_totalprice
+      FROM hist h LEFT JOIN first_new f ON f.o_custkey = h.o_custkey
+      UNION ALL
+      SELECT o_custkey, o_orderkey, valid_from, valid_to,
+        CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current,
+        'insert' AS action, o_totalprice
+      FROM src
+      ORDER BY o_custkey, o_orderkey"""))
+
   def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114, q119, q120,
-    q125, q126, q131, q132)
+    q125, q126, q131, q132, q136)
 }

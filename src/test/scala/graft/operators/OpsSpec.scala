@@ -151,6 +151,24 @@ class OpsSpec extends SparkSpec {
       s"batch-only: ${(batch -- perProbe).take(3)}; perProbe-only: ${(perProbe -- batch).take(3)}")
   }
 
+  test("incremental SCD-2 merge (q136) equals the full q111 rebuild on shared columns") {
+    import org.apache.spark.sql.functions.col
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2),
+        Option(r.getAs[java.time.LocalDateTime](3)), r.getInt(4))).toSet
+    val merged = key(graft.registry.Registry.queries("q136_scd2_merge")(spark, sf001))
+    val rebuilt = key(graft.registry.Registry.queries("q111_scd2_history")(spark, sf001))
+    assert(merged == rebuilt,
+      s"merged-only: ${(merged -- rebuilt).take(3)}; rebuilt-only: ${(rebuilt -- merged).take(3)}")
+    // and the merge actually took the incremental paths: all three
+    // actions appear on the fixture
+    val actions = graft.registry.Registry.queries("q136_scd2_merge")(spark, sf001)
+      .select(col("action")).distinct().collect().map(_.getString(0)).toSet
+    assert(actions == Set("keep", "close", "insert"), s"actions seen: $actions")
+  }
+
   test("TF-IDF produces stable-dimensional sparse vectors") {
     val out = TextMl.tfidf(spark, Tables.documents(spark, sf001).limit(50))
     val v = out.select("tfidf").head().getAs[org.apache.spark.ml.linalg.Vector](0)
