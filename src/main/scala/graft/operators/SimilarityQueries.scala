@@ -533,6 +533,29 @@ object SimilarityQueries {
       m = 8, k = 8, rounds = 2, dim = 64, probeMax = 5L, kNN = 10),
     Some(PqLloyd.oracleSql(m = 8, k = 8, rounds = 2, dim = 64, probeMax = 5L, kNN = 10)))
 
+  /** Luby's maximal independent set (operators.LubyMis) over the
+    * q52/q133 near-dup graph — the dedup keep-set in which no two kept
+    * docs are near-dups and nothing more can be kept, computed without
+    * materializing clusters. Priorities are modular-arithmetic
+    * permutations (no RNG, no ties), so the oracle replays all 3
+    * local-min rounds. Fourth member of the graph family (CC q83,
+    * PageRank q122, label prop q133).
+    */
+  val q137 = GQuery(
+    "q137_luby_mis",
+    (s, dir) => {
+      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
+        .select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      LubyMis.mis(d.select(col("vec_id")), edges, rounds = 3)
+    },
+    Some(LubyMis.oracleSql(rounds = 3)))
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127, q128, q133, q135)
+    q127, q128, q133, q135, q137)
 }
