@@ -516,6 +516,21 @@ object EventQueries {
       FROM s GROUP BY user_id, sess_id
       ORDER BY user_id, session_start"""))
 
+  /** The q68 attribution window computed by the STREAM-STREAM interval
+    * join (EventStreams.attributionStreamAgg): both sides watermarked, so
+    * the join state is bounded — a buffered click drops once the purchase
+    * watermark passes click_ts + 30min. Previously spec-only
+    * (StreamingSpec pair-equality); registering it with q68's OWN oracle
+    * makes the streaming join hash-verified end to end. The per-purchase
+    * rollup runs on the sink output — the batch finishing step; the
+    * unbounded work happened in the stream.
+    */
+  val q138 = GQuery(
+    "q138_stream_attribution",
+    (s, dir) => graft.streaming.EventStreams
+      .attributionStreamAgg(s, dir, queryName = "stream_attribution_q138"),
+    q68.oracle)
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q68, q76, q77, q94, q100, q118, q129, q134)
+    q68, q76, q77, q94, q100, q118, q129, q134, q138)
 }

@@ -100,8 +100,7 @@ object EventStreams extends Serializable {
     * keeps an unbounded 100 TB/day stream from accumulating state forever.
     * StreamingSpec asserts pair-level equality with the batch RangeJoin.
     */
-  def attributionStream(spark: SparkSession, dir: String,
-                        queryName: String = "stream_attribution"): DataFrame = {
+  private def attributionJoined(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     val e = eventsStream(spark, dir)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
@@ -121,9 +120,28 @@ object EventStreams extends Serializable {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
+  }
+
+  def attributionStream(spark: SparkSession, dir: String,
+                        queryName: String = "stream_attribution"): DataFrame =
+    attributionJoined(spark, dir, queryName)
       .select(col("purchase_id"), col("p_user").as("user_id"), col("click_ts"))
       .orderBy("purchase_id", "click_ts")
-  }
+
+  /** The q68 attribution aggregate fed by the STREAM-STREAM join: the
+    * emitted click×purchase pairs roll up per purchase — the batch
+    * finishing step on the sink, while the unbounded work (the interval
+    * join and its watermark-bounded state) ran in the stream. Output grain
+    * and oracle are exactly q68's.
+    */
+  def attributionStreamAgg(spark: SparkSession, dir: String,
+                           queryName: String = "stream_attribution_agg"): DataFrame =
+    attributionJoined(spark, dir, queryName)
+      .groupBy("purchase_id")
+      .agg(max(col("p_user")).as("user_id"),
+        max(col("p_ts")).cast("timestamp_ntz").as("purchase_ts"),
+        count(lit(1)).as("n_clicks"))
+      .orderBy("purchase_id")
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Long)
