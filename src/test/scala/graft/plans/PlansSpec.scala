@@ -351,6 +351,45 @@ class PlansSpec extends SparkSpec {
     assert(joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap == expected)
   }
 
+  test("runtime bloom-filter injection prefilters the fact side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter plants bloom_filter_might_contain on
+    // the big side of a shuffle join when the other side carries a
+    // selective filter — the engine-native form of q86's explicit
+    // BloomJoin. Production thresholds (10 GB application side) are
+    // sized for clusters; lower them to exercise the mechanism at
+    // fixture scale. Broadcast must be off: a broadcastable dim routes
+    // to DPP/broadcast-join instead.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf001).select("l_partkey", "l_quantity")
+      val pt = Tables.part(spark, sf001).filter(col("p_size") <= 2)
+        .select(col("p_partkey"), col("p_brand"))
+      val joined = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(sum("l_quantity").as("qty"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      // Spark 4 pretty-prints the injected pair as might_contain(
+      // scalar-subquery over bloom_filter_agg(dim keys)) on the fact side
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${optimized.take(2000)}")
+      // and the filtered result is still the plain join's result
+      val expected = Tables.lineitem(spark, sf001)
+        .join(Tables.part(spark, sf001).filter(col("p_size") <= 2),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(sum("l_quantity"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join preserves inner-join semantics") {
     val o = Tables.orders(spark, sf001)
     val c = Tables.customer(spark, sf001)
