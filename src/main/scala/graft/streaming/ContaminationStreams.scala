@@ -33,7 +33,8 @@ object ContaminationStreams {
   def contaminationStream(spark: SparkSession, dir: String, schema: StructType,
                           staticDir: String, mod: Long = 17, n: Int = 8,
                           maxFilesPerTrigger: Option[Int] = None,
-                          queryName: String = "stream_contamination"): DataFrame = {
+                          queryName: String = "stream_contamination"): DataFrame =
+    EventStreams.withStreamShufflePartitions(spark) {
     // static side: benchmark n-gram set, distinct-reduced (broadcast-sized
     // relative to the corpus; Spark re-plans it into every micro-batch)
     val bench = Tables.documents(spark, staticDir)

@@ -143,7 +143,8 @@ object DedupStreams {
                                bands: Int, rows: Int,
                                bandKey: (Column, Int, Int) => Column,
                                minAgree: Int, bucketCap: Int,
-                               queryName: String): DataFrame = {
+                               queryName: String): DataFrame =
+    EventStreams.withStreamShufflePartitions(spark) {
     import spark.implicits._
     val docs = spark.readStream.schema(schema).parquet(dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]

