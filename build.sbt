@@ -34,5 +34,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: a 137-query serial bench accumulates codegen classes and cached
+  // blocks; at 8g the tail of the run went GC-bound (q87 measured 5.9s in
+  // serial context vs 2.3s isolated; 3.6s at 16g)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
