@@ -1095,8 +1095,24 @@ object RelationalQueries {
       FULL OUTER JOIN (SELECT * FROM latest_s WHERE rn = 1) s ON t.o_custkey = s.o_custkey
       ORDER BY o_custkey"""))
 
+  /** Mergeable quantile sketch (operators.HistogramQuantile): per-flag
+    * p50/p90/p99 of l_extendedprice from a 256-bin equi-width histogram
+    * CDF, with the exact percentile and the estimation error alongside —
+    * the deterministic, re-aggregable stand-in for percentile_approx
+    * that completes the sketch family (HLL q27/q98, Bloom q86, CMS
+    * q124). Bin counts merge by addition (the q98 rollup property).
+    */
+  val q139 = GQuery(
+    "q139_histogram_quantile",
+    (s, dir) => HistogramQuantile.quantiles(
+      Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+      nBins = 256, ps = Seq(0.5, 0.9, 0.99)),
+    Some(HistogramQuantile.oracleSql(
+      "lineitem", "l_returnflag", "l_extendedprice",
+      nBins = 256, ps = Seq(0.5, 0.9, 0.99))))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96, q98,
-    q115, q116)
+    q115, q116, q139)
 }
