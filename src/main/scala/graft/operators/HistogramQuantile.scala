@@ -65,11 +65,15 @@ object HistogramQuantile {
             col("lo") + col("w") * (col("bin") +
               (target - (col("cum") - col("c"))).cast("double") / col("c")), 4).as("est"))
     }.reduce(_ unionByName _)
-    val exactPerP = ps.map { p =>
-      df.groupBy(col(groupCol).as("g"))
-        .agg(Metrics.canonRound(expr(s"percentile($valueCol, $p)"), 4).as("exact"))
-        .withColumn("p", lit(p))
-    }.reduce(_ unionByName _)
+    // all exact percentiles in ONE aggregation pass (array form), then
+    // unpacked — p separate passes each re-sorted the fact table
+    val psArr = ps.mkString(", ")
+    val exactPerP = df.groupBy(col(groupCol).as("g"))
+      .agg(expr(s"percentile($valueCol, array($psArr))").as("exs"))
+      .select(col("g"), posexplode(col("exs")).as(Seq("i", "ex")))
+      .select(col("g"),
+        element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
+        Metrics.canonRound(col("ex"), 4).as("exact"))
     perP.join(exactPerP, Seq("g", "p"))
       .select(col("g").as(groupCol), col("p"), col("est"), col("exact"),
         Metrics.canonRound(abs(col("est") - col("exact")), 4).as("est_error"))
