@@ -34,17 +34,29 @@ object HistogramQuantile {
     * Returns (group, p, est, exact, est_error) — exact and error kept as
     * fixture-scale evidence of the bin-width bound.
     */
-  def quantiles(df: DataFrame, groupCol: String, valueCol: String,
-                nBins: Int, ps: Seq[Double]): DataFrame = {
+  /** The sketch itself: per-(group, bin) counts against FIXED bounds.
+    * This is the mergeable object — sketches of disjoint slices built
+    * against the same bounds add cell-wise into the sketch of their
+    * union (spec-proved), which is what lets per-partition/per-day
+    * sketches roll up to any grain without re-reading data.
+    */
+  def binCounts(df: DataFrame, groupCol: String, valueCol: String,
+                nBins: Int, bounds: DataFrame): DataFrame = {
     val v = col(valueCol).cast("double")
-    val bounds = df.agg(min(v).as("lo"), max(v).as("hi"))
     // bin index in [0, nBins-1]; the max value folds into the last bin
-    val binned = df.crossJoin(broadcast(bounds))
+    df.crossJoin(broadcast(bounds))
       .select(col(groupCol).as("g"), v.as("x"), col("lo"), col("hi"))
       .withColumn("bin",
         least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * nBins).cast("int"),
           lit(nBins - 1)))
-    val counts = binned.groupBy("g", "bin").agg(count(lit(1)).as("c"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("c"))
+  }
+
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String,
+                nBins: Int, ps: Seq[Double]): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(min(v).as("lo"), max(v).as("hi"))
+    val counts = binCounts(df, groupCol, valueCol, nBins, bounds)
     val wcum = Window.partitionBy("g").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, 0)
     val cdf = counts

@@ -22,6 +22,21 @@ class HistogramQuantileSpec extends SparkSpec {
     }
   }
 
+  test("sketches of disjoint slices merge by addition into the sketch of the union") {
+    val li = Tables.lineitem(spark, sf001)
+    val bounds = li.agg(min(col("l_extendedprice").cast("double")).as("lo"),
+      max(col("l_extendedprice").cast("double")).as("hi"))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      HistogramQuantile.binCounts(df, "l_returnflag", "l_extendedprice", 64, bounds)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val whole = cells(li)
+    val even = cells(li.filter(col("l_orderkey") % 2 === 0))
+    val odd = cells(li.filter(col("l_orderkey") % 2 =!= 0))
+    val merged = (even.keySet ++ odd.keySet).map(k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
   test("the exact column is Spark's own percentile (the sketch is judged against truth)") {
     val li = Tables.lineitem(spark, sf001)
     val got = HistogramQuantile.quantiles(li, "l_returnflag", "l_extendedprice",
