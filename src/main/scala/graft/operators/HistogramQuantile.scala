@@ -46,9 +46,13 @@ object HistogramQuantile {
     // bin index in [0, nBins-1]; the max value folds into the last bin
     df.crossJoin(broadcast(bounds))
       .select(col(groupCol).as("g"), v.as("x"), col("lo"), col("hi"))
+      // hi == lo (constant column): everything lands in bin 0 and the
+      // zero bin width makes every estimate exactly lo — not NULL bins
       .withColumn("bin",
-        least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * nBins).cast("int"),
-          lit(nBins - 1)))
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(
+            floor((col("x") - col("lo")) / (col("hi") - col("lo")) * nBins).cast("int"),
+            lit(nBins - 1))))
       .groupBy("g", "bin").agg(count(lit(1)).as("c"))
   }
 
@@ -100,7 +104,9 @@ object HistogramQuantile {
     val psList = ps.mkString(", ")
     s"""WITH bounds AS (SELECT min(CAST($valueCol AS DOUBLE)) AS lo, max(CAST($valueCol AS DOUBLE)) AS hi FROM $table),
       binned AS (SELECT $groupCol AS g,
-          least(CAST(floor((CAST($valueCol AS DOUBLE) - lo) / (hi - lo) * $nBins) AS INTEGER), ${nBins - 1}) AS bin
+          CASE WHEN hi = lo THEN 0
+               ELSE least(CAST(floor((CAST($valueCol AS DOUBLE) - lo) / (hi - lo) * $nBins) AS INTEGER), ${nBins - 1})
+          END AS bin
         FROM $table, bounds),
       counts AS (SELECT g, bin, count(*) AS c FROM binned GROUP BY g, bin),
       cdf AS (SELECT g, bin, c,

@@ -37,6 +37,18 @@ class HistogramQuantileSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("a constant value column estimates every quantile as that constant, not NULL") {
+    val const = Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag"), lit(42.5).as("cv"))
+    val rows = HistogramQuantile.quantiles(const, "l_returnflag", "cv",
+        nBins = 16, ps = Seq(0.5, 0.99)).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("est") == 42.5 && r.getAs[Double]("est_error") == 0.0,
+        s"constant column: ${r.mkString(",")}")
+    }
+  }
+
   test("the exact column is Spark's own percentile (the sketch is judged against truth)") {
     val li = Tables.lineitem(spark, sf001)
     val got = HistogramQuantile.quantiles(li, "l_returnflag", "l_extendedprice",
