@@ -510,5 +510,58 @@ object DedupQueries {
       ORDER BY d.doc_id"""
     })
 
-  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105)
+  /** SOFT dedup via suppression weights — the alternative to q40's hard
+    * drop: every exact-duplicate cluster keeps all members but each
+    * carries weight 1/cluster_size, so the cluster contributes exactly
+    * one document's worth of training signal however many copies exist.
+    * Output is the per-source effective corpus (raw vs effective docs and
+    * tokens) — the numbers a mixture-weighting step (q110) would consume
+    * instead of raw counts when dedup is done by weighting, not removal.
+    *
+    * Scale: fingerprint agg + one equi join back on the fingerprint (both
+    * shuffle on fp, AQE reuses the partitioning) + a per-source agg.
+    * Weighted sums ride the exactSum decimal path so they are partition-
+    * order-independent.
+    */
+  /** The q140 body over any (doc_id, source, text) frame — factored out
+    * so DedupSpec can pin the weighting math on a constructed corpus
+    * (the fixtures only carry duplicate clusters at sf0.1).
+    */
+  def suppressionStats(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val n = d.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+    d.join(n, "fp")
+      .withColumn("w", graft.functions.Metrics.canonRound(lit(1.0) / col("n_copies"), 6))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        graft.functions.Metrics.canonRound(
+          graft.functions.Metrics.exactSum(col("w")), 4).as("eff_docs"),
+        sum("n_tok").as("n_tokens"),
+        graft.functions.Metrics.canonRound(
+          graft.functions.Metrics.exactSum(col("n_tok") * col("w")), 4).as("eff_tokens"))
+      .orderBy("source")
+  }
+
+  val q140 = GQuery(
+    "q140_dedup_suppression",
+    (s, dir) => suppressionStats(Tables.documents(s, dir)),
+    Some("""WITH d AS (
+        SELECT doc_id, source, md5(text) AS fp,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      n AS (SELECT fp, count(*) AS n_copies FROM d GROUP BY fp),
+      j AS (SELECT d.source, d.n_tok, d.fp,
+          floor(1.0/n.n_copies*1e6+0.5)/1e6 AS w
+        FROM d JOIN n USING (fp))
+      SELECT source, count(*) AS n_docs,
+        count(DISTINCT fp) AS n_unique,
+        floor(CAST(sum(CAST(floor(w*1e4+0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)*1e4+0.5)/1e4 AS eff_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        floor(CAST(sum(CAST(floor((n_tok*w)*1e4+0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)*1e4+0.5)/1e4 AS eff_tokens
+      FROM j GROUP BY source ORDER BY source"""))
+
+  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140)
 }

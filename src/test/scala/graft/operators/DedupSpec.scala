@@ -11,6 +11,23 @@ class DedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("suppression weights: a k-copy cluster contributes exactly one doc of signal") {
+    import spark.implicits._
+    // src A: 'x y' ×3 (one cluster, 2 tokens) + 'a b c' ×1; src B: 'x y' ×1
+    val d = Seq(
+      (1L, "A", "x y"), (2L, "A", "x y"), (3L, "A", "x y"),
+      (4L, "A", "a b c"), (5L, "B", "x y"))
+      .toDF("doc_id", "source", "text")
+    val got = DedupQueries.suppressionStats(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    // 'x y' cluster spans sources: n_copies = 4, weight 0.25 each
+    assert(got("A") == ((4L, 2L, 1.75, 9L, 4.5)),   // 3·0.25 + 1 docs; 3·2·0.25 + 3 tokens
+      s"A: ${got("A")}")
+    assert(got("B") == ((1L, 1L, 0.25, 2L, 0.5)), s"B: ${got("B")}")
+    // total effective docs across sources = number of distinct texts
+    assert(got.values.map(_._3).sum == 2.0)
+  }
+
   test("minhash: identical texts -> identical signatures, est_jaccard 1.0") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog near the river bank",
