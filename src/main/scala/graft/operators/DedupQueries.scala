@@ -563,5 +563,100 @@ object DedupQueries {
         floor(CAST(sum(CAST(floor((n_tok*w)*1e4+0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)*1e4+0.5)/1e4 AS eff_tokens
       FROM j GROUP BY source ORDER BY source"""))
 
-  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140)
+  /** Train/holdout near-duplicate LEAKAGE audit: the q55 hash split is
+    * clean on exact ids, but a near-duplicate of a training document
+    * sitting in the holdout silently inflates eval scores (and benchmark
+    * contamination scans q109/q114 only catch verbatim 8-grams). This
+    * query runs the md5-MinHash band join ACROSS the split — holdout docs
+    * probing train-side buckets — and reports, per leaked holdout doc,
+    * a witness train doc, the strongest signature agreement, and how many
+    * train near-dups it has. The split gate that every training-data
+    * pipeline should run before trusting its validation numbers.
+    *
+    * Scale: identical shape to q100's band join — bucketed candidates
+    * only, train side capped per bucket (row_number ≤ 50 by doc_id, the
+    * streaming bucket-cap semantics), so worst-case work is
+    * buckets × cap × holdout-hits, never |train| × |holdout|.
+    */
+  /** q142 body over any (doc_id, text) frame — factored for spec use. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+      val isTrain = conv(substring(md5(coalesce(col("doc_id").cast("string"),
+        lit("\u0000null"))), 1, 1), 16, 10).cast("int") < 12
+      val sigs = minhashSignaturesMd5(docs).cache()
+      sigs.count() // eager: both split sides must hit the cache (see capBuckets)
+      val bb = bandedConcat(sigs, 4, 2).withColumn("is_train", isTrain)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bh").orderBy("doc_id")
+      val tr = bb.filter(col("is_train"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
+        .select(col("band"), col("bh"), col("doc_id").as("t_id"), col("sig").as("t_sig"))
+      val ho = bb.filter(!col("is_train"))
+        .select(col("band"), col("bh"), col("doc_id").as("h_id"), col("sig").as("h_sig"))
+      val nEq = call_function("graft_eq_count", col("h_sig"), col("t_sig")).cast("int")
+      val pairs = ho.join(tr, Seq("band", "bh"))
+        .select(col("h_id"), col("t_id"), nEq.as("n_eq"))
+        .filter(col("n_eq") >= 4)
+        .groupBy("h_id", "t_id").agg(max("n_eq").as("n_eq"))
+      pairs.groupBy("h_id")
+        .agg(min("t_id").as("leak_of"), max("n_eq").as("best_eq"),
+          count(lit(1)).as("n_train_matches"))
+        .select(col("h_id").as("doc_id"), col("leak_of"), col("best_eq"),
+          col("n_train_matches"))
+        .orderBy("doc_id")
+  }
+
+  val q142 = GQuery(
+    "q142_split_leakage",
+    (s, dir) => splitLeakage(Tables.documents(s, dir)),
+    Some {
+      val nH = 8
+      val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
+      val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+      val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
+        "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
+        "ELSE concat_ws('-', m6, m7) END"
+      s"""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+        FROM toks),
+      halves AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+          CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2
+        FROM sh),
+      sig AS (
+        SELECT doc_id,
+          $mins
+        FROM halves GROUP BY doc_id),
+      split AS (
+        SELECT doc_id,
+          substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 1) < 'c' AS is_train
+        FROM documents),
+      bands AS (
+        SELECT doc_id, b, $bandCase AS bh
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      tr AS (
+        SELECT doc_id, b, bh,
+          row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rn
+        FROM bands JOIN split USING (doc_id) WHERE is_train),
+      ho AS (
+        SELECT doc_id, b, bh
+        FROM bands JOIN split USING (doc_id) WHERE NOT is_train),
+      rawpairs AS (
+        SELECT ho.doc_id AS h_id, tr.doc_id AS t_id, ($eqSum) AS n_eq
+        FROM ho JOIN tr ON ho.b = tr.b AND ho.bh = tr.bh AND tr.rn <= 50
+        JOIN sig sa ON sa.doc_id = ho.doc_id
+        JOIN sig sb ON sb.doc_id = tr.doc_id),
+      pairs AS (
+        SELECT h_id, t_id, max(n_eq) AS n_eq
+        FROM rawpairs WHERE n_eq >= ${nH / 2} GROUP BY h_id, t_id)
+      SELECT h_id AS doc_id, min(t_id) AS leak_of,
+        CAST(max(n_eq) AS INTEGER) AS best_eq,
+        count(*) AS n_train_matches
+      FROM pairs GROUP BY h_id ORDER BY doc_id"""
+    })
+
+  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142)
 }

@@ -624,6 +624,71 @@ object PipelineQueries {
       FROM src
       ORDER BY o_custkey, o_orderkey"""))
 
+  /** Temperature-scaled mixture sampling (α = 0.5): q110 computes what the
+    * mixture SHOULD be; this query materializes it. Per-source sampling
+    * rates are derived from temperature-flattened probabilities
+    * p_s ∝ n_s^α (the multilingual-LM rebalancing rule — rare sources are
+    * up-weighted relative to their share), targeting half the corpus, and
+    * each document's accept/reject is a pure function of its id (the q88
+    * md5-uniform draw, 60-bit hash → [0,1)): reproducible under reruns,
+    * repartitioning, and incremental appends — rand()-based sampling is
+    * none of those.
+    *
+    * Scale: the rate table is a ~|sources|-row aggregate broadcast back
+    * onto the scan; the accept test is a per-row hash compare inside the
+    * scan projection. One shuffle (the per-source count), then map-only.
+    */
+  /** q141 body over any (doc_id, source) frame — factored for spec use. */
+  def temperatureSample(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val perSrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          Metrics.canonRound(sqrt(col("n_docs").cast("double")), 4).as("w_raw"))
+      val tot = perSrc.agg(
+        Metrics.exactSum(col("w_raw")).as("z"),
+        sum("n_docs").as("n_tot"))
+      val rates = perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          Metrics.canonRound(
+            least(lit(1.0), lit(0.5) * col("n_tot").cast("double") * col("w_raw")
+              / col("z") / col("n_docs").cast("double")), 6).as("samp_rate"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+      docs.select(col("source"), u.as("u"))
+        .join(broadcast(rates), "source")
+        .groupBy("source", "n_docs", "samp_rate")
+        .agg(sum((col("u") < col("samp_rate")).cast("long")).as("n_sampled"))
+        .select(col("source"), col("n_docs"), col("samp_rate"), col("n_sampled"),
+          Metrics.canonRound(col("n_sampled").cast("double")
+            / col("n_docs").cast("double"), 4).as("real_rate"))
+        .orderBy("source")
+  }
+
+  val q141 = GQuery(
+    "q141_temperature_sample",
+    (s, dir) => temperatureSample(Tables.documents(s, dir)),
+    Some("""WITH src AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      w AS (SELECT source, n_docs,
+          floor(sqrt(CAST(n_docs AS DOUBLE))*1e4+0.5)/1e4 AS w_raw FROM src),
+      tot AS (SELECT
+          CAST(sum(CAST(floor(w_raw*1e4+0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE) AS z,
+          CAST(sum(n_docs) AS BIGINT) AS n_tot FROM w),
+      rates AS (SELECT source, n_docs,
+          floor(least(1.0, 0.5*CAST(n_tot AS DOUBLE)*w_raw/z/CAST(n_docs AS DOUBLE))*1e6+0.5)/1e6
+            AS samp_rate
+        FROM w, tot),
+      d AS (SELECT source,
+          CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+            / 1152921504606846976.0 AS u
+        FROM documents),
+      acc AS (SELECT d.source, r.n_docs, r.samp_rate,
+          CAST(d.u < r.samp_rate AS INT) AS a
+        FROM d JOIN rates r USING (source))
+      SELECT source, n_docs, samp_rate,
+        CAST(sum(a) AS BIGINT) AS n_sampled,
+        floor(CAST(sum(a) AS DOUBLE)/CAST(n_docs AS DOUBLE)*1e4+0.5)/1e4 AS real_rate
+      FROM acc GROUP BY source, n_docs, samp_rate ORDER BY source"""))
+
   def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114, q119, q120,
-    q125, q126, q131, q132, q136)
+    q125, q126, q131, q132, q136, q141)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorOps
+import graft.functions.{Metrics, VectorOps}
 import graft.registry.GQuery
 
 /** Similarity search over the `embeddings` fixture (ARRAY<FLOAT>, 64-dim).
@@ -556,6 +556,112 @@ object SimilarityQueries {
     },
     Some(LubyMis.oracleSql(rounds = 3)))
 
+  /** Per-vector symmetric int8 quantization audit — the compression step a
+    * 100 TB embedding store runs before ANN serving (4× smaller than f32,
+    * 8× smaller than the f64 working form). scale = max|x|/127; code_i =
+    * floor(x_i/scale + 0.5) ∈ [-127, 127]; the query reports per-vector
+    * scale, reconstruction MSE and max abs error, and the SQNR estimate —
+    * the numbers that decide whether int8 (vs int4 / f16) is safe for a
+    * given corpus.
+    *
+    * Determinism: per-element err² and |err| are snapped to integer grids
+    * (1e-12 / 1e-8) BEFORE aggregation, so the per-vector sums are integer
+    * math — partition-order-proof — and IEEE scalar ops are bitwise
+    * identical in both engines. Scale: posexplode → two hash aggs keyed by
+    * vec_id; map-side combine; no shuffle carries raw vectors.
+    */
+  /** q143 body over any (vec_id, embedding) frame — factored for spec use. */
+  def int8QuantStats(emb: DataFrame): DataFrame = {
+      val e = emb
+        .select(col("vec_id"), posexplode(VectorOps.asDouble(col("embedding"))))
+        .withColumnRenamed("col", "x")
+      val scaled = e.groupBy("vec_id")
+        .agg(max(abs(col("x"))).as("mx"), count(lit(1)).as("dim"))
+        .withColumn("scale", col("mx") / 127.0)
+      val q = floor(col("x") / col("scale") + 0.5)
+      val err = col("x") - q * col("scale")
+      val enc = e.join(scaled, "vec_id")
+        .select(col("vec_id"), col("dim"), col("scale"),
+          floor(err * err * 1e12 + 0.5).cast("long").as("e2"),
+          floor(abs(err) * 1e8 + 0.5).cast("long").as("ea"))
+      enc.groupBy("vec_id", "dim", "scale")
+        .agg(sum("e2").as("se2"), max("ea").as("mea"))
+        .select(col("vec_id"),
+          Metrics.canonRound(col("scale"), 8).as("scale"),
+          Metrics.canonRound(col("se2").cast("double") / col("dim").cast("double") / 1e12, 10)
+            .as("mse"),
+          Metrics.canonRound(col("mea").cast("double") / 1e8, 6).as("max_abs_err"))
+        .orderBy("vec_id")
+  }
+
+  val q143 = GQuery(
+    "q143_int8_quant",
+    (s, dir) => int8QuantStats(Tables.embeddings(s, dir)),
+    Some("""WITH e AS (
+        SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+      scaled AS (
+        SELECT vec_id, max(abs(x)) / 127.0 AS scale, count(*) AS dim
+        FROM e GROUP BY vec_id),
+      enc AS (
+        SELECT e.vec_id, s.dim, s.scale,
+          CAST(floor((x - floor(x/s.scale + 0.5)*s.scale)
+                   * (x - floor(x/s.scale + 0.5)*s.scale) * 1e12 + 0.5) AS BIGINT) AS e2,
+          CAST(floor(abs(x - floor(x/s.scale + 0.5)*s.scale) * 1e8 + 0.5) AS BIGINT) AS ea
+        FROM e JOIN scaled s USING (vec_id))
+      SELECT vec_id,
+        floor(scale * 1e8 + 0.5)/1e8 AS scale,
+        floor(CAST(sum(e2) AS DOUBLE)/CAST(dim AS DOUBLE)/1e12 * 1e10 + 0.5)/1e10 AS mse,
+        floor(CAST(max(ea) AS DOUBLE)/1e8 * 1e6 + 0.5)/1e6 AS max_abs_err
+      FROM enc GROUP BY vec_id, dim, scale ORDER BY vec_id"""))
+
+  /** Matryoshka-style dimension-truncation recall: rank the corpus by
+    * cosine over only the FIRST 16 of 64 dims and measure recall@10
+    * against the full-dim exact top-10 (q50's truth). This is the audit
+    * behind "can we serve ANN on a prefix of the embedding and re-rank
+    * with the full vector later" — prefix serving cuts the scan's memory
+    * traffic 4× at 100 TB, but only if recall holds.
+    *
+    * Scale: both rankings are the q50 broadcast-probe scan; the recall
+    * join is top-10 × top-10 per probe — negligible.
+    */
+  /** q145 body: recall@10 of prefix-`dims` cosine vs full-dim, any frame. */
+  def matryoshkaRecall(e: DataFrame, dims: Int): DataFrame = {
+      val truth = bruteForceTopK(e, 10).select(col("q_id"), col("vec_id"))
+      val trunc = e.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
+      val approx = bruteForceTopK(trunc, 10).select(col("q_id"), col("vec_id"))
+      truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+        .select(col("q_id"),
+          Metrics.canonRound(col("n_hit").cast("double") / 10.0, 4).as("recall_at_10"))
+        .orderBy("q_id")
+  }
+
+  val q145 = GQuery(
+    "q145_matryoshka_recall",
+    (s, dir) => matryoshkaRecall(Tables.embeddings(s, dir), 16),
+    Some("""WITH probes AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 5),
+      full_ranked AS (
+        SELECT q_id, vec_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY
+            floor(list_cosine_similarity(q_vec, CAST(embedding AS DOUBLE[])) * 1e6 + 0.5)/1e6 DESC,
+            vec_id ASC) AS rank
+        FROM embeddings CROSS JOIN probes WHERE vec_id <> q_id),
+      trunc_ranked AS (
+        SELECT p.q_id, e.vec_id,
+          row_number() OVER (PARTITION BY p.q_id ORDER BY
+            floor(list_cosine_similarity(list_slice(p.q_vec, 1, 16),
+                  CAST(list_slice(e.embedding, 1, 16) AS DOUBLE[])) * 1e6 + 0.5)/1e6 DESC,
+            e.vec_id ASC) AS rank
+        FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.q_id),
+      hits AS (
+        SELECT t.q_id, count(*) AS n_hit
+        FROM full_ranked t JOIN trunc_ranked a
+          ON t.q_id = a.q_id AND t.vec_id = a.vec_id AND t.rank <= 10 AND a.rank <= 10
+        GROUP BY t.q_id)
+      SELECT q_id, floor(CAST(n_hit AS DOUBLE)/10.0 * 1e4 + 0.5)/1e4 AS recall_at_10
+      FROM hits ORDER BY q_id"""))
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127, q128, q133, q135, q137)
+    q127, q128, q133, q135, q137, q143, q145)
 }

@@ -864,6 +864,68 @@ object TextQueries {
       FROM tslots ts JOIN sketch sk ON ts.row_ = sk.row_ AND ts.slot = sk.slot
       GROUP BY ts.term ORDER BY ts.term"""))
 
+  /** Vocabulary-truncation OOV audit: build the top-K vocabulary from the
+    * TRAIN side of the q55 hash split (token count desc, token asc
+    * tie-break — fully deterministic), then measure per-source holdout
+    * coverage: token occurrences outside the vocab (OOV rate) and the
+    * share of distinct holdout types covered. The standard pre-tokenizer
+    * check before freezing a word/BPE vocab — a source whose OOV rate is
+    * an outlier is about to be tokenized badly.
+    *
+    * Scale: token counting is explode → hash agg (map-side combined);
+    * the vocabulary is top-K of that aggregate (tiny — K rows) and joins
+    * back as a broadcast. No shuffle touches raw text twice.
+    */
+  /** q144 body over any (doc_id, source, text) frame — factored for spec
+    * use; `k` is the vocabulary size cap.
+    */
+  def vocabOov(docs: DataFrame, k: Int): DataFrame = {
+      val isTrain = conv(substring(md5(coalesce(col("doc_id").cast("string"),
+        lit("\u0000null"))), 1, 1), 16, 10).cast("int") < 12
+      val toks = docs.withColumn("is_train", isTrain)
+        .select(col("doc_id"), col("source"), col("is_train"),
+          explode(tokens(col("text"))).as("tok"))
+      val vocab = toks.filter(col("is_train"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(k)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      toks.filter(!col("is_train"))
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct(col("tok")).as("n_types"),
+          countDistinct(when(col("in_vocab").isNotNull, col("tok"))).as("n_types_covered"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          graft.functions.Metrics.canonRound(col("n_oov").cast("double")
+            / col("n_tokens").cast("double"), 6).as("oov_rate"),
+          col("n_types"), col("n_types_covered"))
+        .orderBy("source")
+  }
+
+  val q144 = GQuery(
+    "q144_vocab_oov",
+    (s, dir) => vocabOov(Tables.documents(s, dir), 24),
+    Some("""WITH split AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t,
+          substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 1) < 'c' AS is_train
+        FROM documents),
+      toks AS (
+        SELECT doc_id, source, is_train, unnest(t) AS tok FROM split),
+      vocab AS (
+        SELECT tok FROM toks WHERE is_train
+        GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 24),
+      held AS (
+        SELECT source, toks.tok, CAST(vocab.tok IS NOT NULL AS INT) AS in_vocab
+        FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
+        WHERE NOT is_train)
+      SELECT source, count(*) AS n_tokens,
+        CAST(sum(1 - in_vocab) AS BIGINT) AS n_oov,
+        floor(CAST(sum(1 - in_vocab) AS DOUBLE)/CAST(count(*) AS DOUBLE)*1e6+0.5)/1e6 AS oov_rate,
+        count(DISTINCT tok) AS n_types,
+        count(DISTINCT CASE WHEN in_vocab = 1 THEN tok END) AS n_types_covered
+      FROM held GROUP BY source ORDER BY source"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85, q86, q87, q88, q90, q91, q92, q104, q106, q123, q124)
+    q85, q86, q87, q88, q90, q91, q92, q104, q106, q123, q124, q144)
 }

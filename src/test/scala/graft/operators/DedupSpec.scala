@@ -28,6 +28,23 @@ class DedupSpec extends SparkSpec {
     assert(got.values.map(_._3).sum == 2.0)
   }
 
+  test("split leakage: holdout near-dup of a train doc is flagged, unique holdout is not (q142)") {
+    import spark.implicits._
+    // md5 first-hex split (q55 scheme): ids 4,6,7,9 -> train; 0,1,2,3,5,8 -> holdout
+    val t = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (4L, t), (6L, t),                           // two train copies
+      (5L, t),                                    // holdout near-dup -> leaked
+      (8L, "one two three four five six seven"),  // unique holdout -> clean
+      (7L, "eight nine ten eleven twelve"))       // unique train
+      .toDF("doc_id", "text")
+    val got = DedupQueries.splitLeakage(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(5L), s"leaked set: ${got.keySet}")
+    // witness is the lowest train id, full 8-slot agreement, both copies matched
+    assert(got(5L) == ((4L, 8, 2L)), s"got ${got(5L)}")
+  }
+
   test("minhash: identical texts -> identical signatures, est_jaccard 1.0") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog near the river bank",

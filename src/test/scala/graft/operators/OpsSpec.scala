@@ -37,6 +37,39 @@ class OpsSpec extends SparkSpec {
     assert(idx.forall(i => i >= 0 && i < 30), idx) // 11 numeric + one-hot block
   }
 
+  test("temperature sampling flattens the mixture: rare sources rate-up, common sources rate-down (q141)") {
+    import spark.implicits._
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val got = PipelineQueries.temperatureSample(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val (nBig, rBig, sBig) = got("big")
+    val (nSmall, rSmall, sSmall) = got("small")
+    assert(nBig == 100L && nSmall == 4L)
+    // alpha=0.5, target half: rate_small = 52*2/12/4 > 1 -> capped at 1.0;
+    // rate_big = 52*10/12/100
+    assert(rSmall == 1.0 && sSmall == 4L, s"small: $rSmall, $sSmall")
+    assert(math.abs(rBig - 52.0 * 10 / 12 / 100) < 1e-6, s"big rate $rBig")
+    assert(sBig > 0 && sBig < 100, s"big sampled $sBig")
+    // flattening: the rare source keeps a strictly higher sampling rate
+    assert(rSmall > rBig)
+  }
+
+  test("vocab OOV audit: out-of-vocab holdout tokens are counted, covered types tracked (q144)") {
+    import spark.implicits._
+    // ids 4,6,7,9 train / 0,1,2,3,5,8 holdout under the q55 md5 split
+    val d = Seq(
+      (4L, "A", "aa bb aa"), (6L, "A", "bb aa bb"), (7L, "A", "aa bb cc"),
+      (5L, "A", "aa zz"), (8L, "B", "bb bb qq zz"))
+      .toDF("doc_id", "source", "text")
+    // train counts: aa=4, bb=4, cc=1 -> k=2 vocab = {aa, bb} (count desc, tok asc)
+    val got = TextQueries.vocabOov(d, 2).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("A") == ((2L, 1L, 0.5, 2L, 1L)), s"A: ${got("A")}")      // "aa zz"
+    assert(got("B") == ((4L, 2L, 0.5, 3L, 1L)), s"B: ${got("B")}")      // "bb bb qq zz"
+  }
+
   test("binned range join matches the naive theta join and avoids nested loops") {
     val e = Tables.events(spark, sf001)
     val clicks = e.filter(col("event_type") === "click")

@@ -138,4 +138,32 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.linesIterator.filter(l => l.contains("Join")).mkString("\n"))
   }
+  test("int8 quantization: integer-grid vectors reconstruct exactly, others within half a step (q143)") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(127.0f, -127.0f, 0.0f, 64.0f)),  // all multiples of scale=1.0 -> exact
+      (1L, Seq(1.0f, 0.5f, -0.25f, 0.0f)))      // scale=1/127 -> sub-step errors
+      .toDF("vec_id", "embedding")
+    val got = SimilarityQueries.int8QuantStats(e).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (s0, mse0, me0) = got(0L)
+    assert(s0 == 1.0 && mse0 == 0.0 && me0 == 0.0, s"exact vec: ${got(0L)}")
+    val (s1, mse1, me1) = got(1L)
+    assert(math.abs(s1 - 1.0 / 127) < 1e-8)
+    // error can never exceed half a quantization step
+    assert(mse1 > 0.0 && me1 > 0.0 && me1 <= s1 / 2 + 1e-9, s"approx vec: ${got(1L)}")
+  }
+
+  test("matryoshka recall: zero-padded tails make prefix ranking lossless -> recall 1.0 (q145)") {
+    import spark.implicits._
+    // 11 vectors, all signal in the first 2 of 4 dims; probes are vec_id < 5
+    val e = (0 until 11).map { i =>
+      val a = math.cos(i * 0.55); val b = math.sin(i * 0.55)
+      (i.toLong, Seq(a.toFloat, b.toFloat, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val got = SimilarityQueries.matryoshkaRecall(e, 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == (0L until 5L).toSet)
+    assert(got.values.forall(_ == 1.0), s"recalls: $got")
+  }
 }
