@@ -658,5 +658,44 @@ object DedupQueries {
       FROM pairs GROUP BY h_id ORDER BY doc_id"""
     })
 
-  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142)
+  /** Windowed cross-source STREAMING dedup (streaming.DedupStreams.
+    * windowedCrossSourceDedup): even-numbered sources form the reference
+    * feed, odd the incoming feed; an incoming doc is a duplicate only if
+    * its canonical fingerprint (q43's sorted-distinct-token form —
+    * exact fingerprints essentially never cross feeds; reorder-only
+    * mirrors do) appeared on the reference feed within the preceding
+    * 60 minutes of (synthetic, doc_id-derived) event time. The
+    * watermarked stream-stream interval join keeps both state stores
+    * bounded — the single-batch fixture run is oracle-equal to the plain
+    * SQL interval join below; cross-batch behavior is spec-verified on
+    * multi-file feeds in StreamingSpec.
+    */
+  val q146 = GQuery(
+    "q146_stream_windowed_dedup",
+    (s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_wdedup_q146_")
+      stage.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.DedupStreams.windowedCrossSourceDedup(
+        s, stage.toString, schema, queryName = "stream_windowed_dedup_q146")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+          TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND AS ts,
+          CAST(substr(source, 4) AS INT) % 2 = 0 AS is_ref
+        FROM documents),
+      a AS (SELECT doc_id AS a_id, fp, ts AS a_ts FROM d WHERE is_ref),
+      b AS (SELECT doc_id AS b_id, fp, ts AS b_ts FROM d WHERE NOT is_ref),
+      p AS (
+        SELECT b.b_id, a.a_id
+        FROM b JOIN a USING (fp)
+        WHERE a.a_ts >= b.b_ts - INTERVAL 60 MINUTE AND a.a_ts <= b.b_ts)
+      SELECT b_id AS doc_id, min(a_id) AS dup_of, count(*) AS n_ref_dups
+      FROM p GROUP BY b_id ORDER BY doc_id"""))
+
+  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142, q146)
 }

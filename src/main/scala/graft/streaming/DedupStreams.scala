@@ -196,4 +196,56 @@ object DedupStreams {
       .groupBy("doc_id", "dup_of").agg(max("n_eq").as("n_eq"))
       .orderBy("doc_id", "dup_of")
   }
+
+  /** WINDOWED cross-source streaming dedup: two ingestion streams (a
+    * reference feed and an incoming feed), and an incoming document only
+    * counts as a duplicate if the SAME content fingerprint appeared on the
+    * reference feed within the preceding `windowMinutes` of event time —
+    * "dedup against recent history", the shape of a production pipeline
+    * that tolerates re-publication after a cool-off but kills short-range
+    * mirrors. Implemented as a watermarked stream-stream interval join on
+    * the md5 fingerprint (q138's join pattern applied to dedup): state on
+    * both sides is bounded by watermark + window, so this runs forever on
+    * unbounded feeds — unlike the NoTimeout bucket state above, nothing
+    * here grows with history.
+    *
+    * Event time is synthesized deterministically from doc_id (one second
+    * per id past 2024-01-01) — the fixture has no ingestion timestamp; a
+    * real deployment uses the landing time. The per-incoming-doc rollup
+    * (earliest reference witness + match count) is the batch finishing
+    * step on the sink.
+    */
+  def windowedCrossSourceDedup(spark: SparkSession, landingDir: String,
+                               schema: org.apache.spark.sql.types.StructType,
+                               windowMinutes: Int = 60,
+                               queryName: String = "stream_windowed_dedup"): DataFrame =
+    EventStreams.withStreamShufflePartitions(spark) {
+    // canonical fingerprint (q43's sorted-distinct-token form): catches
+    // reorder-only mirrors, which is what actually crosses source feeds
+    val canonFp = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+    val docs = spark.readStream.schema(schema).parquet(landingDir)
+      .select(col("doc_id"), col("source"), canonFp.as("fp"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"),
+        (substring(col("source"), 4, 10).cast("int") % 2 === 0).as("is_ref"))
+    val ref = docs.filter(col("is_ref"))
+      .select(col("doc_id").as("a_id"), col("fp").as("a_fp"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", s"${2 * windowMinutes} minutes")
+    val inc = docs.filter(!col("is_ref"))
+      .select(col("doc_id").as("b_id"), col("fp").as("b_fp"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", s"${2 * windowMinutes} minutes")
+    val joined = inc.join(ref,
+      expr(s"""a_fp = b_fp AND
+               a_ts >= b_ts - INTERVAL $windowMinutes MINUTES AND a_ts <= b_ts"""))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(min("a_id").as("dup_of"), count(lit(1)).as("n_ref_dups"))
+      .orderBy("doc_id")
+  }
 }

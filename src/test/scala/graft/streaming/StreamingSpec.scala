@@ -132,6 +132,38 @@ class StreamingSpec extends SparkSpec {
       s"no cross-batch pair found in $stream")
   }
 
+  test("windowed cross-source dedup matches across micro-batches, only inside the window (q146)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_wdedup_spec_").toString
+    def feed(rows: Seq[(Long, String, String)], name: String): Unit = {
+      val staging = Files.createTempDirectory("graft_wdedup_stage_")
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val listing = Files.list(staging)
+      try {
+        val part = listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      } finally listing.close()
+    }
+    // even sources = reference feed; odd = incoming. ts = doc_id seconds.
+    val batch1 = Seq(
+      (10L, "src2", "alpha beta gamma"),
+      (20L, "src4", "one two three"))
+    val batch2 = Seq(
+      (100L, "src1", "gamma alpha beta"),          // reorder mirror of 10, 90s later -> dup
+      (105L, "src7", "three two one"),             // mirror of 20 -> dup
+      (5000L, "src3", "beta gamma alpha"),         // mirror of 10 but 4990s > 60min -> clean
+      (200L, "src5", "purple monkey dishwasher"))  // no ref match -> clean
+    feed(batch1, "b1.parquet")
+    feed(batch2, "b2.parquet")
+    val schema = batch1.toDF("doc_id", "source", "text").schema
+    val got = graft.streaming.DedupStreams
+      .windowedCrossSourceDedup(spark, dir, schema, queryName = "spec_wdedup")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(100L -> ((10L, 1L)), 105L -> ((20L, 1L))), s"got $got")
+  }
+
   test("streaming near-dup detection agrees with batch LSH across micro-batches") {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
