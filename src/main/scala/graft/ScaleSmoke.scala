@@ -284,6 +284,41 @@ object ScaleSmoke {
     def asofNative(e: DataFrame) =
       plans.NativeAsOfJoin.asof(asofClicks(e), asofPurch(e), "user_id", "click_ts", "ts", Seq("value"))
 
+    // q141's shape: tiny per-source rate table broadcast onto the scan;
+    // accept test is a per-row hash compare — must stay scan-bound
+    def tempSample(docs: DataFrame) =
+      operators.PipelineQueries.temperatureSample(docs)
+
+    // q142's shape: the md5-MinHash band join ACROSS the hash split
+    // (train side bucket-capped) — same sub-quadratic guarantee as
+    // minhash_lsh, probed cross-split instead of self-joined
+    def splitLeak(docs: DataFrame) =
+      operators.DedupQueries.splitLeakage(docs)
+
+    // q143's shape: posexplode → two per-vector hash aggs (integer-grid
+    // error encoding) — pure scan+agg over dim× rows
+    def int8Quant(em: DataFrame) =
+      operators.SimilarityQueries.int8QuantStats(em)
+
+    // q145's shape: two broadcast-probe brute-force scans (full dim +
+    // prefix) + a top-10×top-10 recall join — linear in the corpus
+    def matryoshka(em: DataFrame) =
+      operators.SimilarityQueries.matryoshkaRecall(em, 16)
+
+    // q146's dataflow as a batch join: canonical-fingerprint equi join
+    // gated by the event-time band. Fingerprint groups are duplicate
+    // clusters (bounded), so the join stays linear in the corpus
+    def wdedupBatch(docs: DataFrame) = {
+      val d = docs.select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"),
+        (pmod(col("doc_id"), lit(2L)) === 0).as("is_ref"))
+      val a = d.filter(col("is_ref")).select(col("doc_id").as("a_id"), col("fp"))
+      val b = d.filter(!col("is_ref")).select(col("doc_id").as("b_id"), col("fp"))
+      b.join(a, "fp")
+        .filter(col("a_id") >= col("b_id") - 3600L && col("a_id") <= col("b_id"))
+        .groupBy("b_id").agg(min("a_id").as("dup_of"), count(lit(1)).as("n"))
+    }
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("scan_agg", () => noop(scanAgg(l1)), () => noop(scanAgg(lk))),
       ("join_agg", () => noop(joinAgg(l1, o1)), () => noop(joinAgg(lk, ok))),
@@ -305,6 +340,11 @@ object ScaleSmoke {
       ("label_prop_rounds", () => noop(labelProp(prPairs)), () => noop(labelProp(prPairsK))),
       ("pit_enrich", () => noop(pitEnrich(l1, o1)), () => noop(pitEnrich(lk, ok))),
       ("pq_adc", () => noop(pqAdc(em1)), () => noop(pqAdc(emK))),
+      ("temp_sample", () => noop(tempSample(d1)), () => noop(tempSample(dk))),
+      ("split_leakage", () => noop(splitLeak(d1)), () => noop(splitLeak(dk))),
+      ("int8_quant", () => noop(int8Quant(em1)), () => noop(int8Quant(emK))),
+      ("matryoshka_recall", () => noop(matryoshka(em1)), () => noop(matryoshka(emK))),
+      ("windowed_dedup", () => noop(wdedupBatch(d1)), () => noop(wdedupBatch(dk))),
       (s"setsim_join_k$k4", () => noop(setsim(d1)), () => noop(setsim(d4))),
       // the df guard at FULL k: hot prefix tokens stop generating df²
       // candidates; sets holding them route through the MinHash fallback

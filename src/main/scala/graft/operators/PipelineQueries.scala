@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -689,6 +689,48 @@ object PipelineQueries {
         floor(CAST(sum(a) AS DOUBLE)/CAST(n_docs AS DOUBLE)*1e4+0.5)/1e4 AS real_rate
       FROM acc GROUP BY source, n_docs, samp_rate ORDER BY source"""))
 
+  /** Curriculum-ordering manifest: rank the corpus for training by quality
+    * bucket (q42's scorer, shared formula) with a DETERMINISTIC shuffle
+    * inside each bucket (seeded md5 — the q120 shard-export draw), so
+    * "easy/clean first" curricula are reproducible artifacts, not a
+    * property of whatever order the scan produced. Output is the manifest
+    * a loader consumes: (doc_id, quality, bucket, rank).
+    *
+    * Scale note: the ntile/global-rank windows are the oracle-witness
+    * form (single-partition sort, like q125's layout witness); a
+    * production writer swaps them for broadcast quantile boundaries +
+    * repartitionByRange + partition-local rank — same manifest, no
+    * global sort.
+    */
+  def curriculumManifest(docs: DataFrame, nBuckets: Int, seed: String): DataFrame = {
+    val q = Metrics.canonRound(TextQueries.qualityExpr(TextQueries.tokens(col("text"))), 4)
+    val wB = Window.orderBy(col("quality").desc, col("doc_id").asc)
+    val sh = md5(concat(lit(seed), col("doc_id").cast("string")))
+    val wR = Window.orderBy(col("bucket").asc, col("sh").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), q.as("quality"))
+      .withColumn("bucket", ntile(nBuckets).over(wB))
+      .withColumn("sh", sh)
+      .withColumn("rank", row_number().over(wR))
+      .select(col("doc_id"), col("quality"), col("bucket"), col("rank"))
+      .orderBy("rank")
+  }
+
+  val q147 = GQuery(
+    "q147_curriculum_order",
+    (s, dir) => curriculumManifest(Tables.documents(s, dir), 4, "cur1"),
+    Some(s"""WITH ${TextQueries.qualityScoreSqlCte},
+      b AS (
+        SELECT doc_id, q AS quality,
+          ntile(4) OVER (ORDER BY q DESC, doc_id ASC) AS bucket
+        FROM qscore),
+      sdraw AS (
+        SELECT doc_id, quality, bucket,
+          md5('cur1' || CAST(doc_id AS VARCHAR)) AS sh
+        FROM b)
+      SELECT doc_id, quality, CAST(bucket AS INT) AS bucket,
+        CAST(row_number() OVER (ORDER BY bucket ASC, sh ASC, doc_id ASC) AS INT) AS rank
+      FROM sdraw ORDER BY rank"""))
+
   def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114, q119, q120,
-    q125, q126, q131, q132, q136, q141)
+    q125, q126, q131, q132, q136, q141, q147)
 }

@@ -662,6 +662,65 @@ object SimilarityQueries {
       SELECT q_id, floor(CAST(n_hit AS DOUBLE)/10.0 * 1e4 + 0.5)/1e4 AS recall_at_10
       FROM hits ORDER BY q_id"""))
 
+  /** Embedding DRIFT audit between two corpus slices (vec_id parity
+    * stands in for old/new snapshot): per-label centroid of each half,
+    * L2 distance between the halves' centroids — the dataset-versioning
+    * check that catches an encoder change or a domain shift before a
+    * model trains on silently different geometry.
+    *
+    * Determinism: per-dim centroid components ride the exactSum decimal
+    * path and are snapped to 1e-6 before differencing; squared diffs
+    * aggregate as BIGINTs (1e-12 grid). Scale: posexplode → one
+    * (label, half, dim) hash agg (map-side combined) → a dims-sized join
+    * — nothing retains whole vectors past the scan.
+    */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val e = emb
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).cast("int").as("half"),
+        posexplode(VectorOps.asDouble(col("embedding"))))
+      .select(col("label"), col("half"), (col("pos") + 1).as("d"), col("col").as("x"))
+    val cent = e.groupBy("label", "half", "d")
+      .agg(Metrics.canonRound(Metrics.exactSum(col("x")) / count(lit(1)), 6).as("c"))
+    val c0 = cent.filter(col("half") === 0).select(col("label"), col("d"), col("c").as("c0"))
+    val c1 = cent.filter(col("half") === 1).select(col("label"), col("d"), col("c").as("c1"))
+    val diff = col("c0") - col("c1")
+    val sq = c0.join(c1, Seq("label", "d"))
+      .select(col("label"), floor(diff * diff * 1e12 + 0.5).cast("long").as("sq"))
+      .groupBy("label").agg(sum("sq").as("ssq"))
+    val cnt = emb.groupBy("label").agg(
+      sum(when(pmod(col("vec_id"), lit(2L)) === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(pmod(col("vec_id"), lit(2L)) === 1, 1L).otherwise(0L)).as("n1"))
+    sq.join(cnt, "label")
+      .select(col("label"), col("n0"), col("n1"),
+        Metrics.canonRound(sqrt(col("ssq").cast("double") / 1e12), 6).as("centroid_l2"))
+      .orderBy("label")
+  }
+
+  val q148 = GQuery(
+    "q148_embedding_drift",
+    (s, dir) => embeddingDrift(Tables.embeddings(s, dir)),
+    Some("""WITH e AS (
+        SELECT label, CAST(vec_id % 2 AS INT) AS half, gs.d AS d,
+          CAST(embedding[gs.d] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, 64) gs(d)),
+      cent AS (
+        SELECT label, half, d,
+          floor((CAST(sum(CAST(floor(x*1e4+0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*))*1e6+0.5)/1e6 AS c
+        FROM e GROUP BY label, half, d),
+      sq AS (
+        SELECT a.label, CAST(floor((a.c-b.c)*(a.c-b.c)*1e12+0.5) AS BIGINT) AS sq
+        FROM cent a JOIN cent b ON a.label = b.label AND a.d = b.d
+        WHERE a.half = 0 AND b.half = 1),
+      cnt AS (
+        SELECT label,
+          CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM embeddings GROUP BY label)
+      SELECT label, n0, n1,
+        floor(sqrt(CAST(sum(sq) AS DOUBLE)/1e12)*1e6+0.5)/1e6 AS centroid_l2
+      FROM sq JOIN cnt USING (label)
+      GROUP BY label, n0, n1 ORDER BY label"""))
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127, q128, q133, q135, q137, q143, q145)
+    q127, q128, q133, q135, q137, q143, q145, q148)
 }

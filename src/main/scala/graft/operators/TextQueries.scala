@@ -926,6 +926,57 @@ object TextQueries {
         count(DISTINCT CASE WHEN in_vocab = 1 THEN tok END) AS n_types_covered
       FROM held GROUP BY source ORDER BY source"""))
 
+  /** Domain-shift audit: per-source token-distribution KL divergence
+    * against the whole-corpus distribution, KL(p_source || p_corpus) =
+    * Σ_w p_s(w)·ln(p_s(w)/p(w)). A source whose KL is an outlier writes
+    * in a different register than the rest of the mixture — the check
+    * behind mixture re-weighting and contamination triage. ln is
+    * cross-engine-stable at the 1e-8 contribution grid (q104's LM oracle
+    * established the precedent).
+    *
+    * Scale: two map-side-combinable token-count aggs; the global vocab
+    * frame (|vocab| rows) broadcasts onto the per-source counts. Nothing
+    * quadratic, nothing retains documents past the explode.
+    */
+  def sourceTokenKl(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val perSrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val srcTot = perSrc.groupBy("source").agg(sum("c").as("n_s"))
+    val glob = toks.groupBy("tok").agg(count(lit(1)).as("g"))
+    val globTot = glob.agg(sum("g").as("n"))
+    val p = col("c").cast("double") / col("n_s").cast("double")
+    val q = col("g").cast("double") / col("n").cast("double")
+    perSrc.join(srcTot, "source").join(broadcast(glob), "tok")
+      .crossJoin(broadcast(globTot))
+      .select(col("source"), floor(p * log(p / q) * 1e8 + 0.5).cast("long").as("k"))
+      .groupBy("source").agg(sum("k").as("ks"), count(lit(1)).as("n_terms"))
+      .select(col("source"),
+        graft.functions.Metrics.canonRound(col("ks").cast("double") / 1e8, 6).as("kl"),
+        col("n_terms"))
+      .orderBy("source")
+  }
+
+  val q149 = GQuery(
+    "q149_source_kl",
+    (s, dir) => sourceTokenKl(Tables.documents(s, dir)),
+    Some("""WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      persrc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+      srctot AS (SELECT source, sum(c) AS n_s FROM persrc GROUP BY source),
+      gcnt AS (SELECT tok, count(*) AS g FROM toks GROUP BY tok),
+      globtot AS (SELECT sum(g) AS n FROM gcnt),
+      contrib AS (
+        SELECT p.source,
+          CAST(floor((CAST(p.c AS DOUBLE)/CAST(s.n_s AS DOUBLE))
+            * ln((CAST(p.c AS DOUBLE)/CAST(s.n_s AS DOUBLE))
+                 / (CAST(g.g AS DOUBLE)/CAST(t.n AS DOUBLE))) * 1e8 + 0.5) AS BIGINT) AS k
+        FROM persrc p JOIN srctot s USING (source)
+        JOIN gcnt g USING (tok) CROSS JOIN globtot t)
+      SELECT source,
+        floor(CAST(sum(k) AS DOUBLE)/1e8*1e6+0.5)/1e6 AS kl,
+        count(*) AS n_terms
+      FROM contrib GROUP BY source ORDER BY source"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85, q86, q87, q88, q90, q91, q92, q104, q106, q123, q124, q144)
+    q85, q86, q87, q88, q90, q91, q92, q104, q106, q123, q124, q144, q149)
 }

@@ -70,6 +70,38 @@ class OpsSpec extends SparkSpec {
     assert(got("B") == ((4L, 2L, 0.5, 3L, 1L)), s"B: ${got("B")}")      // "bb bb qq zz"
   }
 
+  test("curriculum manifest: quality-descending buckets, deterministic rank across runs (q147)") {
+    import spark.implicits._
+    // quality rises with distinct-token count (no stopwords, full TTR)
+    val d = Seq(
+      (1L, "w1 w2"), (2L, "w1 w2 w3 w4"),
+      (3L, "w1 w2 w3 w4 w5 w6"), (4L, "w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    def run() = PipelineQueries.curriculumManifest(d, 2, "s1").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    val m = run()
+    // bucket 1 = the two highest-quality docs (4 and 3), bucket 2 the rest
+    assert(m.filter(_._2 == 1).map(_._1).toSet == Set(3L, 4L), m.toSeq)
+    assert(m.filter(_._2 == 2).map(_._1).toSet == Set(1L, 2L), m.toSeq)
+    // ranks are 1..n, bucket-major
+    assert(m.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(m.filter(_._2 == 1).map(_._3).forall(_ <= 2))
+    // the seeded shuffle is a pure function of (seed, doc_id): rerun equal
+    assert(run().toSeq == m.toSeq)
+  }
+
+  test("source KL: identical distributions score zero, skewed sources score higher (q149)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "A", "x y x y"), (2L, "B", "x x y y"), (3L, "C", "x x x y"))
+      .toDF("doc_id", "source", "text")
+    val got = TextQueries.sourceTokenKl(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("A") == got("B"), s"equal dists must score equally: $got")
+    assert(got("C") > got("A"), s"skewed source must exceed balanced: $got")
+    assert(got.values.forall(_ >= -1e-6), s"KL must be ~non-negative: $got")
+  }
+
   test("binned range join matches the naive theta join and avoids nested loops") {
     val e = Tables.events(spark, sf001)
     val clicks = e.filter(col("event_type") === "click")

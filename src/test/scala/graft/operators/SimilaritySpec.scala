@@ -166,4 +166,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got.keySet == (0L until 5L).toSet)
     assert(got.values.forall(_ == 1.0), s"recalls: $got")
   }
+  test("embedding drift: constructed halves give the exact centroid L2 (q148)") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 7),   // half 0
+      (1L, Seq(0.0f, 1.0f), 7),   // half 1 -> centroid diff (1,-1), L2 = sqrt(2)
+      (2L, Seq(0.5f, 0.5f), 8),
+      (3L, Seq(0.5f, 0.5f), 8))   // identical halves -> drift 0
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityQueries.embeddingDrift(e).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(7) == ((1L, 1L, 1.414214)), s"label 7: ${got(7)}")
+    assert(got(8) == ((1L, 1L, 0.0)), s"label 8: ${got(8)}")
+  }
 }
