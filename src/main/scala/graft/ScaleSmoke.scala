@@ -284,6 +284,20 @@ object ScaleSmoke {
     def asofNative(e: DataFrame) =
       plans.NativeAsOfJoin.asof(asofClicks(e), asofPurch(e), "user_id", "click_ts", "ts", Seq("value"))
 
+    // q151's peel shape: per round one degree agg + two semi joins onto
+    // the shrinking edge frame (monotone state, like luby/label-prop)
+    def kcoreRounds(pairs: DataFrame) = {
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val nodes = edges.select(col("u").as("vec_id")).distinct()
+      operators.KCore.decompose(nodes, edges, k = 3, rounds = 4)
+    }
+
+    // q154's shape: ONE user_id shuffle for the lag window, then a
+    // |types|²-bounded count agg — the transition matrix must stay
+    // window-bound, never corpus-bound
+    def markov(e: DataFrame) = operators.EventQueries.markovTransitions(e)
+
     // q141's shape: tiny per-source rate table broadcast onto the scan;
     // accept test is a per-row hash compare — must stay scan-bound
     def tempSample(docs: DataFrame) =
@@ -338,6 +352,8 @@ object ScaleSmoke {
       ("bpe_rounds", () => { bpeRounds(d1); () }, () => { bpeRounds(dk); () }),
       ("kmeans_rounds", () => noop(kmeansRounds(em1)), () => noop(kmeansRounds(emK))),
       ("label_prop_rounds", () => noop(labelProp(prPairs)), () => noop(labelProp(prPairsK))),
+      ("kcore_rounds", () => noop(kcoreRounds(prPairs)), () => noop(kcoreRounds(prPairsK))),
+      ("markov_transitions", () => noop(markov(e1)), () => noop(markov(ek))),
       ("pit_enrich", () => noop(pitEnrich(l1, o1)), () => noop(pitEnrich(lk, ok))),
       ("pq_adc", () => noop(pqAdc(em1)), () => noop(pqAdc(emK))),
       ("temp_sample", () => noop(tempSample(d1)), () => noop(tempSample(dk))),

@@ -531,6 +531,110 @@ object EventQueries {
       .attributionStreamAgg(s, dir, queryName = "stream_attribution_q138"),
     q68.oracle)
 
+  /** First-order Markov model of user behavior: per-user event-type
+    * transition counts (lag over the (ts, event_id) total order) and the
+    * row-conditional probabilities P(next | prev). The transition matrix
+    * is what session-simulation, anomaly scoring, and next-event
+    * prediction baselines consume.
+    *
+    * Scale: ONE shuffle on user_id for the lag window (the q32
+    * sessionization shape), then a map-side-combinable (prev, next) count
+    * agg; the matrix itself is |types|² — broadcast-scale output.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = seq.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy("prev_type").agg(sum("n").as("n_prev"))
+    counts.join(broadcast(tot), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        graft.functions.Metrics.canonRound(
+          col("n").cast("double") / col("n_prev").cast("double"), 6).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val q154 = GQuery(
+    "q154_markov_transitions",
+    (s, dir) => markovTransitions(Tables.events(s, dir)),
+    Some("""WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      g AS (
+        SELECT event_type AS next_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM e),
+      c AS (SELECT prev_type, next_type, count(*) AS n FROM g
+            WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+      t AS (SELECT prev_type, sum(n) AS n_prev FROM c GROUP BY prev_type)
+      SELECT c.prev_type, c.next_type, c.n,
+        floor((CAST(c.n AS DOUBLE)/CAST(t.n_prev AS DOUBLE))*1e6 + 0.5)/1e6 AS p
+      FROM c JOIN t USING (prev_type)
+      ORDER BY prev_type, next_type"""))
+
+  /** Burst detection on the event-rate series: hourly counts on a DENSE
+    * hour axis (q34's date_range idiom — a missing hour is rate 0, and a
+    * burst right after a quiet gap must see that 0), each hour compared
+    * with its trailing 3-hour sum. The burst test is pure integer
+    * arithmetic (3·n ≥ 2·prev3 with floors n ≥ 10, prev3 covered ≥ 3
+    * hours), so no float threshold can disagree across engines; the ratio
+    * column is diagnostic output on the usual grid.
+    *
+    * Scale: one hour-truncated count agg (map-side combined) left-joined
+    * onto a generated axis; the window runs over |hours| rows — the series
+    * frame, not the event corpus.
+    */
+  def burstHours(events: DataFrame): DataFrame = {
+    val hours = events.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour_start"))
+    val counts = events.groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("hour_start").rowsBetween(-3, -1)
+    hours.join(counts, Seq("hour_start"), "left")
+      .select(col("hour_start"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("prev3", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("n_prev_hours", count(lit(1)).over(w))
+      .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+        col("n"), col("prev3"),
+        when(col("prev3") > 0,
+          graft.functions.Metrics.canonRound(
+            col("n").cast("double") * 3.0 / col("prev3").cast("double"), 4))
+          .as("rate_ratio"),
+        (col("n_prev_hours") === 3 && col("n") >= 10 &&
+          col("n") * 3 >= col("prev3") * 2).cast("int").as("is_burst"))
+      .orderBy("hour_start")
+  }
+
+  val q155 = GQuery(
+    "q155_burst_hours",
+    (s, dir) => burstHours(Tables.events(s, dir)),
+    Some("""WITH b AS (
+        SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+               date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1 FROM events),
+      axis AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start FROM b),
+      c AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, count(*) AS n
+        FROM events GROUP BY 1),
+      dense AS (
+        SELECT a.hour_start, coalesce(c.n, 0) AS n
+        FROM axis a LEFT JOIN c ON c.hour_start = a.hour_start),
+      roll AS (
+        SELECT hour_start, n,
+          CAST(coalesce(sum(n) OVER (ORDER BY hour_start ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev3,
+          count(*) OVER (ORDER BY hour_start ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n_prev_hours
+        FROM dense)
+      SELECT hour_start, n, prev3,
+        CASE WHEN prev3 > 0
+             THEN floor((CAST(n AS DOUBLE)*3.0/CAST(prev3 AS DOUBLE))*1e4 + 0.5)/1e4 END AS rate_ratio,
+        CAST(CASE WHEN n_prev_hours = 3 AND n >= 10 AND n*3 >= prev3*2
+             THEN 1 ELSE 0 END AS INTEGER) AS is_burst
+      FROM roll ORDER BY hour_start"""))
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q68, q76, q77, q94, q100, q118, q129, q134, q138)
+    q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155)
 }

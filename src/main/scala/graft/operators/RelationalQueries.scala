@@ -1111,8 +1111,48 @@ object RelationalQueries {
       "lineitem", "l_returnflag", "l_extendedprice",
       nBins = 256, ps = Seq(0.5, 0.9, 0.99))))
 
+  /** 2-D skyline (Pareto frontier, Börzsönyi 2001): the parts no other
+    * part strictly dominates on (maximize p_size, minimize
+    * p_retailprice). The sort-scan algorithm, not the quadratic
+    * dominance anti-join: per-size min prices, then a running min over
+    * strictly-larger sizes — a part survives iff it holds its size's min
+    * price AND beats every larger size's best price. O(n) after one
+    * per-size agg; the window runs over |distinct sizes| rows, never the
+    * part corpus. Only comparisons touch the doubles — no float
+    * arithmetic to canonicalize.
+    */
+  def skylineParts(part: DataFrame): DataFrame = {
+    val perSize = part.groupBy("p_size").agg(min("p_retailprice").as("min_price"))
+    val w = Window.orderBy(col("p_size").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val frontierSizes = perSize
+      .withColumn("best_larger", min("min_price").over(w))
+      .filter(col("best_larger").isNull || col("min_price") < col("best_larger"))
+      .select(col("p_size"), col("min_price"))
+    part.join(broadcast(frontierSizes), Seq("p_size"))
+      .filter(col("p_retailprice") === col("min_price"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  val q153 = GQuery(
+    "q153_skyline_parts",
+    (s, dir) => skylineParts(Tables.part(s, dir)),
+    Some("""WITH persize AS (
+        SELECT p_size, min(p_retailprice) AS min_price FROM part GROUP BY p_size),
+      fr AS (
+        SELECT p_size, min_price,
+          min(min_price) OVER (ORDER BY p_size DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_larger
+        FROM persize),
+      fsz AS (
+        SELECT p_size, min_price FROM fr
+        WHERE best_larger IS NULL OR min_price < best_larger)
+      SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice
+      FROM part p JOIN fsz f ON f.p_size = p.p_size AND p.p_retailprice = f.min_price
+      ORDER BY p.p_partkey"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96, q98,
-    q115, q116, q139)
+    q115, q116, q139, q153)
 }

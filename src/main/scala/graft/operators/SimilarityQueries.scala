@@ -721,6 +721,29 @@ object SimilarityQueries {
       FROM sq JOIN cnt USING (label)
       GROUP BY label, n0, n1 ORDER BY label"""))
 
+  /** k-core decomposition (operators.KCore) over the q52/q133 near-dup
+    * graph: 4 peel rounds at k=3 tag every sampled vector as 3-core
+    * member or with its peel round — the density filter that separates
+    * template farms (dense cores) from accidental near-dup pairs
+    * (peeled early). Fifth member of the graph family (CC q83, PageRank
+    * q122, label prop q133, Luby MIS q137); all-integer state, so the
+    * oracle replays every round.
+    */
+  val q151 = GQuery(
+    "q151_kcore",
+    (s, dir) => {
+      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
+        .select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      KCore.decompose(d.select(col("vec_id")), edges, k = 3, rounds = 4)
+    },
+    Some(KCore.oracleSql(k = 3, rounds = 4)))
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127, q128, q133, q135, q137, q143, q145, q148)
+    q127, q128, q133, q135, q137, q143, q145, q148, q151)
 }

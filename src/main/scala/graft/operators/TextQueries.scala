@@ -977,6 +977,160 @@ object TextQueries {
         count(*) AS n_terms
       FROM contrib GROUP BY source ORDER BY source"""))
 
+  /** PMI collocations (Church & Hanks 1990): the top-20 adjacent-token
+    * pairs by pointwise mutual information, PMI(w₁,w₂) = ln p(w₁w₂) −
+    * ln p(w₁) − ln p(w₂), with a min-count floor so rare-pair noise
+    * (PMI's classic failure mode) never ranks. The collocation lexicon is
+    * what multi-word-expression tokenizer vocab and phrase-mining passes
+    * consume.
+    *
+    * Determinism: every probability is a single IEEE division of exact
+    * integer counts, each ln is applied to an identical double in both
+    * engines, and the three-term SUM (not a fused product — products of
+    * count triples overflow 2⁵³) lands on canonRound's 1e-6 grid (q104's
+    * ln precedent). Ranking sorts the ROUNDED pmi with (w1, w2) as the
+    * total tie-break.
+    *
+    * Scale: bigram + unigram occurrence counts are two map-side-combined
+    * hash aggs off the graft_shingles generator; the ranked frame is
+    * |vocab|²-bounded (tiny), so the top-k window is a broadcast-scale
+    * finisher, not a corpus sort.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long, topK: Int): DataFrame = {
+    val big = docs.select(call_function("graft_shingles", col("text")).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val cu = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val nb = big.agg(count(lit(1)).as("nb"))
+    val nu = docs.select((size(tokens(col("text")))).as("k")).agg(sum("k").as("nu"))
+    val pmi = log(col("cb").cast("double") / col("nb").cast("double")) -
+      log(col("c1").cast("double") / col("nu").cast("double")) -
+      log(col("c2").cast("double") / col("nu").cast("double"))
+    val scored = cb
+      .join(broadcast(cu.select(col("tok").as("w1"), col("cu").as("c1"))), "w1")
+      .join(broadcast(cu.select(col("tok").as("w2"), col("cu").as("c2"))), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("w1"), col("w2"), col("cb").as("n_pair"),
+        graft.functions.Metrics.canonRound(pmi, 6).as("pmi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("w1"), col("w2"), col("n_pair"), col("pmi"))
+      .orderBy("rank")
+  }
+
+  val q150 = GQuery(
+    "q150_pmi_collocations",
+    (s, dir) => pmiCollocations(Tables.documents(s, dir), minCount = 20L, topK = 20),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(t)-1),
+                 i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM toks),
+      bgw AS (
+        SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[-1] AS w2
+        FROM bg),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM bgw GROUP BY w1, w2
+             HAVING count(*) >= 20),
+      cu AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      cuc AS (SELECT tok, count(*) AS cu FROM cu GROUP BY tok),
+      nb AS (SELECT count(*) AS nb FROM bg),
+      nu AS (SELECT count(*) AS nu FROM cu),
+      scored AS (
+        SELECT cb.w1, cb.w2, cb.cb AS n_pair,
+          floor((ln(CAST(cb.cb AS DOUBLE)/CAST(nb.nb AS DOUBLE))
+               - ln(CAST(u1.cu AS DOUBLE)/CAST(nu.nu AS DOUBLE))
+               - ln(CAST(u2.cu AS DOUBLE)/CAST(nu.nu AS DOUBLE)))*1e6 + 0.5)/1e6 AS pmi
+        FROM cb JOIN cuc u1 ON u1.tok = cb.w1 JOIN cuc u2 ON u2.tok = cb.w2
+        CROSS JOIN nb CROSS JOIN nu),
+      ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INTEGER)
+          AS rank, w1, w2, n_pair, pmi
+        FROM scored)
+      SELECT rank, w1, w2, n_pair, pmi FROM ranked
+      WHERE rank <= 20 ORDER BY rank"""))
+
+  /** Zipf rank-frequency fit per source: OLS slope/intercept of ln(count)
+    * on ln(rank) over each source's top-50 tokens (rank = count desc, token
+    * asc — total order). A healthy natural-language source sits near slope
+    * −1; a templated or spammy source flattens or cliffs — the quick
+    * distributional-health check next to q149's KL.
+    *
+    * Determinism: ln(rank)/ln(count) snap to a 1e-6 BIGINT grid before the
+    * moment sums, so Σx, Σy, Σxy, Σx² are exact integer aggregations
+    * (top-50 cap keeps every sum < 2⁵³ — exact in double too); the final
+    * slope/intercept arithmetic is an identical IEEE sequence in both
+    * engines, landed on canonRound grids.
+    *
+    * Scale: one (source, tok) count agg; ranking windows run per source
+    * over ≤|vocab| rows — the whole regression input is broadcast-scale.
+    */
+  def zipfFit(docs: DataFrame, topN: Int): DataFrame = {
+    val counts = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("tok").asc)
+    val pts = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("source"),
+        floor(log(col("rank").cast("double")) * 1e6 + 0.5).cast("long").as("kx"),
+        floor(log(col("c").cast("double")) * 1e6 + 0.5).cast("long").as("ky"))
+    val m = pts.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum("kx").as("sx"), sum("ky").as("sy"),
+      sum(col("kx") * col("ky")).as("sxy"),
+      sum(col("kx") * col("kx")).as("sxx"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double") / 1e6
+    val syD = col("sy").cast("double") / 1e6
+    val sxyD = col("sxy").cast("double") / 1e12
+    val sxxD = col("sxx").cast("double") / 1e12
+    val slope = (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
+    val icept = (syD - slope * sxD) / nD
+    m.select(col("source"), col("n").as("n_ranks"),
+        graft.functions.Metrics.canonRound(slope, 6).as("zipf_slope"),
+        graft.functions.Metrics.canonRound(icept, 6).as("zipf_intercept"))
+      .orderBy("source")
+  }
+
+  val q152 = GQuery(
+    "q152_zipf_fit",
+    (s, dir) => zipfFit(Tables.documents(s, dir), topN = 50),
+    Some("""WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      counts AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+      ranked AS (
+        SELECT source, c,
+          row_number() OVER (PARTITION BY source ORDER BY c DESC, tok ASC) AS rank
+        FROM counts),
+      pts AS (
+        SELECT source,
+          CAST(floor(ln(CAST(rank AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS kx,
+          CAST(floor(ln(CAST(c AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS ky
+        FROM ranked WHERE rank <= 50),
+      m AS (
+        SELECT source, count(*) AS n, sum(kx) AS sx, sum(ky) AS sy,
+          sum(kx*ky) AS sxy, sum(kx*kx) AS sxx
+        FROM pts GROUP BY source),
+      fit AS (
+        SELECT source, n,
+          (CAST(n AS DOUBLE)*(CAST(sxy AS DOUBLE)/1e12)
+            - (CAST(sx AS DOUBLE)/1e6)*(CAST(sy AS DOUBLE)/1e6))
+          / (CAST(n AS DOUBLE)*(CAST(sxx AS DOUBLE)/1e12)
+            - (CAST(sx AS DOUBLE)/1e6)*(CAST(sx AS DOUBLE)/1e6)) AS slope,
+          CAST(sx AS DOUBLE)/1e6 AS sxd, CAST(sy AS DOUBLE)/1e6 AS syd
+        FROM m)
+      SELECT source, n AS n_ranks,
+        floor(slope*1e6 + 0.5)/1e6 AS zipf_slope,
+        floor(((syd - slope*sxd)/CAST(n AS DOUBLE))*1e6 + 0.5)/1e6 AS zipf_intercept
+      FROM fit ORDER BY source"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
-    q85, q86, q87, q88, q90, q91, q92, q104, q106, q123, q124, q144, q149)
+    q85, q86, q87, q88, q90, q91, q92, q104, q106, q123, q124, q144, q149,
+    q150, q152)
 }

@@ -240,4 +240,75 @@ class OpsSpec extends SparkSpec {
     assert(v.size == (1 << 12))
     assert(out.count() == 50)
   }
+
+  test("PMI ranks the always-adjacent pair above independent co-occurrence (q150)") {
+    import spark.implicits._
+    // "aa bb" always fuse; "cc"/"dd" float around them independently
+    val d = Seq((1L, "aa bb cc dd"), (2L, "cc aa bb dd"), (3L, "dd cc aa bb"),
+      (4L, "aa bb dd cc")).toDF("doc_id", "text")
+    val got = TextQueries.pmiCollocations(d, minCount = 2L, topK = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getDouble(4)))
+    assert(got.head._2 == "aa" && got.head._3 == "bb", s"top pair: ${got.head}")
+    assert(got.head._4 > 0, s"fused pair must have positive PMI: ${got.head}")
+    val ranks = got.map(_._1).toSeq
+    assert(ranks == (1 to ranks.size).toSeq, s"ranks must be dense: $ranks")
+  }
+
+  test("Zipf fit recovers slope -1 from an exact 12/r frequency law (q152)") {
+    import spark.implicits._
+    val text = (Seq.fill(12)("t1") ++ Seq.fill(6)("t2") ++
+      Seq.fill(4)("t3") ++ Seq.fill(3)("t4")).mkString(" ")
+    val d = Seq((1L, "S", text)).toDF("doc_id", "source", "text")
+    val row = TextQueries.zipfFit(d, topN = 50).collect().head
+    assert(row.getString(0) == "S" && row.getLong(1) == 4L, row.toString)
+    assert(math.abs(row.getDouble(2) + 1.0) <= 5e-6, s"slope: ${row.getDouble(2)}")
+    assert(math.abs(row.getDouble(3) - math.log(12.0)) <= 5e-6,
+      s"intercept: ${row.getDouble(3)}")
+  }
+
+  test("skyline keeps exactly the non-dominated parts, including min-price ties (q153)") {
+    import spark.implicits._
+    val parts = Seq(
+      (1L, "a", 10, 5.0), (2L, "b", 10, 7.0), (3L, "c", 8, 4.0),
+      (4L, "d", 8, 4.0), (5L, "e", 8, 6.0), (6L, "f", 12, 9.0),
+      (7L, "g", 5, 4.0)).toDF("p_partkey", "p_name", "p_size", "p_retailprice")
+    val got = RelationalQueries.skylineParts(parts).collect().map(_.getLong(0)).toSet
+    // 7 (size 5, price 4) is dominated by 3/4 (size 8, same price);
+    // 3 and 4 tie on (size, price) — neither strictly dominates, both stay
+    assert(got == Set(1L, 3L, 4L, 6L), s"frontier: $got")
+  }
+
+  test("markov transition matrix rows are conditional probabilities (q154)") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "A"), (2L, "2024-01-01 00:01:00", 1L, "B"),
+      (3L, "2024-01-01 00:02:00", 1L, "A"), (4L, "2024-01-01 00:00:00", 2L, "A"),
+      (5L, "2024-01-01 00:01:00", 2L, "B"), (6L, "2024-01-01 00:00:00", 3L, "A"),
+      (7L, "2024-01-01 00:01:00", 3L, "C"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = EventQueries.markovTransitions(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("A", "B")) == ((2L, 0.666667)), got.toSeq)
+    assert(got(("A", "C")) == ((1L, 0.333333)), got.toSeq)
+    assert(got(("B", "A")) == ((1L, 1.0)), got.toSeq)
+    assert(got.size == 3, got.toSeq)
+  }
+
+  test("burst detection fills quiet hours with zeros and fires only after a full trailing window (q155)") {
+    import spark.implicits._
+    val base = Seq((0, 1), (1, 1), (2, 1), (3, 1)).flatMap { case (h, n) =>
+      (0 until n).map(i => f"2024-01-01 $h%02d:0$i:00")
+    } ++ (0 until 30).map(i => f"2024-01-01 04:${i % 60}%02d:00") ++
+      Seq("2024-01-01 07:00:00")
+    val e = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("event_id", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    val got = EventQueries.burstHours(e).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0).getHour ->
+        (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    assert(got(4) == ((30L, 3L, 1)), s"hour 4: ${got(4)}")       // 30 vs trailing 3
+    assert(got(0)._3 == 0, "first hour has no full trailing window")
+    assert(got(5) == ((0L, 32L, 0)) && got(6)._1 == 0L, s"dense zeros: ${got(5)} ${got(6)}")
+    assert(got.keySet == (0 to 7).toSet, s"dense axis: ${got.keySet}")
+  }
 }
