@@ -635,6 +635,58 @@ object EventQueries {
              THEN 1 ELSE 0 END AS INTEGER) AS is_burst
       FROM roll ORDER BY hour_start"""))
 
+  /** Robust outlier audit per event type: median + MAD (median absolute
+    * deviation) and the count beyond the 3σ-equivalent fence
+    * 3·1.4826·MAD — the outlier rule that, unlike mean/stddev, a burst
+    * of corrupt values cannot drag along with it (50% breakdown point vs
+    * 0%). The per-type counts are what a pipeline alarms on.
+    *
+    * Determinism: deviations snap to canonRound's 1e-4 grid BEFORE the
+    * second median and before the fence comparison, so both engines
+    * compare identical grid values; medians interpolate identically on
+    * IEEE doubles. Scale: two (event_type) median aggs + one flag agg —
+    * the medians are exact (sort-based) here; at 100 TB they'd swap for
+    * the q139 histogram-CDF sketch, same fence logic.
+    */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val med = events.groupBy("event_type").agg(median(col("value")).as("med"))
+    val dev = events.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        graft.functions.Metrics.canonRound(abs(col("value") - col("med")), 4).as("dev"))
+    val madR = graft.functions.Metrics.canonRound(col("mad_raw"), 4)
+    dev.groupBy(col("event_type"), col("med"))
+      .agg(count(lit(1)).as("n"), median(col("dev")).as("mad_raw"))
+      .select(col("event_type"), col("n"),
+        graft.functions.Metrics.canonRound(col("med"), 4).as("med"),
+        madR.as("mad"),
+        graft.functions.Metrics.canonRound(madR * 4.4478, 4).as("fence"))
+      .join(dev.select(col("event_type"), col("dev")), "event_type")
+      .groupBy(col("event_type"), col("n"), col("med"), col("mad"), col("fence"))
+      .agg(sum((col("dev") > col("fence")).cast("long")).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val q158 = GQuery(
+    "q158_mad_outliers",
+    (s, dir) => madOutliers(Tables.events(s, dir)),
+    Some("""WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+      dev AS (
+        SELECT e.event_type, m.med,
+          floor(abs(e.value - m.med)*1e4 + 0.5)/1e4 AS dev
+        FROM events e JOIN med m USING (event_type)),
+      stats AS (
+        SELECT event_type, count(*) AS n,
+          floor(any_value(med)*1e4 + 0.5)/1e4 AS med,
+          floor(median(dev)*1e4 + 0.5)/1e4 AS mad,
+          floor(floor(median(dev)*1e4 + 0.5)/1e4 * 4.4478 * 1e4 + 0.5)/1e4 AS fence
+        FROM dev GROUP BY event_type)
+      SELECT s.event_type, s.n, s.med, s.mad, s.fence,
+        CAST(sum(CASE WHEN d.dev > s.fence THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM stats s JOIN dev d USING (event_type)
+      GROUP BY s.event_type, s.n, s.med, s.mad, s.fence
+      ORDER BY s.event_type"""))
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155)
+    q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158)
 }

@@ -731,6 +731,98 @@ object PipelineQueries {
         CAST(row_number() OVER (ORDER BY bucket ASC, sh ASC, doc_id ASC) AS INT) AS rank
       FROM sdraw ORDER BY rank"""))
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): per source, the top-5
+    * docs by the ES key u^(1/w) — here compared in log space, ln(u)/w —
+    * with w = n_chars and u a deterministic md5-uniform (q141's 60-bit
+    * scheme, +1 so u ∈ (0, 2⁶⁰]/2⁶⁰ and ln never sees 0). One pass, no
+    * rejection loop, reproducible under reruns/repartition/appends; the
+    * standard trick for "sample k docs per source, longer docs
+    * proportionally more likely".
+    *
+    * Determinism: keys are compared on a 1e-8 BIGINT grid with doc_id as
+    * the total tie-break, so the per-source top-5 is engine-exact.
+    * Scale: one scan computing the key + a per-source top-k window (at
+    * 100 TB the window swaps for the bounded-heap TopK Aggregator the
+    * way q79 does — same result set).
+    */
+  def esWeightedSample(docs: DataFrame, perSource: Int): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("es1"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") + 1L).cast("double") / lit(1152921504606846976.0) // 2^60
+    val keyg = floor(log(u) / col("n_chars").cast("double") * 1e8 + 0.5).cast("long")
+    val w = Window.partitionBy("source").orderBy(col("keyg").desc, col("doc_id").asc)
+    docs.select(col("source"), col("doc_id"), col("n_chars"), keyg.as("keyg"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perSource)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "rank")
+  }
+
+  val q156 = GQuery(
+    "q156_weighted_sample",
+    (s, dir) => esWeightedSample(Tables.documents(s, dir), perSource = 5),
+    Some("""WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+          CAST(floor(ln((CAST(CAST(('0x' || substr(md5('es1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 1)
+                        / 1152921504606846976.0)
+                     / CAST(n_chars AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS keyg
+        FROM documents),
+      ranked AS (
+        SELECT source, doc_id, n_chars,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY keyg DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM keyed)
+      SELECT source, rank, doc_id, n_chars FROM ranked
+      WHERE rank <= 5 ORDER BY source, rank"""))
+
+  /** Three-way train/val/test split audit: the 80/10/10 deterministic
+    * hash split (md5-uniform, seeded — q55's two-way split generalized)
+    * with the per-source balance report a pipeline checks before
+    * training: counts and realized fractions per split. A source whose
+    * realized fraction drifts far from 0.8/0.1/0.1 is small enough that
+    * per-source stratified splitting should replace the global hash —
+    * exactly what this audit decides.
+    *
+    * Scale: one scan + one (source) hash agg of conditional sums; the
+    * assignment column is a pure function of doc_id, so the split is
+    * stable under appends and across engines.
+    */
+  def threeWaySplitAudit(docs: DataFrame): DataFrame = {
+    val u = conv(substring(md5(concat(lit("sp3"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0)
+    val n = col("n_docs").cast("double")
+    docs.select(col("source"), u.as("u"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("u") < 0.8).cast("long")).as("n_train"),
+        sum((col("u") >= 0.8 && col("u") < 0.9).cast("long")).as("n_val"),
+        sum((col("u") >= 0.9).cast("long")).as("n_test"))
+      .select(col("source"), col("n_docs"), col("n_train"), col("n_val"), col("n_test"),
+        Metrics.canonRound(col("n_train").cast("double") / n, 4).as("frac_train"),
+        Metrics.canonRound(col("n_val").cast("double") / n, 4).as("frac_val"),
+        Metrics.canonRound(col("n_test").cast("double") / n, 4).as("frac_test"))
+      .orderBy("source")
+  }
+
+  val q157 = GQuery(
+    "q157_threeway_split",
+    (s, dir) => threeWaySplitAudit(Tables.documents(s, dir)),
+    Some("""WITH d AS (
+        SELECT source,
+          CAST(CAST(('0x' || substr(md5('sp3' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+            / 1152921504606846976.0 AS u
+        FROM documents),
+      agg AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN u < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+          CAST(sum(CASE WHEN u >= 0.8 AND u < 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+          CAST(sum(CASE WHEN u >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        FROM d GROUP BY source)
+      SELECT source, n_docs, n_train, n_val, n_test,
+        floor(CAST(n_train AS DOUBLE)/CAST(n_docs AS DOUBLE)*1e4+0.5)/1e4 AS frac_train,
+        floor(CAST(n_val AS DOUBLE)/CAST(n_docs AS DOUBLE)*1e4+0.5)/1e4 AS frac_val,
+        floor(CAST(n_test AS DOUBLE)/CAST(n_docs AS DOUBLE)*1e4+0.5)/1e4 AS frac_test
+      FROM agg ORDER BY source"""))
+
   def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114, q119, q120,
-    q125, q126, q131, q132, q136, q141, q147)
+    q125, q126, q131, q132, q136, q141, q147, q156, q157)
 }

@@ -1151,8 +1151,127 @@ object RelationalQueries {
       FROM part p JOIN fsz f ON f.p_size = p.p_size AND p.p_retailprice = f.min_price
       ORDER BY p.p_partkey"""))
 
+  /** Snapshot diff / CDC changelog: given two versions of a dimension,
+    * emit the changelog (added / removed / changed rows with before and
+    * after values) — the generator behind incremental downstream refresh
+    * and audit trails, and the inverse of q116's MERGE. Snapshots are
+    * carved deterministically from `customer`: the old snapshot is
+    * missing every 11th key (rows "inserted later") and carries +100 on
+    * every 7th balance (rows "edited since"); the new one is missing
+    * every 13th key (rows "deleted since").
+    *
+    * Distributed shape: ONE full outer join on the key — no driver
+    * diffing; equality tests touch the doubles only through exact +100
+    * arithmetic, so no canonicalization is needed.
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame): DataFrame = {
+    val o = old.select(col("c_custkey").as("k_old"), col("c_acctbal").as("bal_old"))
+    val n = neu.select(col("c_custkey").as("k_new"), col("c_acctbal").as("bal_new"))
+    o.join(n, col("k_old") === col("k_new"), "full_outer")
+      .select(coalesce(col("k_old"), col("k_new")).as("c_custkey"),
+        when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .when(col("bal_old") =!= col("bal_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("bal_old"), col("bal_new"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("c_custkey")
+  }
+
+  val q159 = GQuery(
+    "q159_snapshot_diff",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val old = c.filter(col("c_custkey") % 11 =!= 0)
+        .withColumn("c_acctbal",
+          col("c_acctbal") + when(col("c_custkey") % 7 === 0, 100.0).otherwise(0.0))
+      val neu = c.filter(col("c_custkey") % 13 =!= 0)
+      snapshotDiff(old, neu)
+    },
+    Some("""WITH old AS (
+        SELECT c_custkey AS k_old,
+          c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS bal_old
+        FROM customer WHERE c_custkey % 11 <> 0),
+      neu AS (
+        SELECT c_custkey AS k_new, c_acctbal AS bal_new
+        FROM customer WHERE c_custkey % 13 <> 0),
+      d AS (
+        SELECT coalesce(k_old, k_new) AS c_custkey,
+          CASE WHEN k_old IS NULL THEN 'added'
+               WHEN k_new IS NULL THEN 'removed'
+               WHEN bal_old <> bal_new THEN 'changed'
+               ELSE 'unchanged' END AS status,
+          bal_old, bal_new
+        FROM old FULL OUTER JOIN neu ON k_old = k_new)
+      SELECT c_custkey, status, bal_old, bal_new FROM d
+      WHERE status <> 'unchanged' ORDER BY c_custkey"""))
+
+  /** Referential- and domain-integrity audit, the data-quality gate a
+    * warehouse runs after every load: three FK constraints (lineitem →
+    * orders, orders → customer, events → customer) plus one value-domain
+    * constraint (documents.lang ∈ the supported-language set). Per
+    * constraint: child rows, violating rows, distinct violating keys.
+    * The fixture's FKs are clean — the zeros are the PROOF — while the
+    * lang domain genuinely violates, exercising the non-zero path.
+    *
+    * Distributed shape: each constraint is one left join of the child
+    * onto the deduped parent KEY SET (a key-only frame — broadcast when
+    * small, shuffle semi-join otherwise; never the parent's payload) +
+    * one count agg; constraints union into the report.
+    */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def check(name: String, child: DataFrame, key: String, parentKeys: DataFrame): DataFrame = {
+      val pk = parentKeys.distinct().withColumn("__ok", lit(1))
+      child.select(col(key)).join(pk, Seq(key), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("__ok").isNull.cast("long")).as("n_bad"),
+          countDistinct(when(col("__ok").isNull, col(key))).as("n_bad_keys"))
+        .select(lit(name).as("constraint_name"), col("n_rows"), col("n_bad"), col("n_bad_keys"))
+    }
+    import spark.implicits._
+    val langDim = Seq("en", "fr", "de", "es").toDF("lang") // tiny literal dim
+    check("fk_events_customer", Tables.events(spark, dir).select(col("user_id").cast("long").as("k")),
+        "k", Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("k")))
+      .unionByName(check("fk_lineitem_orders", Tables.lineitem(spark, dir).select(col("l_orderkey").as("k")),
+        "k", Tables.orders(spark, dir).select(col("o_orderkey").as("k"))))
+      .unionByName(check("fk_orders_customer", Tables.orders(spark, dir).select(col("o_custkey").as("k")),
+        "k", Tables.customer(spark, dir).select(col("c_custkey").as("k"))))
+      .unionByName(check("dom_documents_lang", Tables.documents(spark, dir).select(col("lang")),
+        "lang", langDim))
+      .orderBy("constraint_name")
+  }
+
+  val q160 = GQuery(
+    "q160_integrity_audit",
+    (s, dir) => integrityAudit(s, dir),
+    Some("""WITH checks AS (
+      SELECT 'fk_events_customer' AS constraint_name,
+        count(*) AS n_rows,
+        CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        count(DISTINCT CASE WHEN c.c_custkey IS NULL THEN e.user_id END) AS n_bad_keys
+      FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON e.user_id = c.c_custkey
+      UNION ALL
+      SELECT 'fk_lineitem_orders', count(*),
+        CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        count(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN l.l_orderkey END)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'fk_orders_customer', count(*),
+        CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        count(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END)
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'dom_documents_lang', count(*),
+        CAST(sum(CASE WHEN d.lang NOT IN ('en','fr','de','es') THEN 1 ELSE 0 END) AS BIGINT),
+        count(DISTINCT CASE WHEN d.lang NOT IN ('en','fr','de','es') THEN d.lang END)
+      FROM documents d)
+      SELECT * FROM checks ORDER BY constraint_name"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96, q98,
-    q115, q116, q139, q153)
+    q115, q116, q139, q153, q159, q160)
 }

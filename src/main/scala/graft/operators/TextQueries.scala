@@ -1130,7 +1130,63 @@ object TextQueries {
         floor(((syd - slope*sxd)/CAST(n AS DOUBLE))*1e6 + 0.5)/1e6 AS zipf_intercept
       FROM fit ORDER BY source"""))
 
+  /** ASYMMETRIC containment near-dup (Broder 1997's containment, the
+    * quote/subset complement of q46's symmetric Jaccard): C(A→B) =
+    * |sh(A) ∩ sh(B)| / |sh(A)|. A short doc fully quoted inside a long
+    * one scores high containment but LOW Jaccard — exactly the pairs a
+    * Jaccard-thresholded dedup (q46/q56) misses by design. Output is
+    * every sampled same-lang pair with max-direction containment ≥ 0.25,
+    * with both directions and the Jaccard alongside so the triage can
+    * split mirror-dups from subset-dups.
+    *
+    * Scale: sampled-exact like q46 (the verification baseline); the
+    * production path runs the same formula on the q56 banded candidates
+    * (containment needs only |A|, |B|, |A∩B| — all already computed by
+    * the band-join verify stage).
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val d = docs
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"),
+        transform(array_distinct(bigrams(tokens(col("text")))), sh => xxhash64(sh)).as("sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val contA = graft.functions.Metrics.canonRound(inter / size(col("sh_a")), 4)
+    val contB = graft.functions.Metrics.canonRound(inter / size(col("sh_b")), 4)
+    val jac = graft.functions.Metrics.canonRound(
+      inter / ((size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter), 4)
+    a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"),
+        contA.as("cont_a_in_b"), contB.as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q161 = GQuery(
+    "q161_containment_pairs",
+    (s, dir) => containmentPairs(Tables.documents(s, dir), threshold = 0.25),
+    Some("""WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-1),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh
+        FROM documents WHERE doc_id % 10 = 0),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
+          CAST(len(a.sh) AS DOUBLE) AS na, CAST(len(b.sh) AS DOUBLE) AS nb
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT id_a, id_b,
+          floor(i/(na + nb - i)*1e4 + 0.5)/1e4 AS jaccard,
+          floor(i/na*1e4 + 0.5)/1e4 AS cont_a_in_b,
+          floor(i/nb*1e4 + 0.5)/1e4 AS cont_b_in_a
+        FROM pairs)
+      SELECT id_a, id_b, jaccard, cont_a_in_b, cont_b_in_a FROM scored
+      WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.25
+      ORDER BY id_a, id_b"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
     q85, q86, q87, q88, q90, q91, q92, q104, q106, q123, q124, q144, q149,
-    q150, q152)
+    q150, q152, q161)
 }

@@ -295,6 +295,78 @@ class OpsSpec extends SparkSpec {
     assert(got.size == 3, got.toSeq)
   }
 
+  test("ES weighted sample: per-source top-k, dense ranks, deterministic, weight-sensitive (q156)") {
+    import spark.implicits._
+    val d = (1L to 6L).map(i => (i, "S", if (i == 3L) 1000000L else 1L))
+      .toDF("doc_id", "source", "n_chars")
+    def run() = PipelineQueries.esWeightedSample(d, 5).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    val got = run()
+    assert(got.size == 5 && got.map(_._1) == (1 to 5), s"ranks: $got")
+    // the ~10⁶× heavier doc wins unless a light doc drew u > exp(-4e-5)
+    assert(got.head._2 == 3L, s"heavy doc must sample first: $got")
+    assert(run() == got, "draw must be a pure function of (seed, doc_id)")
+  }
+
+  test("three-way split audit: fractions near 80/10/10 and counts partition the corpus (q157)") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i => (i, "S")).toDF("doc_id", "source")
+    val r = PipelineQueries.threeWaySplitAudit(d).collect().head
+    val (n, tr, va, te) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n == 1000L && tr + va + te == n, r.toString)
+    assert(math.abs(r.getDouble(5) - 0.8) < 0.06, s"frac_train: ${r.getDouble(5)}")
+    assert(math.abs(r.getDouble(6) - 0.1) < 0.06, s"frac_val: ${r.getDouble(6)}")
+    assert(math.abs(r.getDouble(7) - 0.1) < 0.06, s"frac_test: ${r.getDouble(7)}")
+  }
+
+  test("MAD outliers: robust to the spike the mean would chase; degenerate MAD=0 still fences (q158)") {
+    import spark.implicits._
+    val e = (Seq.fill(4)(0.0) :+ 100.0).zipWithIndex.map { case (v, i) => (i.toLong, "X", v) } ++
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0).zipWithIndex.map { case (v, i) => (10L + i, "Y", v) }
+    val df = e.toDF("event_id", "event_type", "value")
+    val got = EventQueries.madOutliers(df).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(got("X") == ((0.0, 0.0, 0.0, 1L)), s"X: ${got("X")}") // spike alone breaches a zero fence
+    assert(got("Y") == ((3.0, 1.0, 4.4478, 0L)), s"Y: ${got("Y")}")
+  }
+
+  test("snapshot diff emits exactly the added/removed/changed changelog (q159)") {
+    import spark.implicits._
+    val old = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("c_custkey", "c_acctbal")
+    val neu = Seq((2L, 20.0), (3L, 35.0), (4L, 40.0)).toDF("c_custkey", "c_acctbal")
+    val got = RelationalQueries.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"), got.toSeq)
+  }
+
+  test("integrity audit: clean FKs report zero, the lang domain genuinely violates (q160)") {
+    val got = RelationalQueries.integrityAudit(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set("dom_documents_lang", "fk_events_customer",
+      "fk_lineitem_orders", "fk_orders_customer"), got.keySet)
+    Seq("fk_events_customer", "fk_lineitem_orders", "fk_orders_customer").foreach { c =>
+      assert(got(c)._2 == 0L && got(c)._3 == 0L, s"$c must be clean: ${got(c)}")
+    }
+    val (nd, bad, keys) = got("dom_documents_lang")
+    assert(nd == 500L && bad > 0L && keys >= 1L, s"lang domain: ${got("dom_documents_lang")}")
+  }
+
+  test("containment flags the quoted-subset pair symmetric Jaccard misses (q161)") {
+    import spark.implicits._
+    // doc 10's bigrams all appear inside doc 20; doc 30 shares nothing
+    val d = Seq(
+      (10L, "en", "a b c d e"),
+      (20L, "en", "a b c d e f g h i j k l m n o p q r s t"),
+      (30L, "en", "x y z w v u t2 s2")).toDF("doc_id", "lang", "text")
+    val got = TextQueries.containmentPairs(d, 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 1, got.toSeq)
+    val (a, b, jac, cab, _) = got.head
+    assert(a == 10L && b == 20L, got.toSeq)
+    assert(cab == 1.0, s"full quote must score containment 1: $got")
+    assert(jac < 0.5, s"the same pair under-scores on Jaccard: $jac")
+  }
+
   test("burst detection fills quiet hours with zeros and fires only after a full trailing window (q155)") {
     import spark.implicits._
     val base = Seq((0, 1), (1, 1), (2, 1), (3, 1)).flatMap { case (h, n) =>
