@@ -687,6 +687,98 @@ object EventQueries {
       GROUP BY s.event_type, s.n, s.med, s.mad, s.fence
       ORDER BY s.event_type"""))
 
+  /** U-shaped (position-based) multi-touch attribution: every click in
+    * the 30-min pre-purchase window gets credit — 100% for a lone click,
+    * 50/50 for two, else 40% first / 40% last / 20% split across the
+    * middles — the marketing-analytics refinement of q68's last-window
+    * count (q68 says HOW MANY touches; this says WHICH touch earns what).
+    * Weights are pure functions of (n, rank) computed identically in both
+    * engines; credit = purchase value × weight on the 1e-4 grid.
+    *
+    * Scale: the same binned interval join as q68 (RangeJoin — never a
+    * full cross of clicks × purchases), then one per-purchase window rank
+    * over the handful of attributed clicks per purchase.
+    */
+  def multiTouchAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withColumn("lo", col("p_ts") - expr("INTERVAL 30 MINUTES"))
+    val joined = RangeJoin.pointInInterval(
+      clicks, purchases, "click_ts", "lo", "p_ts", Seq("user_id"), binSeconds = 1800L)
+    val wn = Window.partitionBy("purchase_id")
+    val wr = wn.orderBy(col("click_ts").asc, col("click_id").asc)
+    val n = col("n_touch")
+    val r = col("click_rank")
+    val weight =
+      when(n === 1, 1.0)
+        .when(n === 2, 0.5)
+        .when(r === 1 || r === n, 0.4)
+        .otherwise(lit(0.2) / (n - lit(2)).cast("double"))
+    joined
+      .withColumn("click_rank", row_number().over(wr))
+      .withColumn("n_touch", count(lit(1)).over(wn))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("click_rank"), col("n_touch").cast("int").as("n_touch"),
+        graft.functions.Metrics.canonRound(weight, 6).as("weight"),
+        graft.functions.Metrics.canonRound(col("value") * weight, 4).as("credit"))
+      .orderBy("purchase_id", "click_rank")
+  }
+
+  val q163 = GQuery(
+    "q163_multitouch_attribution",
+    (s, dir) => multiTouchAttribution(Tables.events(s, dir)),
+    Some("""WITH j AS (
+        SELECT p.event_id AS purchase_id, p.user_id, p.value,
+          c.event_id AS click_id, c.ts AS click_ts
+        FROM events p JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+          AND p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts),
+      ranked AS (
+        SELECT purchase_id, user_id, value, click_id,
+          row_number() OVER (PARTITION BY purchase_id ORDER BY click_ts ASC, click_id ASC) AS click_rank,
+          count(*) OVER (PARTITION BY purchase_id) AS n_touch
+        FROM j),
+      w AS (
+        SELECT *, CASE WHEN n_touch = 1 THEN 1.0
+                       WHEN n_touch = 2 THEN 0.5
+                       WHEN click_rank = 1 OR click_rank = n_touch THEN 0.4
+                       ELSE 0.2 / CAST(n_touch - 2 AS DOUBLE) END AS wt
+        FROM ranked)
+      SELECT purchase_id, user_id, click_id,
+        CAST(click_rank AS INTEGER) AS click_rank,
+        CAST(n_touch AS INTEGER) AS n_touch,
+        floor(wt*1e6 + 0.5)/1e6 AS weight,
+        floor(value*wt*1e4 + 0.5)/1e4 AS credit
+      FROM w ORDER BY purchase_id, click_rank"""))
+
+  /** Streaming sliding-window trending (EventStreams.slidingTrending):
+    * the 2h/1h sliding count — every event feeding TWO live window
+    * states, watermark-evicted — with the non-incremental top-3 ranking
+    * as the batch finisher on the sink. The sliding-state shape q31 only
+    * exercises in batch; the oracle replays it by exploding each event
+    * to both its window starts.
+    */
+  val q162 = GQuery(
+    "q162_stream_sliding_trend",
+    (s, dir) => graft.streaming.EventStreams
+      .slidingTrending(s, dir, queryName = "stream_sliding_trend_q162"),
+    Some("""WITH e AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - to_hours(k) AS win_start, event_type
+        FROM events CROSS JOIN (SELECT unnest([0,1]) AS k)),
+      c AS (SELECT win_start, event_type, count(*) AS n
+            FROM e GROUP BY win_start, event_type),
+      r AS (
+        SELECT win_start, event_type, n,
+          CAST(row_number() OVER (PARTITION BY win_start ORDER BY n DESC, event_type ASC) AS INTEGER) AS rank
+        FROM c)
+      SELECT win_start, event_type, n, rank FROM r
+      WHERE rank <= 3 ORDER BY win_start, rank"""))
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158)
+    q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158, q162,
+    q163)
 }

@@ -1270,8 +1270,107 @@ object RelationalQueries {
       FROM documents d)
       SELECT * FROM checks ORDER BY constraint_name"""))
 
+  /** Merkle-style range digests: the table-sync primitive behind
+    * anti-entropy reconciliation of two copies of a 100 TB table —
+    * instead of shipping rows, each side ships one md5 per 1024-key
+    * range; only ranges whose digests differ get row-level diffing
+    * (q159's changelog). Row canonicalization goes through the q130
+    * min/max precedent (canonRound → DECIMAL → string) so the digest is
+    * engine- and layout-independent; within a range, row hashes sort
+    * lexically before concatenation, so partition order can't leak in.
+    *
+    * Scale: one scan computing row hashes + one (bucket) agg; the
+    * sort_array runs over ≤1024 row hashes per bucket — bounded, never
+    * a global sort.
+    */
+  def merkleRangeDigests(orders: DataFrame): DataFrame = {
+    val priceStr = Metrics.canonRound(col("o_totalprice"), 2)
+      .cast("decimal(18,2)").cast("string")
+    val rowHash = md5(concat_ws("|",
+      col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+      col("o_orderstatus"), priceStr, to_date(col("o_orderdate")).cast("string")))
+    orders.select((floor(col("o_orderkey") / 1024L)).cast("long").as("bucket"),
+        rowHash.as("rh"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        md5(concat_ws("", array_sort(collect_list(col("rh"))))).as("digest"))
+      .orderBy("bucket")
+  }
+
+  val q164 = GQuery(
+    "q164_merkle_digests",
+    (s, dir) => merkleRangeDigests(Tables.orders(s, dir)),
+    Some("""WITH r AS (
+        SELECT CAST(floor(o_orderkey / 1024.0) AS BIGINT) AS bucket,
+          md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+              o_orderstatus || '|' ||
+              CAST(CAST(floor(o_totalprice*1e2 + 0.5)/1e2 AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+              CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS rh
+        FROM orders)
+      SELECT bucket, count(*) AS n_rows,
+        md5(string_agg(rh, '' ORDER BY rh)) AS digest
+      FROM r GROUP BY bucket ORDER BY bucket"""))
+
+  /** Association-rule mining over per-user event baskets (Agrawal &
+    * Srikant 1994's support/confidence framework, pair rules): basket =
+    * the DISTINCT event types a user ever fired; for every ordered pair
+    * A→B with pair support ≥ 5%, report support, confidence and lift —
+    * the co-behavior screen ("users who error also churn?") run before
+    * anything heavier than pairs is worth mining.
+    *
+    * Scale: one (user, type) distinct agg, then a per-user self-join of
+    * baskets bounded by |types| per user (≤5 here — never a corpus
+    * cross), finishing in a |types|²-sized rule frame. All counts are
+    * integers; the three ratios land on the 1e-6 grid.
+    */
+  def associationRules(events: DataFrame, minSupport: Double): DataFrame = {
+    val baskets = events.select(col("user_id"), col("event_type")).distinct()
+    val nUsers = baskets.select("user_id").distinct().count() // tiny driver scalar
+    val item = baskets.groupBy("event_type").agg(count(lit(1)).as("c_item"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), col("a.user_id") === col("b.user_id")
+        && col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("lhs"), col("b.event_type").as("rhs"))
+      .agg(count(lit(1)).as("c_pair"))
+    val supp = col("c_pair").cast("double") / lit(nUsers.toDouble)
+    val conf = col("c_pair").cast("double") / col("c_lhs").cast("double")
+    val lift = conf * lit(nUsers.toDouble) / col("c_rhs").cast("double")
+    pairs
+      .join(broadcast(item.select(col("event_type").as("lhs"), col("c_item").as("c_lhs"))), "lhs")
+      .join(broadcast(item.select(col("event_type").as("rhs"), col("c_item").as("c_rhs"))), "rhs")
+      .filter(supp >= minSupport)
+      .select(col("lhs"), col("rhs"), col("c_pair"),
+        Metrics.canonRound(supp, 6).as("support"),
+        Metrics.canonRound(conf, 6).as("confidence"),
+        Metrics.canonRound(lift, 6).as("lift"))
+      .orderBy("lhs", "rhs")
+  }
+
+  val q165 = GQuery(
+    "q165_association_rules",
+    (s, dir) => associationRules(Tables.events(s, dir), minSupport = 0.05),
+    Some("""WITH baskets AS (
+        SELECT DISTINCT user_id, event_type FROM events),
+      nu AS (SELECT count(DISTINCT user_id) AS n FROM baskets),
+      item AS (SELECT event_type, count(*) AS c_item FROM baskets GROUP BY event_type),
+      pairs AS (
+        SELECT a.event_type AS lhs, b.event_type AS rhs, count(*) AS c_pair
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2)
+      SELECT p.lhs, p.rhs, p.c_pair,
+        floor(CAST(p.c_pair AS DOUBLE)/CAST(nu.n AS DOUBLE)*1e6 + 0.5)/1e6 AS support,
+        floor(CAST(p.c_pair AS DOUBLE)/CAST(la.c_item AS DOUBLE)*1e6 + 0.5)/1e6 AS confidence,
+        floor(CAST(p.c_pair AS DOUBLE)/CAST(la.c_item AS DOUBLE)*CAST(nu.n AS DOUBLE)/CAST(lb.c_item AS DOUBLE)*1e6 + 0.5)/1e6 AS lift
+      FROM pairs p
+      JOIN item la ON la.event_type = p.lhs
+      JOIN item lb ON lb.event_type = p.rhs
+      CROSS JOIN nu
+      WHERE CAST(p.c_pair AS DOUBLE)/CAST(nu.n AS DOUBLE) >= 0.05
+      ORDER BY lhs, rhs"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96, q98,
-    q115, q116, q139, q153, q159, q160)
+    q115, q116, q139, q153, q159, q160, q164, q165)
 }

@@ -61,6 +61,37 @@ object EventStreams extends Serializable {
     try body finally spark.conf.set(key, saved)
   }
 
+  /** SLIDING 2h/1h trending-type ranking: every event lands in TWO
+    * window states (the sliding shape q31 runs in batch, here with real
+    * streaming state + watermark eviction), counts per (window, type);
+    * the top-3 rank per window is the batch finishing step on the sink —
+    * ranking is not incrementally maintainable, counting is, so the
+    * stream carries exactly the incrementally-maintainable half. This is
+    * the "trending topics" dataflow: at production scale the same query
+    * reads Kafka and the finisher runs on each emitted window.
+    */
+  def slidingTrending(spark: SparkSession, dir: String,
+      queryName: String = "stream_sliding_trend"): DataFrame = withStreamShufflePartitions(spark) {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start").orderBy(col("n").desc, col("event_type").asc)
+    spark.table(queryName)
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"), col("event_type"), col("n"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .orderBy("win_start", "rank")
+  }
+
   /** Tumbling 1h × event_type counts with a 1h watermark. Returns the
     * completed result as a batch DataFrame via an in-memory sink —
     * numerically identical to the batch q30 (and to the DuckDB oracle).

@@ -367,6 +367,59 @@ class OpsSpec extends SparkSpec {
     assert(jac < 0.5, s"the same pair under-scores on Jaccard: $jac")
   }
 
+  test("U-shaped attribution: 40/20/40 for three touches, credits sum to the purchase value (q163)") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-01 10:05:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:10:00", 1L, "click", 0.0),
+      (4L, "2024-01-01 10:20:00", 1L, "purchase", 50.0),
+      (5L, "2024-01-01 11:00:00", 2L, "click", 0.0),
+      (6L, "2024-01-01 11:10:00", 2L, "purchase", 10.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = EventQueries.multiTouchAttribution(e).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getDouble(5), r.getDouble(6)))
+    val p4 = got.filter(_._1 == 4L).sortBy(_._2)
+    assert(p4.map(_._3).toSeq == Seq(0.4, 0.2, 0.4), s"U weights: ${p4.toSeq}")
+    assert(math.abs(p4.map(_._4).sum - 50.0) < 1e-9, s"credit conservation: ${p4.toSeq}")
+    val p6 = got.filter(_._1 == 6L)
+    assert(p6.map(w => (w._3, w._4)).toSeq == Seq((1.0, 10.0)), s"lone touch: ${p6.toSeq}")
+  }
+
+  test("merkle digests are layout-independent and localize a single-row change (q164)") {
+    import spark.implicits._
+    val base = (0L until 3000L).map(k =>
+      (k, k % 97, if (k % 2 == 0) "O" else "F", 100.0 + (k % 50), "2024-01-0" + (1 + k % 9)))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val a = RelationalQueries.merkleRangeDigests(base).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val b = RelationalQueries.merkleRangeDigests(base.repartition(7, col("o_custkey")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(a == b, "digest must not depend on partitioning/row order")
+    val mutated = base.withColumn("o_totalprice",
+      when(col("o_orderkey") === 1500L, 999.0).otherwise(col("o_totalprice")))
+    val c = RelationalQueries.merkleRangeDigests(mutated).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val diff = a.keySet.filter(k => a(k) != c(k))
+    assert(diff == Set(1500L / 1024L), s"exactly the mutated range must differ: $diff")
+  }
+
+  test("association rules report exact support/confidence/lift on constructed baskets (q165)") {
+    import spark.implicits._
+    // 4 users: {A,B} {A,B} {A} {B,C} — supp(A→B)=0.5, conf=2/3, lift=(2/3)/(3/4)
+    val e = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (2L, "B"),
+      (3L, "A"), (4L, "B"), (4L, "C"))
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "event_type")
+    val got = RelationalQueries.associationRules(e, minSupport = 0.05).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(("A", "B")) == ((2L, 0.5, 0.666667, 0.888889)), s"A->B: ${got(("A", "B"))}")
+    assert(got(("B", "A")) == ((2L, 0.5, 0.666667, 0.888889)), s"B->A: ${got(("B", "A"))}")
+    assert(got(("C", "B")) == ((1L, 0.25, 1.0, 1.333333)), s"C->B: ${got(("C", "B"))}")
+  }
+
   test("burst detection fills quiet hours with zeros and fires only after a full trailing window (q155)") {
     import spark.implicits._
     val base = Seq((0, 1), (1, 1), (2, 1), (3, 1)).flatMap { case (h, n) =>

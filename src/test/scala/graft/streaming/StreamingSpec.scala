@@ -11,6 +11,24 @@ class StreamingSpec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("streaming sliding trend equals the batch sliding count + top-3 finisher (q162)") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.slidingTrending(spark, sf001, "spec_stream_sliding").collect()
+    // batch replay: every event in both its 2h windows, top-3 per window
+    val e = graft.Tables.events(spark, sf001)
+    val batch = e
+      .select(explode(array(lit(0), lit(1))).as("k"), col("ts"), col("event_type"))
+      .select((date_trunc("hour", col("ts")).cast("long") - col("k") * 3600L)
+        .cast("timestamp").cast("timestamp_ntz").as("win_start"), col("event_type"))
+      .groupBy("win_start", "event_type").agg(count(lit(1)).as("n"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start").orderBy(col("n").desc, col("event_type").asc)
+    val top = batch.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3).orderBy("win_start", "rank").collect()
+    assert(stream.toSeq == top.toSeq,
+      s"stream: ${stream.take(3).toSeq}... batch: ${top.take(3).toSeq}...")
+  }
+
   test("streaming dedup (dropDuplicatesWithinWatermark) emits each event_id once across micro-batches") {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
