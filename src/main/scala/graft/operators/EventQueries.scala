@@ -778,7 +778,55 @@ object EventQueries {
       SELECT win_start, event_type, n, rank FROM r
       WHERE rank <= 3 ORDER BY win_start, rank"""))
 
+  /** Sequential pattern mining, length-2 patterns (Agrawal & Srikant
+    * 1995's "Mining Sequential Patterns", the pair case): A→B is
+    * supported by a user iff some A-event precedes some B-event in their
+    * timeline — i.e. min_ts(A) < max_ts(B) — the ORDERED refinement of
+    * q165's co-occurrence rules (q165 asks "do A and B co-occur", this
+    * asks "does A lead B"). Comparing the A→B vs B→A support asymmetry
+    * is the direction signal.
+    *
+    * Scale: one (user, type) min/max agg (map-side combined), then a
+    * per-user self-join bounded by |types| per user — never a corpus
+    * cross; the rule frame is |types|².
+    */
+  def sequentialPatterns(events: DataFrame, minSupport: Double): DataFrame = {
+    val spans = events.groupBy("user_id", "event_type")
+      .agg(min("ts").as("t_min"), max("ts").as("t_max"))
+    val nUsers = events.select("user_id").distinct().count() // tiny driver scalar
+    val supp = col("n_users").cast("double") / lit(nUsers.toDouble)
+    spans.as("a")
+      .join(spans.as("b"), col("a.user_id") === col("b.user_id")
+        && col("a.event_type") =!= col("b.event_type"))
+      .filter(col("a.t_min") < col("b.t_max"))
+      .groupBy(col("a.event_type").as("lhs"), col("b.event_type").as("rhs"))
+      .agg(count(lit(1)).as("n_users"))
+      .filter(supp >= minSupport)
+      .select(col("lhs"), col("rhs"), col("n_users"),
+        graft.functions.Metrics.canonRound(supp, 6).as("support"))
+      .orderBy("lhs", "rhs")
+  }
+
+  val q166 = GQuery(
+    "q166_sequential_patterns",
+    (s, dir) => sequentialPatterns(Tables.events(s, dir), minSupport = 0.05),
+    Some("""WITH spans AS (
+        SELECT user_id, event_type, min(ts) AS t_min, max(ts) AS t_max
+        FROM events GROUP BY user_id, event_type),
+      nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
+      rules AS (
+        SELECT a.event_type AS lhs, b.event_type AS rhs, count(*) AS n_users
+        FROM spans a JOIN spans b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        WHERE a.t_min < b.t_max
+        GROUP BY 1, 2)
+      SELECT lhs, rhs, n_users,
+        floor(CAST(n_users AS DOUBLE)/CAST(nu.n AS DOUBLE)*1e6 + 0.5)/1e6 AS support
+      FROM rules CROSS JOIN nu
+      WHERE CAST(n_users AS DOUBLE)/CAST(nu.n AS DOUBLE) >= 0.05
+      ORDER BY lhs, rhs"""))
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158, q162,
-    q163)
+    q163, q166)
 }

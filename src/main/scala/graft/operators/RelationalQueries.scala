@@ -1369,8 +1369,62 @@ object RelationalQueries {
       WHERE CAST(p.c_pair AS DOUBLE)/CAST(nu.n AS DOUBLE) >= 0.05
       ORDER BY lhs, rhs"""))
 
+  /** Item-item collaborative filtering on co-purchase baskets (Sarwar
+    * 2001 / the Amazon item-to-item shape): basket = an order's distinct
+    * parts, item-item cosine = co-occurrence / √(n_i)·√(n_j), top-3
+    * neighbors per part — the "customers who bought X also bought"
+    * recommender built from counts alone.
+    *
+    * Scale: the self-join runs ON THE ORDER KEY, so candidate pairs are
+    * Σ_orders lines² (lines-per-order is small and bounded), never
+    * |items|² — the classic trick that makes item-item CF linear in the
+    * fact table. Norms are integer counts; the cosine is one IEEE
+    * quotient ranked after a 1e-6 snap with the neighbor key as
+    * tie-break.
+    */
+  def itemItemCf(lineitem: DataFrame, topK: Int): DataFrame = {
+    val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+    val n = b.groupBy("item").agg(count(lit(1)).as("n_ord"))
+    val co = b.as("a").join(b.as("b"),
+        col("a.ok") === col("b.ok") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("item"), col("b.item").as("neighbor"))
+      .agg(count(lit(1)).as("c_co"))
+    val cos = Metrics.canonRound(
+      col("c_co").cast("double") / (sqrt(col("n_i").cast("double")) * sqrt(col("n_j").cast("double"))), 6)
+    val wr = Window.partitionBy("item").orderBy(col("cos").desc, col("neighbor").asc)
+    co.join(n.select(col("item"), col("n_ord").as("n_i")), "item")
+      .join(n.select(col("item").as("neighbor"), col("n_ord").as("n_j")), "neighbor")
+      .select(col("item"), col("neighbor"), col("c_co"), cos.as("cos"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select(col("item"), col("rank"), col("neighbor"), col("c_co"), col("cos"))
+      .orderBy("item", "rank")
+  }
+
+  val q168 = GQuery(
+    "q168_item_cf",
+    (s, dir) => itemItemCf(Tables.lineitem(s, dir), topK = 3),
+    Some("""WITH b AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+      n AS (SELECT item, count(*) AS n_ord FROM b GROUP BY item),
+      co AS (
+        SELECT a.item AS item, b2.item AS neighbor, count(*) AS c_co
+        FROM b a JOIN b b2 ON a.ok = b2.ok AND a.item <> b2.item
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT co.item, co.neighbor, co.c_co,
+          floor(CAST(co.c_co AS DOUBLE)
+            / (sqrt(CAST(ni.n_ord AS DOUBLE)) * sqrt(CAST(nj.n_ord AS DOUBLE))) * 1e6 + 0.5)/1e6 AS cos
+        FROM co JOIN n ni ON ni.item = co.item JOIN n nj ON nj.item = co.neighbor),
+      ranked AS (
+        SELECT item, neighbor, c_co, cos,
+          CAST(row_number() OVER (PARTITION BY item ORDER BY cos DESC, neighbor ASC) AS INTEGER) AS rank
+        FROM scored)
+      SELECT item, rank, neighbor, c_co, cos FROM ranked
+      WHERE rank <= 3 ORDER BY item, rank"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96, q98,
-    q115, q116, q139, q153, q159, q160, q164, q165)
+    q115, q116, q139, q153, q159, q160, q164, q165, q168)
 }

@@ -744,6 +744,97 @@ object SimilarityQueries {
     },
     Some(KCore.oracleSql(k = 3, rounds = 4)))
 
+  /** DBSCAN over the embedding near-dup graph (Ester 1996), the density
+    * member of the clustering family (centroid: k-means q127/q53;
+    * density: this): eps-neighbors = the q52/q133 cosine > 0.25 edges,
+    * minPts = 3. Core points (≥3 neighbors) cluster by connected
+    * components over core-core edges (`operators.ConnectedComponents` —
+    * the hybrid union-find/large-star engine q83 uses); border points
+    * attach to the smallest adjacent core's cluster; the rest is noise
+    * (cluster −1). Every rule is integer/threshold logic, so the oracle
+    * replays it with a recursive min-label CTE (the q99 idiom).
+    *
+    * Scale: degree = one hash agg on the edge frame; the CC engine is
+    * the proven 100-TB shape; border assignment is one join from
+    * non-core nodes to their core neighbors + a min-agg.
+    */
+  val q169 = GQuery(
+    "q169_dbscan",
+    (s, dir) => {
+      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
+        .select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .cache()
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      val core = deg.filter(col("deg") >= 3).select(col("u").as("vec_id")).cache()
+      core.count()
+      val coreEdges = edges
+        .join(core.select(col("vec_id").as("u")), "u")
+        .join(core.select(col("vec_id").as("v")), "v")
+        .select("u", "v")
+      val comp = ConnectedComponents.components(coreEdges)
+      val coreAssign = core
+        .join(comp, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+      // border: non-core nodes adjacent to >= 1 core, smallest core cluster
+      val borderAssign = edges
+        .join(coreAssign.select(col("vec_id").as("v"), col("cluster_id")), "v")
+        .join(core.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+        .groupBy(col("u").as("vec_id"))
+        .agg(min("cluster_id").as("cluster_id"))
+      val out = d.select(col("vec_id"))
+        .join(coreAssign.select(col("vec_id"), col("cluster_id").as("c_core")), Seq("vec_id"), "left")
+        .join(borderAssign.select(col("vec_id"), col("cluster_id").as("c_border")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("c_core").isNotNull, "core")
+            .when(col("c_border").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("c_core"), col("c_border"), lit(-1L)).as("cluster_id"))
+        .orderBy("vec_id")
+        .cache()
+      out.count()
+      edges.unpersist(); core.unpersist()
+      out
+    },
+    Some("""WITH RECURSIVE d AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id % 5 = 0),
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM d a JOIN d b ON a.vec_id < b.vec_id
+        WHERE floor(list_cosine_similarity(a.emb, b.emb)*1e6 + 0.5)/1e6 > 0.25),
+      edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+      core AS MATERIALIZED (SELECT u AS vec_id FROM deg WHERE deg >= 3),
+      ce AS MATERIALIZED (
+        SELECT e.u, e.v FROM edges e
+        JOIN core cu ON cu.vec_id = e.u JOIN core cv ON cv.vec_id = e.v),
+      r AS (
+        SELECT vec_id AS id, vec_id AS lbl FROM core
+        UNION
+        SELECT e.v AS id, r.lbl FROM r JOIN ce e ON e.u = r.id),
+      coreassign AS MATERIALIZED (
+        SELECT id AS vec_id, min(lbl) AS cluster_id FROM r GROUP BY id),
+      borderassign AS (
+        SELECT e.u AS vec_id, min(ca.cluster_id) AS cluster_id
+        FROM edges e JOIN coreassign ca ON ca.vec_id = e.v
+        WHERE e.u NOT IN (SELECT vec_id FROM core)
+        GROUP BY e.u)
+      SELECT n.vec_id,
+        CASE WHEN ca.vec_id IS NOT NULL THEN 'core'
+             WHEN ba.vec_id IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS role,
+        coalesce(ca.cluster_id, ba.cluster_id, -1) AS cluster_id
+      FROM d n
+      LEFT JOIN coreassign ca ON ca.vec_id = n.vec_id
+      LEFT JOIN borderassign ba ON ba.vec_id = n.vec_id
+      ORDER BY n.vec_id"""))
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127, q128, q133, q135, q137, q143, q145, q148, q151)
+    q127, q128, q133, q135, q137, q143, q145, q148, q151, q169)
 }

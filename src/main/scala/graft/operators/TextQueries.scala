@@ -1186,7 +1186,97 @@ object TextQueries {
       WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.25
       ORDER BY id_a, id_b"""))
 
+  /** Multinomial Naive Bayes language classifier, trained AND scored as
+    * pure relational algebra (the McCallum & Nigam 1998 event model):
+    * train on the even-doc_id half (per-lang priors + add-1-smoothed
+    * token likelihoods), predict the odd half, report the confusion
+    * matrix — a CLASSIFIER as four hash aggs and two broadcast joins,
+    * no MLlib, no driver math beyond nothing.
+    *
+    * Determinism: every likelihood is ln of one IEEE division of exact
+    * integer counts, snapped to a 1e-8 BIGINT grid; a document's score
+    * is prior_k + Σ c_dt·k(l,tok) — INTEGER arithmetic, so argmax (ties
+    * → lang asc) is engine-exact. Unseen test tokens take the smoothed
+    * zero-count likelihood via the left join's coalesce.
+    *
+    * Scale: token-count aggs are map-side combined; the (lang × vocab)
+    * likelihood table (~|V|·|L| rows) broadcasts onto the test doc-term
+    * frame; the argmax is a per-doc window over |L| rows.
+    */
+  def naiveBayesConfusion(docs: DataFrame): DataFrame = {
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 =!= 0)
+    val prior = train.groupBy(col("lang").as("l")).agg(count(lit(1)).as("n_docs"))
+    val nTrain = train.count() // tiny driver scalar
+    val tok = train.select(col("lang").as("l"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("l", "tok").agg(count(lit(1)).as("c"))
+    val langTot = tok.groupBy("l").agg(sum("c").as("n_tok"))
+    val vocab = tok.select("tok").distinct()
+    val vSize = vocab.count() // tiny driver scalar
+    // test doc-term counts, crossed with every candidate language
+    val dt = test.select(col("doc_id"), col("lang").as("actual"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "actual", "tok").agg(count(lit(1)).as("c_dt"))
+    val kTok = floor(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")
+      / (col("n_tok") + lit(vSize)).cast("double")) * 1e8 + 0.5).cast("long")
+    val kPrior = floor(log(col("n_docs").cast("double") / lit(nTrain.toDouble)) * 1e8 + 0.5)
+      .cast("long")
+    val scored = dt
+      .crossJoin(broadcast(prior.select(col("l"), kPrior.as("kp"))))
+      .join(broadcast(langTot), Seq("l"))
+      .join(broadcast(tok), Seq("l", "tok"), "left")
+      .select(col("doc_id"), col("actual"), col("l"), col("kp"),
+        (col("c_dt") * kTok).as("k"))
+      .groupBy("doc_id", "actual", "l", "kp")
+      .agg(sum("k").as("ks"))
+      .select(col("doc_id"), col("actual"), col("l"), (col("kp") + col("ks")).as("score"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("l").asc)
+    scored.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .groupBy(col("actual"), col("l").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual", "predicted")
+  }
+
+  val q167 = GQuery(
+    "q167_naive_bayes",
+    (s, dir) => naiveBayesConfusion(Tables.documents(s, dir)),
+    Some("""WITH train AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+      test AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 <> 0),
+      prior AS (SELECT lang AS l, count(*) AS n_docs FROM train GROUP BY lang),
+      ntr AS (SELECT count(*) AS n FROM train),
+      tok AS (
+        SELECT lang AS l, unnest(string_split(text, ' ')) AS tok FROM train),
+      tc AS (SELECT l, tok, count(*) AS c FROM tok GROUP BY l, tok),
+      langtot AS (SELECT l, sum(c) AS n_tok FROM tc GROUP BY l),
+      vs AS (SELECT count(DISTINCT tok) AS v FROM tok),
+      dt AS (
+        SELECT doc_id, actual, tok, count(*) AS c_dt
+        FROM (SELECT doc_id, lang AS actual, unnest(string_split(text, ' ')) AS tok FROM test)
+        GROUP BY doc_id, actual, tok),
+      scored AS (
+        SELECT dt.doc_id, dt.actual, p.l,
+          CAST(floor(ln(CAST(p.n_docs AS DOUBLE)/CAST(ntr.n AS DOUBLE))*1e8 + 0.5) AS BIGINT)
+            + sum(dt.c_dt * CAST(floor(ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE)
+                / CAST(lt.n_tok + vs.v AS DOUBLE))*1e8 + 0.5) AS BIGINT)) AS score
+        FROM dt
+        CROSS JOIN prior p
+        CROSS JOIN ntr CROSS JOIN vs
+        JOIN langtot lt ON lt.l = p.l
+        LEFT JOIN tc ON tc.l = p.l AND tc.tok = dt.tok
+        GROUP BY dt.doc_id, dt.actual, p.l, p.n_docs, ntr.n),
+      pred AS (
+        SELECT doc_id, actual, l AS predicted,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l ASC) AS rn
+        FROM scored)
+      SELECT actual, predicted, count(*) AS n_docs
+      FROM pred WHERE rn = 1
+      GROUP BY actual, predicted ORDER BY actual, predicted"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
     q85, q86, q87, q88, q90, q91, q92, q104, q106, q123, q124, q144, q149,
-    q150, q152, q161)
+    q150, q152, q161, q167)
 }

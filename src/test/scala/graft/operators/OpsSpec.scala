@@ -420,6 +420,51 @@ class OpsSpec extends SparkSpec {
     assert(got(("C", "B")) == ((1L, 0.25, 1.0, 1.333333)), s"C->B: ${got(("C", "B"))}")
   }
 
+  test("sequential patterns respect event ORDER, unlike co-occurrence rules (q166)") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "A"), (2L, "2024-01-01 11:00:00", 1L, "B"),
+      (3L, "2024-01-01 10:00:00", 2L, "A"), (4L, "2024-01-01 11:00:00", 2L, "B"),
+      (5L, "2024-01-01 10:00:00", 3L, "B"), (6L, "2024-01-01 11:00:00", 3L, "A"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = EventQueries.sequentialPatterns(e, minSupport = 0.01).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("A", "B")) == ((2L, 0.666667)), s"A->B: ${got.toSeq}") // users 1, 2
+    assert(got(("B", "A")) == ((1L, 0.333333)), s"B->A: ${got.toSeq}") // user 3 only
+  }
+
+  test("naive Bayes separates disjoint-vocabulary languages perfectly (q167)") {
+    import spark.implicits._
+    // even ids train, odd ids test; vocab is disjoint per lang
+    val d = (0L until 40L).map { i =>
+      val lang = if (i % 4 < 2) "aa" else "bb"
+      val text = if (lang == "aa") "foo bar foo baz" else "qux quux qux corge"
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val got = TextQueries.naiveBayesConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("aa", "aa") -> 10L, ("bb", "bb") -> 10L),
+      s"confusion must be diagonal: ${got.toSeq}")
+  }
+
+  test("item-item CF: co-purchase cosine and top-k neighbor ranking are exact (q168)") {
+    import spark.implicits._
+    // orders: {1,2} {1,2} {1,3} — co(1,2)=2, n1=3, n2=2 -> cos=2/sqrt(6)
+    val li = Seq((100L, 1L), (100L, 2L), (101L, 1L), (101L, 2L), (102L, 1L), (102L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = RelationalQueries.itemItemCf(li, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val expCos12 = math.floor(2.0 / (math.sqrt(3.0) * math.sqrt(2.0)) * 1e6 + 0.5) / 1e6
+    assert(got((1L, 1)) == ((2L, 2L, expCos12)), s"item 1 top: ${got.toSeq}")
+    val expCos13 = math.floor(1.0 / (math.sqrt(3.0) * math.sqrt(1.0)) * 1e6 + 0.5) / 1e6
+    assert(got((1L, 2)) == ((3L, 1L, expCos13)), s"item 1 second: ${got.toSeq}")
+    assert(got((2L, 1)) == ((1L, 2L, expCos12)), s"item 2 top: ${got.toSeq}")
+    assert(got.keys.forall { case (_, rank) => rank >= 1 && rank <= 3 })
+    assert(got.forall { case ((item, _), (neighbor, _, _)) => item != neighbor },
+      "an item must never recommend itself")
+  }
+
   test("burst detection fills quiet hours with zeros and fires only after a full trailing window (q155)") {
     import spark.implicits._
     val base = Seq((0, 1), (1, 1), (2, 1), (3, 1)).flatMap { case (h, n) =>

@@ -166,6 +166,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got.keySet == (0L until 5L).toSet)
     assert(got.values.forall(_ == 1.0), s"recalls: $got")
   }
+  test("DBSCAN roles satisfy the density definitions on the fixture graph (q169)") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.embeddings(spark, sf001).filter(col("vec_id") % 5 === 0)
+    val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val edges = a.join(b, col("id_a") < col("id_b"))
+      .filter(graft.functions.Metrics.canonRound(
+        graft.functions.VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nb = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = graft.registry.Registry.queries("q169_dbscan")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val core = rows.collect { case (v, ("core", _)) => v }.toSet
+    rows.foreach { case (v, (role, cl)) =>
+      val deg = nb.getOrElse(v, Set.empty).size
+      role match {
+        case "core" =>
+          assert(deg >= 3, s"core $v has degree $deg")
+          assert(cl >= 0 && cl <= v, s"core $v cluster must be a min-id label: $cl")
+        case "border" =>
+          assert(deg < 3 && nb.getOrElse(v, Set.empty).exists(core),
+            s"border $v must be sub-dense but core-adjacent")
+          val coreCls = nb(v).filter(core).map(rows(_)._2)
+          assert(cl == coreCls.min, s"border $v must take the smallest adjacent core cluster")
+        case "noise" =>
+          assert(!nb.getOrElse(v, Set.empty).exists(core) && cl == -1L,
+            s"noise $v must have no core neighbor")
+      }
+    }
+    // core neighbors share a cluster (they are in the same component)
+    edges.foreach { case (u, v) =>
+      if (core(u) && core(v))
+        assert(rows(u)._2 == rows(v)._2, s"adjacent cores $u,$v split clusters")
+    }
+  }
+
   test("embedding drift: constructed halves give the exact centroid L2 (q148)") {
     import spark.implicits._
     val e = Seq(
