@@ -826,7 +826,68 @@ object EventQueries {
       WHERE CAST(n_users AS DOUBLE)/CAST(nu.n AS DOUBLE) >= 0.05
       ORDER BY lhs, rhs"""))
 
+  /** Two-sample proportion z-test per event type — the A/B-experiment
+    * readout: split users by id parity (the deterministic stand-in for
+    * treatment assignment), compare each type's share of events between
+    * arms, report the pooled-variance z statistic and the |z| ≥ 1.96
+    * significance flag. Every input is an integer count; the z formula
+    * is one identical IEEE sequence in both engines, and the flag tests
+    * the ROUNDED z so no borderline value can flip across engines.
+    *
+    * Scale: one conditional-count agg per event type off the scan; the
+    * test frame is |types| rows.
+    */
+  def proportionZTest(events: DataFrame): DataFrame = {
+    val arm = (pmod(col("user_id"), lit(2L)) === 0).cast("int")
+    val byType = events.select(col("event_type"), arm.as("a"))
+      .groupBy("event_type")
+      .agg(sum(col("a")).as("x1"), sum(lit(1) - col("a")).as("x2"))
+    val totals = events.select(arm.as("a"))
+      .agg(sum(col("a")).as("n1"), sum(lit(1) - col("a")).as("n2"))
+    val p1 = col("x1").cast("double") / col("n1").cast("double")
+    val p2 = col("x2").cast("double") / col("n2").cast("double")
+    val pPool = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool)
+      * (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+    val z = graft.functions.Metrics.canonRound((p1 - p2) / se, 4)
+    byType.crossJoin(broadcast(totals))
+      .select(col("event_type"), col("x1"), col("n1"), col("x2"), col("n2"),
+        graft.functions.Metrics.canonRound(p1, 6).as("rate_a"),
+        graft.functions.Metrics.canonRound(p2, 6).as("rate_b"),
+        z.as("z"),
+        (abs(z) >= 1.96).cast("int").as("significant"))
+      .orderBy("event_type")
+  }
+
+  val q171 = GQuery(
+    "q171_proportion_ztest",
+    (s, dir) => proportionZTest(Tables.events(s, dir)),
+    Some("""WITH e AS (
+        SELECT event_type, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a FROM events),
+      bt AS (
+        SELECT event_type,
+          CAST(sum(a) AS BIGINT) AS x1, CAST(sum(1 - a) AS BIGINT) AS x2
+        FROM e GROUP BY event_type),
+      t AS (
+        SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(1 - a) AS BIGINT) AS n2 FROM e),
+      s AS (
+        SELECT event_type, x1, n1, x2, n2,
+          CAST(x1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS p1,
+          CAST(x2 AS DOUBLE)/CAST(n2 AS DOUBLE) AS p2,
+          CAST(x1 + x2 AS DOUBLE)/CAST(n1 + n2 AS DOUBLE) AS pp
+        FROM bt CROSS JOIN t),
+      zz AS (
+        SELECT event_type, x1, n1, x2, n2, p1, p2,
+          floor(((p1 - p2) / sqrt(pp*(1.0 - pp)*(1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE))))*1e4 + 0.5)/1e4 AS z
+        FROM s)
+      SELECT event_type, x1, n1, x2, n2,
+        floor(p1*1e6 + 0.5)/1e6 AS rate_a,
+        floor(p2*1e6 + 0.5)/1e6 AS rate_b,
+        z,
+        CAST(CASE WHEN abs(z) >= 1.96 THEN 1 ELSE 0 END AS INTEGER) AS significant
+      FROM zz ORDER BY event_type"""))
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158, q162,
-    q163, q166)
+    q163, q166, q171)
 }

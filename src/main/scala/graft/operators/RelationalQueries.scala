@@ -1423,8 +1423,114 @@ object RelationalQueries {
       SELECT item, rank, neighbor, c_co, cos FROM ranked
       WHERE rank <= 3 ORDER BY item, rank"""))
 
+  /** STL-lite time-series decomposition of daily order revenue:
+    * trend = 7-day CENTERED moving average (full windows only), weekly
+    * seasonal = per-weekday mean of the detrended series, residual =
+    * the rest — the classic-decomposition complement of the frequency
+    * tools (periodogram q93, Fourier design q70). Revenue aggregates in
+    * integer CENTS (exact in any order); trend is one IEEE /7.0; the
+    * seasonal mean rides exactMean's decimal path on 1e-4-snapped
+    * detrended values.
+    *
+    * Scale: one (date) agg off the fact scan, then windows over the
+    * |dates|-sized series frame — never the fact table.
+    */
+  def stlDecompose(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_cents"))
+    val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n_win", count(lit(1)).over(w7))
+      .withColumn("trend",
+        when(col("n_win") === 7, sum("rev_cents").over(w7).cast("double") / 7.0 / 100.0))
+      .withColumn("revenue", col("rev_cents").cast("double") / 100.0)
+      .withColumn("detr",
+        Metrics.canonRound(col("revenue") - col("trend"), 4))
+      .withColumn("wd", graft.functions.DateFeatures.weekdayMon0(col("d")))
+    val seasonal = trended.filter(col("detr").isNotNull)
+      .groupBy("wd").agg(Metrics.canonRound(Metrics.exactMean(col("detr")), 4).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("wd"), "left")
+      .select(col("d").cast("string").as("day"), col("revenue"),
+        Metrics.canonRound(col("trend"), 4).as("trend"),
+        when(col("detr").isNotNull, col("seasonal")).as("seasonal"),
+        Metrics.canonRound(col("detr") - col("seasonal"), 4).as("residual"))
+      .orderBy("day")
+  }
+
+  val q170 = GQuery(
+    "q170_stl_decompose",
+    (s, dir) => stlDecompose(Tables.orders(s, dir)),
+    Some("""WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+          CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1),
+      tr AS (
+        SELECT d, rev_cents,
+          count(*) OVER w AS n_win,
+          CAST(sum(rev_cents) OVER w AS DOUBLE)/7.0/100.0 AS trend_raw
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      dt AS (
+        SELECT d, CAST(rev_cents AS DOUBLE)/100.0 AS revenue,
+          CASE WHEN n_win = 7 THEN trend_raw END AS trend,
+          CASE WHEN n_win = 7
+               THEN floor((CAST(rev_cents AS DOUBLE)/100.0 - trend_raw)*1e4 + 0.5)/1e4 END AS detr,
+          isodow(d) - 1 AS wd
+        FROM tr),
+      seas AS (
+        SELECT wd,
+          floor((CAST(sum(CAST(floor(detr*1e4+0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*))*1e4 + 0.5)/1e4 AS seasonal
+        FROM dt WHERE detr IS NOT NULL GROUP BY wd)
+      SELECT CAST(dt.d AS VARCHAR) AS day, dt.revenue,
+        floor(dt.trend*1e4 + 0.5)/1e4 AS trend,
+        CASE WHEN dt.detr IS NOT NULL THEN s.seasonal END AS seasonal,
+        floor((dt.detr - s.seasonal)*1e4 + 0.5)/1e4 AS residual
+      FROM dt LEFT JOIN seas s ON s.wd = dt.wd
+      ORDER BY day"""))
+
+  /** Benford first-significant-digit audit of order totals — the
+    * fraud/synthetic-data screen: naturally-occurring multi-magnitude
+    * amounts follow P(d) = log10(1+1/d); a generator or a doctored
+    * column does not. First digits come off the canonical DECIMAL
+    * rendering (q130's precedent — no float-to-string drift), expected
+    * shares are one ln ratio per digit, and the deviation is reported
+    * per digit plus the total-variation distance.
+    */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val digit = substring(
+      Metrics.canonRound(col("o_totalprice"), 2).cast("decimal(18,2)").cast("string"), 1, 1)
+      .cast("int")
+    val counts = orders.filter(col("o_totalprice") >= 1.0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("n_tot"))
+    val obs = col("n").cast("double") / col("n_tot").cast("double")
+    val benford = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        Metrics.canonRound(obs, 6).as("obs_share"),
+        Metrics.canonRound(benford, 6).as("benford_share"),
+        Metrics.canonRound(abs(obs - benford), 6).as("abs_dev"))
+      .orderBy("digit")
+  }
+
+  val q173 = GQuery(
+    "q173_benford_audit",
+    (s, dir) => benfordAudit(Tables.orders(s, dir)),
+    Some("""WITH c AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice*1e2 + 0.5)/1e2 AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+          count(*) AS n
+        FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+      t AS (SELECT sum(n) AS n_tot FROM c)
+      SELECT digit, n,
+        floor(CAST(n AS DOUBLE)/CAST(n_tot AS DOUBLE)*1e6 + 0.5)/1e6 AS obs_share,
+        floor((ln(1.0 + 1.0/CAST(digit AS DOUBLE))/ln(10.0))*1e6 + 0.5)/1e6 AS benford_share,
+        floor(abs(CAST(n AS DOUBLE)/CAST(n_tot AS DOUBLE)
+                  - ln(1.0 + 1.0/CAST(digit AS DOUBLE))/ln(10.0))*1e6 + 0.5)/1e6 AS abs_dev
+      FROM c CROSS JOIN t ORDER BY digit"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96, q98,
-    q115, q116, q139, q153, q159, q160, q164, q165, q168)
+    q115, q116, q139, q153, q159, q160, q164, q165, q168, q170, q173)
 }

@@ -1276,7 +1276,66 @@ object TextQueries {
       FROM pred WHERE rn = 1
       GROUP BY actual, predicted ORDER BY actual, predicted"""))
 
+  /** Chi-squared independence test + Cramér's V for the lang × source
+    * contingency table — "does language depend on source?", the
+    * categorical-association audit behind stratification decisions
+    * (if V ≈ 0 the mixture can ignore language; if V is large,
+    * per-source language balancing matters). Expected cells are one
+    * IEEE product/quotient of integer marginals; per-cell χ²
+    * contributions land on a 1e-6 BIGINT grid before the sum, so the
+    * statistic is engine-exact.
+    *
+    * Scale: one (lang, source) count agg; everything after runs on the
+    * R×C cell frame.
+    */
+  def chiSquaredLangSource(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("lang").agg(sum("o").as("rt"))
+    val colT = cells.groupBy("source").agg(sum("o").as("ct"))
+    val nT = cells.agg(sum("o").as("n"),
+      countDistinct("lang").as("r"), countDistinct("source").as("c"))
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+    val o = coalesce(col("o"), lit(0L)).cast("double")
+    val contrib = floor((o - e) * (o - e) / e * 1e6 + 0.5).cast("long")
+    val chi2 = col("ks").cast("double") / 1e6
+    val v = sqrt(chi2 / (col("n").cast("double")
+      * least(col("r") - 1, col("c") - 1).cast("double")))
+    // dense R×C axis: zero cells still contribute (0−e)²/e
+    rowT.crossJoin(colT)
+      .join(cells, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(nT))
+      .select(col("n"), col("r"), col("c"), contrib.as("k"))
+      .groupBy("n", "r", "c").agg(sum("k").as("ks"))
+      .select(col("n"),
+        ((col("r") - 1) * (col("c") - 1)).cast("int").as("df"),
+        graft.functions.Metrics.canonRound(chi2, 4).as("chi2"),
+        graft.functions.Metrics.canonRound(v, 6).as("cramers_v"))
+  }
+
+  val q172 = GQuery(
+    "q172_chi2_independence",
+    (s, dir) => chiSquaredLangSource(Tables.documents(s, dir)),
+    Some("""WITH cells AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source),
+      rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY lang),
+      ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY source),
+      nt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+               count(DISTINCT lang) AS r, count(DISTINCT source) AS c FROM cells),
+      contrib AS (
+        SELECT nt.n, nt.r, nt.c,
+          CAST(floor((CAST(coalesce(cl.o, 0) AS DOUBLE) - CAST(rt.rt AS DOUBLE)*CAST(ct.ct AS DOUBLE)/CAST(nt.n AS DOUBLE))
+                   * (CAST(coalesce(cl.o, 0) AS DOUBLE) - CAST(rt.rt AS DOUBLE)*CAST(ct.ct AS DOUBLE)/CAST(nt.n AS DOUBLE))
+                   / (CAST(rt.rt AS DOUBLE)*CAST(ct.ct AS DOUBLE)/CAST(nt.n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS k
+        FROM rt CROSS JOIN ct
+        LEFT JOIN cells cl ON cl.lang = rt.lang AND cl.source = ct.source
+        CROSS JOIN nt),
+      agg AS (SELECT n, r, c, sum(k) AS ks FROM contrib GROUP BY n, r, c)
+      SELECT n, CAST((r - 1)*(c - 1) AS INTEGER) AS df,
+        floor(CAST(ks AS DOUBLE)/1e6*1e4 + 0.5)/1e4 AS chi2,
+        floor(sqrt(CAST(ks AS DOUBLE)/1e6/(CAST(n AS DOUBLE)*CAST(least(r - 1, c - 1) AS DOUBLE)))*1e6 + 0.5)/1e6 AS cramers_v
+      FROM agg"""))
+
   def all: Seq[GQuery] = Seq(q40, q41, q42, q43, q44, q45, q46, q49, q55, q78,
     q85, q86, q87, q88, q90, q91, q92, q104, q106, q123, q124, q144, q149,
-    q150, q152, q161, q167)
+    q150, q152, q161, q167, q172)
 }

@@ -465,6 +465,66 @@ class OpsSpec extends SparkSpec {
       "an item must never recommend itself")
   }
 
+  test("STL-lite recovers a pure weekly signal exactly: flat trend, seasonal = effect, zero residual (q170)") {
+    import spark.implicits._
+    // 21 days of rev = 700 + weekday (Mon0 convention): MA7 = 703 on full windows
+    val days = (0 until 21).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i) // 2024-01-01 is a Monday
+      (i.toLong, java.sql.Timestamp.valueOf(d.atStartOfDay), 700.0 + (i % 7))
+    }
+    val orders = days.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = RelationalQueries.stlDecompose(orders).collect()
+      .map(r => r.getString(0) -> (Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got.size == 21)
+    // edges (first/last 3 days) have no full window
+    assert(got("2024-01-01") == ((None, None, None)), got("2024-01-01").toString)
+    // interior: trend exactly 703, seasonal = wd - 3, residual 0
+    (3 until 18).foreach { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString
+      val (t, s, r) = got(d)
+      assert(t.contains(703.0), s"$d trend: $t")
+      assert(s.contains((i % 7) - 3.0), s"$d seasonal: $s")
+      assert(r.contains(0.0), s"$d residual: $r")
+    }
+  }
+
+  test("proportion z-test: identical arms are insignificant, a one-sided type is (q171)") {
+    import spark.implicits._
+    // arm A = even users, arm B = odd; 'x' appears ONLY in arm A
+    val e = (0L until 200L).map(i => (i, i % 2, if (i % 2 == 0) "x" else "y")) ++
+      (200L until 400L).map(i => (i, i % 2, "z"))
+    val df = e.toDF("event_id", "user_id", "event_type")
+    val got = EventQueries.proportionZTest(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getDouble(7), r.getInt(8))).toMap
+    assert(got("x")._4 == 1 && got("x")._3 > 0, s"one-arm-only type must be significant: ${got("x")}")
+    assert(got("y")._4 == 1 && got("y")._3 < 0, s"opposite arm flips the sign: ${got("y")}")
+    assert(got("z")._4 == 0 && math.abs(got("z")._3) < 0.01, s"balanced type: ${got("z")}")
+  }
+
+  test("chi-squared: proportional table scores ~0, diagonal table scores Cramers V = 1 (q172)") {
+    import spark.implicits._
+    val indep = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", "s" + (i % 4 / 2))).toDF("doc_id", "lang", "source")
+    val ri = TextQueries.chiSquaredLangSource(indep).collect().head
+    assert(ri.getDouble(2) == 0.0 && ri.getDouble(3) == 0.0,
+      s"independent table: chi2=${ri.getDouble(2)} v=${ri.getDouble(3)}")
+    val dep = (0L until 400L).map(i => (i,
+      if (i % 2 == 0) "en" else "fr", if (i % 2 == 0) "sA" else "sB")).toDF("doc_id", "lang", "source")
+    val rd = TextQueries.chiSquaredLangSource(dep).collect().head
+    assert(rd.getInt(1) == 1 && rd.getDouble(3) == 1.0,
+      s"diagonal table: df=${rd.getInt(1)} v=${rd.getDouble(3)}")
+  }
+
+  test("Benford audit: a single-digit-dominated column maximally deviates (q173)") {
+    import spark.implicits._
+    val orders = (0L until 100L).map(i => (i, 100.0 + i % 90)).toDF("o_orderkey", "o_totalprice")
+    val got = RelationalQueries.benfordAudit(orders).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1) == ((100L, 1.0, 0.30103)), s"digit 1: ${got.toSeq}") // all prices in [100, 190)
+    assert(got.size == 1, s"only digit 1 occurs: ${got.keySet}")
+  }
+
   test("burst detection fills quiet hours with zeros and fires only after a full trailing window (q155)") {
     import spark.implicits._
     val base = Seq((0, 1), (1, 1), (2, 1), (3, 1)).flatMap { case (h, n) =>
