@@ -1529,8 +1529,41 @@ object RelationalQueries {
                   - ln(1.0 + 1.0/CAST(digit AS DOUBLE))/ln(10.0))*1e6 + 0.5)/1e6 AS abs_dev
       FROM c CROSS JOIN t ORDER BY digit"""))
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002 / Machanavajjhala
+    * 2007) — the privacy gate a dataset passes before release: group by
+    * the quasi-identifier (nation, market segment), flag groups smaller
+    * than k=5 (re-identifiable) and groups whose sensitive attribute
+    * (account-balance band) shows fewer than l=3 distinct values
+    * (attribute-disclosable even when k-anonymous). One hash agg; the
+    * flags are integer comparisons.
+    */
+  def kAnonymityAudit(customer: DataFrame, k: Int, l: Int): DataFrame = {
+    val sens = floor(col("c_acctbal") / 1000.0).cast("long")
+    customer
+      .select(col("c_nationkey"), col("c_mktsegment"), sens.as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), countDistinct("bal_band").as("n_sensitive"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        (col("n") >= k).cast("int").as("k_anonymous"),
+        col("n_sensitive"),
+        (col("n_sensitive") >= l).cast("int").as("l_diverse"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  val q174 = GQuery(
+    "q174_k_anonymity",
+    (s, dir) => kAnonymityAudit(Tables.customer(s, dir), k = 5, l = 3),
+    Some("""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS INTEGER) AS k_anonymous,
+        count(DISTINCT CAST(floor(c_acctbal/1000.0) AS BIGINT)) AS n_sensitive,
+        CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal/1000.0) AS BIGINT)) >= 3
+             THEN 1 ELSE 0 END AS INTEGER) AS l_diverse
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+      ORDER BY c_nationkey, c_mktsegment"""))
+
   def all: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q57, q58, q59, q65, q69, q79, q84, q89, q95, q96, q98,
-    q115, q116, q139, q153, q159, q160, q164, q165, q168, q170, q173)
+    q115, q116, q139, q153, q159, q160, q164, q165, q168, q170, q173, q174)
 }

@@ -835,6 +835,115 @@ object SimilarityQueries {
       LEFT JOIN borderassign ba ON ba.vec_id = n.vec_id
       ORDER BY n.vec_id"""))
 
+  /** Multi-source BFS blast radius (operators.BfsDistance) over the
+    * q52/q133 near-dup graph: seeds = every 20th sampled vector (the
+    * "known-bad documents"), 3 frontier expansions label every node
+    * with its hop distance to the nearest seed — the contamination
+    * blast-radius query ("everything within 2 near-dup hops of a leaked
+    * benchmark doc gets quarantined"). Seventh graph-family member.
+    */
+  val q175 = GQuery(
+    "q175_bfs_distance",
+    (s, dir) => {
+      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
+        .select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      BfsDistance.distances(
+        d.select(col("vec_id")), edges,
+        d.filter(col("vec_id") % 20 === 0).select(col("vec_id")), rounds = 3)
+    },
+    Some(BfsDistance.oracleSql(seedMod = 20L, rounds = 3)))
+
+  /** HITS hubs & authorities (Kleinberg 1999), 3 UNNORMALIZED mutual-
+    * reinforcement rounds over the directed low-id → high-id near-dup
+    * graph: unnormalized scores stay INTEGERS (the normalization that
+    * makes HITS float-fragile is deferred to one final division by the
+    * max), so every round is engine-exact and the oracle unrolls them.
+    * The PageRank complement: PR ranks by random-walk mass, HITS
+    * separates pointers-to-hubs from pointed-at-authorities.
+    */
+  /** HITS mutual-reinforcement rounds over (nodes, directed edges) —
+    * see q176. Factored so specs can drive constructed graphs.
+    */
+  def hitsScores(nodes: DataFrame, directedEdges: DataFrame, rounds: Int): DataFrame = {
+    val edges = directedEdges.select(col("u"), col("v")).cache()
+    var hub = nodes.select(col("vec_id"), lit(1L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      auth = edges.join(hub.select(col("vec_id").as("u"), col("h")), "u")
+        .groupBy(col("v").as("vec_id")).agg(sum("h").as("a"))
+        .localCheckpoint(true)
+      hub = edges.join(auth.select(col("vec_id").as("v"), col("a")), "v")
+        .groupBy(col("u").as("vec_id")).agg(sum("a").as("h"))
+        .localCheckpoint(true)
+    }
+    val maxes = auth.agg(max("a").as("ma")).crossJoin(hub.agg(max("h").as("mh")))
+    val out = nodes.select(col("vec_id"))
+      .join(auth, Seq("vec_id"), "left")
+      .join(hub, Seq("vec_id"), "left")
+      .crossJoin(broadcast(maxes))
+      .select(col("vec_id"),
+        coalesce(col("a"), lit(0L)).as("auth_raw"),
+        coalesce(col("h"), lit(0L)).as("hub_raw"),
+        graft.functions.Metrics.canonRound(
+          coalesce(col("a"), lit(0L)).cast("double") / col("ma").cast("double"), 6).as("authority"),
+        graft.functions.Metrics.canonRound(
+          coalesce(col("h"), lit(0L)).cast("double") / col("mh").cast("double"), 6).as("hub"))
+      .orderBy("vec_id")
+      .cache()
+    out.count()
+    edges.unpersist()
+    out
+  }
+
+  val q176 = GQuery(
+    "q176_hits_scores",
+    (s, dir) => {
+      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      // directed: low id endorses high id (citation-style orientation)
+      val edges = a.join(b, col("id_a") < col("id_b"))
+        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+      hitsScores(d.select(col("vec_id")), edges, rounds = 3)
+    },
+    Some {
+      val rounds = (1 to 3).map { r =>
+        s"""a$r AS MATERIALIZED (
+        SELECT e.v AS vec_id, sum(h.h) AS a
+        FROM edges e JOIN h${r - 1} h ON h.vec_id = e.u GROUP BY e.v),
+      h$r AS MATERIALIZED (
+        SELECT e.u AS vec_id, sum(a.a) AS h
+        FROM edges e JOIN a$r a ON a.vec_id = e.v GROUP BY e.u)"""
+      }.mkString(",\n      ")
+      s"""WITH d AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id % 5 = 0),
+      edges AS MATERIALIZED (
+        SELECT a.vec_id AS u, b.vec_id AS v
+        FROM d a JOIN d b ON a.vec_id < b.vec_id
+        WHERE floor(list_cosine_similarity(a.emb, b.emb)*1e6 + 0.5)/1e6 > 0.25),
+      h0 AS MATERIALIZED (SELECT vec_id, 1 AS h FROM d),
+      $rounds,
+      mx AS (SELECT (SELECT max(a) FROM a3) AS ma, (SELECT max(h) FROM h3) AS mh)
+      SELECT n.vec_id,
+        CAST(coalesce(a.a, 0) AS BIGINT) AS auth_raw,
+        CAST(coalesce(h.h, 0) AS BIGINT) AS hub_raw,
+        floor(CAST(coalesce(a.a, 0) AS DOUBLE)/CAST(mx.ma AS DOUBLE)*1e6 + 0.5)/1e6 AS authority,
+        floor(CAST(coalesce(h.h, 0) AS DOUBLE)/CAST(mx.mh AS DOUBLE)*1e6 + 0.5)/1e6 AS hub
+      FROM d n
+      LEFT JOIN a3 a ON a.vec_id = n.vec_id
+      LEFT JOIN h3 h ON h.vec_id = n.vec_id
+      CROSS JOIN mx
+      ORDER BY n.vec_id"""
+    })
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127, q128, q133, q135, q137, q143, q145, q148, q151, q169)
+    q127, q128, q133, q135, q137, q143, q145, q148, q151, q169, q175, q176)
 }

@@ -525,6 +525,20 @@ class OpsSpec extends SparkSpec {
     assert(got.size == 1, s"only digit 1 occurs: ${got.keySet}")
   }
 
+  test("k-anonymity flags small QI groups, l-diversity flags uniform sensitive bands (q174)") {
+    import spark.implicits._
+    val c = // group (1,'A'): 6 rows, 3 bands; (1,'B'): 2 rows; (2,'A'): 5 rows, 1 band
+      ((0 until 6).map(i => (i.toLong, 1L, "A", 500.0 + 1000.0 * (i % 3))) ++
+        (6 until 8).map(i => (i.toLong, 1L, "B", 500.0)) ++
+        (8 until 13).map(i => (i.toLong, 2L, "A", 1500.0)))
+        .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = RelationalQueries.kAnonymityAudit(c, k = 5, l = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getInt(3), r.getLong(4), r.getInt(5))).toMap
+    assert(got((1L, "A")) == ((6L, 1, 3L, 1)), s"anonymous + diverse: ${got.toSeq}")
+    assert(got((1L, "B")) == ((2L, 0, 1L, 0)), s"small group flagged: ${got.toSeq}")
+    assert(got((2L, "A")) == ((5L, 1, 1L, 0)), s"k-anonymous but NOT l-diverse: ${got.toSeq}")
+  }
+
   test("burst detection fills quiet hours with zeros and fires only after a full trailing window (q155)") {
     import spark.implicits._
     val base = Seq((0, 1), (1, 1), (2, 1), (3, 1)).flatMap { case (h, n) =>

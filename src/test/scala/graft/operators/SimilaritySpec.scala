@@ -202,6 +202,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("BFS distances: path graph settles hop-by-hop, beyond-budget nodes stay -1 (q175)") {
+    import spark.implicits._
+    val nodes = (1L to 5L).toDF("vec_id")
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (p ++ p.map(_.swap)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("vec_id")
+    val got = BfsDistance.distances(nodes, edges, seeds, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> -1), got.toSeq)
+  }
+
+  test("HITS: the pointed-at node takes authority 1, pure pointers take hub 1 (q176)") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("vec_id")
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("u", "v")
+    val got = SimilarityQueries.hitsScores(nodes, edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // unnormalized rounds: a(3)=2,4,8; h(1)=h(2)=2,4,8
+    assert(got(3L) == ((8L, 0L, 1.0, 0.0)), s"authority: ${got(3L)}")
+    assert(got(1L) == ((0L, 8L, 0.0, 1.0)) && got(2L) == ((0L, 8L, 0.0, 1.0)),
+      s"hubs: ${got(1L)} ${got(2L)}")
+  }
+
   test("embedding drift: constructed halves give the exact centroid L2 (q148)") {
     import spark.implicits._
     val e = Seq(
