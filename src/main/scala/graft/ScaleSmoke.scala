@@ -284,6 +284,25 @@ object ScaleSmoke {
     def asofNative(e: DataFrame) =
       plans.NativeAsOfJoin.asof(asofClicks(e), asofPurch(e), "user_id", "click_ts", "ts", Seq("value"))
 
+    // q168's shape: the basket self-join runs ON THE ORDER KEY — pairs
+    // are Σ lines² per order, so 10× orders must scale ~linearly (an
+    // |items|² formulation would blow up instead)
+    def itemCf(l: DataFrame) = operators.RelationalQueries.itemItemCf(l, topK = 3)
+
+    // q167's shape: train-side count aggs + the (lang × vocab)
+    // likelihood broadcast onto the test doc-term frame
+    def naiveBayes(docs: DataFrame) = operators.TextQueries.naiveBayesConfusion(docs)
+
+    // q175's frontier shape: per round one frontier join + one anti
+    // join (monotone settled set, like kcore/luby)
+    def bfsRounds(pairs: DataFrame) = {
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val nodes = edges.select(col("u").as("vec_id")).distinct()
+      operators.BfsDistance.distances(nodes, edges,
+        nodes.filter(col("vec_id") % 4 === 0), rounds = 3)
+    }
+
     // q151's peel shape: per round one degree agg + two semi joins onto
     // the shrinking edge frame (monotone state, like luby/label-prop)
     def kcoreRounds(pairs: DataFrame) = {
@@ -354,6 +373,9 @@ object ScaleSmoke {
       ("label_prop_rounds", () => noop(labelProp(prPairs)), () => noop(labelProp(prPairsK))),
       ("kcore_rounds", () => noop(kcoreRounds(prPairs)), () => noop(kcoreRounds(prPairsK))),
       ("markov_transitions", () => noop(markov(e1)), () => noop(markov(ek))),
+      ("item_cf", () => noop(itemCf(l1)), () => noop(itemCf(lk))),
+      ("naive_bayes", () => noop(naiveBayes(d1)), () => noop(naiveBayes(dk))),
+      ("bfs_rounds", () => noop(bfsRounds(prPairs)), () => noop(bfsRounds(prPairsK))),
       ("pit_enrich", () => noop(pitEnrich(l1, o1)), () => noop(pitEnrich(lk, ok))),
       ("pq_adc", () => noop(pqAdc(em1)), () => noop(pqAdc(emK))),
       ("temp_sample", () => noop(tempSample(d1)), () => noop(tempSample(dk))),
