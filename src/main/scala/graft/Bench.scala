@@ -36,20 +36,26 @@ object Bench {
       val t = if (t1 > 2.0) math.min(t1, timedRun(name)) else t1
       name -> t
     }
-    def jsonLine(keyOf: String => String): String = {
-      val qs = results.map { case (k, v) => "\"" + keyOf(k) + f"""":${v}%.3f""" }
-        .mkString("{", ",", "}")
-      val errors = results.collect { case (k, v) if v < 0 => "\"" + keyOf(k) + "\"" }
-        .mkString("[", ",", "]")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
-    }
-    // full names first for humans; the LAST line — the one the driver
-    // parses — uses the qNN short keys, because the full-name line grew
-    // past the driver's 4096-char output-tail capture at ~100 queries and
-    // arrived truncated (BENCH_r03/r04 both recorded parsed:null)
-    println(jsonLine(identity))
-    println(jsonLine(_.split("_")(0)))
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // full-name detail line first, for humans and for BENCH.md bookkeeping
+    val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // The LAST line is the one the driver parses, and it only captures the
+    // final ~2000 chars of stdout — at 175 queries even qNN-keyed pairs
+    // overflow that (BENCH_r06 recorded parsed:null). Per-query times
+    // therefore ship as a FIXED-ORDER 1-decimal array over the sorted
+    // query names (the order of the detail line above): ~4-5 chars per
+    // query keeps the line under 1000 chars up to ~300 queries. If the
+    // registry ever grows past the budget anyway, drop the array rather
+    // than ship a truncated, unparseable line.
+    val tArr = results.map { case (_, v) => f"$v%.1f" }.mkString("[", ",", "]")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n":${results.size},"order":"sorted_names","errors":$errors,"t":$tArr}"""
+    println(if (compact.length <= 1800) compact
+            else f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n":${results.size},"errors":$errors}""")
     spark.stop()
   }
 }

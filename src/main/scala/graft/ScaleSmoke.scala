@@ -21,6 +21,9 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional 3rd arg: comma-separated shape-name substrings — re-measure
+    // one row without paying for the whole sweep
+    val only = args.lift(2).map(_.split(",").toSeq).getOrElse(Nil)
     val spark = Session.getOrCreate()
     import spark.implicits._
 
@@ -287,7 +290,8 @@ object ScaleSmoke {
     // q168's shape: the basket self-join runs ON THE ORDER KEY — pairs
     // are Σ lines² per order, so 10× orders must scale ~linearly (an
     // |items|² formulation would blow up instead)
-    def itemCf(l: DataFrame) = operators.RelationalQueries.itemItemCf(l, topK = 3)
+    def itemCf(l: DataFrame) = operators.RelationalQueries.itemItemCf(
+      l, topK = 3, maxBasket = 8, minCo = 2L) // registry q168 knobs
 
     // q167's shape: train-side count aggs + the (lang × vocab)
     // likelihood broadcast onto the test doc-term frame
@@ -391,8 +395,11 @@ object ScaleSmoke {
       (s"setsim_capped_k$k", () => noop(setsim(d1, dfCap = 50)),
         () => noop(setsim(dk, dfCap = 50))))
 
+    val selected =
+      if (only.isEmpty) shapes
+      else shapes.filter { case (n, _, _) => only.exists(n.contains) }
     noop(scanAgg(l1)) // warmup
-    val results = shapes.map { case (name, base, big) =>
+    val results = selected.map { case (name, base, big) =>
       val (_, t1) = time(base())
       val (_, tk) = time(big())
       spark.sharedState.cacheManager.clearCache() // per-query caches (LSH)

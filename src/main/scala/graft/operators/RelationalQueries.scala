@@ -1375,20 +1375,31 @@ object RelationalQueries {
     * neighbors per part — the "customers who bought X also bought"
     * recommender built from counts alone.
     *
-    * Scale: the self-join runs ON THE ORDER KEY, so candidate pairs are
-    * Σ_orders lines² (lines-per-order is small and bounded), never
-    * |items|² — the classic trick that makes item-item CF linear in the
-    * fact table. Norms are integer counts; the cosine is one IEEE
-    * quotient ranked after a 1e-6 snap with the neighbor key as
-    * tie-break.
+    * Scale: pairs are generated PER ORDER (a double explode of the
+    * order's item set), so candidates are Σ_orders basket² — never
+    * |items|² — and `maxBasket` caps basket² for pathological orders
+    * (the deterministic skew guard: keep the `maxBasket` smallest
+    * partkeys; at 100 TB one 10k-line order would otherwise emit 10⁸
+    * pairs). One shuffle builds the baskets; the pair stream goes
+    * straight to the (item, neighbor) count — no basket self-join
+    * re-shuffle. `minCo` is the usual CF support floor: a pair seen in
+    * one order is noise, and dropping it before the per-item ranking
+    * window cuts the ranked frame by ~10× at fixture scale. Norms are
+    * integer counts; the cosine is one IEEE quotient ranked after a
+    * 1e-6 snap with the neighbor key as tie-break.
     */
-  def itemItemCf(lineitem: DataFrame, topK: Int): DataFrame = {
-    val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+  def itemItemCf(lineitem: DataFrame, topK: Int,
+                 maxBasket: Int = Int.MaxValue, minCo: Long = 1L): DataFrame = {
+    val baskets = lineitem.groupBy(col("l_orderkey").as("ok"))
+      .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, maxBasket).as("items"))
+    val b = baskets.select(explode(col("items")).as("item"))
     val n = b.groupBy("item").agg(count(lit(1)).as("n_ord"))
-    val co = b.as("a").join(b.as("b"),
-        col("a.ok") === col("b.ok") && col("a.item") =!= col("b.item"))
-      .groupBy(col("a.item").as("item"), col("b.item").as("neighbor"))
+    val co = baskets.select(explode(col("items")).as("item"), col("items"))
+      .select(col("item"), explode(col("items")).as("neighbor"))
+      .filter(col("item") =!= col("neighbor"))
+      .groupBy(col("item"), col("neighbor"))
       .agg(count(lit(1)).as("c_co"))
+      .filter(col("c_co") >= minCo)
     val cos = Metrics.canonRound(
       col("c_co").cast("double") / (sqrt(col("n_i").cast("double")) * sqrt(col("n_j").cast("double"))), 6)
     val wr = Window.partitionBy("item").orderBy(col("cos").desc, col("neighbor").asc)
@@ -1403,14 +1414,20 @@ object RelationalQueries {
 
   val q168 = GQuery(
     "q168_item_cf",
-    (s, dir) => itemItemCf(Tables.lineitem(s, dir), topK = 3),
-    Some("""WITH b AS (
-        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+    // registry knobs: maxBasket=8 is the skew guard (TPC-H orders carry
+    // ≤7 lines, so it never bites the fixture — it exists for the 100 TB
+    // pathological order), minCo=2 is the support floor (c_co=1 cosines
+    // are noise and were ~90% of the ranked frame / 60k output rows)
+    (s, dir) => itemItemCf(Tables.lineitem(s, dir), topK = 3, maxBasket = 8, minCo = 2L),
+    Some("""WITH rb AS (
+        SELECT ok, item, row_number() OVER (PARTITION BY ok ORDER BY item) AS r
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem)),
+      b AS (SELECT ok, item FROM rb WHERE r <= 8),
       n AS (SELECT item, count(*) AS n_ord FROM b GROUP BY item),
       co AS (
         SELECT a.item AS item, b2.item AS neighbor, count(*) AS c_co
         FROM b a JOIN b b2 ON a.ok = b2.ok AND a.item <> b2.item
-        GROUP BY 1, 2),
+        GROUP BY 1, 2 HAVING count(*) >= 2),
       scored AS (
         SELECT co.item, co.neighbor, co.c_co,
           floor(CAST(co.c_co AS DOUBLE)
