@@ -80,12 +80,16 @@ object KMeansLloyd {
     (out, usedCentroids)
   }
 
-  /** DuckDB twin of [[fit]]: `rounds` unrolled assignment/update rounds.
+  /** The unrolled assignment/update round CTEs, shared with the
+    * operators that embed a Lloyd quantizer (IvfLloyd). Assumes CTEs
+    * `e(vec_id, emb DOUBLE[])` (the clustering space) and
+    * `c0(cid, c)` (the seeds) are already defined; defines
+    * `m$r` (round-r assignment) and `c${r}f` (round-r centroids).
     * Round states are MATERIALIZED — inlined CTE chains go exponential
     * (see BpeMerge.oracleSql).
     */
-  def oracleSql(k: Int, rounds: Int, dim: Int): String = {
-    val rs = (1 to rounds).map { r =>
+  def roundCtes(rounds: Int, dim: Int): String =
+    (1 to rounds).map { r =>
       val prev = if (r == 1) "c0" else s"c${r - 1}f"
       s"""a$r AS (SELECT e.vec_id, c.cid, floor(list_distance(e.emb, c.c)*1e6+0.5)/1e6 AS d
         FROM e, $prev c),
@@ -100,10 +104,13 @@ object KMeansLloyd {
       c${r}f AS MATERIALIZED (SELECT p.cid, coalesce(n.c, p.c) AS c
         FROM $prev p LEFT JOIN cn$r n USING (cid))"""
     }.mkString(",\n      ")
+
+  /** DuckDB twin of [[fit]]: `rounds` unrolled rounds over the raw
+    * embeddings. */
+  def oracleSql(k: Int, rounds: Int, dim: Int): String =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       c0 AS MATERIALIZED (SELECT vec_id AS cid, emb AS c FROM e ORDER BY vec_id LIMIT $k),
-      $rs
+      ${roundCtes(rounds, dim)}
       SELECT vec_id, CAST(cid AS INTEGER) AS cluster, d AS dist
       FROM m$rounds ORDER BY vec_id"""
-  }
 }

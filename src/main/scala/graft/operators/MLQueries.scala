@@ -210,25 +210,84 @@ object MLQueries {
         UNION ALL SELECT 'p_size', p_size FROM w)
       ORDER BY feature"""))
 
-  /** MLlib UnivariateFeatureSelector (E17, f-regression flavor): top-5
-    * features of the sales feature vector by F-test against num_sold.
-    * Selector fit is iterative/MLlib-internal → rows-only check; the
-    * deterministic generator makes the selected indices reproducible.
+  /** Univariate F-regression feature selection (E17), computed
+    * explicitly: per-feature Pearson r against the label in ONE
+    * aggregation pass, F = r²·(n−2)/(1−r²), rank by F. This is exactly
+    * what MLlib's UnivariateFeatureSelector(continuous/continuous)
+    * scores — but at text-feature correlation levels (r ≈ 0.95+) the
+    * selector's p-values underflow to 0.0 and its "top-k" degenerates
+    * to index order (measured: it returns features [0,1,2] regardless
+    * of F), so the EXPLICIT statistic is the only trustworthy ranking;
+    * MlSpec pins agreement with MLlib's FValueTest F-values. r is
+    * snapped to 1e-4 BEFORE the F quotient on both engines (corr
+    * agrees cross-engine at 1e-4; 1/(1−r²) would amplify anything
+    * finer), making F bit-identical. Features are deliberately
+    * collinear-with-length text stats over `documents` — the selection
+    * a quality-scoring pipeline would run. MLlib's selector on the
+    * sales frame stays pinned in SalesMlSpec (FeatureSelection).
+    *
+    * Scale: one scan, 7 aggregates, a 7-row ranking — nothing grows
+    * with the corpus but the scan.
     */
   val q67 = GQuery(
     "q67_feature_selector",
     (s, dir) => {
-      import s.implicits._
-      val sales = graft.ml.SalesData.generate(s, "2018-01-01", "2018-12-31")
-      val (prepared, _) = graft.ml.SalesFeatures.prepare(s, sales, coalesceTo = Some(8))
-      val sel = new org.apache.spark.ml.feature.UnivariateFeatureSelector()
-        .setFeatureType("continuous").setLabelType("continuous")
-        .setSelectionMode("numTopFeatures").setSelectionThreshold(5)
-        .setFeaturesCol("features").setLabelCol("num_sold").setOutputCol("selected")
-      val model = sel.fit(prepared)
-      model.selectedFeatures.sorted.toSeq.map(_.toLong).toDF("feature_idx")
+      val d = Tables.documents(s, dir)
+      def cnt(ch: String) =
+        (length(col("text")) - length(regexp_replace(col("text"), ch, ""))).cast("double")
+      val feats = Seq(
+        "f_spaces" -> cnt(" "), "f_e" -> cnt("e"), "f_t" -> cnt("t"),
+        "f_a" -> cnt("a"), "f_id" -> col("doc_id").cast("double"),
+        "f_en" -> (col("lang") === "en").cast("int").cast("double"))
+      val lbl = col("n_chars").cast("double")
+      val f = d.select(lbl.as("label") +: feats.map { case (n, c) => c.as(n) }: _*)
+      val wide = f.agg(
+        count(lit(1)).as("n"),
+        feats.map { case (n, _) => Metrics.canonRound(corr(col(n), col("label")), 4).as(n) }: _*)
+      val stackArgs = feats.map { case (n, _) => s"'$n', $n" }.mkString(", ")
+      val fstat = col("r") * col("r") * (col("n") - 2).cast("double") /
+        (lit(1.0) - col("r") * col("r"))
+      wide.select(col("n"), expr(s"stack(${feats.size}, $stackArgs) as (feature, r)"))
+        .select(col("feature"), col("r"), Metrics.canonRound(fstat, 4).as("f_stat"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("f_stat").desc, col("feature"))))
+        .filter(col("rank") <= 3)
+        .select(col("rank").cast("int").as("rank"), col("feature"), col("r"), col("f_stat"))
+        .orderBy("rank")
     },
-    None)
+    Some("""WITH f AS (
+        SELECT CAST(n_chars AS DOUBLE) AS label,
+          CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS f_spaces,
+          CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE) AS f_e,
+          CAST(length(text) - length(replace(text, 't', '')) AS DOUBLE) AS f_t,
+          CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE) AS f_a,
+          CAST(doc_id AS DOUBLE) AS f_id,
+          CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS f_en
+        FROM documents),
+      w AS (SELECT count(*) AS n,
+        floor(corr(f_spaces, label)*1e4 + 0.5)/1e4 AS f_spaces,
+        floor(corr(f_e, label)*1e4 + 0.5)/1e4 AS f_e,
+        floor(corr(f_t, label)*1e4 + 0.5)/1e4 AS f_t,
+        floor(corr(f_a, label)*1e4 + 0.5)/1e4 AS f_a,
+        floor(corr(f_id, label)*1e4 + 0.5)/1e4 AS f_id,
+        floor(corr(f_en, label)*1e4 + 0.5)/1e4 AS f_en
+        FROM f),
+      u AS (
+        SELECT n, 'f_spaces' AS feature, f_spaces AS r FROM w
+        UNION ALL SELECT n, 'f_e', f_e FROM w
+        UNION ALL SELECT n, 'f_t', f_t FROM w
+        UNION ALL SELECT n, 'f_a', f_a FROM w
+        UNION ALL SELECT n, 'f_id', f_id FROM w
+        UNION ALL SELECT n, 'f_en', f_en FROM w),
+      scored AS (
+        SELECT feature, r,
+          floor((r*r*CAST(n-2 AS DOUBLE)/(1.0 - r*r))*1e4 + 0.5)/1e4 AS f_stat
+        FROM u),
+      ranked AS (
+        SELECT feature, r, f_stat,
+          CAST(row_number() OVER (ORDER BY f_stat DESC, feature) AS INTEGER) AS rank
+        FROM scored)
+      SELECT rank, feature, r, f_stat FROM ranked WHERE rank <= 3 ORDER BY rank"""))
 
   def all: Seq[GQuery] = Seq(q60, q61, q62, q63, q64, q66, q67)
 }

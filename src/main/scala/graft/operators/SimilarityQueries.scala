@@ -234,17 +234,20 @@ object SimilarityQueries {
                                          CAST(b.embedding AS DOUBLE[]))) * 1e6 + 0.5)/1e6 > 0.25
       ORDER BY id_a, id_b"""))
 
-  /** IVF-bucketed ANN (coarse k-means quantizer + probed inverted lists).
-    * KMeans is iterative/seeded → not SQL-expressible → rows-only; the
-    * recall-vs-brute-force property is asserted in SimilaritySpec.
+  /** IVF-bucketed ANN (coarse k-means quantizer + probed inverted
+    * lists), in its DETERMINISTIC form (operators.IvfLloyd): the
+    * quantizer is KMeansLloyd on 1e-6-snapped unit vectors, so every
+    * round — and therefore the inverted lists, the probe order, and the
+    * final ranking — is replayed by the DuckDB oracle (the q127/q135
+    * playbook applied to the last rows-only ANN member). The MLlib
+    * IvfAnn path stays exercised by SimilaritySpec's recall test.
     */
   val q53 = GQuery(
     "q53_ann_ivf",
-    (s, dir) => {
-      val (indexed, centroids) = IvfAnn.buildIndex(s, Tables.embeddings(s, dir), nList = 16)
-      IvfAnn.search(indexed, centroids, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 4)
-    },
-    None)
+    (s, dir) => IvfLloyd.search(Tables.embeddings(s, dir),
+      nList = 16, rounds = 2, probeMax = 5L, nProbe = 4, kNN = 10),
+    Some(IvfLloyd.oracleSql(nList = 16, rounds = 2, dim = 64,
+      probeMax = 5L, nProbe = 4, kNN = 10)))
 
   /** FULL-CORPUS embedding near-duplicate pairs through the LSH buckets —
     * the scale path q52's sampled-exact variant defers to: candidates are

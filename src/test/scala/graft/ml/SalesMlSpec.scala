@@ -95,6 +95,44 @@ class SalesMlSpec extends SparkSpec {
     assert(v.size == 5)
   }
 
+  test("q67's explicit F-regression agrees with an MLlib-computed r (E17)") {
+    // Same feature frame as the q67 registry entry, on the documents
+    // fixture; the explicit F = r²(n−2)/(1−r²) ranking must agree with
+    // F computed from MLlib's own (RDD-based, full-precision) Pearson
+    // correlation matrix. (The UnivariateFeatureSelector itself is
+    // useless at these correlation levels — its p-values underflow to
+    // 0.0 and numTopFeatures degenerates to index order, which is
+    // exactly why the registry query ranks by the explicit statistic.)
+    val d = graft.Tables.documents(spark, sf001)
+    def cnt(ch: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), ch, ""))).cast("double")
+    val names = Seq("f_spaces", "f_e", "f_t", "f_a", "f_id", "f_en")
+    val f = d.select(
+      col("n_chars").cast("double").as("label"),
+      cnt(" ").as("f_spaces"), cnt("e").as("f_e"), cnt("t").as("f_t"),
+      cnt("a").as("f_a"), col("doc_id").cast("double").as("f_id"),
+      (col("lang") === "en").cast("int").cast("double").as("f_en"))
+    val n = f.count().toDouble
+    val rdd = f.rdd.map(r =>
+      org.apache.spark.mllib.linalg.Vectors.dense((0 to names.size).map(r.getDouble).toArray))
+    val m = org.apache.spark.mllib.stat.Statistics.corr(rdd, "pearson")
+    def fOf(r: Double) = r * r * (n - 2) / (1 - r * r)
+    val mllibF = names.zipWithIndex.map { case (nm, i) => nm -> fOf(m(0, i + 1)) }.toMap
+    val ours = names.map { nm =>
+      val r = f.select(Metrics.canonRound(corr(col(nm), col("label")), 4)).head().getDouble(0)
+      nm -> fOf(r)
+    }.toMap
+    for (nm <- names if math.abs(ours(nm)) > 1.0) {
+      val rel = math.abs(mllibF(nm) - ours(nm)) / mllibF(nm)
+      assert(rel < 0.1, s"$nm: mllib F ${mllibF(nm)} vs explicit ${ours(nm)}")
+    }
+    assert(mllibF.toSeq.sortBy(-_._2).take(3).map(_._1).toSet ==
+      ours.toSeq.sortBy(-_._2).take(3).map(_._1).toSet)
+    val q67Top = graft.SparkEntry.queries("q67_feature_selector")(spark, sf001)
+      .select("feature").collect().map(_.getString(0)).toSet
+    assert(q67Top == ours.toSeq.sortBy(-_._2).take(3).map(_._1).toSet)
+  }
+
   test("log-target transform fit + expm1 inverse (E5) trains and predicts sanely") {
     import org.apache.spark.ml.regression.LinearRegression
     val logTrain = train.withColumn("y_log", log1p(col("num_sold")))

@@ -12,9 +12,18 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_.getLong(0))
       .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
 
-  test("IVF ANN recall@10 vs brute force is usable (nProbe=4 of 16 lists)") {
+  test("MLlib IVF ANN recall@10 vs brute force is usable (nProbe=4 of 16 lists)") {
+    // the MLlib-KMeans IVF path directly — the registry q53 now runs the
+    // deterministic IvfLloyd twin, so this test keeps IvfAnn exercised
     val exact = topk("q50_knn_bruteforce")
-    val ivf = topk("q53_ann_ivf")
+    val (indexed, centroids) = IvfAnn.buildIndex(
+      spark, graft.Tables.embeddings(spark, sf001), nList = 16)
+    val ivf = IvfAnn.search(indexed, centroids,
+        probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nProbe = 4)
+      .select("q_id", "vec_id", "rank")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
     val recalls = exact.keys.toSeq.map { q =>
       val e = exact(q).toSet
       val a = ivf.getOrElse(q, Nil).toSet
@@ -72,6 +81,13 @@ class SimilaritySpec extends SparkSpec {
       val inExact = hits.filter(exact(q).contains)
       assert(inExact == exact(q).filter(inExact.contains), s"order broken for probe $q")
     }
+    // and the deterministic quantizer's lists must be good enough to use
+    val recalls = exact.keys.toSeq.map { q =>
+      val e = exact(q).toSet
+      (e intersect ivf.getOrElse(q, Nil).toSet).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"deterministic IVF mean recall@10 $mean, per-probe $recalls")
   }
 
   test("SemDeDup kept set equals an independent greedy recomputation") {
