@@ -130,8 +130,8 @@ object BpeMerge {
       b$r AS MATERIALIZED (SELECT l[i] AS lhs, l[i+1] AS rhs, count(*) AS cnt FROM x$r
               GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
       c${r + 1} AS MATERIALIZED (SELECT doc_id,
-        replace(s, ' '||b.lhs||'  '||b.rhs||' ', ' '||b.lhs||'_'||b.rhs||' ') AS s
-        FROM c$r, b$r b)"""
+        coalesce(replace(s, ' '||b.lhs||'  '||b.rhs||' ', ' '||b.lhs||'_'||b.rhs||' '), s) AS s
+        FROM c$r LEFT JOIN b$r b ON true)"""
     }.mkString(",\n      ")
     s"""c1 AS MATERIALIZED (SELECT doc_id, '  ' || replace(text, ' ', '  ') || '  ' AS s FROM documents),
       $rounds"""

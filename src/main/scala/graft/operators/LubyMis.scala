@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * Determinism: Luby's random per-round priorities are replaced by a
   * modular-arithmetic permutation p_r(v) = (48271·(v+1) + 16807·r) mod
   * (2³¹−1) — minstd constants, modulus prime, so for each round the map
-  * is INJECTIVE on node ids (no ties, ever) and every round replays
-  * engine-exactly in 64-bit integer arithmetic (operands stay ≪ 2⁶³; both
-  * engines agree on % for positive operands). Per round: a node joins
+  * is INJECTIVE on node ids DISTINCT MODULO 2³¹−1 (ids spanning more
+  * than the modulus could collide; mis() requires the id spread to stay
+  * below it, which a near-dup graph keyed by doc/vec ids satisfies by
+  * orders of magnitude) and every round replays engine-exactly in
+  * 64-bit integer arithmetic (operands stay ≪ 2⁶³; both engines agree
+  * on % for positive operands). Per round: a node joins
   * the MIS iff its priority is below every ACTIVE neighbor's (isolated
   * actives join unconditionally), MIS neighbors retire as 'removed', and
   * the active set shrinks — O(log n) expected rounds in the random
@@ -43,6 +46,14 @@ object LubyMis {
     */
   def mis(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"Luby MIS needs at least one round, got $rounds")
+    // the tieless-priority precondition (see the class doc): ids whose
+    // spread reaches the modulus could collide in p_r. One tiny agg over
+    // the node frame — negligible next to the rounds it protects.
+    val mm = nodes.agg(min("vec_id"), max("vec_id")).head()
+    if (!mm.isNullAt(0))
+      require(mm.getLong(1) - mm.getLong(0) < Mod,
+        s"Luby MIS priorities need the node-id spread below $Mod " +
+          s"(got [${mm.getLong(0)}, ${mm.getLong(1)}]); remap ids first")
     val e = edges.select(col("u"), col("v")).cache()
     var active = nodes.select(col("vec_id")).cache()
     var decided: DataFrame = null

@@ -1265,8 +1265,12 @@ object RelationalQueries {
         ON o.o_custkey = c.c_custkey
       UNION ALL
       SELECT 'dom_documents_lang', count(*),
-        CAST(sum(CASE WHEN d.lang NOT IN ('en','fr','de','es') THEN 1 ELSE 0 END) AS BIGINT),
-        count(DISTINCT CASE WHEN d.lang NOT IN ('en','fr','de','es') THEN d.lang END)
+        -- NULL-strict on purpose: the Spark side LEFT JOINs onto the
+        -- domain dim, so a NULL lang never matches and counts as a
+        -- violation; a bare NOT IN would evaluate to NULL here and
+        -- silently count it clean
+        CAST(sum(CASE WHEN d.lang IS NULL OR d.lang NOT IN ('en','fr','de','es') THEN 1 ELSE 0 END) AS BIGINT),
+        count(DISTINCT CASE WHEN d.lang IS NULL OR d.lang NOT IN ('en','fr','de','es') THEN d.lang END)
       FROM documents d)
       SELECT * FROM checks ORDER BY constraint_name"""))
 

@@ -31,8 +31,17 @@ import graft.registry.GQuery
   */
 object TableProfile {
 
-  /** kind ∈ {bigint, string, double, ts}. */
-  def profile(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+  /** kind ∈ {bigint, string, double, ts}. `distinctBatch` = how many
+    * exact-distinct counts share one aggregation pass: each batch is one
+    * column-pruned scan whose multi-distinct Expand multiplies rows by
+    * the batch size, so batch=1 is N cheap jobs and batch=N is one
+    * Expand-heavy job — measured at sf0.1 (TimeQuery medians, 5 reps,
+    * orders profile): batch 1 (the old per-column chain) 0.88s,
+    * batch 2 0.85s, batch 3 1.02s, batch 6 1.21s. Batch 2 halves the
+    * job count at equal wall time; past that the Expand tax dominates.
+    */
+  def profile(df: DataFrame, cols: Seq[(String, String)],
+              distinctBatch: Int = 2): DataFrame = {
     def minMax(c: String, kind: String): (Column, Column) = kind match {
       case "double" =>
         (Metrics.canonRound(min(col(c)), 4).cast("decimal(18,4)").cast("string"),
@@ -48,8 +57,10 @@ object TableProfile {
         mn.as(s"${c}__mn"), mx.as(s"${c}__mx"))
     } :+ count(lit(1)).as("__n")
     val base = df.agg(aggs.head, aggs.tail: _*)
-    val wide = cols.foldLeft(base) { case (acc, (c, _)) =>
-      acc.crossJoin(df.select(col(c)).agg(countDistinct(col(c)).as(s"${c}__nd")))
+    val wide = cols.map(_._1).grouped(math.max(1, distinctBatch)).foldLeft(base) {
+      case (acc, grp) =>
+        val nds = grp.map(c => countDistinct(col(c)).as(s"${c}__nd"))
+        acc.crossJoin(df.select(grp.map(col): _*).agg(nds.head, nds.tail: _*))
     }
     val stackExpr =
       s"stack(${cols.size}, " + cols.map { case (c, _) =>

@@ -223,10 +223,17 @@ object DedupStreams {
     // canonical fingerprint (q43's sorted-distinct-token form): catches
     // reorder-only mirrors, which is what actually crosses source feeds
     val canonFp = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+    // feed parity from the trailing digits; a source that doesn't carry
+    // them routes to the INCOMING feed (coalesce false) rather than
+    // silently vanishing from both — the regexp_extract+coalesce form is
+    // mirrored verbatim in the q146 oracle so malformed sources behave
+    // identically cross-engine (a bare substring cast would NULL here
+    // but raise in DuckDB)
     val docs = spark.readStream.schema(schema).parquet(landingDir)
       .select(col("doc_id"), col("source"), canonFp.as("fp"),
         timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"),
-        (substring(col("source"), 4, 10).cast("int") % 2 === 0).as("is_ref"))
+        coalesce(regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 2 === 0,
+          lit(false)).as("is_ref"))
     val ref = docs.filter(col("is_ref"))
       .select(col("doc_id").as("a_id"), col("fp").as("a_fp"), col("ts").as("a_ts"))
       .withWatermark("a_ts", s"${2 * windowMinutes} minutes")

@@ -30,11 +30,16 @@ class OpsSpec extends SparkSpec {
       }
   }
 
-  test("feature selector picks 5 distinct in-range features (q67)") {
-    val idx = graft.registry.Registry.queries("q67_feature_selector")(spark, sf001)
-      .collect().map(_.getLong(0)).toSeq
-    assert(idx.size == 5 && idx == idx.sorted && idx.distinct.size == 5)
-    assert(idx.forall(i => i >= 0 && i < 30), idx) // 11 numeric + one-hot block
+  test("feature selector ranks the length-collinear features on top (q67)") {
+    val rows = graft.registry.Registry.queries("q67_feature_selector")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(3)))
+    assert(rows.length == 3)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    // F must be strictly decreasing in rank, and the top feature is the
+    // structurally strongest length proxy (word count ≈ n_chars)
+    val fs = rows.sortBy(_._1).map(_._3)
+    assert(fs.zip(fs.tail).forall { case (a, b) => a > b })
+    assert(rows.minBy(_._1)._2 == "f_spaces")
   }
 
   test("temperature sampling flattens the mixture: rare sources rate-up, common sources rate-down (q141)") {
