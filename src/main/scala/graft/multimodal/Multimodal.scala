@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * batching: one JVM call per partition, vectorizable payloads, never a
   * per-row interpreter crossing).
   *
-  * The actual codec calls are STUBBED — this container ships no image/
-  * audio libraries — behind [[FakeCodec]], a deterministic stand-in that
-  * derives plausible dimensions from the bytes. The Spark-side surface
-  * (schema, partitioning, batch shape) is real and tested; swapping
-  * FakeCodec for javax.imageio / ffmpeg bindings changes no plan shape.
+  * IMAGE decode is REAL: [[ImageCodec]] encodes/decodes PNG through
+  * javax.imageio (ships with the JDK — no external media library
+  * needed), and q81 proves the full byte→pixel→statistic path against a
+  * DuckDB oracle that re-derives the expected dimensions and mean
+  * luminance from the generation parameters. Only VIDEO (and the audio
+  * byte-stream stand-in) remain behind [[FakeCodec]], the deterministic
+  * stub this container's missing ffmpeg would back; swapping it in
+  * changes no plan shape.
   */
 object Multimodal {
 
@@ -49,6 +52,91 @@ object Multimodal {
       */
     def brightness(bytes: Array[Byte]): Double =
       if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length / 255.0
+  }
+
+  /** REAL image codec over javax.imageio — encode and decode are the
+    * actual PNG pipeline, not a hash trick. Images are 8-bit grayscale
+    * end to end (PNG stores the samples losslessly, so the decoded
+    * raster is bit-exact and every statistic below is deterministic and
+    * cross-engine predictable).
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Two-tone grayscale PNG: rows above h/2 at `topGray`, the rest at
+      * `bottomGray` — enough structure that the decoded mean luminance
+      * proves real pixel traversal, simple enough that an oracle can
+      * recompute it exactly.
+      */
+    def encodePng(width: Int, height: Int, topGray: Int, bottomGray: Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        val g = if (y < height / 2) topGray else bottomGray
+        var x = 0
+        while (x < width) { raster.setSample(x, y, 0, g); x += 1 }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** (width, height, mean luminance in [0,1]) from the decoded raster.
+      * The sum is exact integer arithmetic; the one double division at
+      * the end is IEEE-identical cross-engine.
+      */
+    def decodeStats(bytes: Array[Byte]): (Int, Int, Double) = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, sum.toDouble / (w.toLong * h * 255L).toDouble)
+    }
+  }
+
+  /** Deterministic real-PNG media table from the documents frame: per
+    * doc, dimensions and the two gray levels derive from (doc_id,
+    * n_chars), then the payload is an ACTUAL encoded PNG. Stands in for
+    * `spark.read.format("binaryFile")` over an object store of images.
+    */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val w = 8 + (nChars % 24).toInt
+        val h = 8 + (id % 16).toInt
+        val g1 = (id % 256).toInt
+        val g2 = ((id * 31) % 256).toInt
+        (id, ImageCodec.encodePng(w, h, g1, g2))
+      })
+      .toDF("doc_id", "content")
+  }
+
+  /** Real decode + feature extraction for image payloads: one
+    * partition-batched pass, javax.imageio per row, flat columnar
+    * output.
+    */
+  def extractImageFeatures(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, brightness) = ImageCodec.decodeStats(bytes)
+        (id, "image", w, h, brightness)
+      })
+      .toDF("doc_id", "media_type", "width", "height", "brightness")
   }
 
   /** Synthesize a media table from any (doc_id, text) frame: text bytes as

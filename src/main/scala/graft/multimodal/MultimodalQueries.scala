@@ -28,20 +28,33 @@ object MultimodalQueries {
       CAST(strlen(text) AS BIGINT) AS byte_len
       FROM documents ORDER BY doc_id"""))
 
-  /** Full decode/feature-extract path (stub codec → deterministic fake
-    * dims + brightness + content hash). Rows-only.
+  /** REAL image decode/feature-extract: deterministic PNGs are encoded
+    * with javax.imageio, decoded back pixel-by-pixel, and the oracle
+    * re-derives width/height/mean-luminance from the generation
+    * parameters — so a decode that skipped real pixels (or a codec
+    * that wasn't lossless) would hash-mismatch. The brightness term:
+    * top h//2 rows at gray doc_id%256, the rest at (doc_id·31)%256,
+    * mean = Σsamples/(w·h·255) — exact integer sum, one IEEE division.
     */
   val q81 = GQuery(
     "q81_multimodal_features",
     (s, dir) => {
-      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
-      Multimodal.extractFeatures(s, media).toDF()
+      val images = Multimodal.syntheticImages(Tables.documents(s, dir))
+      Multimodal.extractImageFeatures(s, images)
         .select(col("doc_id"), col("media_type"), col("width"), col("height"),
-          col("n_frames"), graft.functions.Metrics.canonRound(col("brightness"), 6).as("brightness"),
-          col("content_hash"))
+          graft.functions.Metrics.canonRound(col("brightness"), 6).as("brightness"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""SELECT doc_id, 'image' AS media_type,
+      CAST(8 + n_chars % 24 AS INTEGER) AS width,
+      CAST(8 + doc_id % 16 AS INTEGER) AS height,
+      floor(
+        CAST((doc_id % 256) * ((8 + doc_id % 16) // 2)
+           + ((doc_id * 31) % 256) * ((8 + doc_id % 16) - (8 + doc_id % 16) // 2) AS DOUBLE)
+        * (8 + n_chars % 24)
+        / CAST((8 + n_chars % 24) * (8 + doc_id % 16) * 255 AS DOUBLE)
+        * 1e6 + 0.5)/1e6 AS brightness
+      FROM documents ORDER BY doc_id"""))
 
   /** Frame sampling for video rows (explode to per-frame grain). Rows-only. */
   val q82 = GQuery(

@@ -33,6 +33,32 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.filter(col("width") =!= 224 || col("height") =!= 224).count() == 0)
   }
 
+  test("real PNG codec round-trips dimensions and exact mean luminance") {
+    // encode with javax.imageio, decode with javax.imageio — the decoded
+    // stats must equal the closed-form values the q81 oracle computes
+    val cases = Seq((8, 8, 0, 255), (31, 9, 17, 200), (224, 13, 255, 255), (9, 24, 128, 1))
+    cases.foreach { case (w, h, g1, g2) =>
+      val bytes = Multimodal.ImageCodec.encodePng(w, h, g1, g2)
+      // a real PNG, not a stub: magic bytes
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      val (dw, dh, bright) = Multimodal.ImageCodec.decodeStats(bytes)
+      assert((dw, dh) == (w, h))
+      val expected = (g1.toLong * (h / 2) * w + g2.toLong * (h - h / 2) * w).toDouble /
+        (w.toLong * h * 255L).toDouble
+      assert(bright == expected, s"($w,$h,$g1,$g2): $bright vs $expected")
+    }
+  }
+
+  test("q81 image features run the real decode path across partitionings") {
+    val imgs = Multimodal.syntheticImages(Tables.documents(spark, sf001))
+    val a = Multimodal.extractImageFeatures(spark, imgs).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getDouble(4))).sortBy(_._1)
+    val b = Multimodal.extractImageFeatures(spark, imgs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getDouble(4))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall { case (_, w, h, br) => w >= 8 && w < 32 && h >= 8 && h < 24 && br >= 0 && br <= 1 })
+  }
+
   test("frame sampling only emits video rows at the sampled grain") {
     val frames = Multimodal.sampleFrames(spark, media, everyK = 30)
     val perDoc = frames.groupBy("doc_id").count()
