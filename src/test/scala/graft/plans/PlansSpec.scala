@@ -390,6 +390,56 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits an injected skewed key at runtime (complement of the salted join)") {
+    // q115's salted join is the MANUAL skew remedy; this pins the
+    // engine-native one: under AQE, OptimizeSkewedJoin splits an
+    // oversized shuffle partition into parallel sub-reads, marking the
+    // join skew=true in the final adaptive plan. Thresholds are sized
+    // for clusters — lower them so a fixture-scale hot key (90% of one
+    // side on a single join key) trips the optimizer. Broadcast off:
+    // the skew path only exists for sort-merge/shuffled-hash joins.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def workload() = {
+        // 90% of one side lands on key 7; the rest spreads over 96 cold
+        // keys. The downstream agg groups on a NON-join key: an agg on
+        // the join key would reuse the join's hash partitioning, and
+        // OptimizeSkewedJoin (correctly) refuses to split a partition
+        // some downstream operator still requires whole.
+        val hot = spark.range(300000L)
+          .select(when(col("id") % 10 =!= 0, lit(7L))
+            .otherwise(lit(100L) + col("id") % 97).as("k"), col("id").as("payload"))
+        val dim = spark.range(200L).select(col("id").as("k"), (col("id") * 3).as("w"))
+        hot.join(dim, "k")
+          .groupBy((col("payload") % 7).as("g"))
+          .agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      }
+      val joined = workload()
+      val gotRows = joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val got = gotRows.toSet
+      // the final (post-execution) adaptive plan must carry the skew split
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"no skew-join split in the adaptive plan:\n${finalPlan.take(3000)}")
+      assert(gotRows.map(_._2).sum == 300000L, "join must keep every row exactly once")
+      // and splitting must not change the answer: same workload, skew off
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val plain = workload().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == plain)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join preserves inner-join semantics") {
     val o = Tables.orders(spark, sf001)
     val c = Tables.customer(spark, sf001)
