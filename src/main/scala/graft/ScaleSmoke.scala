@@ -293,6 +293,15 @@ object ScaleSmoke {
     def itemCf(l: DataFrame) = operators.RelationalQueries.itemItemCf(
       l, topK = 3, maxBasket = 8, minCo = 2L) // registry q168 knobs
 
+    // round-8 additions: MMR re-rank (per-probe-bounded shortlist — the
+    // corpus scan grows, the greedy rounds don't), incremental rollup
+    // (two hash aggs + delta-key join), compaction planning (window over
+    // the file LISTING, which stays 400 rows as the data under it grows)
+    def mmr(e: DataFrame) = operators.MmrRerank.rerank(e, shortK = 8, selectK = 4, lambda = 0.7)
+    def rollup(o: DataFrame) = operators.TableMaintenance.incrementalRollup(o)
+    def compaction(o: DataFrame) =
+      operators.TableMaintenance.compactionPlan(o, nFiles = 400, targetBytes = 40_000_000L)
+
     // q167's shape: train-side count aggs + the (lang × vocab)
     // likelihood broadcast onto the test doc-term frame
     def naiveBayes(docs: DataFrame) = operators.TextQueries.naiveBayesConfusion(docs)
@@ -378,6 +387,9 @@ object ScaleSmoke {
       ("kcore_rounds", () => noop(kcoreRounds(prPairs)), () => noop(kcoreRounds(prPairsK))),
       ("markov_transitions", () => noop(markov(e1)), () => noop(markov(ek))),
       ("item_cf", () => noop(itemCf(l1)), () => noop(itemCf(lk))),
+      ("mmr_rerank", () => noop(mmr(em1)), () => noop(mmr(emK))),
+      ("incr_rollup", () => noop(rollup(o1)), () => noop(rollup(ok))),
+      ("compaction_plan", () => noop(compaction(o1)), () => noop(compaction(ok))),
       ("naive_bayes", () => noop(naiveBayes(d1)), () => noop(naiveBayes(dk))),
       ("bfs_rounds", () => noop(bfsRounds(prPairs)), () => noop(bfsRounds(prPairsK))),
       ("pit_enrich", () => noop(pitEnrich(l1, o1)), () => noop(pitEnrich(lk, ok))),

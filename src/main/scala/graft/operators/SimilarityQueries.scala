@@ -947,6 +947,20 @@ object SimilarityQueries {
       ORDER BY n.vec_id"""
     })
 
+  /** MMR diversified re-ranking (operators.MmrRerank): the diversity
+    * pass between retrieval and the context window — greedy
+    * λ·relevance − (1−λ)·redundancy selection over each probe's exact
+    * top-8 shortlist, every greedy round replayed by the oracle. The
+    * fifth member of the ANN family (exact q50 / LSH q51 / IVF q53 /
+    * PQ q107-q135), and the one that makes the others usable in a RAG
+    * loop without returning near-duplicates.
+    */
+  val q177 = GQuery(
+    "q177_mmr_rerank",
+    (s, dir) => MmrRerank.rerank(Tables.embeddings(s, dir),
+      shortK = 8, selectK = 4, lambda = 0.7),
+    Some(MmrRerank.oracleSql(shortK = 8, selectK = 4, lambda = 0.7)))
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127, q128, q133, q135, q137, q143, q145, q148, q151, q169, q175, q176)
+    q127, q128, q133, q135, q137, q143, q145, q148, q151, q169, q175, q176, q177)
 }

@@ -26,7 +26,8 @@ object Registry {
     graft.operators.MLQueries.all,
     graft.functions.FeatureQueries.all,
     graft.multimodal.MultimodalQueries.all,
-    graft.operators.TableProfile.all
+    graft.operators.TableProfile.all,
+    graft.operators.TableMaintenance.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten

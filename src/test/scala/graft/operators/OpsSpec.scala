@@ -42,6 +42,44 @@ class OpsSpec extends SparkSpec {
     assert(rows.minBy(_._1)._2 == "f_spaces")
   }
 
+  test("incremental rollup merged state equals a full rebuild (q179)") {
+    val orders = Tables.orders(spark, sf001)
+    val changelog = TableMaintenance.incrementalRollup(orders)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // full rebuild from base ∪ delta
+    val rebuilt = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every changelog row must equal the rebuilt totals for that key
+    changelog.foreach { case (k, (_, n, rev)) =>
+      assert(rebuilt(k) == ((n, rev)), s"custkey $k: merged ($n,$rev) vs rebuilt ${rebuilt(k)}")
+    }
+    // and action labels must reflect base membership
+    val baseKeys = orders.filter(col("o_orderkey") % 10 =!= 0)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    changelog.foreach { case (k, (action, _, _)) =>
+      assert(action == (if (baseKeys(k)) "update" else "insert"), s"custkey $k action $action")
+    }
+  }
+
+  test("compaction plan partitions the file listing into contiguous groups (q178)") {
+    val orders = Tables.orders(spark, sf001)
+    val plan = TableMaintenance.compactionPlan(orders, nFiles = 400, targetBytes = 40_000_000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalFiles = orders.select((col("o_orderkey") % 400).as("f")).distinct().count()
+    val totalBytes = orders.agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")))
+      .head().getLong(0)
+    assert(plan.map(_._2).sum == totalFiles, "bins must cover every file exactly once")
+    assert(plan.map(_._3).sum == totalBytes, "bins must cover every byte exactly once")
+    // contiguity: bins in order, ranges non-overlapping and increasing
+    plan.sortBy(_._1).sliding(2).foreach {
+      case Array((_, _, _, _, lastA), (_, _, _, firstB, _)) =>
+        assert(lastA < firstB, s"bin ranges overlap: $lastA >= $firstB")
+      case _ =>
+    }
+    assert(plan.forall(p => p._4 <= p._5 && p._2 >= 1))
+  }
+
   test("temperature sampling flattens the mixture: rare sources rate-up, common sources rate-down (q141)") {
     import spark.implicits._
     val docs = ((1 to 100).map(i => (i.toLong, "big")) ++

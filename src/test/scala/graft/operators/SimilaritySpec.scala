@@ -90,6 +90,20 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"deterministic IVF mean recall@10 $mean, per-probe $recalls")
   }
 
+  test("MMR re-rank: selections are a shortlist subset, first pick is pure relevance (q177)") {
+    val exact = topk("q50_knn_bruteforce")
+    val rows = Registry.queries("q177_mmr_rerank")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byProbe = rows.groupBy(_._1)
+    byProbe.foreach { case (q, sel) =>
+      assert(sel.length == 4 && sel.map(_._3).distinct.length == 4, s"probe $q")
+      // every selection comes from the exact top-8 shortlist
+      assert(sel.map(_._3).toSet.subsetOf(exact(q).take(8).toSet), s"probe $q out of shortlist")
+      // greedy round 1 is pure relevance: the brute-force rank-1 hit
+      assert(sel.minBy(_._2)._3 == exact(q).head, s"probe $q first pick")
+    }
+  }
+
   test("SemDeDup kept set equals an independent greedy recomputation") {
     import graft.Tables
     val out = Registry.queries("q121_semantic_dedup")(spark, sf001)
