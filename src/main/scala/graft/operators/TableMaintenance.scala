@@ -119,5 +119,99 @@ object TableMaintenance {
       FROM delta d LEFT JOIN base b ON b.o_custkey = d.o_custkey
       ORDER BY d.o_custkey"""))
 
-  def all: Seq[GQuery] = Seq(q178, q179)
+  /** Zone-map data skipping — the query-planning half of the file-layout
+    * story (q178 plans the files; this plans the READS): per-file
+    * min/max statistics ("zone maps", the parquet row-group / Delta
+    * file-stats idea) plus, for one concrete conjunctive predicate,
+    * the skip decision AND the actual matching-row count per file — so
+    * the output itself witnesses soundness (a skippable file must show
+    * n_match = 0; OpsSpec asserts it, and the oracle recomputes both
+    * sides). Files model a time-partitioned landing table (one file per
+    * order month), which is why the date dimension skips hard while the
+    * price dimension's zones all straddle the threshold — exactly the
+    * asymmetry real zone maps show between clustered and unclustered
+    * columns.
+    *
+    * Scale: the stats table is one (file) agg over the scan; the
+    * decision is a per-file expression on |files| rows. At 100 TB this
+    * table IS what the scan planner consults — the demo keeps the
+    * matching-count join only as its built-in proof.
+    */
+  def zoneMapSkipping(orders: DataFrame, loDate: String, hiDate: String,
+                      minPrice: Long): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    val f = orders.select(
+      (year(d) * 12 + month(d) - 1).cast("long").as("file_id"),
+      d.as("d"), cents(col("o_totalprice")).as("price_c"))
+    val zones = f.groupBy("file_id").agg(
+      count(lit(1)).as("n_rows"),
+      min("d").as("min_date"), max("d").as("max_date"),
+      min("price_c").as("min_price_c"), max("price_c").as("max_price_c"))
+    val matches = f
+      .filter(col("d") >= lit(loDate) && col("d") < lit(hiDate)
+        && col("price_c") >= minPrice)
+      .groupBy("file_id").agg(count(lit(1)).as("n_match"))
+    val skip = (col("max_date") < lit(loDate)) || (col("min_date") >= lit(hiDate)) ||
+      (col("max_price_c") < minPrice)
+    zones.join(matches, Seq("file_id"), "left")
+      .select(col("file_id"), col("n_rows"),
+        col("min_date").cast("timestamp_ntz").as("min_date"),
+        col("max_date").cast("timestamp_ntz").as("max_date"),
+        col("min_price_c"), col("max_price_c"),
+        skip.cast("int").as("skippable"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .orderBy("file_id")
+  }
+
+  val q180 = GQuery(
+    "q180_zone_map_skipping",
+    (s, dir) => zoneMapSkipping(Tables.orders(s, dir),
+      loDate = "1996-03-01", hiDate = "1996-09-01", minPrice = 1_000_000L),
+    Some("""WITH f AS (
+        SELECT CAST(year(o_orderdate)*12 + month(o_orderdate) - 1 AS BIGINT) AS file_id,
+          CAST(o_orderdate AS DATE) AS d,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_c
+        FROM orders),
+      zones AS (
+        SELECT file_id, count(*) AS n_rows,
+          min(d) AS min_date, max(d) AS max_date,
+          min(price_c) AS min_price_c, max(price_c) AS max_price_c
+        FROM f GROUP BY file_id),
+      m AS (
+        SELECT file_id, count(*) AS n_match FROM f
+        WHERE d >= DATE '1996-03-01' AND d < DATE '1996-09-01'
+          AND price_c >= 1000000
+        GROUP BY file_id)
+      SELECT z.file_id, z.n_rows,
+        CAST(z.min_date AS TIMESTAMP) AS min_date,
+        CAST(z.max_date AS TIMESTAMP) AS max_date,
+        z.min_price_c, z.max_price_c,
+        CAST(CASE WHEN z.max_date < DATE '1996-03-01'
+                    OR z.min_date >= DATE '1996-09-01'
+                    OR z.max_price_c < 1000000 THEN 1 ELSE 0 END AS INTEGER) AS skippable,
+        coalesce(m.n_match, 0) AS n_match
+      FROM zones z LEFT JOIN m ON m.file_id = z.file_id
+      ORDER BY z.file_id"""))
+
+  /** Streaming twin of q179 (streaming.RollupStreams): the delta feed
+    * streams through one stateful (key → partials) aggregation and the
+    * base merge is the batch finisher. Reuses q179's oracle VERBATIM —
+    * count/sum partials are order-independent, so any micro-batching
+    * must land on the identical changelog.
+    */
+  val q181 = GQuery(
+    "q181_stream_rollup",
+    (s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_rollup_q181_")
+      stage.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve("orders.parquet"),
+        java.nio.file.Paths.get(s"$dir/orders.parquet"))
+      val schema = s.read.parquet(s"$dir/orders.parquet").schema
+      graft.streaming.RollupStreams.streamingRollup(
+        s, stage.toString, schema, dir, queryName = "stream_rollup_q181")
+    },
+    q179.oracle)
+
+  def all: Seq[GQuery] = Seq(q178, q179, q180, q181)
 }

@@ -80,6 +80,22 @@ class OpsSpec extends SparkSpec {
     assert(plan.forall(p => p._4 <= p._5 && p._2 >= 1))
   }
 
+  test("zone-map skip decisions are sound and non-trivial (q180)") {
+    val rows = TableMaintenance.zoneMapSkipping(Tables.orders(spark, sf001),
+        loDate = "1996-03-01", hiDate = "1996-09-01", minPrice = 1_000_000L)
+      .select("file_id", "skippable", "n_match", "n_rows")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // soundness: a skippable file must contain zero matching rows
+    rows.filter(_._2 == 1).foreach { case (f, _, m, _) =>
+      assert(m == 0L, s"file $f skipped but has $m matches")
+    }
+    // non-triviality: the month layout must make SOME files skippable
+    // and leave SOME readable, at every fixture SF
+    assert(rows.exists(_._2 == 1) && rows.exists(_._2 == 0))
+    // completeness: zone maps cover every order exactly once
+    assert(rows.map(_._4).sum == Tables.orders(spark, sf001).count())
+  }
+
   test("temperature sampling flattens the mixture: rare sources rate-up, common sources rate-down (q141)") {
     import spark.implicits._
     val docs = ((1 to 100).map(i => (i.toLong, "big")) ++

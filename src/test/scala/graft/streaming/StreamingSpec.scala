@@ -257,6 +257,22 @@ class StreamingSpec extends SparkSpec {
     assert(timedOut.size == users, s"expected $users timeout-evicted sessions, got ${timedOut.size}")
   }
 
+  test("streaming rollup equals batch q179 regardless of micro-batching") {
+    import java.nio.file.Files
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    // several landing files + maxFilesPerTrigger=1 → several micro-batches;
+    // count/sum partials are commutative, so the merged changelog must not
+    // depend on how the delta feed was split
+    val landing = Files.createTempDirectory("graft_rollup_spec_").toString
+    orders.repartition(3).write.mode("overwrite").parquet(landing)
+    val streamed = RollupStreams.streamingRollup(
+        spark, landing, orders.schema, sf001,
+        maxFilesPerTrigger = Some(1), queryName = "rollup_spec")
+      .collect().toSeq
+    val batch = Registry.queries("q179_incremental_rollup")(spark, sf001).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming contamination equals batch q109 regardless of micro-batching") {
     import java.nio.file.Files
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
