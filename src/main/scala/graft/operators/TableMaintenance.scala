@@ -213,5 +213,58 @@ object TableMaintenance {
     },
     q179.oracle)
 
-  def all: Seq[GQuery] = Seq(q178, q179, q180, q181)
+  /** Join-cardinality estimation by key-UNIVERSE sampling — the AQP
+    * planner primitive (Quickr / BlinkDB lineage, public literature):
+    * uniform ROW sampling breaks under joins (P[both rows survive] =
+    * p², and matching pairs are lost non-uniformly), so both sides keep
+    * the SAME deterministic subset of the key universe (md5 bucket <
+    * p%) and every surviving key contributes its full pair product —
+    * the estimate is sampled_pairs × 100/p, unbiased over the key draw.
+    * Deterministic by the repo's md5 scheme (15-hex-char half → BIGINT,
+    * invariant 10), so the oracle replays sample, estimate, and error.
+    *
+    * Scale: the bucket predicate pushes to both scans (a hash of the
+    * join key — computable at the reader), the sampled join touches
+    * ~p% of each side, and the exact join here exists only as the
+    * demo's error witness. At 100 TB you run ONLY the sampled side to
+    * size a join before committing to it.
+    */
+  def joinCardinalityEstimate(lineitem: DataFrame, orders: DataFrame,
+                              pPct: Int): DataFrame = {
+    require(100 % pPct == 0, s"pPct must divide 100, got $pPct")
+    def bucket(k: Column): Column =
+      conv(substring(md5(k.cast("string")), 1, 15), 16, 10).cast("long") % 100
+    val l = lineitem.select(col("l_orderkey").as("k"))
+    val o = orders.select(col("o_orderkey").as("k"))
+    val exact = l.join(o, "k").agg(count(lit(1)).as("exact_pairs"))
+    val sampled = l.filter(bucket(col("k")) < pPct)
+      .join(o.filter(bucket(col("k")) < pPct), "k")
+      .agg(count(lit(1)).as("sampled_pairs"))
+    exact.crossJoin(sampled)
+      .select(col("exact_pairs"), col("sampled_pairs"),
+        (col("sampled_pairs") * (100L / pPct)).as("est_pairs"))
+      .withColumn("rel_err", Metrics.canonRound(
+        abs(col("est_pairs") - col("exact_pairs")).cast("double") /
+          col("exact_pairs").cast("double"), 6))
+  }
+
+  val q182 = GQuery(
+    "q182_join_cardinality_est",
+    (s, dir) => joinCardinalityEstimate(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), pPct = 5),
+    Some("""WITH l AS (SELECT l_orderkey AS k FROM lineitem),
+      o AS (SELECT o_orderkey AS k FROM orders),
+      lb AS (SELECT k FROM l
+        WHERE CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5),
+      ob AS (SELECT k FROM o
+        WHERE CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5),
+      e AS (SELECT count(*) AS exact_pairs FROM l JOIN o USING (k)),
+      sm AS (SELECT count(*) AS sampled_pairs FROM lb JOIN ob USING (k))
+      SELECT e.exact_pairs, sm.sampled_pairs,
+        sm.sampled_pairs * 20 AS est_pairs,
+        floor(CAST(abs(sm.sampled_pairs * 20 - e.exact_pairs) AS DOUBLE)
+          / CAST(e.exact_pairs AS DOUBLE) * 1e6 + 0.5)/1e6 AS rel_err
+      FROM e CROSS JOIN sm"""))
+
+  def all: Seq[GQuery] = Seq(q178, q179, q180, q181, q182)
 }
