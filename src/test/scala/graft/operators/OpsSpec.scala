@@ -110,6 +110,11 @@ class OpsSpec extends SparkSpec {
       TableMaintenance.joinCardinalityEstimate(
         Tables.lineitem(spark, sf001), Tables.orders(spark, sf001), pPct = 7)
     }
+    // algebraic pin: at pPct=100 the "sample" is the universe and the
+    // estimator must be EXACT, scale factor 1
+    val full = TableMaintenance.joinCardinalityEstimate(
+      Tables.lineitem(spark, sf001), Tables.orders(spark, sf001), pPct = 100).head()
+    assert(full.getLong(2) == full.getLong(0) && full.getDouble(3) == 0.0)
   }
 
   test("temperature sampling flattens the mixture: rare sources rate-up, common sources rate-down (q141)") {

@@ -104,6 +104,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR at lambda=1 degenerates to pure relevance top-k (algebraic pin)") {
+    // with the redundancy term weighted 0, greedy MMR must reproduce the
+    // brute-force ranking exactly, order included
+    val exact = topk("q50_knn_bruteforce")
+    val mmr = MmrRerank.rerank(graft.Tables.embeddings(spark, sf001),
+        shortK = 8, selectK = 4, lambda = 1.0)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    mmr.foreach { case (q, sel) =>
+      assert(sel == exact(q).take(4), s"probe $q: $sel vs ${exact(q).take(4)}")
+    }
+  }
+
   test("SemDeDup kept set equals an independent greedy recomputation") {
     import graft.Tables
     val out = Registry.queries("q121_semantic_dedup")(spark, sf001)
