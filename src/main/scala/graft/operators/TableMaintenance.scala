@@ -266,5 +266,75 @@ object TableMaintenance {
           / CAST(e.exact_pairs AS DOUBLE) * 1e6 + 0.5)/1e6 AS rel_err
       FROM e CROSS JOIN sm"""))
 
-  def all: Seq[GQuery] = Seq(q178, q179, q180, q181, q182)
+  /** Delete-one-block jackknife confidence interval — the error bar
+    * that makes distributed estimates (and q182's AQP answers)
+    * reportable: rows hash into g=32 md5 buckets, each leave-one-out
+    * mean θ₍ⱼ₎ = (S−Sⱼ)/(n−nⱼ) comes from exact integer cent sums (one
+    * IEEE division — engine-identical), and the jackknife variance
+    * (g−1)/g · Σ(θ₍ⱼ₎−θ̄)² runs its deviation sum through the decimal
+    * exactSum path so block order can't leak in. Block jackknife is
+    * the standard variance estimator when only aggregates ship
+    * (Efron/Tukey; one pass + a 32-row reduction — at 100 TB the
+    * buckets are partial aggregates, exactly like q179's partials).
+    */
+  def jackknifeCi(orders: DataFrame, g: Int): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long") % g
+    val blocks = orders
+      .groupBy(bucket.as("b"))
+      .agg(count(lit(1)).as("n_j"), sum(cents(col("o_totalprice"))).as("s_j"))
+    val tot = blocks.agg(sum("n_j").as("n"), sum("s_j").as("s"))
+    // leave-one-out means in DOLLARS: exact integer cents → one division
+    val loo = blocks.crossJoin(broadcast(tot))
+      .select(Metrics.canonRound(
+        (col("s") - col("s_j")).cast("double") /
+          ((col("n") - col("n_j")).cast("double") * 100.0), 4).as("theta_j"))
+    val jbar = loo.agg(Metrics.canonRound(Metrics.exactMean(col("theta_j")), 6).as("theta_bar"))
+    val varJack = loo.crossJoin(broadcast(jbar))
+      .select(Metrics.canonRound(
+        (col("theta_j") - col("theta_bar")) * (col("theta_j") - col("theta_bar")), 4).as("dev2"))
+      .agg((Metrics.exactSum(col("dev2")) * lit((g - 1).toDouble / g)).as("var_jack"))
+    tot.crossJoin(broadcast(varJack))
+      .select(col("n").as("n_rows"),
+        Metrics.canonRound(col("s").cast("double") / (col("n").cast("double") * 100.0), 4).as("mean_price"),
+        Metrics.canonRound(sqrt(col("var_jack")), 6).as("se_jack"))
+      .withColumn("ci_lo", Metrics.canonRound(col("mean_price") - lit(1.96) * col("se_jack"), 4))
+      .withColumn("ci_hi", Metrics.canonRound(col("mean_price") + lit(1.96) * col("se_jack"), 4))
+  }
+
+  val q183 = GQuery(
+    "q183_jackknife_ci",
+    (s, dir) => jackknifeCi(Tables.orders(s, dir), g = 32),
+    Some("""WITH blocks AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS b,
+          count(*) AS n_j,
+          sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS s_j
+        FROM orders GROUP BY 1),
+      tot AS (SELECT sum(n_j) AS n, sum(s_j) AS s FROM blocks),
+      loo AS (
+        SELECT floor(CAST(t.s - b.s_j AS DOUBLE)
+          / (CAST(t.n - b.n_j AS DOUBLE) * 100.0) * 1e4 + 0.5)/1e4 AS theta_j
+        FROM blocks b CROSS JOIN tot t),
+      jbar AS (
+        SELECT floor((CAST(sum(CAST(floor(theta_j*1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)
+          / count(*)) * 1e6 + 0.5)/1e6 AS theta_bar
+        FROM loo),
+      dev AS (
+        SELECT floor((l.theta_j - j.theta_bar)*(l.theta_j - j.theta_bar)*1e4 + 0.5)/1e4 AS dev2
+        FROM loo l CROSS JOIN jbar j),
+      vj AS (
+        SELECT CAST(sum(CAST(floor(dev2*1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)
+          * (31.0/32.0) AS var_jack
+        FROM dev)
+      SELECT t.n AS n_rows,
+        floor(CAST(t.s AS DOUBLE)/(CAST(t.n AS DOUBLE)*100.0)*1e4 + 0.5)/1e4 AS mean_price,
+        floor(sqrt(v.var_jack)*1e6 + 0.5)/1e6 AS se_jack,
+        floor((floor(CAST(t.s AS DOUBLE)/(CAST(t.n AS DOUBLE)*100.0)*1e4 + 0.5)/1e4
+          - 1.96*floor(sqrt(v.var_jack)*1e6 + 0.5)/1e6)*1e4 + 0.5)/1e4 AS ci_lo,
+        floor((floor(CAST(t.s AS DOUBLE)/(CAST(t.n AS DOUBLE)*100.0)*1e4 + 0.5)/1e4
+          + 1.96*floor(sqrt(v.var_jack)*1e6 + 0.5)/1e6)*1e4 + 0.5)/1e4 AS ci_hi
+      FROM tot t CROSS JOIN vj v"""))
+
+  def all: Seq[GQuery] = Seq(q178, q179, q180, q181, q182, q183)
 }

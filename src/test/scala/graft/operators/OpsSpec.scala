@@ -117,6 +117,22 @@ class OpsSpec extends SparkSpec {
     assert(full.getLong(2) == full.getLong(0) && full.getDouble(3) == 0.0)
   }
 
+  test("jackknife CI: covers the mean, agrees with sigma/sqrt(n) (q183)") {
+    val r = TableMaintenance.jackknifeCi(Tables.orders(spark, sf001), g = 32).head()
+    val (n, mean, se, lo, hi) = (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    assert(se > 0 && lo < mean && mean < hi)
+    assert(math.abs((hi - lo) - 2 * 1.96 * se) < 1e-3)
+    // block jackknife must track the classical iid standard error: for a
+    // plain mean over hash-random blocks the two are asymptotically equal
+    val naive = {
+      val s = Tables.orders(spark, sf001)
+        .agg(stddev_samp(col("o_totalprice"))).head().getDouble(0)
+      s / math.sqrt(n.toDouble)
+    }
+    assert(math.abs(se - naive) / naive < 0.25, s"jackknife $se vs naive $naive")
+  }
+
   test("temperature sampling flattens the mixture: rare sources rate-up, common sources rate-down (q141)") {
     import spark.implicits._
     val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
