@@ -63,9 +63,9 @@ object TableMaintenance {
           coalesce(sum(size_bytes) OVER (ORDER BY file_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         FROM files)
-      SELECT cum_before // 40000000 AS bin,
+      SELECT CAST(cum_before // 40000000 AS BIGINT) AS bin,
         count(*) AS n_files,
-        sum(size_bytes) AS total_bytes,
+        CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
         min(file_id) AS first_file,
         max(file_id) AS last_file,
         floor(CAST(sum(size_bytes) AS DOUBLE)/40000000.0*1e6 + 0.5)/1e6 AS fill_ratio
@@ -114,8 +114,8 @@ object TableMaintenance {
         FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_custkey)
       SELECT d.o_custkey,
         CASE WHEN b.n_old IS NULL THEN 'insert' ELSE 'update' END AS action,
-        coalesce(b.n_old, 0) + d.n_delta AS n_orders,
-        coalesce(b.rev_old, 0) + d.rev_delta AS rev_cents
+        CAST(coalesce(b.n_old, 0) + d.n_delta AS BIGINT) AS n_orders,
+        CAST(coalesce(b.rev_old, 0) + d.rev_delta AS BIGINT) AS rev_cents
       FROM delta d LEFT JOIN base b ON b.o_custkey = d.o_custkey
       ORDER BY d.o_custkey"""))
 
@@ -327,7 +327,7 @@ object TableMaintenance {
         SELECT CAST(sum(CAST(floor(dev2*1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)
           * (31.0/32.0) AS var_jack
         FROM dev)
-      SELECT t.n AS n_rows,
+      SELECT CAST(t.n AS BIGINT) AS n_rows,
         floor(CAST(t.s AS DOUBLE)/(CAST(t.n AS DOUBLE)*100.0)*1e4 + 0.5)/1e4 AS mean_price,
         floor(sqrt(v.var_jack)*1e6 + 0.5)/1e6 AS se_jack,
         floor((floor(CAST(t.s AS DOUBLE)/(CAST(t.n AS DOUBLE)*100.0)*1e4 + 0.5)/1e4

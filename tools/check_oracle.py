@@ -6,8 +6,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Compare semantics (mirrors driver contract as documented in the prompt):
 columns sorted by name, values hashed after canonicalization. Here we
-compare cell-by-cell for better diagnostics, and ALSO flag dtype drift,
-which may or may not matter to the driver but is cheap to keep clean.
+compare cell-by-cell for better diagnostics. Dtype drift is a HARD
+failure: the driver's hash is dtype-sensitive (954 vs 954.0 mismatch) —
+r07 shipped four green-locally/red-on-driver queries because DuckDB
+sum(BIGINT) returns HUGEINT (pandas float64) while Spark emits int64 and
+this mirror called that cosmetic. Never downgrade it again.
 """
 import json
 import math
@@ -89,17 +92,14 @@ def main():
             n_bad += 1
             continue
         issues = cmp_frames(name, spark_df, duck_df)
-        hard = [i for i in issues if not i.startswith("dtype drift")]
-        soft = [i for i in issues if i.startswith("dtype drift")]
-        if hard:
+        if issues:
             n_bad += 1
             print(f"FAIL {name}")
-            for i in (hard + soft)[:6]:
+            for i in issues[:6]:
                 print(f"   {i}")
         else:
             n_ok += 1
-            tag = " (dtype drift: " + "; ".join(soft) + ")" if soft else ""
-            print(f"ok   {name} rows={len(spark_df)}{tag}")
+            print(f"ok   {name} rows={len(spark_df)}")
     # rows-only entries (no oracle): check rows > 0
     import os
     for name in sorted(os.listdir(out_dir)):
