@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver fixture tables (see /root/repo/FIXTURES.md).
   *
@@ -37,18 +37,27 @@ object Tables {
   def registerViews(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS,false), which Spark's
-    * micros-precision TimestampType cannot hold. With
-    * spark.sql.legacy.parquet.nanosAsLong=true the column arrives as Long
-    * nanoseconds; truncate to micros (floor — matches DuckDB's
-    * TIMESTAMP_NS→TIMESTAMP cast) and rebuild a proper timestamp.
+  /** The fixture's `ts` physical type is untrusted input — the driver has
+    * shipped it both as INT64 TIMESTAMP(NANOS,false) and as plain
+    * timestamp[us] with isAdjustedToUTC=false. Normalize every known shape
+    * to session-UTC TimestampType so all downstream event-time operators
+    * (cast-to-long, unix_micros, withWatermark) see one type:
+    *  - Long (nanos via spark.sql.legacy.parquet.nanosAsLong=true):
+    *    truncate to micros (floor — matches DuckDB's TIMESTAMP_NS cast)
+    *    and rebuild a timestamp.
+    *  - TIMESTAMP_NTZ (micros, not UTC-adjusted): cast to TimestampType;
+    *    with spark.sql.session.timeZone=UTC this is value-preserving.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      // integral `div`, not `/`: ns-since-epoch (~1.7e18) overflows double's
-      // 53-bit mantissa, so float division would corrupt low-order digits.
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integral `div`, not `/`: ns-since-epoch (~1.7e18) overflows double's
+        // 53-bit mantissa, so float division would corrupt low-order digits.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }

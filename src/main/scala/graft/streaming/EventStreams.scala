@@ -34,10 +34,15 @@ object EventStreams extends Serializable {
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val raw = spark.readStream.schema(batchSchema).parquet(stage.toString)
-    val df =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+    // Same shape normalization as Tables.events: Long-nanos or TIMESTAMP_NTZ
+    // → session-UTC TimestampType (the type withWatermark requires).
+    val df = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
     (df, stage)
   }
 

@@ -20,7 +20,10 @@ class FixtureSpec extends SparkSpec {
       "l_shipdate" -> TimestampNTZType))
   }
 
-  test("events schema after nanos normalization") {
+  // Pins the POST-normalization type: Tables.events must deliver session-UTC
+  // TimestampType whether the fixture ships nanos-as-Long, TIMESTAMP_NTZ, or
+  // micros-UTC. One assertion guards every physical shape.
+  test("events schema after ts normalization") {
     assert(cols("events") == Seq(
       "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
       "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType))
