@@ -21,8 +21,10 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries INT64 TIMESTAMP(NANOS); Spark's TimestampType
-      // is micros-only, so read nanos as Long and convert in Tables.events.
+      // Some fixture generations ship events.ts as INT64 TIMESTAMP(NANOS);
+      // Spark's TimestampType is micros-only, so read nanos as Long and let
+      // Tables.events normalize (it also handles the TIMESTAMP_NTZ shape).
+      // Harmless when the fixture is already micros.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def getOrCreate(): SparkSession = {

@@ -27,8 +27,9 @@ import graft.functions.{Metrics, VectorOps}
 object IvfLloyd {
 
   /** Unit-normalized, 1e-6-snapped copy of the embeddings: the
-    * clustering/probing space. */
-  private def unitFrame(emb: DataFrame): DataFrame = {
+    * clustering/probing space. Public because q107's cosine-PQ runs the
+    * [[PqLloyd]] pipeline on exactly this frame. */
+  def unitFrame(emb: DataFrame): DataFrame = {
     val raw = emb.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
     val nrm = sqrt(call_function("graft_dot", col("emb"), col("emb")))
     raw.select(col("vec_id"),

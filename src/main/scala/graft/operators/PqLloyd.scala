@@ -125,8 +125,14 @@ object PqLloyd {
     * scan unrolled as MATERIALIZED CTEs (invariant 12: round states
     * materialize, winners join exactly once).
     */
+  /** `embExpr` is the DuckDB expression producing the DOUBLE[] the whole
+    * pipeline runs on — default raw cast (q135's L2 space); q107 passes
+    * the 1e-6-snapped unit normalization so the SAME unrolled oracle
+    * replays PQ on the cosine sphere.
+    */
   def oracleSql(m: Int, k: Int, rounds: Int, dim: Int, probeMax: Long, kNN: Int,
-                shortlist: Int = 50): String = {
+                shortlist: Int = 50,
+                embExpr: String = "CAST(embedding AS DOUBLE[])"): String = {
     val dsub = dim / m
     def d2(v: String, c: String) =
       s"floor((list_distance($v, $c) * list_distance($v, $c))*1e6+0.5)/1e6"
@@ -146,7 +152,7 @@ object PqLloyd {
       c${r}f AS MATERIALIZED (SELECT p.s, p.cid, coalesce(n.c, p.c) AS c
         FROM $prev p LEFT JOIN cn$r n ON n.s = p.s AND n.cid = p.cid)"""
     }.mkString(",\n      ")
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $embExpr AS emb FROM embeddings),
       sub AS MATERIALIZED (SELECT vec_id, g.s, list_slice(emb, g.s*$dsub+1, g.s*$dsub+$dsub) AS v
         FROM e, (SELECT unnest(range(0, $m)) AS s) g),
       seeds AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k),

@@ -302,19 +302,25 @@ object SimilarityQueries {
       SELECT id_a, id_b, cos_sim FROM confirmed
       WHERE cos_sim >= 0.4 ORDER BY id_a, id_b"""))
 
-  /** Product-quantization ANN (see [[PqAnn]]) — the memory-compressed
-    * fourth member of the ANN family (exact q50 / LSH q51 / IVF q53).
-    * Seeded-but-iterative k-means codebooks → rows-only here; the
-    * recall-vs-brute-force property is asserted in SimilaritySpec.
+  /** Product-quantization ANN over the COSINE sphere — the memory-
+    * compressed fourth member of the ANN family (exact q50 / LSH q51 /
+    * IVF q53). Codebooks come from the deterministic [[PqLloyd]] trainer
+    * (lowest-id seeds, rounded distances/means, id tie-breaks) run on the
+    * 1e-6-snapped unit vectors ([[IvfLloyd.unitFrame]] — L2 order on the
+    * unit sphere ≡ cosine order), so the full train → encode → ADC →
+    * re-rank pipeline is replayed by the DuckDB oracle. Distinct space and
+    * capacity from q135 (raw-L2, k=8, 2 rounds): here k=16, 3 rounds —
+    * the two cover both PQ deployment shapes. The MLlib-codebook variant
+    * ([[PqAnn]]) remains the production-scale trainer; SimilaritySpec
+    * pins its recall against brute force.
     */
   val q107 = GQuery(
     "q107_ann_pq",
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val (encoded, books) = PqAnn.buildIndex(s, e, m = 8, k = 16)
-      PqAnn.search(s, e, encoded, books, probeIds = Seq(0L, 1L, 2L, 3L, 4L), kNN = 10)
-    },
-    None)
+    (s, dir) => PqLloyd.search(IvfLloyd.unitFrame(Tables.embeddings(s, dir)),
+      m = 8, k = 16, rounds = 3, dim = 64, probeMax = 5L, kNN = 10),
+    Some(PqLloyd.oracleSql(m = 8, k = 16, rounds = 3, dim = 64, probeMax = 5L, kNN = 10,
+      embExpr = """list_transform(CAST(embedding AS DOUBLE[]),
+            x -> floor(x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 1e6 + 0.5)/1e6)""")))
 
   /** Triangle enumeration over the embedding near-dup graph (q52's edge
     * predicate): a near-dup CLUSTER-DENSITY audit — triangles are the
