@@ -11,6 +11,9 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg (local debugging only — the driver passes none):
+    // comma-separated name substrings; only matching queries are timed.
+    val only = args.lift(0).map(_.split(",").toSeq)
     val spark = Session.getOrCreate()
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -27,7 +30,9 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       t
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.contains)))
+      .map { name =>
       val t1 = timedRun(name)
       // transient box contention (GC pause, noisy neighbor) inflates a
       // single cold run 2-10×; a second attempt for slow-looking queries

@@ -453,18 +453,18 @@ object TextQueries {
   val q87 = GQuery(
     "q87_setsim_join",
     (s, dir) => {
-      // shingle sets via the fused generator + codegen xxhash64 +
-      // map-side-combined collect_set — no interpreted HOF chain (the
-      // transform/array_distinct composition was CodegenFallback and the
-      // single most expensive stage of this query). Cached because the
+      // shingle sets via the fully fused graft_shingle_set expression:
+      // text → distinct xxhash64 bigram hashes in ONE row-local pass, no
+      // explode, no shuffle, no collect_set (the per-document set is a
+      // pure function of the document; shuffling token rows to reassemble
+      // it was wasted movement at any scale — and at sf0.1 the dropped
+      // stages also halve the query's cold wall). Cached because the
       // operator reads it three times (token explode + both verify
-      // sides); ownership per capBuckets. Docs with <2 tokens have no
-      // shingles and drop out here — they can never reach threshold 0.8
-      // anyway (empty sets pair with nothing).
+      // sides); ownership per capBuckets. Docs with <2 tokens get an
+      // EMPTY set and vanish at the token explode — they can never reach
+      // threshold 0.8 anyway (empty sets pair with nothing).
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), call_function("graft_shingles", col("text")).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("h"))
-        .groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
+        .select(col("doc_id"), call_function("graft_shingle_set", col("text")).as("sh"))
         .cache()
       d.count()
       SetSimJoin.jaccardJoin(d, "doc_id", "sh", 0.8)

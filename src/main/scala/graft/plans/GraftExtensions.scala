@@ -53,6 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(0), exprs(1)))
     inject(e, "graft_shingles", 1, classOf[ShinglesGenerator],
       exprs => ShinglesGenerator(exprs.head))
+    inject(e, "graft_shingle_set", 1, classOf[ShingleSetExpr],
+      exprs => ShingleSetExpr(exprs.head))
     inject(e, "graft_ngrams", 2, classOf[ShinglesGenerator],
       exprs => {
         val n = exprs(1) match {
