@@ -336,5 +336,225 @@ object TableMaintenance {
           + 1.96*floor(sqrt(v.var_jack)*1e6 + 0.5)/1e6)*1e4 + 0.5)/1e4 AS ci_hi
       FROM tot t CROSS JOIN vj v"""))
 
-  def all: Seq[GQuery] = Seq(q178, q179, q180, q181, q182, q183)
+  /** Poisson(1) CDF thresholds in md5-15-hex space ([0, 2⁶⁰)): a row's
+    * replicate weight is k iff its hash lands in [T_{k−1}, T_k) — the
+    * INTEGER comparisons are what make the "random" resample a pure
+    * function of (key, replicate) and so bit-identical cross-engine.
+    * Tail mass beyond weight 7 (≈1e-5) folds into the last bucket: a
+    * truncation both engines share, not a bias either can see alone.
+    */
+  private val poissonThresholds: Seq[Long] = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
+    1152825534095764608L)
+
+  /** One-pass deterministic Poisson-bootstrap confidence interval for the
+    * mean — the resampling-family sequel to q183's block jackknife. Per
+    * replicate r, every row draws an independent-looking Poisson(1)
+    * weight from md5(key:r) (Chamandy et al., "Estimating uncertainty for
+    * massive data streams", Google TR 2012 — the bootstrap that works
+    * when data is seen once), and all `reps` replicate (Σw, Σw·cents)
+    * pairs are computed as ONE wide aggregation — a single scan with
+    * map-side partial aggs, no R× data blowup, no second pass; the
+    * replicate frame that leaves the scan is `reps` rows of two longs.
+    * SE is the replicate means' sample stddev (decimal-exact dev² sum),
+    * the CI the 2nd/(R−1)th order statistics (≈2.5/97.5 percentile at
+    * R=40) — rank ties broken by replicate id.
+    */
+  def bootstrapCi(orders: DataFrame, reps: Int): DataFrame = {
+    require(reps >= 4, s"need at least 4 replicates for the percentile CI, got $reps")
+    // ONE md5 per row; per-replicate hashes come from the repo's
+    // Kirsch-Mitzenmacher md5 scheme (invariant 10): h_r = (h1 XOR r·h2)
+    // masked back into the 60-bit space. h2 is truncated to 55 bits so
+    // r·h2 cannot overflow BIGINT at r≤39 (DuckDB errors on overflow),
+    // and the % 2⁶⁰ drops the multiply's carry bit — bits 0..59 are h1's
+    // uniform bits XOR an independent value, so h_r stays exactly uniform
+    // on [0, 2⁶⁰) and the Poisson thresholds apply unchanged. Naively
+    // hashing md5(key:r) per replicate cost 40 md5/row (and 8× that
+    // again when the when-chain duplicated the subtree): 12s at sf0.1
+    // vs 1.3s this way.
+    val hashed = orders
+      .select(cents(col("o_totalprice")).as("c"),
+        md5(col("o_orderkey").cast("string")).as("md"))
+      .select(col("c"),
+        conv(substring(col("md"), 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring(col("md"), 17, 15), 16, 10).cast("long")
+          % lit(36028797018963968L)).as("h2"))
+    def weight(r: Int): Column = {
+      val hr = (col("h1").bitwiseXOR(col("h2") * lit(r.toLong))) %
+        lit(1152921504606846976L)
+      poissonThresholds.zipWithIndex.foldRight(lit(7): Column) {
+        case ((t, k), els) => when(hr < t, lit(k)).otherwise(els)
+      }.cast("long")
+    }
+    val aggs = (0 until reps).flatMap { r =>
+      val wr = weight(r)
+      Seq(sum(wr).as(s"n_$r"), sum(wr * col("c")).as(s"s_$r"))
+    }
+    val wide = hashed.agg(aggs.head, aggs.tail: _*)
+    val means = wide.select(explode(array((0 until reps).map(r =>
+        struct(lit(r).as("r"), col(s"n_$r").as("n_r"), col(s"s_$r").as("s_r"))): _*)).as("x"))
+      .select(col("x.r").as("r"),
+        Metrics.canonRound(col("x.s_r").cast("double") /
+          (col("x.n_r").cast("double") * 100.0), 4).as("mean_r"))
+      .cache()
+    val mbar = means.agg(
+      Metrics.canonRound(Metrics.exactMean(col("mean_r")), 6).as("mean_boot"))
+    val se = means.crossJoin(broadcast(mbar))
+      .select(Metrics.canonRound(
+        (col("mean_r") - col("mean_boot")) * (col("mean_r") - col("mean_boot")), 4).as("dev2"))
+      .agg(Metrics.canonRound(
+        sqrt(Metrics.exactSum(col("dev2")) / lit((reps - 1).toDouble)), 6).as("se_boot"))
+    val ranked = means.withColumn("rk",
+      row_number().over(Window.orderBy(col("mean_r"), col("r"))))
+    val lo = ranked.filter(col("rk") === 2).select(col("mean_r").as("ci_lo"))
+    val hi = ranked.filter(col("rk") === reps - 1).select(col("mean_r").as("ci_hi"))
+    val tot = orders.agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("s"))
+    tot.crossJoin(broadcast(se)).crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n").as("n_rows"),
+        Metrics.canonRound(col("s").cast("double") /
+          (col("n").cast("double") * 100.0), 4).as("mean_price"),
+        col("se_boot"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** DuckDB twin of [[bootstrapCi]]: the same wide one-pass aggregation
+    * (materialized once, referenced per replicate), same snapped decimal
+    * reductions as q183's oracle. */
+  def bootstrapCiOracle(reps: Int): String = {
+    def w(r: Int) = {
+      val hr = s"(xor(h1, h2 * $r) % 1152921504606846976)"
+      val cases = poissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN $hr < $t THEN $k" }.mkString(" ")
+      s"(CASE $cases ELSE 7 END)"
+    }
+    val aggCols = (0 until reps).map(r =>
+      s"sum(${w(r)}) AS n_$r, sum(${w(r)} * c) AS s_$r").mkString(",\n        ")
+    val repRows = (0 until reps).map(r =>
+      s"SELECT $r AS r, n_$r AS n_r, s_$r AS s_r FROM agg").mkString("\n        UNION ALL ")
+    s"""WITH o AS MATERIALIZED (
+        SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c,
+          CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,
+          CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 17, 15)) AS BIGINT)
+            % 36028797018963968 AS h2
+        FROM orders),
+      agg AS MATERIALIZED (SELECT
+        $aggCols
+        FROM o),
+      reps AS ($repRows),
+      means AS MATERIALIZED (
+        SELECT r, floor(CAST(s_r AS DOUBLE)/(CAST(n_r AS DOUBLE)*100.0)*1e4 + 0.5)/1e4 AS mean_r
+        FROM reps),
+      mbar AS (
+        SELECT floor((CAST(sum(CAST(floor(mean_r*1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)
+          / count(*)) * 1e6 + 0.5)/1e6 AS mean_boot
+        FROM means),
+      se AS (
+        SELECT floor(sqrt(CAST(sum(CAST(floor(dev2*1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)
+          / ${(reps - 1).toDouble}) * 1e6 + 0.5)/1e6 AS se_boot
+        FROM (SELECT floor((m.mean_r - b.mean_boot)*(m.mean_r - b.mean_boot)*1e4 + 0.5)/1e4 AS dev2
+              FROM means m CROSS JOIN mbar b)),
+      rkd AS (SELECT mean_r, row_number() OVER (ORDER BY mean_r, r) AS rk FROM means),
+      lo AS (SELECT mean_r AS ci_lo FROM rkd WHERE rk = 2),
+      hi AS (SELECT mean_r AS ci_hi FROM rkd WHERE rk = ${reps - 1}),
+      tot AS (SELECT count(*) AS n, sum(c) AS s FROM o)
+      SELECT CAST(t.n AS BIGINT) AS n_rows,
+        floor(CAST(t.s AS DOUBLE)/(CAST(t.n AS DOUBLE)*100.0)*1e4 + 0.5)/1e4 AS mean_price,
+        se.se_boot, lo.ci_lo, hi.ci_hi
+      FROM tot t CROSS JOIN se CROSS JOIN lo CROSS JOIN hi"""
+  }
+
+  val q184 = GQuery(
+    "q184_bootstrap_ci",
+    (s, dir) => bootstrapCi(Tables.orders(s, dir), reps = 40),
+    Some(bootstrapCiOracle(reps = 40)))
+
+  /** Error-bounded GROUP BY sampling — the per-group face of the AQP
+    * family (q182 estimates a join size, q183/q184 put error bars on one
+    * global mean; this puts a CLT error bar on EVERY group's mean from
+    * one deterministic sample). A single scan computes, per group, both
+    * the 10% md5-sample moments (Σw, Σw·c, Σw·c² — the c² sum in
+    * DECIMAL(38,0): cents² at 1e14 would overflow a 64-bit sum at real
+    * row counts) and the exact audit columns. The estimate ships with
+    * its half-width hw = 1.96·s/√m and a met_target flag against a 1%
+    * relative-error contract — the decision a production AQP layer
+    * makes BEFORE running the exact query; here the exact mean rides
+    * along so the oracle also audits coverage. At 100 TB only the
+    * sampled moments survive the scan (6 groups × 3 numbers), and the
+    * sample membership is a pure row-key function — no coordinated
+    * sampling state, stable under reruns and repartitioning (q88's
+    * argument, upgraded with a guarantee).
+    */
+  def groupSampleCi(lineitem: DataFrame, pPct: Int, targetRel: Double): DataFrame = {
+    val h = conv(substring(md5(concat(col("l_orderkey").cast("string"), lit("_"),
+      col("l_linenumber").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+    val c = cents(col("l_extendedprice"))
+    val inS = when(h < pPct, lit(1L)).otherwise(lit(0L))
+    val agg = lineitem.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("m_true"), sum(c).as("s_true"),
+        sum(inS).as("m"), sum(inS * c).as("sc"),
+        sum((inS * c * c).cast("decimal(38,0)")).as("sc2"))
+    val meanEst = Metrics.canonRound(
+      col("sc").cast("double") / (col("m").cast("double") * 100.0), 4)
+    val meanTrue = Metrics.canonRound(
+      col("s_true").cast("double") / (col("m_true").cast("double") * 100.0), 4)
+    val varC = (col("sc2").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") / col("m").cast("double")) /
+      (col("m") - 1).cast("double")
+    val hw = Metrics.canonRound(
+      lit(1.96) * sqrt(varC) / (lit(100.0) * sqrt(col("m").cast("double"))), 4)
+    agg
+      .withColumn("mean_est", meanEst)
+      .withColumn("mean_true", meanTrue)
+      .withColumn("hw", hw)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("m").as("m_sample"), col("mean_est"), col("hw"),
+        Metrics.canonRound(col("hw") / col("mean_est"), 6).as("rel_hw"),
+        (Metrics.canonRound(col("hw") / col("mean_est"), 6) <= lit(targetRel))
+          .cast("int").as("met_target"),
+        col("mean_true"),
+        Metrics.canonRound(abs(col("mean_est") - col("mean_true")) / col("mean_true"), 6)
+          .as("rel_err"),
+        (col("mean_true") >= col("mean_est") - col("hw") &&
+          col("mean_true") <= col("mean_est") + col("hw")).cast("int").as("covered"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q185 = GQuery(
+    "q185_group_sample_ci",
+    (s, dir) => groupSampleCi(Tables.lineitem(s, dir), pPct = 10, targetRel = 0.01),
+    Some("""WITH l AS (
+        SELECT l_returnflag, l_linestatus,
+          CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS c,
+          CASE WHEN CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+            CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+            THEN 1 ELSE 0 END AS w
+        FROM lineitem),
+      agg AS (
+        SELECT l_returnflag, l_linestatus,
+          count(*) AS m_true, sum(c) AS s_true,
+          sum(w) AS m, sum(w*c) AS sc,
+          sum(CAST(w*c*c AS DECIMAL(38,0))) AS sc2
+        FROM l GROUP BY 1, 2),
+      stats AS (
+        SELECT l_returnflag, l_linestatus, m,
+          floor(CAST(sc AS DOUBLE)/(CAST(m AS DOUBLE)*100.0)*1e4 + 0.5)/1e4 AS mean_est,
+          floor(CAST(s_true AS DOUBLE)/(CAST(m_true AS DOUBLE)*100.0)*1e4 + 0.5)/1e4 AS mean_true,
+          floor(1.96 * sqrt((CAST(sc2 AS DOUBLE)
+              - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/CAST(m AS DOUBLE))
+              / CAST(m - 1 AS DOUBLE))
+            / (100.0 * sqrt(CAST(m AS DOUBLE))) * 1e4 + 0.5)/1e4 AS hw
+        FROM agg)
+      SELECT l_returnflag, l_linestatus,
+        CAST(m AS BIGINT) AS m_sample, mean_est, hw,
+        floor(hw/mean_est*1e6 + 0.5)/1e6 AS rel_hw,
+        CAST(CASE WHEN floor(hw/mean_est*1e6 + 0.5)/1e6 <= 0.01 THEN 1 ELSE 0 END AS INTEGER)
+          AS met_target,
+        mean_true,
+        floor(abs(mean_est - mean_true)/mean_true*1e6 + 0.5)/1e6 AS rel_err,
+        CAST(CASE WHEN mean_true >= mean_est - hw AND mean_true <= mean_est + hw
+          THEN 1 ELSE 0 END AS INTEGER) AS covered
+      FROM stats
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  def all: Seq[GQuery] = Seq(q178, q179, q180, q181, q182, q183, q184, q185)
 }
