@@ -50,13 +50,17 @@ object KMeansLloyd {
     for (_ <- 1 to rounds) {
       usedCentroids = centroids
       val cdf = centroids.toDF("cid", "c")
+      // argmin as min(struct(d, cid)): lexicographic struct ordering IS
+      // the cid-tie-broken nearest-centroid rule, computed as a hash agg
+      // with map-side partial combine instead of a full sort-shuffle of
+      // the n·k scored rows per round (PqLloyd.assign's reasoning; the
+      // oracle's row_number replay is value-identical).
       assigned = pts.crossJoin(broadcast(cdf))
         .withColumn("d",
           Metrics.canonRound(call_function("graft_l2dist", col("emb"), col("c")), 6))
-        .withColumn("rk",
-          row_number().over(Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid"), col("d"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("d"))
       val upd = assigned.join(pts, "vec_id")
         .select(col("cid"), posexplode(col("emb")))
         .toDF("cid", "i", "v")

@@ -54,6 +54,12 @@ object PqLloyd {
         struct(lit(s).as("s"), slice(col("emb"), s * dsub + 1, dsub).as("v"))
       }: _*)).as("sub"))
       .select(col("vec_id"), col("sub.s").as("s"), col("sub.v").as("v"))
+      // cached AND right-sized (PqAnn's reasoning): every Lloyd round
+      // re-reads this small frame for assignment + update, and at fixture
+      // scale 32 near-empty tasks per pass make task launch the dominant
+      // per-round cost. Decimal-exact means and fully tie-broken argmins
+      // keep the result partition-layout-independent (oracle-certified).
+      .coalesce(4)
       .cache()
     val seedIds = e.select(col("vec_id")).orderBy("vec_id").limit(k)
       .collect().map(_.getLong(0)).toSeq
@@ -65,12 +71,17 @@ object PqLloyd {
 
     def assign(cs: Seq[(Int, Long, Seq[Double])]): DataFrame = {
       val cdf = cs.toDF("s", "cid", "c")
+      // argmin by (d2, cid) as min(struct(...)): a struct min is ordered
+      // field-by-field, so this IS the cid-tie-broken argmin the window
+      // form computed — but as a hash aggregation with map-side partial
+      // combine instead of a full sort-shuffle of the n·m·k scored rows
+      // per round (the dominant per-round cost; ranks were never needed,
+      // only the winner).
       subs.join(broadcast(cdf), "s")
         .withColumn("d2", dist2(col("v"), col("c")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("cid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("s"), col("cid"))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("s"), col("m.cid").as("cid"))
     }
 
     for (_ <- 1 to rounds) {
