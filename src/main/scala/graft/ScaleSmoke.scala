@@ -111,13 +111,11 @@ object ScaleSmoke {
     // data) — real corpora add rare tokens as they grow. Run at replica 4
     // to keep the smoke fast; the super-linear ratio is the finding.
     def setsim(docs: DataFrame, dfCap: Int = Int.MaxValue) = {
-      // same set construction as q87: fused generator + codegen hash +
-      // map-side-combined collect_set (the HOF composition it replaced
-      // was the single most expensive stage)
+      // same set construction as q87: the fused graft_shingle_set scalar
+      // (row-local distinct bigram hashes — zero shuffles before the
+      // candidate join; it replaced generator→xxhash64→collect_set)
       val d = docs
-        .select(col("doc_id"), call_function("graft_shingles", col("text")).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("h"))
-        .groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
+        .select(col("doc_id"), call_function("graft_shingle_set", col("text")).as("sh"))
         .cache()
       d.count()
       operators.SetSimJoin.jaccardJoin(d, "doc_id", "sh", 0.8, dfCap = dfCap)
@@ -365,6 +363,15 @@ object ScaleSmoke {
         .groupBy("b_id").agg(min("a_id").as("dup_of"), count(lit(1)).as("n"))
     }
 
+    // q184's shape: ALL bootstrap replicates as one wide single-pass
+    // aggregation (one md5/row + KM-derived weights) — pure scan+agg,
+    // the no-R×-blowup property under test
+    def bootCi(o: DataFrame) = operators.TableMaintenance.bootstrapCi(o, reps = 40)
+
+    // q185's shape: per-group sampled + exact moments in one grouped scan
+    def groupCi(l: DataFrame) =
+      operators.TableMaintenance.groupSampleCi(l, pPct = 10, targetRel = 0.01)
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("scan_agg", () => noop(scanAgg(l1)), () => noop(scanAgg(lk))),
       ("join_agg", () => noop(joinAgg(l1, o1)), () => noop(joinAgg(lk, ok))),
@@ -399,6 +406,8 @@ object ScaleSmoke {
       ("int8_quant", () => noop(int8Quant(em1)), () => noop(int8Quant(emK))),
       ("matryoshka_recall", () => noop(matryoshka(em1)), () => noop(matryoshka(emK))),
       ("windowed_dedup", () => noop(wdedupBatch(d1)), () => noop(wdedupBatch(dk))),
+      ("bootstrap_ci", () => noop(bootCi(o1)), () => noop(bootCi(ok))),
+      ("group_sample_ci", () => noop(groupCi(l1)), () => noop(groupCi(lk))),
       (s"setsim_join_k$k4", () => noop(setsim(d1)), () => noop(setsim(d4))),
       // the df guard at FULL k: hot prefix tokens stop generating df²
       // candidates; sets holding them route through the MinHash fallback
