@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Metrics, VectorOps}
@@ -18,9 +17,9 @@ import graft.functions.{Metrics, VectorOps}
   *
   * Scale shape per round: centroids are k×dim scalars — broadcast as a
   * literal frame (the distributed-build→literal pattern); assignment is a
-  * broadcast join + one row_number window partitioned by point (no
-  * shuffle of the corpus beyond the window's hash partition); the update
-  * is posexplode → hash agg on (cluster, dim), map-side combinable. The
+  * broadcast join + a struct-min hash aggregation per point (map-side
+  * partial combine, no sort of the n·k scored rows); the update is
+  * posexplode → hash agg on (cluster, dim), map-side combinable. The
   * driver holds k×dim doubles per round, never the data.
   */
 object KMeansLloyd {
