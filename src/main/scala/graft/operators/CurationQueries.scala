@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Metrics
+import graft.registry.GQuery
+
+/** Corpus-curation stages every production training-data pipeline runs
+  * between the quality funnel (q106) and the contamination check (q109):
+  * PII detection/redaction and line-level boilerplate dedup (the
+  * CCNet/RefinedWeb granularity, complementing q119's span dedup).
+  *
+  * The documents fixture ships no PII and no line structure, so both
+  * families AUGMENT the corpus deterministically from (doc_id, text) —
+  * the same trick the multimodal family uses for payloads — which keeps
+  * every output DuckDB-oracle-checkable: the oracle re-derives the
+  * augmentation with identical string arithmetic.
+  *
+  * Scale notes (100 TB): all four queries are scan → narrow per-row
+  * string work → hash-agg / long-keyed shuffle join. No windows over the
+  * whole corpus, no driver collects, no cartesians. Line identities
+  * travel as xxhash64 longs (8-byte shuffle keys, q109 precedent), never
+  * as the line strings themselves.
+  */
+object CurationQueries {
+
+  // --- PII detection / redaction -------------------------------------
+
+  /** Deterministic PII injection: ~1/3 of docs get an email, 1/4 a phone,
+    * 1/5 an SSN-shaped id (doc_id 0 gets all three). Both engines build
+    * the exact same augmented string.
+    */
+  private def augText: Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(4)) === 0,
+        concat(lit(" call 555-"), lpad(pmod(id, lit(1000)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(id * 7, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0,
+        concat(lit(" ssn "), (pmod(id, lit(900)) + 100).cast("string"),
+          lit("-"), (pmod(id, lit(90)) + 10).cast("string"),
+          lit("-"), lpad(pmod(id * 13, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+  }
+
+  private val augSql =
+    """SELECT doc_id, source, text
+      || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 90 + 10 AS VARCHAR) || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+      FROM documents"""
+
+  /** ASCII-only patterns deliberately inside the RE2 ∩ java.util.regex
+    * common subset (no lookaround, no backrefs, \b is ASCII in both) so
+    * Spark and DuckDB match identically. The three shapes cannot overlap:
+    * phone is 3-3-4 with a literal 555 prefix, id is 3-2-4 — neither
+    * parses as a prefix/suffix of the other, and emails carry no dashes.
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+  private val IdRe    = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Per-doc PII scan: hit counts per pattern class plus the md5 of the
+    * redacted text (email → phone → id replacement order, fixed on both
+    * engines). The hash proves the redaction rewrote exactly the matched
+    * spans — a redactor that clipped a neighboring char would mismatch.
+    *
+    * Scale: one scan, three regexp_count + three regexp_replace per row,
+    * all inside whole-stage codegen; output is one row per doc. This is
+    * the cheapest possible shape for the stage — no shuffle at all
+    * before the final orderBy.
+    */
+  val q186 = GQuery(
+    "q186_pii_scan",
+    (s, dir) => {
+      val aug = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), augText.as("t"))
+      val red = regexp_replace(
+        regexp_replace(regexp_replace(col("t"), EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"),
+        IdRe, "[ID]")
+      aug.select(
+          col("doc_id"), col("source"),
+          regexp_count(col("t"), lit(EmailRe)).as("n_email"),
+          regexp_count(col("t"), lit(PhoneRe)).as("n_phone"),
+          regexp_count(col("t"), lit(IdRe)).as("n_id"),
+          md5(red).as("redacted_hash"))
+        .withColumn("has_pii",
+          (col("n_email") + col("n_phone") + col("n_id") > 0).cast("int"))
+        .select("doc_id", "source", "n_email", "n_phone", "n_id", "has_pii", "redacted_hash")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH aug AS ($augSql)
+      SELECT doc_id, source,
+        CAST(len(regexp_extract_all(t, '$EmailRe')) AS INTEGER) AS n_email,
+        CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INTEGER) AS n_phone,
+        CAST(len(regexp_extract_all(t, '$IdRe')) AS INTEGER) AS n_id,
+        CAST(len(regexp_extract_all(t, '$EmailRe')) + len(regexp_extract_all(t, '$PhoneRe')) + len(regexp_extract_all(t, '$IdRe')) > 0 AS INTEGER) AS has_pii,
+        md5(regexp_replace(regexp_replace(regexp_replace(t, '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'), '$IdRe', '[ID]', 'g')) AS redacted_hash
+      FROM aug ORDER BY doc_id"""))
+
+  /** Per-source PII rollup: the report a pipeline owner actually reads —
+    * docs scanned, docs with any PII, hits per class, PII rate. Map-side
+    * combinable hash agg over ~20 groups.
+    */
+  val q187 = GQuery(
+    "q187_pii_rollup",
+    (s, dir) => {
+      val aug = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), augText.as("t"))
+        .select(col("source"),
+          regexp_count(col("t"), lit(EmailRe)).as("ne"),
+          regexp_count(col("t"), lit(PhoneRe)).as("np"),
+          regexp_count(col("t"), lit(IdRe)).as("ni"))
+      aug.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("ne") + col("np") + col("ni") > 0).cast("int")).as("docs_with_pii"),
+          sum(col("ne").cast("long")).as("n_email"),
+          sum(col("np").cast("long")).as("n_phone"),
+          sum(col("ni").cast("long")).as("n_id"))
+        .withColumn("pii_rate",
+          Metrics.canonRound(col("docs_with_pii").cast("double") / col("n_docs"), 4))
+        .orderBy("source")
+    },
+    Some(s"""WITH aug AS ($augSql),
+      hits AS (
+        SELECT source,
+          len(regexp_extract_all(t, '$EmailRe')) AS ne,
+          len(regexp_extract_all(t, '$PhoneRe')) AS np,
+          len(regexp_extract_all(t, '$IdRe')) AS ni
+        FROM aug)
+      SELECT source,
+        count(*) AS n_docs,
+        CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        CAST(sum(ne) AS BIGINT) AS n_email,
+        CAST(sum(np) AS BIGINT) AS n_phone,
+        CAST(sum(ni) AS BIGINT) AS n_id,
+        floor(CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS pii_rate
+      FROM hits GROUP BY source ORDER BY source"""))
+
+  // --- line-level boilerplate dedup ----------------------------------
+
+  /** The fixture text is one flat line, so documents are re-lined
+    * deterministically: a header/footer drawn from small boilerplate
+    * pools (the cookie-banner / copyright-footer shape CCNet strips) plus
+    * the content split into 8-word lines. Boilerplate recurs across
+    * ~n/5 docs and gets dropped by the doc-frequency rule; content lines
+    * are effectively unique and survive.
+    */
+  private val Headers = Seq(
+    "subscribe to our newsletter for updates",
+    "all rights reserved worldwide",
+    "click here to accept all cookies",
+    "sign in to continue reading",
+    "share this article with your friends")
+  private val Footers = Seq(
+    "copyright twenty twenty four all rights reserved",
+    "terms of service and privacy policy apply",
+    "powered by the graft data engine",
+    "back to top of the page")
+  private val LineWords = 8
+  private val MaxDocFreq = 5 // lines in more distinct docs than this are boilerplate
+
+  /** (doc_id, source, line_no, line) — header at line_no 0, content at
+    * 1..n, footer at n+1. The per-doc array work (split/slice HOFs) is
+    * interpreted but per-document only (NOTES invariant 8); the explode
+    * streams one row per line straight out of the scan.
+    */
+  private def linesFrame(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val content = transform(
+      sequence(lit(0), ceil(size(toks) / lit(LineWords.toDouble)).cast("int") - 1),
+      g => concat_ws(" ", slice(toks, g * LineWords + 1, lit(LineWords))))
+    val header = element_at(array(Headers.map(lit): _*),
+      pmod(col("doc_id"), lit(Headers.size)).cast("int") + 1)
+    val footer = element_at(array(Footers.map(lit): _*),
+      pmod(col("doc_id"), lit(Footers.size)).cast("int") + 1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        concat(array(header), content, array(footer)).as("ls"))
+      .select(col("doc_id"), col("source"),
+        posexplode(col("ls")).as(Seq("line_no", "line")))
+  }
+
+  /** All lines joined to their corpus doc-frequency, keep = df within
+    * bound. The df side aggregates BEFORE the join (lines → distinct-doc
+    * counts per 8-byte hash key), so the join's build side is the line
+    * vocabulary, not the corpus — orders of magnitude smaller at 100 TB.
+    */
+  private def flaggedLines(s: SparkSession, dir: String): DataFrame = {
+    val lines = linesFrame(s, dir).withColumn("h", xxhash64(col("line")))
+    val docFreq = lines.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    lines.join(docFreq, "h")
+      .withColumn("keep", col("nd") <= MaxDocFreq)
+  }
+
+  private val HeadersSqlList = Headers.map(h => s"'$h'").mkString("[", ", ", "]")
+  private val FootersSqlList = Footers.map(f => s"'$f'").mkString("[", ", ", "]")
+
+  private val linesCte =
+    s"""base AS (
+      SELECT doc_id, source, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+    content AS (
+      SELECT doc_id, source, CAST(g + 1 AS INT) AS line_no,
+        array_to_string(ws[(CAST(g AS INT) * $LineWords + 1):(CAST(g AS INT) * $LineWords + $LineWords)], ' ') AS line
+      FROM (SELECT doc_id, source, ws,
+              unnest(range(0, CAST(ceil(len(ws) / ${LineWords.toDouble}) AS BIGINT))) AS g
+            FROM base)),
+    lines AS (
+      SELECT doc_id, source, 0 AS line_no,
+        ($HeadersSqlList)[CAST(doc_id % ${Headers.size} AS INT) + 1] AS line FROM base
+      UNION ALL
+      SELECT doc_id, source, line_no, line FROM content
+      UNION ALL
+      SELECT doc_id, source, CAST(ceil(len(ws) / ${LineWords.toDouble}) AS INT) + 1 AS line_no,
+        ($FootersSqlList)[CAST(doc_id % ${Footers.size} AS INT) + 1] AS line FROM base),
+    df AS (
+      SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1),
+    flagged AS (
+      SELECT l.doc_id, l.source, l.line_no, l.line, (d.nd <= $MaxDocFreq) AS keep
+      FROM lines l JOIN df d USING (line))"""
+
+  /** Per-doc line dedup: line counts before/after the doc-frequency rule
+    * and the md5 of the rebuilt (newline-joined, original-order) text —
+    * the hash proves the rebuild kept order and dropped exactly the
+    * boilerplate. Null hash iff everything was boilerplate.
+    */
+  val q188 = GQuery(
+    "q188_line_dedup",
+    (s, dir) => {
+      val kept = collect_list(when(col("keep"), struct(col("line_no"), col("line"))))
+      flaggedLines(s, dir)
+        .groupBy("doc_id", "source")
+        .agg(
+          count(lit(1)).cast("int").as("n_lines"),
+          sum(col("keep").cast("int")).cast("int").as("n_kept"),
+          kept.as("kl"))
+        .withColumn("rebuilt_hash",
+          when(col("n_kept") === 0, lit(null).cast("string"))
+            .otherwise(md5(array_join(
+              transform(sort_array(col("kl")), x => x.getField("line")), "\n"))))
+        .select("doc_id", "source", "n_lines", "n_kept", "rebuilt_hash")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $linesCte
+      SELECT doc_id, source,
+        CAST(count(*) AS INTEGER) AS n_lines,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+        md5(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_no)) AS rebuilt_hash
+      FROM flagged GROUP BY doc_id, source ORDER BY doc_id"""))
+
+  /** Per-source removal report: the rate of lines dropped as boilerplate
+    * — the number a curation run is judged by (CCNet reports ~these).
+    */
+  val q189 = GQuery(
+    "q189_boilerplate_rate",
+    (s, dir) =>
+      flaggedLines(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum((!col("keep")).cast("int")).cast("long").as("n_removed"))
+        .withColumn("removal_rate",
+          Metrics.canonRound(col("n_removed").cast("double") / col("n_lines"), 4))
+        .orderBy("source"),
+    Some(s"""WITH $linesCte
+      SELECT source,
+        count(*) AS n_lines,
+        CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        floor(CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS removal_rate
+      FROM flagged GROUP BY source ORDER BY source"""))
+
+  def all: Seq[GQuery] = Seq(q186, q187, q188, q189)
+}

