@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * batching: one JVM call per partition, vectorizable payloads, never a
   * per-row interpreter crossing).
   *
-  * IMAGE decode is REAL: [[ImageCodec]] encodes/decodes PNG through
-  * javax.imageio (ships with the JDK — no external media library
-  * needed), and q81 proves the full byte→pixel→statistic path against a
-  * DuckDB oracle that re-derives the expected dimensions and mean
-  * luminance from the generation parameters. Only VIDEO (and the audio
-  * byte-stream stand-in) remain behind [[FakeCodec]], the deterministic
-  * stub this container's missing ffmpeg would back; swapping it in
-  * changes no plan shape.
+  * ALL THREE modality decodes are REAL: [[ImageCodec]] encodes/decodes
+  * PNG through javax.imageio (ships with the JDK — no external media
+  * library needed; q81), [[AudioCodec]] writes and chunk-walks
+  * RIFF/WAVE PCM16 (q190), and [[VideoCodec]] walks a length-prefixed
+  * frame container (q82). Each proves its byte→sample→statistic path
+  * against a DuckDB oracle that re-derives the expected values from the
+  * generation parameters. [[FakeCodec]] remains only as the documented
+  * stand-in for codecs this container lacks (e.g. an ffmpeg-backed
+  * resize); swapping a real library in changes no plan shape.
   */
 object Multimodal {
 
@@ -104,6 +105,110 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec: canonical WAV/RIFF (PCM16 mono, little-endian).
+    * encodeWav writes the 44-byte header + samples; decodeStats is a
+    * genuine chunk WALKER — it verifies the RIFF/WAVE magics, handles
+    * fmt/data chunks in any order, skips unknown chunks with the spec's
+    * even-byte padding, and accumulates the sum of squared samples from
+    * the decoded PCM (exact integer arithmetic, so the derived RMS is
+    * cross-engine deterministic).
+    */
+  object AudioCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1) // PCM, mono
+      bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate = sr * block
+      bb.putShort(2); bb.putShort(16) // block align, bits/sample
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      bb.array
+    }
+
+    /** (sample_rate, n_samples, sum of squared samples) from a real
+      * header+chunk parse. Rejects non-PCM16-mono payloads loudly.
+      */
+    def decodeStats(bytes: Array[Byte]): (Int, Long, Long) = {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", "not a RIFF container")
+      bb.getInt // RIFF payload size (trusting remaining() instead)
+      require(fourcc() == "WAVE", "not a WAVE stream")
+      var sampleRate = -1
+      var nSamples = -1L
+      var sumSq = 0L
+      while (bb.remaining >= 8) {
+        val id = fourcc()
+        val size = bb.getInt
+        id match {
+          case "fmt " =>
+            val fmt = bb.getShort; val ch = bb.getShort
+            sampleRate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            val bits = bb.getShort
+            require(fmt == 1 && ch == 1 && bits == 16, "only PCM16 mono supported")
+            if (size > 16) bb.position(bb.position() + (size - 16))
+          case "data" =>
+            nSamples = size / 2
+            var i = 0L
+            while (i < nSamples) { val s = bb.getShort.toLong; sumSq += s * s; i += 1 }
+          case _ => // spec: chunks are padded to even length
+            bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      require(sampleRate > 0 && nSamples >= 0, "missing fmt or data chunk")
+      (sampleRate, nSamples, sumSq)
+    }
+  }
+
+  /** REAL (toy but parseable) video container: "GVID" magic, big-endian
+    * int width/height/frame-count header, then one length-prefixed blob
+    * per frame. decode walks the container frame-by-frame via the length
+    * prefixes — the stride is read from the data, not assumed — and
+    * cross-checks the walked count against the header.
+    */
+  object VideoCodec {
+    import java.nio.ByteBuffer
+
+    def encode(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(16 + frames.map(_.length + 4).sum)
+      bb.put("GVID".getBytes("US-ASCII"))
+      bb.putInt(width); bb.putInt(height); bb.putInt(frames.size)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array
+    }
+
+    /** (width, height, n_frames, sampled (frame_idx, frame_len,
+      * first_byte)) for every everyK-th frame. All frames are WALKED
+      * (each length prefix read and skipped) so a corrupt stride fails
+      * loudly instead of fabricating metadata.
+      */
+    def sampleFrames(bytes: Array[Byte], everyK: Int): (Int, Int, Int, Seq[(Int, Int, Int)]) = {
+      val bb = ByteBuffer.wrap(bytes)
+      val magic = new Array[Byte](4); bb.get(magic)
+      require(new String(magic, "US-ASCII") == "GVID", "not a GVID container")
+      val (w, h, nf) = (bb.getInt, bb.getInt, bb.getInt)
+      val out = Seq.newBuilder[(Int, Int, Int)]
+      var i = 0
+      while (bb.remaining >= 4) {
+        val len = bb.getInt
+        if (i % everyK == 0) out += ((i, len, bb.get(bb.position()) & 0xff))
+        bb.position(bb.position() + len)
+        i += 1
+      }
+      require(i == nf, s"header claims $nf frames, walked $i")
+      (w, h, nf, out.result())
+    }
+  }
+
   /** Deterministic real-PNG media table from the documents frame: per
     * doc, dimensions and the two gray levels derive from (doc_id,
     * n_chars), then the payload is an ACTUAL encoded PNG. Stands in for
@@ -137,6 +242,65 @@ object Multimodal {
         (id, "image", w, h, brightness)
       })
       .toDF("doc_id", "media_type", "width", "height", "brightness")
+  }
+
+  /** Deterministic real-WAV audio table over the docs routed to audio by
+    * q80's media-type rule (doc_id % 3 == 1): sample rate and a PCM16
+    * waveform derive from (doc_id, n_chars), then the payload is an
+    * actual RIFF/WAVE encode.
+    */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val sr = 8000 * (1 + (id % 3)).toInt
+        val n = 64 + (nChars % 128).toInt
+        val samples = Array.tabulate(n)(i => ((id * 37 + i * 17) % 2048 - 1024).toShort)
+        (id, AudioCodec.encodeWav(sr, samples))
+      })
+      .toDF("doc_id", "content")
+  }
+
+  /** Real WAV decode + feature extraction: per payload, parse the RIFF
+    * chunks and emit (sample_rate, n_samples, sum of squared samples) —
+    * the exact-integer base for RMS.
+    */
+  def extractAudioFeatures(spark: SparkSession, wavs: DataFrame): DataFrame = {
+    import spark.implicits._
+    wavs.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (sr, n, ss) = AudioCodec.decodeStats(bytes)
+        (id, sr, n, ss)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_sq")
+  }
+
+  /** Deterministic GVID video table over the docs routed to video by
+    * q80's rule (doc_id % 3 == 2): dimensions, frame count, and every
+    * frame's length/payload derive from doc_id, then the payload is a
+    * real length-prefixed container.
+    */
+  def syntheticVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 32).toInt
+        val h = 12 + (id % 24).toInt
+        val nf = 1 + (id % 120).toInt
+        val frames = Seq.tabulate(nf) { i =>
+          val len = 8 + ((id + i) % 16).toInt
+          Array.tabulate(len)(j => ((id * 7 + i * 13 + j) % 256).toByte)
+        }
+        (id, VideoCodec.encode(w, h, frames))
+      })
+      .toDF("doc_id", "content")
   }
 
   /** Synthesize a media table from any (doc_id, text) frame: text bytes as
@@ -181,6 +345,21 @@ object Multimodal {
         (id, mt, bytes.take(outLen), targetW, targetH)
       })
       .toDF("doc_id", "media_type", "content", "width", "height")
+  }
+
+  /** Real frame sampling over GVID containers: decode the header, walk
+    * every frame via its length prefix, keep each everyK-th — one row
+    * per sampled frame, the shape a caption/embed stage consumes.
+    */
+  def sampleVideoFrames(spark: SparkSession, videos: DataFrame, everyK: Int = 30): DataFrame = {
+    import spark.implicits._
+    videos.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (w, h, _, sampled) = VideoCodec.sampleFrames(bytes, everyK)
+        sampled.map { case (idx, len, first) => (id, idx, w, h, len, first) }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "frame_len", "first_byte")
   }
 
   /** Frame sampling for video rows: every k-th "frame" (stub: byte-range

@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.registry.GQuery
 
-/** Registry coverage for the multimodal plumbing. The binary payloads are
-  * synthesized from documents.text (no media fixture ships), so the
-  * metadata surface stays oracle-checkable while the decode stage is the
-  * documented stub.
+/** Registry coverage for the multimodal plumbing. No media fixture
+  * ships, so payloads are synthesized deterministically from the
+  * documents frame — but the codecs are REAL: q81 decodes actual PNGs
+  * (javax.imageio), q190 parses actual RIFF/WAVE audio, and q82 walks an
+  * actual length-prefixed video container. Every decode output is
+  * oracle-checked against a DuckDB re-derivation of the generation
+  * parameters.
   */
 object MultimodalQueries {
 
@@ -56,15 +59,55 @@ object MultimodalQueries {
         * 1e6 + 0.5)/1e6 AS brightness
       FROM documents ORDER BY doc_id"""))
 
-  /** Frame sampling for video rows (explode to per-frame grain). Rows-only. */
+  /** REAL video frame sampling: each video doc carries an actual GVID
+    * container (magic + dims + frame-count header, length-prefixed
+    * frames); the decoder walks every frame via its length prefix and
+    * keeps each 30th. The oracle re-derives frame indices, lengths, and
+    * first bytes from the generation parameters — a decoder that
+    * skipped the walk (or mis-read a stride) would mismatch.
+    */
   val q82 = GQuery(
     "q82_frame_sample",
     (s, dir) => {
-      val media = Multimodal.syntheticMedia(Tables.documents(s, dir))
-      Multimodal.sampleFrames(s, media, everyK = 30)
+      val videos = Multimodal.syntheticVideos(Tables.documents(s, dir))
+      Multimodal.sampleVideoFrames(s, videos, everyK = 30)
         .orderBy("doc_id", "frame_idx")
     },
-    None)
+    Some("""SELECT doc_id,
+      CAST(i AS INT) AS frame_idx,
+      CAST(16 + doc_id % 32 AS INT) AS width,
+      CAST(12 + doc_id % 24 AS INT) AS height,
+      CAST(8 + (doc_id + i) % 16 AS INT) AS frame_len,
+      CAST((doc_id * 7 + i * 13) % 256 AS INT) AS first_byte
+      FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 120, 30)) AS i
+            FROM documents WHERE doc_id % 3 = 2)
+      ORDER BY doc_id, frame_idx"""))
 
-  def all: Seq[GQuery] = Seq(q80, q81, q82)
+  /** REAL audio decode: each audio doc carries an actual RIFF/WAVE
+    * payload (PCM16 mono); the decoder chunk-walks the container and the
+    * RMS comes from the decoded samples' exact integer sum of squares.
+    * The oracle re-derives sample rate, count, and RMS from the
+    * generation parameters.
+    */
+  val q190 = GQuery(
+    "q190_audio_features",
+    (s, dir) => {
+      val wavs = Multimodal.syntheticAudio(Tables.documents(s, dir))
+      Multimodal.extractAudioFeatures(s, wavs)
+        .select(col("doc_id"), col("sample_rate"),
+          col("n_samples").cast("int").as("n_samples"),
+          graft.functions.Metrics.canonRound(
+            sqrt(col("sum_sq").cast("double") / col("n_samples")), 6).as("rms"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH samp AS (
+        SELECT doc_id, unnest(range(0, 64 + n_chars % 128)) AS i
+        FROM documents WHERE doc_id % 3 = 1)
+      SELECT doc_id,
+        CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        CAST(count(*) AS INT) AS n_samples,
+        floor(sqrt(CAST(sum(((doc_id * 37 + i * 17) % 2048 - 1024) * ((doc_id * 37 + i * 17) % 2048 - 1024)) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS rms
+      FROM samp GROUP BY doc_id ORDER BY doc_id"""))
+
+  def all: Seq[GQuery] = Seq(q80, q81, q82, q190)
 }

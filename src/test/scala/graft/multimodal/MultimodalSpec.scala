@@ -59,6 +59,46 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall { case (_, w, h, br) => w >= 8 && w < 32 && h >= 8 && h < 24 && br >= 0 && br <= 1 })
   }
 
+  test("real WAV codec round-trips rate, count, and exact sum of squares") {
+    val cases = Seq(
+      (8000, Array[Short](0, 100, -100, 32767, -32768)),
+      (16000, Array.tabulate(191)(i => ((i * 17) % 2048 - 1024).toShort)),
+      (24000, Array[Short](5)))
+    cases.foreach { case (sr, samples) =>
+      val bytes = Multimodal.AudioCodec.encodeWav(sr, samples)
+      // a real RIFF header, not a stub
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+      val (dsr, dn, dss) = Multimodal.AudioCodec.decodeStats(bytes)
+      assert(dsr == sr && dn == samples.length)
+      assert(dss == samples.map(s => s.toLong * s).sum)
+    }
+    // the walker skips unknown chunks (with odd-length padding) instead
+    // of breaking — splice a junk chunk between fmt and data
+    val base = Multimodal.AudioCodec.encodeWav(8000, Array[Short](3, -4))
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = base.take(36) ++ junk ++ base.drop(36)
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8) // fix RIFF size
+    assert(Multimodal.AudioCodec.decodeStats(spliced) == ((8000, 2L, 25L)))
+  }
+
+  test("GVID codec walks frames by length prefix and verifies the header") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6, 7, 8, 9))
+    val bytes = Multimodal.VideoCodec.encode(320, 240, frames)
+    val (w, h, nf, all) = Multimodal.VideoCodec.sampleFrames(bytes, everyK = 1)
+    assert((w, h, nf) == (320, 240, 3))
+    assert(all == Seq((0, 3, 1), (1, 1, 4), (2, 5, 5)))
+    val (_, _, _, sampled) = Multimodal.VideoCodec.sampleFrames(bytes, everyK = 2)
+    assert(sampled.map(_._1) == Seq(0, 2))
+    // a corrupt frame-count header fails loudly, not silently
+    val corrupt = bytes.clone()
+    corrupt(15) = 9 // header nFrames byte
+    intercept[IllegalArgumentException] {
+      Multimodal.VideoCodec.sampleFrames(corrupt, everyK = 1)
+    }
+  }
+
   test("frame sampling only emits video rows at the sampled grain") {
     val frames = Multimodal.sampleFrames(spark, media, everyK = 30)
     val perDoc = frames.groupBy("doc_id").count()
