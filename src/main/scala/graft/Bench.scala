@@ -7,8 +7,54 @@ package graft
   * including projections and sorts (a bare .count() would let Catalyst
   * prune work the query claims to do). A warmup pass on the flagship query
   * absorbs JVM/codegen startup so per-query numbers reflect steady state.
+  *
+  * Contention hardening: transient box contention (GC pause, noisy
+  * neighbor, a concurrent build) can inflate a single cold run 2-10×, and
+  * a SUSTAINED contention window defeats an immediate retry because both
+  * attempts land inside it (r9: q105 read 11.0s serial vs 2.0s isolated on
+  * identical code). So suspects are queued and re-run at the END of the
+  * sweep — minutes later, when the contention window has usually passed —
+  * and the reported number is the min over attempts (best observed COLD
+  * time; caches are cleared between runs, so min is legitimate).
   */
 object Bench {
+
+  /** Isolated single-query medians (sec) for the heavy tail, measured on
+    * the round-10 box via `runMain graft.Bench <names>` at sf0.1 with
+    * nothing else running. These exist to make the retry policy
+    * self-contained: a first-pass time > RetryFactor × median marks the
+    * run contended, not the query slow. Values are a reference SCALE
+    * (±20% box drift is fine), not a regression gate — re-measure when a
+    * query's plan genuinely changes.
+    */
+  private val refMedianSec: Map[String, Double] = Map(
+    "q64_stacking" -> 5.6,
+    "q63_boosted_hybrid" -> 4.1,
+    "q100_stream_neardup" -> 4.0,
+    "q134_stream_session_evict" -> 3.5,
+    "q107_ann_pq" -> 3.3,
+    "q138_stream_attribution" -> 3.3,
+    "q119_span_dedup" -> 2.9,
+    "q49_rolling_fingerprint" -> 2.7,
+    "q62_blend_round" -> 2.7,
+    "q146_stream_windowed_dedup" -> 2.6,
+    "q161_containment_pairs" -> 2.5,
+    "q188_line_dedup" -> 2.5,
+    "q85_fuzzy_match" -> 2.4,
+    "q96_iqr_outliers" -> 2.3,
+    "q105_incremental_neardup" -> 2.2,
+    "q168_item_cf" -> 2.0,
+    "q184_bootstrap_ci" -> 2.0,
+    "q106_corpus_filter" -> 1.8,
+    "q109_contamination" -> 1.5)
+
+  /** Queries without a recorded median are treated as ~this fast; most of
+    * the registry runs in 0.3-1.5s at sf0.1.
+    */
+  private val DefaultMedianSec = 1.0
+  private val RetryFactor = 3.0
+  private val MaxDeferredAttempts = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg (local debugging only — the driver passes none):
@@ -30,15 +76,22 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       t
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted
+    def threshold(name: String): Double =
+      RetryFactor * refMedianSec.getOrElse(name, DefaultMedianSec)
+    val firstPass = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
-      .map { name =>
-      val t1 = timedRun(name)
-      // transient box contention (GC pause, noisy neighbor) inflates a
-      // single cold run 2-10×; a second attempt for slow-looking queries
-      // bounds that error at ~30s added wall while leaving fast queries
-      // single-run. min = best observed cold time (caches cleared per run).
-      val t = if (t1 > 2.0) math.min(t1, timedRun(name)) else t1
+      .map(name => name -> timedRun(name))
+    // End-of-sweep deferred pass: errors are NOT retried (an error is a
+    // regression signal, not noise); suspects get up to two more
+    // attempts, stopping early once an attempt lands under the threshold.
+    val results = firstPass.map { case (name, t1) =>
+      var t = t1
+      var attempts = 0
+      while (t >= 0 && t > threshold(name) && attempts < MaxDeferredAttempts) {
+        val r = timedRun(name)
+        if (r >= 0) t = math.min(t, r)
+        attempts += 1
+      }
       name -> t
     }
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

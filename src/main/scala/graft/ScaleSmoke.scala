@@ -372,6 +372,16 @@ object ScaleSmoke {
     def groupCi(l: DataFrame) =
       operators.TableMaintenance.groupSampleCi(l, pPct = 10, targetRel = 0.01)
 
+    // q188/q189's shape: explode docs to lines, hash-agg doc frequency,
+    // long-keyed join back — the whole pipeline must stay ~linear in
+    // corpus size (the df build side is the line vocabulary, not the
+    // corpus)
+    def lineDedup(d: DataFrame) =
+      operators.CurationQueries.flaggedLines(d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_lines"),
+          sum((!col("keep")).cast("int")).as("n_removed"))
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("scan_agg", () => noop(scanAgg(l1)), () => noop(scanAgg(lk))),
       ("join_agg", () => noop(joinAgg(l1, o1)), () => noop(joinAgg(lk, ok))),
@@ -408,6 +418,7 @@ object ScaleSmoke {
       ("windowed_dedup", () => noop(wdedupBatch(d1)), () => noop(wdedupBatch(dk))),
       ("bootstrap_ci", () => noop(bootCi(o1)), () => noop(bootCi(ok))),
       ("group_sample_ci", () => noop(groupCi(l1)), () => noop(groupCi(lk))),
+      ("line_dedup", () => noop(lineDedup(d1)), () => noop(lineDedup(dk))),
       (s"setsim_join_k$k4", () => noop(setsim(d1)), () => noop(setsim(d4))),
       // the df guard at FULL k: hot prefix tokens stop generating df²
       // candidates; sets holding them route through the MinHash fallback

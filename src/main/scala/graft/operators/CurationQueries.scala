@@ -172,7 +172,7 @@ object CurationQueries {
     * interpreted but per-document only (NOTES invariant 8); the explode
     * streams one row per line straight out of the scan.
     */
-  private def linesFrame(s: SparkSession, dir: String): DataFrame = {
+  private def linesFrame(docs: DataFrame): DataFrame = {
     val toks = filter(split(col("text"), " "), w => w =!= "")
     val content = transform(
       sequence(lit(0), ceil(size(toks) / lit(LineWords.toDouble)).cast("int") - 1),
@@ -181,7 +181,7 @@ object CurationQueries {
       pmod(col("doc_id"), lit(Headers.size)).cast("int") + 1)
     val footer = element_at(array(Footers.map(lit): _*),
       pmod(col("doc_id"), lit(Footers.size)).cast("int") + 1)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("source"),
         concat(array(header), content, array(footer)).as("ls"))
       .select(col("doc_id"), col("source"),
@@ -192,14 +192,19 @@ object CurationQueries {
     * bound. The df side aggregates BEFORE the join (lines → distinct-doc
     * counts per 8-byte hash key), so the join's build side is the line
     * vocabulary, not the corpus — orders of magnitude smaller at 100 TB.
+    * Public so ScaleSmoke can drive the same pipeline on replicated
+    * corpora.
     */
-  private def flaggedLines(s: SparkSession, dir: String): DataFrame = {
-    val lines = linesFrame(s, dir).withColumn("h", xxhash64(col("line")))
+  def flaggedLines(docs: DataFrame): DataFrame = {
+    val lines = linesFrame(docs).withColumn("h", xxhash64(col("line")))
     val docFreq = lines.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
     lines.join(docFreq, "h")
       .withColumn("keep", col("nd") <= MaxDocFreq)
   }
+
+  private def flaggedLines(s: SparkSession, dir: String): DataFrame =
+    flaggedLines(Tables.documents(s, dir))
 
   private val HeadersSqlList = Headers.map(h => s"'$h'").mkString("[", ", ", "]")
   private val FootersSqlList = Footers.map(f => s"'$f'").mkString("[", ", ", "]")
