@@ -57,9 +57,12 @@ object PqLloyd {
       // cached AND right-sized (PqAnn's reasoning): every Lloyd round
       // re-reads this small frame for assignment + update, and at fixture
       // scale 32 near-empty tasks per pass make task launch the dominant
-      // per-round cost. Decimal-exact means and fully tie-broken argmins
-      // keep the result partition-layout-independent (oracle-certified).
-      .coalesce(4)
+      // per-round cost. The floor is derived from the INPUT's layout so a
+      // real corpus keeps its parallelism (coalesce never raises a count,
+      // so this only trims near-empty fixture shards). Decimal-exact
+      // means and fully tie-broken argmins keep the result
+      // partition-layout-independent (oracle-certified).
+      .coalesce(math.max(4, e.rdd.getNumPartitions))
       .cache()
     val seedIds = e.select(col("vec_id")).orderBy("vec_id").limit(k)
       .collect().map(_.getLong(0)).toSeq

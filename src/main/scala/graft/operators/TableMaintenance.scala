@@ -400,21 +400,26 @@ object TableMaintenance {
       .cache()
     val mbar = means.agg(
       Metrics.canonRound(Metrics.exactMean(col("mean_r")), 6).as("mean_boot"))
-    val se = means.crossJoin(broadcast(mbar))
+    // the replicate statistics are bounded model state (reps rows):
+    // materialize the three scalars eagerly, then DROP the cache — the
+    // previous lazy form leaked the `means` cache entry on every call in
+    // a long-lived session (r9 ADVICE)
+    val seBoot = means.crossJoin(broadcast(mbar))
       .select(Metrics.canonRound(
         (col("mean_r") - col("mean_boot")) * (col("mean_r") - col("mean_boot")), 4).as("dev2"))
       .agg(Metrics.canonRound(
         sqrt(Metrics.exactSum(col("dev2")) / lit((reps - 1).toDouble)), 6).as("se_boot"))
+      .collect().head.getDouble(0)
     val ranked = means.withColumn("rk",
       row_number().over(Window.orderBy(col("mean_r"), col("r"))))
-    val lo = ranked.filter(col("rk") === 2).select(col("mean_r").as("ci_lo"))
-    val hi = ranked.filter(col("rk") === reps - 1).select(col("mean_r").as("ci_hi"))
+    val bounds = ranked.filter(col("rk") === 2 || col("rk") === reps - 1)
+      .orderBy("rk").select("mean_r").collect().map(_.getDouble(0))
+    means.unpersist()
     val tot = orders.agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("s"))
-    tot.crossJoin(broadcast(se)).crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
-      .select(col("n").as("n_rows"),
+    tot.select(col("n").as("n_rows"),
         Metrics.canonRound(col("s").cast("double") /
           (col("n").cast("double") * 100.0), 4).as("mean_price"),
-        col("se_boot"), col("ci_lo"), col("ci_hi"))
+        lit(seBoot).as("se_boot"), lit(bounds(0)).as("ci_lo"), lit(bounds(1)).as("ci_hi"))
   }
 
   /** DuckDB twin of [[bootstrapCi]]: the same wide one-pass aggregation
@@ -502,20 +507,29 @@ object TableMaintenance {
       (col("m") - 1).cast("double")
     val hw = Metrics.canonRound(
       lit(1.96) * sqrt(varC) / (lit(100.0) * sqrt(col("m").cast("double"))), 4)
+    // degenerate-sample guard (r9 ADVICE): the CLT half-width needs
+    // m >= 2 (the (m-1) divisor) and the estimate m >= 1. Rather than
+    // emitting nulls that read as "passed", a too-small sample gets an
+    // explicit null hw/rel_hw with met_target = covered = 0 — the
+    // operator is generic over pPct and grouping, so a 0.1% sample of a
+    // tiny group must fail loudly in the report.
+    val mOk = col("m") >= 2
     agg
-      .withColumn("mean_est", meanEst)
+      .withColumn("mean_est", when(col("m") >= 1, meanEst).otherwise(lit(null).cast("double")))
       .withColumn("mean_true", meanTrue)
-      .withColumn("hw", hw)
+      .withColumn("hw", when(mOk, hw).otherwise(lit(null).cast("double")))
       .select(col("l_returnflag"), col("l_linestatus"),
         col("m").as("m_sample"), col("mean_est"), col("hw"),
-        Metrics.canonRound(col("hw") / col("mean_est"), 6).as("rel_hw"),
-        (Metrics.canonRound(col("hw") / col("mean_est"), 6) <= lit(targetRel))
-          .cast("int").as("met_target"),
+        when(mOk, Metrics.canonRound(col("hw") / col("mean_est"), 6)).as("rel_hw"),
+        when(mOk, (Metrics.canonRound(col("hw") / col("mean_est"), 6) <= lit(targetRel))
+          .cast("int")).otherwise(lit(0)).as("met_target"),
         col("mean_true"),
-        Metrics.canonRound(abs(col("mean_est") - col("mean_true")) / col("mean_true"), 6)
+        when(col("m") >= 1,
+          Metrics.canonRound(abs(col("mean_est") - col("mean_true")) / col("mean_true"), 6))
           .as("rel_err"),
-        (col("mean_true") >= col("mean_est") - col("hw") &&
-          col("mean_true") <= col("mean_est") + col("hw")).cast("int").as("covered"))
+        when(mOk, (col("mean_true") >= col("mean_est") - col("hw") &&
+          col("mean_true") <= col("mean_est") + col("hw")).cast("int"))
+          .otherwise(lit(0)).as("covered"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 

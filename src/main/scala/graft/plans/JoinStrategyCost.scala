@@ -38,11 +38,13 @@ object JoinStrategyCost {
     val part = Tables.part(spark, dir).select(col("p_partkey"))
     val nPart = part.count()
     // three dim sizes from the same table: ~10% of part, all of part,
-    // and 16 shifted copies (a dim big enough that broadcasting hurts)
+    // and LargeDimCopies shifted copies (a dim big enough that
+    // broadcasting hurts)
+    val LargeDimCopies = 64L
     val dims: Seq[(String, DataFrame)] = Seq(
       (s"small(${nPart / 10})", part.filter(col("p_partkey") % 10 === 0)),
       (s"medium($nPart)", part),
-      (s"large(${nPart * 64})", spark.range(64).crossJoin(part)
+      (s"large(${nPart * LargeDimCopies})", spark.range(LargeDimCopies).crossJoin(part)
         .select((col("p_partkey") + col("id") * 10_000_000L).as("p_partkey"))))
 
     def run(dim: DataFrame, hint: String): (Double, String) = {

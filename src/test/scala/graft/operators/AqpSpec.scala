@@ -47,4 +47,18 @@ class AqpSpec extends SparkSpec {
     // CLT 95% half-widths should cover the truth for most groups
     assert(rows.map(_.getAs[Int]("covered")).sum >= 4)
   }
+
+  test("q185 degenerate samples fail loudly: null hw, met_target=0") {
+    // pPct=0 keeps every group's sample empty (md5-derived h in [0,100)
+    // is never < 0): the guard must emit explicit failure flags, not
+    // nulls that read as success
+    val rows = TableMaintenance.groupSampleCi(
+      Tables.lineitem(spark, sf001), pPct = 0, targetRel = 0.05).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("m_sample") == 0L)
+      assert(r.isNullAt(r.fieldIndex("hw")) && r.isNullAt(r.fieldIndex("rel_hw")))
+      assert(r.getAs[Int]("met_target") == 0 && r.getAs[Int]("covered") == 0)
+    }
+  }
 }
