@@ -151,42 +151,27 @@ object CurationQueries {
     * pools (the cookie-banner / copyright-footer shape CCNet strips) plus
     * the content split into 8-word lines. Boilerplate recurs across
     * ~n/5 docs and gets dropped by the doc-frequency rule; content lines
-    * are effectively unique and survive.
+    * are effectively unique and survive. Pools and line width live in
+    * [[graft.plans.LinesGenerator]] (the single source of truth the
+    * oracles below mirror).
     */
-  private val Headers = Seq(
-    "subscribe to our newsletter for updates",
-    "all rights reserved worldwide",
-    "click here to accept all cookies",
-    "sign in to continue reading",
-    "share this article with your friends")
-  private val Footers = Seq(
-    "copyright twenty twenty four all rights reserved",
-    "terms of service and privacy policy apply",
-    "powered by the graft data engine",
-    "back to top of the page")
-  private val LineWords = 8
+  private val Headers = graft.plans.LinesGenerator.Headers
+  private val Footers = graft.plans.LinesGenerator.Footers
+  private val LineWords = graft.plans.LinesGenerator.LineWords
   private val MaxDocFreq = 5 // lines in more distinct docs than this are boilerplate
 
   /** (doc_id, source, line_no, line) — header at line_no 0, content at
-    * 1..n, footer at n+1. The per-doc array work (split/slice HOFs) is
-    * interpreted but per-document only (NOTES invariant 8); the explode
-    * streams one row per line straight out of the scan.
+    * 1..n, footer at n+1, streamed straight out of the scan by the fused
+    * `graft_lines` generator (plans.LinesGenerator). The HOF composition
+    * this replaces was evaluated TWICE per document per side (the
+    * optimizer pushes the generator's guard into the scan filter) and
+    * built three intermediate arrays per evaluation; q188/q189 hash-match
+    * the same oracles either way, ~2× cheaper fused.
     */
-  private def linesFrame(docs: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), " "), w => w =!= "")
-    val content = transform(
-      sequence(lit(0), ceil(size(toks) / lit(LineWords.toDouble)).cast("int") - 1),
-      g => concat_ws(" ", slice(toks, g * LineWords + 1, lit(LineWords))))
-    val header = element_at(array(Headers.map(lit): _*),
-      pmod(col("doc_id"), lit(Headers.size)).cast("int") + 1)
-    val footer = element_at(array(Footers.map(lit): _*),
-      pmod(col("doc_id"), lit(Footers.size)).cast("int") + 1)
-    docs
-      .select(col("doc_id"), col("source"),
-        concat(array(header), content, array(footer)).as("ls"))
-      .select(col("doc_id"), col("source"),
-        posexplode(col("ls")).as(Seq("line_no", "line")))
-  }
+  private def linesFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      call_function("graft_lines", col("doc_id"), col("text"))
+        .as(Seq("line_no", "line")))
 
   /** All lines joined to their corpus doc-frequency, keep = df within
     * bound. The df side aggregates BEFORE the join (lines → distinct-doc

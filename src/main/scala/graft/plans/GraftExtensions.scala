@@ -55,6 +55,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShinglesGenerator(exprs.head))
     inject(e, "graft_shingle_set", 1, classOf[ShingleSetExpr],
       exprs => ShingleSetExpr(exprs.head))
+    inject(e, "graft_lines", 2, classOf[LinesGenerator],
+      exprs => LinesGenerator(exprs(0), exprs(1)))
     inject(e, "graft_ngrams", 2, classOf[ShinglesGenerator],
       exprs => {
         val n = exprs(1) match {
