@@ -86,6 +86,36 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** REAL resize: decode the PNG, 2× box-filter downscale (each output
+      * sample = floor of the mean of its 2×2 input block — exact integer
+      * arithmetic, odd edge row/column dropped), re-encode as PNG. A
+      * full byte→pixel→resample→byte round trip; the oracle re-derives
+      * the downscaled dimensions and mean luminance in closed form from
+      * the two-tone generation parameters.
+      */
+    def downscale2x(bytes: Array[Byte]): Array[Byte] = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val in = img.getRaster
+      val (ow, oh) = (img.getWidth / 2, img.getHeight / 2)
+      require(ow >= 1 && oh >= 1, s"image ${img.getWidth}x${img.getHeight} too small to halve")
+      val out = new BufferedImage(ow, oh, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = out.getRaster
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          val s = in.getSample(2 * x, 2 * y, 0) + in.getSample(2 * x + 1, 2 * y, 0) +
+            in.getSample(2 * x, 2 * y + 1, 0) + in.getSample(2 * x + 1, 2 * y + 1, 0)
+          raster.setSample(x, y, 0, s / 4)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
     /** (width, height, mean luminance in [0,1]) from the decoded raster.
       * The sum is exact integer arithmetic; the one double division at
       * the end is IEEE-identical cross-engine.
@@ -225,6 +255,21 @@ object Multimodal {
         val g1 = (id % 256).toInt
         val g2 = ((id * 31) % 256).toInt
         (id, ImageCodec.encodePng(w, h, g1, g2))
+      })
+      .toDF("doc_id", "content")
+  }
+
+  /** REAL resize stage over PNG payloads: decode → 2× box filter →
+    * re-encode, one partition-batched pass. The downstream schema is the
+    * same (doc_id, content) an object-store image table carries, so the
+    * stage composes with [[extractImageFeatures]] for the verify path.
+    */
+  def resizeImages(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, ImageCodec.downscale2x(bytes))
       })
       .toDF("doc_id", "content")
   }

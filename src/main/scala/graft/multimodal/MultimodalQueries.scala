@@ -109,5 +109,37 @@ object MultimodalQueries {
         floor(sqrt(CAST(sum(((doc_id * 37 + i * 17) % 2048 - 1024) * ((doc_id * 37 + i * 17) % 2048 - 1024)) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS rms
       FROM samp GROUP BY doc_id ORDER BY doc_id"""))
 
-  def all: Seq[GQuery] = Seq(q80, q81, q82, q190)
+  /** REAL image resize: decode → 2× box filter (floor of each 2×2 block
+    * mean, exact integers) → PNG re-encode → decode again for stats.
+    * The oracle derives the downscaled mean in closed form from the
+    * two-tone layout: oh output rows = oh//2 pure-top rows, one mixed
+    * row iff the tone boundary is odd (value (g1+g2)//2), the rest pure
+    * bottom — a resampler that blurred, clipped, or mis-aligned the
+    * block grid would hash-mismatch.
+    */
+  val q191 = GQuery(
+    "q191_image_resize",
+    (s, dir) => {
+      val images = Multimodal.syntheticImages(Tables.documents(s, dir))
+      val resized = Multimodal.resizeImages(s, images)
+      Multimodal.extractImageFeatures(s, resized)
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          graft.functions.Metrics.canonRound(col("brightness"), 6).as("brightness"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id,
+          (8 + n_chars % 24) // 2 AS ow,
+          (8 + doc_id % 16) // 2 AS oh,
+          doc_id % 256 AS g1,
+          (doc_id * 31) % 256 AS g2
+        FROM documents)
+      SELECT doc_id, 'image' AS media_type,
+        CAST(ow AS INTEGER) AS width,
+        CAST(oh AS INTEGER) AS height,
+        floor(CAST((oh // 2) * g1 + (oh % 2) * ((g1 + g2) // 2)
+            + (oh - oh // 2 - oh % 2) * g2 AS DOUBLE) / (oh * 255.0) * 1e6 + 0.5) / 1e6 AS brightness
+      FROM p ORDER BY doc_id"""))
+
+  def all: Seq[GQuery] = Seq(q80, q81, q82, q190, q191)
 }

@@ -59,6 +59,27 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall { case (_, w, h, br) => w >= 8 && w < 32 && h >= 8 && h < 24 && br >= 0 && br <= 1 })
   }
 
+  test("2x box downscale: exact block means, odd edges dropped") {
+    // 4x4 two-tone (boundary even): output 2x2 = rows of pure tones
+    val a = Multimodal.ImageCodec.downscale2x(
+      Multimodal.ImageCodec.encodePng(4, 4, 100, 200))
+    assert(Multimodal.ImageCodec.decodeStats(a) ==
+      ((2, 2, (100.0 * 2 + 200.0 * 2) * 2 / (2L * 2 * 255).toDouble / 2)))
+    // 6x6, boundary hh=3 odd: middle output row mixes floor((g1+g2)/2)
+    val b = Multimodal.ImageCodec.downscale2x(
+      Multimodal.ImageCodec.encodePng(6, 6, 10, 255))
+    val (bw, bh, bright) = Multimodal.ImageCodec.decodeStats(b)
+    assert((bw, bh) == (3, 3))
+    val expected = (10L + (10 + 255) / 2 + 255L).toDouble * 3 /
+      (3L * 3 * 255).toDouble
+    assert(bright == expected, s"$bright vs $expected")
+    // 9x9 odd dims: rightmost column + bottom row dropped -> 4x4
+    val c = Multimodal.ImageCodec.downscale2x(
+      Multimodal.ImageCodec.encodePng(9, 9, 0, 255))
+    assert(Multimodal.ImageCodec.decodeStats(c)._1 == 4)
+    assert(Multimodal.ImageCodec.decodeStats(c)._2 == 4)
+  }
+
   test("real WAV codec round-trips rate, count, and exact sum of squares") {
     val cases = Seq(
       (8000, Array[Short](0, 100, -100, 32767, -32768)),
