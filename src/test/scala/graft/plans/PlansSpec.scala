@@ -440,6 +440,31 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("q186 PII scan is one codegen stage: no shuffle before the final sort") {
+    val plan = graft.registry.Registry.queries("q186_pii_scan")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // scan -> project (regexps) -> sort exchange, nothing else
+    assert(!plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"expected only the orderBy exchange:\n${plan.take(2000)}")
+  }
+
+  test("q188 line dedup aggregates doc frequency BEFORE the join back") {
+    val plan = graft.registry.Registry.queries("q188_line_dedup")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the join's build side must be the aggregated line vocabulary (df
+    // per hash), never a raw lines-to-lines self join
+    assert(plan.contains("linesgenerator"), "fused generator must drive the explode")
+    val joinIdx = plan.indexOf("HashJoin")
+    assert(joinIdx >= 0, s"expected a hash join:\n${plan.take(2000)}")
+    // count distinct compiles to two HashAggregate pairs under the join's
+    // build side — check an aggregate exists below the join in the tree
+    assert(plan.indexOf("HashAggregate", joinIdx) >= 0,
+      s"df side must aggregate before the join:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("salted join preserves inner-join semantics") {
     val o = Tables.orders(spark, sf001)
     val c = Tables.customer(spark, sf001)
