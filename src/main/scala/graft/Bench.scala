@@ -46,7 +46,43 @@ object Bench {
     "q168_item_cf" -> 2.0,
     "q184_bootstrap_ci" -> 2.0,
     "q106_corpus_filter" -> 1.8,
-    "q109_contamination" -> 1.5)
+    "q109_contamination" -> 1.5,
+    // the 1.5-2.8s band (min of two clean full runs): without an entry
+    // the 3.0s default threshold sits close enough that a warm-tail run
+    // triggers wasted end-of-sweep retries; with one, the threshold is
+    // ~3x the honest time and still catches real (5x+) contention
+    "q102_ann_recall" -> 1.8,
+    "q114_stream_contamination" -> 2.1,
+    "q121_semantic_dedup" -> 1.7,
+    "q126_bpe_merges" -> 1.9,
+    "q127_kmeans_lloyd" -> 1.7,
+    "q129_stream_sessions" -> 1.7,
+    "q131_bpe_apply" -> 1.7,
+    "q132_pit_enrich" -> 1.5,
+    "q133_label_propagation" -> 1.7,
+    "q135_pq_adc" -> 1.9,
+    "q137_luby_mis" -> 2.2,
+    "q139_histogram_quantile" -> 1.7,
+    "q142_split_leakage" -> 1.9,
+    "q151_kcore" -> 1.6,
+    "q160_integrity_audit" -> 1.6,
+    "q169_dbscan" -> 1.9,
+    "q175_bfs_distance" -> 1.7,
+    "q176_hits_scores" -> 1.9,
+    "q177_mmr_rerank" -> 1.7,
+    "q191_image_resize" -> 2.8,
+    "q19_star_join" -> 1.6,
+    "q27_approx_distinct" -> 2.0,
+    "q46_ngram_jaccard" -> 2.2,
+    "q47_minhash_dedup" -> 1.5,
+    "q53_ann_ivf" -> 1.8,
+    "q60_smape" -> 1.6,
+    "q61_weight_grid" -> 1.7,
+    "q69_quantiles" -> 1.9,
+    "q83_dedup_clusters" -> 2.0,
+    "q86_bloom_novelty" -> 1.7,
+    "q87_setsim_join" -> 1.7,
+    "q99_dedup_rate" -> 1.8)
 
   /** Queries without a recorded median are treated as ~this fast; most of
     * the registry runs in 0.3-1.5s at sf0.1.
