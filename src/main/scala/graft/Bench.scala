@@ -27,7 +27,7 @@ object Bench {
     * (±20% box drift is fine), not a regression gate — re-measure when a
     * query's plan genuinely changes.
     */
-  private val refMedianSec: Map[String, Double] = Map(
+  private[graft] val refMedianSec: Map[String, Double] = Map(
     "q64_stacking" -> 5.6,
     "q63_boosted_hybrid" -> 4.1,
     "q100_stream_neardup" -> 4.0,

@@ -25,6 +25,13 @@ class RegistrySpec extends SparkSpec {
     assert(names.distinct.size == names.size)
   }
 
+  test("every Bench reference median names a live registry query") {
+    // a renamed query would otherwise silently fall back to the default
+    // retry threshold while its stale median entry rots
+    val orphans = Bench.refMedianSec.keySet -- Registry.queries.keySet
+    assert(orphans.isEmpty, s"stale refMedianSec entries: $orphans")
+  }
+
   Registry.all.filterNot(q => skipHere(q.name)).foreach { q =>
     test(s"${q.name} runs at sf0.001") {
       val n = rows(q.name)
