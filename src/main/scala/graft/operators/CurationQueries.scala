@@ -267,5 +267,135 @@ object CurationQueries {
         floor(CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS removal_rate
       FROM flagged GROUP BY source ORDER BY source"""))
 
-  def all: Seq[GQuery] = Seq(q186, q187, q188, q189)
+  // --- URL canonicalization / domain curation ------------------------
+
+  /** Deterministic URL synthesis (the fixture ships none): subdomain /
+    * name / TLD / default port / trailing slash / utm-tracking variants
+    * all derive from doc_id, with the path colliding across docs
+    * (doc_id % 50) so canonicalization genuinely MERGES — the C4/
+    * RefinedWeb URL-dedup story, oracle-checkable like the PII family.
+    */
+  private val Tlds = Seq("com", "org", "net", "io", "edu")
+  private val Subs = Seq("www.", "blog.", "WWW.", "")
+  private val BlockedDomains = Seq(
+    "site13.com", "site42.net", "site7.io", "site80.edu", "site55.org")
+
+  private def rawUrl: Column = {
+    val id = col("doc_id")
+    concat(lit("https://"),
+      element_at(array(Subs.map(lit): _*), pmod(id, lit(Subs.size)).cast("int") + 1),
+      lit("site"), pmod(id, lit(97)).cast("string"), lit("."),
+      element_at(array(Tlds.map(lit): _*), pmod(id, lit(Tlds.size)).cast("int") + 1),
+      when(pmod(id, lit(7)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/articles/"), pmod(id, lit(50)).cast("string"),
+      when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(id, lit(6)) === 0, concat(lit("?utm_source=feed&id="), pmod(id, lit(10)).cast("string")))
+        .when(pmod(id, lit(6)) === 3, concat(lit("?id="), pmod(id, lit(10)).cast("string")))
+        .otherwise(lit("")))
+  }
+
+  private val rawUrlSql =
+    """'https://'
+      || (['www.', 'blog.', 'WWW.', ''])[CAST(doc_id % 4 AS INT) + 1]
+      || 'site' || CAST(doc_id % 97 AS VARCHAR) || '.'
+      || (['com', 'org', 'net', 'io', 'edu'])[CAST(doc_id % 5 AS INT) + 1]
+      || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+      || '/articles/' || CAST(doc_id % 50 AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+      || CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+              WHEN doc_id % 6 = 3 THEN '?id=' || CAST(doc_id % 10 AS VARCHAR)
+              ELSE '' END"""
+
+  /** Canonicalization steps (fixed order, each regexp matches at most
+    * once so Spark's replace-all ≡ DuckDB's replace-first): strip the
+    * default :443 port, lowercase the host, drop utm_* tracking params
+    * (and any dangling ?/&), drop the trailing slash whether or not a
+    * query string follows. All patterns sit in the RE2 ∩ java.regex
+    * common subset with no backreferences.
+    */
+  private def canonicalize(u: Column): Column = {
+    val noPort = regexp_replace(u, ":443", "")
+    val host = lower(regexp_extract(noPort, "^https://([^/]+)", 1))
+    val rest = regexp_extract(noPort, "^https://[^/]+(.*)$", 1)
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(regexp_replace(rest, "utm_[a-z]+=[^&]*&?", ""), "[?&]$", ""),
+        "/\\?", "?"),
+      "/$", "")
+    concat(lit("https://"), host, cleaned)
+  }
+
+  private def canonicalizeSql(u: String): String = {
+    val noPort = s"regexp_replace($u, ':443', '')"
+    val host = s"lower(regexp_extract($noPort, '^https://([^/]+)', 1))"
+    val rest = s"regexp_extract($noPort, '^https://[^/]+(.*)$$', 1)"
+    val cleaned = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($rest, 'utm_[a-z]+=[^&]*&?', ''), '[?&]$$', ''), '/\\?', '?'), '/$$', '')"
+    s"'https://' || $host || $cleaned"
+  }
+
+  /** Per-doc URL curation: raw → canonical URL, registrable domain, and
+    * the blocklist verdict. One codegen scan (regexps + literal isin),
+    * no shuffle before the orderBy — the same shape as q186.
+    */
+  val q192 = GQuery(
+    "q192_url_canonical",
+    (s, dir) => {
+      val canon = canonicalize(col("url"))
+      val domain = regexp_extract(
+        lower(regexp_extract(col("url"), "^https://([^/:]+)", 1)),
+        "([a-z0-9]+\\.[a-z]+)$", 1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), rawUrl.as("url"))
+        .select(col("doc_id"), col("url"), canon.as("canon_url"), domain.as("domain"))
+        .withColumn("is_blocked",
+          col("domain").isin(BlockedDomains: _*).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH u AS (SELECT doc_id, $rawUrlSql AS url FROM documents)
+      SELECT doc_id, url,
+        ${canonicalizeSql("url")} AS canon_url,
+        regexp_extract(lower(regexp_extract(url, '^https://([^/:]+)', 1)), '([a-z0-9]+\\.[a-z]+)$$', 1) AS domain,
+        CAST(regexp_extract(lower(regexp_extract(url, '^https://([^/:]+)', 1)), '([a-z0-9]+\\.[a-z]+)$$', 1) IN (${BlockedDomains.map(d => s"'$d'").mkString(", ")}) AS INTEGER) AS is_blocked
+      FROM u ORDER BY doc_id"""))
+
+  /** Per-domain rollup: URL counts before/after canonical dedup (the
+    * merge rate utm/port/slash/case variants produce), plus the
+    * blocklist flag. Hash agg on the domain key; at 100 TB the
+    * blocklist becomes a broadcast join instead of a literal isin —
+    * same plan shape.
+    */
+  val q193 = GQuery(
+    "q193_domain_rollup",
+    (s, dir) => {
+      val canon = canonicalize(col("url"))
+      val domain = regexp_extract(
+        lower(regexp_extract(col("url"), "^https://([^/:]+)", 1)),
+        "([a-z0-9]+\\.[a-z]+)$", 1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), rawUrl.as("url"))
+        .select(domain.as("domain"), canon.as("canon_url"))
+        .groupBy("domain")
+        .agg(
+          count(lit(1)).as("n_urls"),
+          countDistinct(col("canon_url")).as("n_canonical"))
+        .withColumn("dedup_ratio",
+          Metrics.canonRound(
+            lit(1.0) - col("n_canonical").cast("double") / col("n_urls"), 4))
+        .withColumn("is_blocked",
+          col("domain").isin(BlockedDomains: _*).cast("int"))
+        .orderBy("domain")
+    },
+    Some(s"""WITH u AS (SELECT doc_id, $rawUrlSql AS url FROM documents),
+      c AS (
+        SELECT regexp_extract(lower(regexp_extract(url, '^https://([^/:]+)', 1)), '([a-z0-9]+\\.[a-z]+)$$', 1) AS domain,
+          ${canonicalizeSql("url")} AS canon_url
+        FROM u)
+      SELECT domain,
+        count(*) AS n_urls,
+        CAST(count(DISTINCT canon_url) AS BIGINT) AS n_canonical,
+        floor((1.0 - CAST(count(DISTINCT canon_url) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS dedup_ratio,
+        CAST(domain IN (${BlockedDomains.map(d => s"'$d'").mkString(", ")}) AS INTEGER) AS is_blocked
+      FROM c GROUP BY domain ORDER BY domain"""))
+
+  def all: Seq[GQuery] = Seq(q186, q187, q188, q189, q192, q193)
 }

@@ -55,6 +55,45 @@ class CurationSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q192 canonicalization merges tracking/port/case/slash variants only") {
+    val df = graft.SparkEntry.queries("q192_url_canonical")(spark, sf001).cache()
+    // canonical form never keeps the variants
+    assert(df.filter(col("canon_url").contains(":443") ||
+      col("canon_url").contains("utm_") ||
+      col("canon_url").contains("WWW") ||
+      col("canon_url").rlike("/$")).count() == 0)
+    // the domain is always host's last two labels, and blocking hits the
+    // exact configured set
+    val blocked = df.filter(col("is_blocked") === 1)
+      .select("domain").distinct().collect().map(_.getString(0)).toSet
+    assert(blocked.subsetOf(Set("site13.com", "site42.net", "site7.io", "site80.edu", "site55.org")))
+    assert(blocked.nonEmpty)
+    // canonicalization must not merge across domains: same canon -> same domain
+    val crossDomain = df.groupBy("canon_url")
+      .agg(countDistinct("domain").as("d")).filter(col("d") > 1)
+    assert(crossDomain.count() == 0)
+    df.unpersist()
+  }
+
+  test("q193 rollup agrees with q192 per-doc rows") {
+    val perDoc = graft.SparkEntry.queries("q192_url_canonical")(spark, sf001)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("u"), countDistinct("canon_url").as("c"))
+    val rollup = graft.SparkEntry.queries("q193_domain_rollup")(spark, sf001)
+    val off = perDoc.join(rollup, "domain")
+      .filter(col("n_urls") =!= col("u") || col("n_canonical") =!= col("c"))
+    assert(off.count() == 0)
+    // merging needs two docs 485 apart with equal %50 paths — absent in
+    // the 500-doc fixture (sf0.1 measures 25 merges; the oracle gate
+    // covers it). Size-independent: canonicalization must CHANGE every
+    // variant-carrying URL even when nothing merges.
+    val perDocDf = graft.SparkEntry.queries("q192_url_canonical")(spark, sf001)
+    assert(perDocDf.filter(col("url") =!= col("canon_url")).count() > 0)
+    assert(perDocDf.filter(
+      (col("url").contains(":443") || col("url").contains("utm_") ||
+        col("url").contains("WWW")) && col("url") === col("canon_url")).count() == 0)
+  }
+
   test("q189 rates agree with q188 totals") {
     val perDoc = graft.SparkEntry.queries("q188_line_dedup")(spark, sf001)
       .groupBy("source")
