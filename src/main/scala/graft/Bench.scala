@@ -82,7 +82,8 @@ object Bench {
     "q83_dedup_clusters" -> 2.0,
     "q86_bloom_novelty" -> 1.7,
     "q87_setsim_join" -> 1.7,
-    "q99_dedup_rate" -> 1.8)
+    "q99_dedup_rate" -> 1.8,
+    "q192_url_canonical" -> 1.5)
 
   /** Queries without a recorded median are treated as ~this fast; most of
     * the registry runs in 0.3-1.5s at sf0.1.
