@@ -116,6 +116,72 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** 8×8 average-hash (aHash — the LAION-style image-dedup fingerprint)
+      * from the DECODED raster: partition the image into an 8×8 grid of
+      * bands (band r,c covers rows [r·h/8, (r+1)·h/8) × cols [c·w/8,
+      * (c+1)·w/8), integer division), bit(r,c) = band mean > global mean.
+      * The comparison is cross-multiplied exact integer arithmetic
+      * (bandSum·w·h > total·nr·nc) — no division, no floating point, so
+      * the 64 bits are bit-reproducible on any engine. Returns (width,
+      * height, 16-hex-char row-major hash — byte r holds bits c=0..7 of
+      * grid row r, LSB = c0 — and the set-bit count).
+      */
+    def aHash8(bytes: Array[Byte]): (Int, Int, String, Int) = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w >= 8 && h >= 8, s"image ${w}x$h too small for an 8x8 hash")
+      // band r covers [r*h/8, (r+1)*h/8) — floor boundaries, matching the
+      // oracle's integer-division re-derivation exactly
+      def bandOf(n: Int): Array[Int] = {
+        val m = new Array[Int](n)
+        var b = 0
+        var i = 0
+        while (i < n) {
+          while (b < 7 && i >= (b + 1) * n / 8) b += 1
+          m(i) = b
+          i += 1
+        }
+        m
+      }
+      val rowBand = bandOf(h)
+      val colBand = bandOf(w)
+      val bandSum = Array.ofDim[Long](8, 8)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val r = rowBand(y)
+        var x = 0
+        while (x < w) {
+          val s = raster.getSample(x, y, 0).toLong
+          bandSum(r)(colBand(x)) += s
+          total += s
+          x += 1
+        }
+        y += 1
+      }
+      val area = w.toLong * h
+      val sb = new StringBuilder(16)
+      var nBits = 0
+      var r = 0
+      while (r < 8) {
+        val nr = ((r + 1) * h / 8) - (r * h / 8)
+        var byte = 0
+        var c = 0
+        while (c < 8) {
+          val nc = ((c + 1) * w / 8) - (c * w / 8)
+          if (bandSum(r)(c) * area > total * (nr.toLong * nc)) {
+            byte |= 1 << c
+            nBits += 1
+          }
+          c += 1
+        }
+        sb.append(f"$byte%02x")
+        r += 1
+      }
+      (w, h, sb.toString, nBits)
+    }
+
     /** (width, height, mean luminance in [0,1]) from the decoded raster.
       * The sum is exact integer arithmetic; the one double division at
       * the end is IEEE-identical cross-engine.
@@ -272,6 +338,23 @@ object Multimodal {
         (id, ImageCodec.downscale2x(bytes))
       })
       .toDF("doc_id", "content")
+  }
+
+  /** Perceptual-hash extraction for image payloads: real PNG decode +
+    * 8×8 average-hash per row, one partition-batched pass. Output is the
+    * (doc_id, width, height, phash, n_bits) frame image-dedup pipelines
+    * bucket on — LAION-style corpus curation groups by this fingerprint
+    * and keeps one canonical image per bucket.
+    */
+  def imagePerceptualHashes(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, hash, nBits) = ImageCodec.aHash8(bytes)
+        (id, w, h, hash, nBits)
+      })
+      .toDF("doc_id", "width", "height", "phash", "n_bits")
   }
 
   /** Real decode + feature extraction for image payloads: one

@@ -141,5 +141,92 @@ object MultimodalQueries {
             + (oh - oh // 2 - oh % 2) * g2 AS DOUBLE) / (oh * 255.0) * 1e6 + 0.5) / 1e6 AS brightness
       FROM p ORDER BY doc_id"""))
 
-  def all: Seq[GQuery] = Seq(q80, q81, q82, q190, q191)
+  /** Shared closed-form re-derivation of the 8×8 average-hash from the
+    * two-tone generation parameters. Row band r covers rows
+    * [r·h/8, (r+1)·h/8) (integer division, the codec's convention); with
+    * column-constant rows the cross-multiplied band-vs-global comparison
+    * reduces to S_r·h > T·nr where S_r is the band's row-gray sum and T
+    * the whole image's — so each grid row contributes a uniform 0x00 or
+    * 0xff byte. A decoder with a mis-aligned band grid, a lossy codec,
+    * or a divide-and-round hash would all mismatch.
+    */
+  private val phashCte = """p AS (
+        SELECT doc_id, 8 + n_chars % 24 AS w, 8 + doc_id % 16 AS h,
+               doc_id % 256 AS g1, (doc_id * 31) % 256 AS g2
+        FROM documents),
+      b AS (
+        SELECT doc_id, w, h, g1, g2, h // 2 AS ntop, r,
+               (r * h) // 8 AS lo, ((r + 1) * h) // 8 AS hi
+        FROM p CROSS JOIN (SELECT unnest(range(0, 8)) AS r)),
+      bits AS (
+        SELECT doc_id, w, h, r,
+          CASE WHEN (greatest(0, least(hi, ntop) - lo) * g1
+                   + (hi - lo - greatest(0, least(hi, ntop) - lo)) * g2) * h
+                  > (ntop * g1 + (h - ntop) * g2) * (hi - lo)
+               THEN 1 ELSE 0 END AS bit
+        FROM b),
+      ph AS (
+        SELECT doc_id,
+          CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+          string_agg(CASE WHEN bit = 1 THEN 'ff' ELSE '00' END, '' ORDER BY r) AS phash,
+          CAST(8 * sum(bit) AS INTEGER) AS n_bits
+        FROM bits GROUP BY doc_id)"""
+
+  /** REAL perceptual hashing: decode each PNG, compute the 8×8
+    * average-hash from the actual raster (exact cross-multiplied integer
+    * band-mean comparisons — no floats anywhere), emit the row-major hex
+    * fingerprint. One scan, embarrassingly parallel, no shuffle before
+    * the orderBy; at 100 TB this is the map stage every image-dedup run
+    * starts with.
+    */
+  val q194 = GQuery(
+    "q194_image_phash",
+    (s, dir) => {
+      val images = Multimodal.syntheticImages(Tables.documents(s, dir))
+      Multimodal.imagePerceptualHashes(s, images)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $phashCte
+      SELECT doc_id, width, height, phash, n_bits FROM ph ORDER BY doc_id"""))
+
+  /** Image dedup rollup by perceptual hash: per source, image count,
+    * distinct-fingerprint count, the largest duplicate cluster, and the
+    * dup ratio — the numbers a LAION-style curation run reports before
+    * keeping one canonical image per bucket. Two hash aggregations
+    * (source×phash, then source); the doc_id→source metadata join is an
+    * equi join on the table key. Crucially there is NO pair enumeration:
+    * grouping by fingerprint is the shape that survives 100 TB, where a
+    * within-bucket pair join would go quadratic in the dup clusters.
+    */
+  val q195 = GQuery(
+    "q195_phash_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hashes = Multimodal.imagePerceptualHashes(s, Multimodal.syntheticImages(docs))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      hashes.groupBy("source", "phash")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(
+          sum(col("n")).as("n_images"),
+          count(lit(1)).as("n_clusters"),
+          max(col("n")).as("max_cluster"))
+        .withColumn("dup_ratio",
+          graft.functions.Metrics.canonRound(
+            lit(1.0) - col("n_clusters").cast("double") / col("n_images"), 4))
+        .orderBy("source")
+    },
+    Some(s"""WITH $phashCte,
+      cl AS (
+        SELECT d.source, h.phash, count(*) AS n
+        FROM ph h JOIN documents d USING (doc_id)
+        GROUP BY d.source, h.phash)
+      SELECT source,
+        CAST(sum(n) AS BIGINT) AS n_images,
+        count(*) AS n_clusters,
+        CAST(max(n) AS BIGINT) AS max_cluster,
+        floor((1.0 - CAST(count(*) AS DOUBLE) / sum(n)) * 1e4 + 0.5) / 1e4 AS dup_ratio
+      FROM cl GROUP BY source ORDER BY source"""))
+
+  def all: Seq[GQuery] = Seq(q80, q81, q82, q190, q191, q194, q195)
 }

@@ -129,4 +129,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(col("frame_idx") % 30 =!= 0).count() == 0)
     assert(perDoc.filter(col("count") < 1).count() == 0)
   }
+
+  test("8x8 average-hash: exact integer band comparisons on the real raster") {
+    // uniform image: no band can exceed the global mean → all-zero hash
+    val flat = Multimodal.ImageCodec.aHash8(Multimodal.ImageCodec.encodePng(16, 16, 100, 100))
+    assert(flat == ((16, 16, "00000000000000000000000000000000".take(16), 0)))
+    // bright top / dark bottom, h divisible by 8: top 4 grid rows set,
+    // bottom 4 clear — bytes are row-major, LSB = leftmost column band
+    val (w, h, hash, n) = Multimodal.ImageCodec.aHash8(Multimodal.ImageCodec.encodePng(16, 16, 200, 10))
+    assert((w, h) == ((16, 16)))
+    assert(hash == "ffffffff00000000" && n == 32)
+    // dark top / bright bottom flips every bit of the previous case
+    val (_, _, inv, nInv) = Multimodal.ImageCodec.aHash8(Multimodal.ImageCodec.encodePng(16, 16, 10, 200))
+    assert(inv == "00000000ffffffff" && nInv == 32)
+    // non-multiple-of-8 dims exercise the floor band boundaries; the
+    // hash must be partition-layout independent end to end
+    val imgs = Multimodal.syntheticImages(Tables.documents(spark, sf001))
+    val a = Multimodal.imagePerceptualHashes(spark, imgs).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getInt(4))).sortBy(_._1)
+    val b = Multimodal.imagePerceptualHashes(spark, imgs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getInt(4))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall { case (_, ph, nb) => ph.length == 16 && nb >= 0 && nb <= 64 })
+  }
 }
