@@ -887,7 +887,179 @@ object EventQueries {
         CAST(CASE WHEN abs(z) >= 1.96 THEN 1 ELSE 0 END AS INTEGER) AS significant
       FROM zz ORDER BY event_type"""))
 
+  /** CUSUM changepoint detection per event type: the monitoring stage
+    * that answers "WHEN did this stream's rate shift", complementing
+    * q155's "is this hour bursting". The series is the DENSE hourly
+    * count (zero hours included — a detector that only sees occupied
+    * hours is blind to outages); the classic CUSUM S_t = Σ(x_i − μ) is
+    * kept in exact integers by cross-multiplying the mean away:
+    * dev_t = |N·cum_t − t·total| ∝ |S_t|, so the argmax — the estimated
+    * changepoint — is engine-exact with no floating point until the
+    * final reported fraction.
+    *
+    * Scale: the heavy distributed work is the map-side-combinable
+    * hourly pre-aggregation; the windows then run over #hours×#types
+    * rows — bounded by the time range, not the data volume, so the
+    * per-type partitions stay small at any corpus size.
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val e = events.select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val axis = e.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_start"))
+    val types = e.select("event_type").distinct()
+    val counts = e.groupBy(col("h").as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val dense = axis.crossJoin(broadcast(types))
+      .join(counts, Seq("hour_start", "event_type"), "left")
+      .select(col("hour_start"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    val run = Window.partitionBy("event_type").orderBy("hour_start")
+    val whole = Window.partitionBy("event_type")
+    val scored = dense
+      .withColumn("t", row_number().over(run).cast("long"))
+      .withColumn("cum", sum("n").over(run))
+      .withColumn("nh", count(lit(1)).over(whole))
+      .withColumn("total", sum("n").over(whole))
+      .withColumn("dev", abs(col("nh") * col("cum") - col("t") * col("total")))
+    val pick = Window.partitionBy("event_type").orderBy(col("dev").desc, col("t").asc)
+    scored.withColumn("rk", row_number().over(pick)).filter(col("rk") === 1)
+      .select(col("event_type"),
+        col("nh").cast("int").as("n_hours"),
+        col("total"),
+        col("hour_start").cast("timestamp_ntz").as("cp_hour"),
+        col("t").cast("int").as("cp_idx"),
+        col("dev").as("cusum_stat"),
+        graft.functions.Metrics.canonRound(
+          col("t").cast("double") / col("nh").cast("double"), 4).as("frac_before"))
+      .orderBy("event_type")
+  }
+
+  val q196 = GQuery(
+    "q196_cusum_changepoint",
+    (s, dir) => cusumChangepoint(Tables.events(s, dir)),
+    Some("""WITH b AS (
+        SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+               date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1 FROM events),
+      axis AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start FROM b),
+      ty AS (SELECT DISTINCT event_type FROM events),
+      c AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      dense AS (
+        SELECT a.hour_start, t.event_type, coalesce(c.n, 0) AS n
+        FROM axis a CROSS JOIN ty t
+        LEFT JOIN c ON c.hour_start = a.hour_start AND c.event_type = t.event_type),
+      s AS (
+        SELECT event_type, hour_start, n,
+          row_number() OVER (PARTITION BY event_type ORDER BY hour_start) AS t,
+          sum(n) OVER (PARTITION BY event_type ORDER BY hour_start) AS cum,
+          count(*) OVER (PARTITION BY event_type) AS nh,
+          sum(n) OVER (PARTITION BY event_type) AS total
+        FROM dense),
+      d AS (
+        SELECT *, abs(nh*cum - t*total) AS dev,
+          row_number() OVER (PARTITION BY event_type ORDER BY abs(nh*cum - t*total) DESC, t ASC) AS rk
+        FROM s)
+      SELECT event_type,
+        CAST(nh AS INTEGER) AS n_hours,
+        CAST(total AS BIGINT) AS total,
+        hour_start AS cp_hour,
+        CAST(t AS INTEGER) AS cp_idx,
+        CAST(dev AS BIGINT) AS cusum_stat,
+        floor(CAST(t AS DOUBLE) / nh * 1e4 + 0.5) / 1e4 AS frac_before
+      FROM d WHERE rk = 1 ORDER BY event_type"""))
+
+  /** Mann-Kendall trend test per event type over the dense DAILY count
+    * series: S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 and the continuity-
+    * corrected z. The nonparametric complement to q196: CUSUM locates a
+    * level shift, Mann-Kendall decides whether a MONOTONic drift exists
+    * at all — together they are the standard stream-health pair.
+    *
+    * Determinism: S and 18·Var(S) are pure integer arithmetic (sign
+    * comparisons and tie-group counts); the single sqrt and division at
+    * the end are IEEE-exact cross-engine. Scale: the pair join runs on
+    * the aggregated per-day series — (days choose 2)·types rows, bounded
+    * by the calendar, not the corpus; the distributed work is the daily
+    * pre-aggregation.
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val e = events.select(to_date(col("ts")).as("d"), col("event_type"))
+    val axis = e.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val types = e.select("event_type").distinct()
+    val daily = axis.crossJoin(broadcast(types))
+      .join(e.groupBy(col("d").as("day"), col("event_type")).agg(count(lit(1)).as("n")),
+        Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    val a = daily.select(col("event_type"), col("day").as("di"), col("n").as("xi"))
+    val b = daily.select(col("event_type"), col("day").as("dj"), col("n").as("xj"))
+    val sStat = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+      .groupBy("event_type")
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s_stat"))
+    val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("nd"))
+    val ties = daily.groupBy("event_type", "n").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
+    val z0 = col("s_stat").cast("double") - signum(col("s_stat").cast("double"))
+    sStat.join(nDays, "event_type").join(ties, "event_type")
+      .withColumn("var18",
+        col("nd") * (col("nd") - 1) * (lit(2) * col("nd") + 5) - col("tie_term"))
+      .withColumn("z",
+        when(col("s_stat") === 0 || col("var18") === 0, lit(0.0))
+          .otherwise(graft.functions.Metrics.canonRound(
+            z0 / sqrt(col("var18").cast("double") / 18.0), 4)))
+      .select(col("event_type"), col("nd").cast("int").as("n_days"),
+        col("s_stat"), col("var18").as("var_s18"), col("z"),
+        when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("none")).as("trend"))
+      .orderBy("event_type")
+  }
+
+  val q197 = GQuery(
+    "q197_mann_kendall",
+    (s, dir) => mannKendall(Tables.events(s, dir)),
+    Some("""WITH b AS (
+        SELECT CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+               CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS d1 FROM events),
+      axis AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+      ty AS (SELECT DISTINCT event_type FROM events),
+      c AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      daily AS (
+        SELECT a.day, t.event_type, coalesce(c.n, 0) AS n
+        FROM axis a CROSS JOIN ty t
+        LEFT JOIN c ON c.day = a.day AND c.event_type = t.event_type),
+      s AS (
+        SELECT x.event_type,
+          CAST(sum(CASE WHEN y.n > x.n THEN 1 WHEN y.n < x.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily x JOIN daily y
+          ON x.event_type = y.event_type AND x.day < y.day
+        GROUP BY x.event_type),
+      nd AS (SELECT event_type, count(*) AS nd FROM daily GROUP BY 1),
+      ties AS (
+        SELECT event_type, CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, n, count(*) AS t FROM daily GROUP BY 1, 2)
+        GROUP BY event_type),
+      j AS (
+        SELECT s.event_type, nd.nd, s.s_stat,
+          CAST(nd.nd*(nd.nd-1)*(2*nd.nd+5) - ties.tie_term AS BIGINT) AS var18
+        FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)),
+      zz AS (
+        SELECT event_type, nd, s_stat, var18,
+          CASE WHEN s_stat = 0 OR var18 = 0 THEN 0.0
+               ELSE floor((CAST(s_stat AS DOUBLE) - sign(CAST(s_stat AS DOUBLE)))
+                          / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e4 + 0.5) / 1e4 END AS z
+        FROM j)
+      SELECT event_type, CAST(nd AS INTEGER) AS n_days, s_stat, var18 AS var_s18, z,
+        CASE WHEN z > 1.96 THEN 'increasing'
+             WHEN z < -1.96 THEN 'decreasing'
+             ELSE 'none' END AS trend
+      FROM zz ORDER BY event_type"""))
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158, q162,
-    q163, q166, q171)
+    q163, q166, q171, q196, q197)
 }

@@ -651,4 +651,45 @@ class OpsSpec extends SparkSpec {
     assert(got(5) == ((0L, 32L, 0)) && got(6)._1 == 0L, s"dense zeros: ${got(5)} ${got(6)}")
     assert(got.keySet == (0 to 7).toSet, s"dense axis: ${got.keySet}")
   }
+
+  test("CUSUM changepoint lands on a constructed level shift (q196)") {
+    import spark.implicits._
+    // 8 hours: rate 1/hour for hours 0-3, then 5/hour for hours 4-7 —
+    // |N·cum − t·total| = |8·cum − 24t| peaks at t=4 (value 64)
+    val rows = (0 until 8).flatMap { h =>
+      val n = if (h < 4) 1 else 5
+      (0 until n).map(i => f"2024-01-01 $h%02d:${i + 1}%02d:00")
+    }
+    val e = rows.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "click") }
+      .toDF("event_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = EventQueries.cusumChangepoint(e).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "click" && r.getInt(1) == 8 && r.getLong(2) == 24L)
+    assert(r.getInt(4) == 4 && r.getLong(5) == 64L,
+      s"cp at t=4 with dev 64: idx=${r.getInt(4)} dev=${r.getLong(5)}")
+    assert(r.getDouble(6) == 0.5)
+  }
+
+  test("Mann-Kendall: monotone series maxes S, constant series is all ties (q197)") {
+    import spark.implicits._
+    // type "up": counts 1,2,3,4,5 over 5 days → S = 10 (every pair rises),
+    // var18 = 5·4·15 = 300, z = 9/sqrt(300/18) = 2.2045 → increasing.
+    // type "flat": 2/day → S = 0, tie term kills the variance, z = 0.
+    val rows =
+      (0 until 5).flatMap(d => (0 to d).map(i => (f"2024-01-${d + 1}%02d 00:${i}%02d:00", "up"))) ++
+      (0 until 5).flatMap(d => (0 until 2).map(i => (f"2024-01-${d + 1}%02d 00:${i}%02d:00", "flat")))
+    val e = rows.zipWithIndex.map { case ((t, ty), i) => (i.toLong, t, ty) }
+      .toDF("event_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = EventQueries.mannKendall(e).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5))).toMap
+    assert(got("up")._1 == 5 && got("up")._2 == 10L && got("up")._3 == 300L, s"up: ${got("up")}")
+    assert(got("up")._4 == 2.2045 && got("up")._5 == "increasing", s"up z: ${got("up")}")
+    // flat type: every pair tied → S=0; ties: one group of 5 → 5·4·15=300,
+    // var18 = 300−300 = 0 → z defined as 0, trend none
+    assert(got("flat") == ((5, 0L, 0L, 0.0, "none")), s"flat: ${got("flat")}")
+  }
 }
