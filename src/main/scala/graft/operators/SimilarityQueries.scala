@@ -967,6 +967,97 @@ object SimilarityQueries {
       shortK = 8, selectK = 4, lambda = 0.7),
     Some(MmrRerank.oracleSql(shortK = 8, selectK = 4, lambda = 0.7)))
 
+  /** DCG weights 1/log2(r+1) for ranks 1..10 as exact integer
+    * micro-units (round(1e6/log2(r+1))): binary-relevance DCG/IDCG then
+    * accumulate as LONG sums — order-independent and engine-exact — with
+    * one double division at the end. The literal table is the single
+    * source of truth; the oracle SQL inlines the same integers.
+    */
+  private val DcgMicro: Seq[Long] =
+    (1 to 10).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+  private val IdcgPrefix: Seq[Long] = DcgMicro.scanLeft(0L)(_ + _)
+
+  /** Retrieval-quality metrics for the ANN family: for each probe
+    * (vec_id % 25 = 0), exact cosine top-10 over the corpus, graded
+    * against the fixture labels — precision@10, MRR (first same-label
+    * hit), and binary-gain nDCG@10 with the ideal DCG truncated at the
+    * corpus's available relevant count. This is the evaluation harness
+    * that turns q102's "LSH found X% of exact" into "the index is good
+    * enough to ship": recall audits rank the INDEX against brute force,
+    * these metrics rank brute force itself against ground-truth labels.
+    *
+    * Scale: probe side broadcasts (0.04% of the corpus), the corpus
+    * streams through one scan; ranking shuffles only (probes × corpus)
+    * scored pairs partitioned by probe. At 100 TB the same shape runs
+    * with the q51/q53 candidate generation swapped in front — the
+    * metric aggregation is unchanged.
+    */
+  def retrievalMetrics(e: DataFrame, k: Int = 10): DataFrame = {
+    require(k == 10, "DCG weight table is built for k = 10")
+    val probes = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("label").as("q_label"))
+    val labelCounts = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val sims = e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        (col("label") === col("q_label")).cast("int").as("rel"),
+        Metrics.canonRound(VectorOps.cosine(col("q_vec"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val top = sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val wArr = array(DcgMicro.map(lit): _*)
+    val idcgArr = array(IdcgPrefix.map(lit): _*)
+    top.groupBy("q_id", "q_label")
+      .agg(
+        sum(col("rel")).cast("int").as("n_rel_at_k"),
+        sum(when(col("rel") === 1, element_at(wArr, col("rank"))).otherwise(lit(0L))).as("dcg_micro"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+      .join(broadcast(labelCounts), col("q_label") === col("label"))
+      .withColumn("n_rel_total", (col("n_label") - 1).cast("int"))
+      .withColumn("idcg_micro", element_at(idcgArr, least(lit(k), col("n_rel_total")) + 1))
+      .select(col("q_id"), col("q_label").as("label"),
+        col("n_rel_at_k"), col("n_rel_total"),
+        Metrics.canonRound(col("n_rel_at_k").cast("double") / k.toDouble, 4).as("precision_at_k"),
+        when(col("first_rel").isNull, lit(0.0))
+          .otherwise(Metrics.canonRound(lit(1.0) / col("first_rel"), 4)).as("mrr"),
+        when(col("idcg_micro") === 0, lit(0.0))
+          .otherwise(Metrics.canonRound(
+            col("dcg_micro").cast("double") / col("idcg_micro").cast("double"), 4)).as("ndcg"))
+      .orderBy("q_id")
+  }
+
+  val q198 = GQuery(
+    "q198_retrieval_metrics",
+    (s, dir) => retrievalMetrics(Tables.embeddings(s, dir)),
+    Some(s"""WITH probes AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+        FROM embeddings WHERE vec_id % 25 = 0),
+      lc AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+      sims AS (
+        SELECT q_id, q_label, vec_id,
+          CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel,
+          floor(list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(embedding AS DOUBLE[])) * 1e6 + 0.5)/1e6 AS cos_sim
+        FROM embeddings CROSS JOIN probes WHERE vec_id <> q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM sims),
+      perq AS (
+        SELECT q_id, q_label,
+          CAST(sum(rel) AS INTEGER) AS n_rel_at_k,
+          CAST(sum(CASE WHEN rel = 1 THEN (${DcgMicro.mkString("[", ", ", "]")})[rank] ELSE 0 END) AS BIGINT) AS dcg_micro,
+          min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+        FROM ranked WHERE rank <= 10 GROUP BY 1, 2),
+      fin AS (
+        SELECT p.q_id, p.q_label, p.n_rel_at_k, p.dcg_micro, p.first_rel,
+          CAST(lc.n_label - 1 AS INTEGER) AS n_rel_total,
+          (${IdcgPrefix.mkString("[", ", ", "]")})[least(10, CAST(lc.n_label - 1 AS INTEGER)) + 1] AS idcg_micro
+        FROM perq p JOIN lc ON p.q_label = lc.label)
+      SELECT q_id, q_label AS label, n_rel_at_k, n_rel_total,
+        floor(CAST(n_rel_at_k AS DOUBLE) / 10.0 * 1e4 + 0.5)/1e4 AS precision_at_k,
+        CASE WHEN first_rel IS NULL THEN 0.0
+             ELSE floor(1.0 / first_rel * 1e4 + 0.5)/1e4 END AS mrr,
+        CASE WHEN idcg_micro = 0 THEN 0.0
+             ELSE floor(CAST(dcg_micro AS DOUBLE) / idcg_micro * 1e4 + 0.5)/1e4 END AS ndcg
+      FROM fin ORDER BY q_id"""))
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127, q128, q133, q135, q137, q143, q145, q148, q151, q169, q175, q176, q177)
+    q127, q128, q133, q135, q137, q143, q145, q148, q151, q169, q175, q176, q177, q198)
 }

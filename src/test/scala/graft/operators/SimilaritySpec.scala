@@ -281,4 +281,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got(7) == ((1L, 1L, 1.414214)), s"label 7: ${got(7)}")
     assert(got(8) == ((1L, 1L, 0.0)), s"label 8: ${got(8)}")
   }
+
+  test("retrieval metrics: hand-computed precision/MRR/nDCG on an axis-aligned corpus (q198)") {
+    import spark.implicits._
+    // probe 0 along +x; candidates at known cosines: two relevant (label 1)
+    // at ranks 1 and 3, one irrelevant (label 2) at rank 2, plus a far
+    // same-label vector at rank 4 and padding vectors of label 3.
+    // cosines: v1=(1,0)->1.0, v2=(.8,.6)->0.8, v3=(.6,.8)->0.6, v4=(0,1)->0.0
+    val e = Seq(
+      (0L, Seq(1f, 0f), 1),   // probe (vec_id % 25 == 0)
+      (1L, Seq(1f, 0f), 1),   // rank 1, relevant
+      (2L, Seq(0.8f, 0.6f), 2), // rank 2, not relevant
+      (3L, Seq(0.6f, 0.8f), 1), // rank 3, relevant
+      (4L, Seq(0f, 1f), 1))   // rank 4, relevant (same label, orthogonal)
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityQueries.retrievalMetrics(e).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getInt(1) == 1)
+    assert(r.getInt(2) == 3 && r.getInt(3) == 3, s"3 of 3 relevant retrieved: $r")
+    assert(r.getDouble(4) == 0.3, s"precision@10: $r")
+    assert(r.getDouble(5) == 1.0, s"MRR, first hit at rank 1: $r")
+    // DCG = w1 + w3 + w4, IDCG = w1 + w2 + w3 (only 3 relevant exist)
+    val wm = (1 to 10).map(x => math.round(1e6 / (math.log(x + 1.0) / math.log(2.0))))
+    val expNdcg = math.floor((wm(0) + wm(2) + wm(3)).toDouble / (wm(0) + wm(1) + wm(2)) * 1e4 + 0.5) / 1e4
+    assert(r.getDouble(6) == expNdcg, s"nDCG: ${r.getDouble(6)} vs $expNdcg")
+  }
 }
