@@ -1059,7 +1059,177 @@ object EventQueries {
              ELSE 'none' END AS trend
       FROM zz ORDER BY event_type"""))
 
+  /** Truncated-EWMA control chart per event type over the dense daily
+    * count series: level_t = Σ_{k=0..7} 0.5^k·x_{t−k} / Σ 0.5^k (the
+    * 8-lag exponentially-weighted moving average — truncation keeps
+    * every weight an exact dyadic rational at ANY series length, where
+    * the closed-form infinite EWMA would overflow its 2^t rescaling
+    * past 62 steps), forecast_t = level_{t−1}, and the 3·MAE anomaly
+    * fence on the one-step-ahead error. α = 1/2 is chosen deliberately:
+    * the weights are powers of two, so every numerator term is exact
+    * and the single division per row is IEEE-identical cross-engine.
+    *
+    * Scale: the distributed work is the daily pre-aggregation; the 8
+    * explicit lag terms stay inside one window pass over the bounded
+    * per-type series (no HOFs, no self-join).
+    */
+  def ewmaAnomalies(events: DataFrame): DataFrame = {
+    val e = events.select(to_date(col("ts")).as("d"), col("event_type"))
+    val axis = e.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val types = e.select("event_type").distinct()
+    val daily = axis.crossJoin(broadcast(types))
+      .join(e.groupBy(col("d").as("day"), col("event_type")).agg(count(lit(1)).as("n")),
+        Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    val run = Window.partitionBy("event_type").orderBy("day")
+    val lagsNum = (0 until 8).map(k => lit(math.pow(0.5, k)) * coalesce(lag(col("n"), k).over(run), lit(0L)).cast("double"))
+    val lagsNorm = (0 until 8).map(k => when(lag(col("n"), k).over(run).isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)))
+    val leveled = daily
+      .withColumn("level", lagsNum.reduce(_ + _) / lagsNorm.reduce(_ + _))
+      .withColumn("forecast", lag(col("level"), 1).over(run))
+      .withColumn("dev",
+        when(col("forecast").isNotNull,
+          graft.functions.Metrics.canonRound(abs(col("n").cast("double") - col("forecast")), 4)))
+    val mae = leveled.filter(col("dev").isNotNull)
+      .groupBy("event_type")
+      .agg(graft.functions.Metrics.canonRound(
+        graft.functions.Metrics.exactMean(col("dev")), 4).as("mae"))
+    leveled.join(broadcast(mae), "event_type")
+      .select(col("event_type"), col("day").cast("timestamp_ntz").as("day"), col("n"),
+        graft.functions.Metrics.canonRound(col("level"), 4).as("level"),
+        graft.functions.Metrics.canonRound(col("forecast"), 4).as("forecast"),
+        col("dev"), col("mae"),
+        when(col("dev").isNotNull && col("dev") > lit(3.0) * col("mae"), lit(1))
+          .otherwise(lit(0)).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val q199 = GQuery(
+    "q199_ewma_anomaly",
+    (s, dir) => ewmaAnomalies(Tables.events(s, dir)),
+    Some("""WITH b AS (
+        SELECT CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+               CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS d1 FROM events),
+      axis AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+      ty AS (SELECT DISTINCT event_type FROM events),
+      c AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      daily AS (
+        SELECT CAST(a.day AS DATE) AS day, t.event_type, coalesce(c.n, 0) AS n
+        FROM axis a CROSS JOIN ty t
+        LEFT JOIN c ON CAST(a.day AS DATE) = c.day AND c.event_type = t.event_type),
+      lv AS (
+        SELECT day, event_type, n,
+          (1.0      * n
+           + 0.5      * coalesce(lag(n, 1) OVER w, 0)
+           + 0.25     * coalesce(lag(n, 2) OVER w, 0)
+           + 0.125    * coalesce(lag(n, 3) OVER w, 0)
+           + 0.0625   * coalesce(lag(n, 4) OVER w, 0)
+           + 0.03125  * coalesce(lag(n, 5) OVER w, 0)
+           + 0.015625 * coalesce(lag(n, 6) OVER w, 0)
+           + 0.0078125* coalesce(lag(n, 7) OVER w, 0))
+          /
+          (1.0
+           + CASE WHEN lag(n, 1) OVER w IS NULL THEN 0 ELSE 0.5 END
+           + CASE WHEN lag(n, 2) OVER w IS NULL THEN 0 ELSE 0.25 END
+           + CASE WHEN lag(n, 3) OVER w IS NULL THEN 0 ELSE 0.125 END
+           + CASE WHEN lag(n, 4) OVER w IS NULL THEN 0 ELSE 0.0625 END
+           + CASE WHEN lag(n, 5) OVER w IS NULL THEN 0 ELSE 0.03125 END
+           + CASE WHEN lag(n, 6) OVER w IS NULL THEN 0 ELSE 0.015625 END
+           + CASE WHEN lag(n, 7) OVER w IS NULL THEN 0 ELSE 0.0078125 END) AS level
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      fc AS (
+        SELECT *, lag(level, 1) OVER (PARTITION BY event_type ORDER BY day) AS forecast
+        FROM lv),
+      dv AS (
+        SELECT *, CASE WHEN forecast IS NOT NULL
+                       THEN floor(abs(CAST(n AS DOUBLE) - forecast) * 1e4 + 0.5)/1e4 END AS dev
+        FROM fc),
+      mae AS (
+        SELECT event_type,
+          floor(CAST(sum(CAST(floor((dev) * 1e4 + 0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 1e4 + 0.5)/1e4 AS mae
+        FROM dv WHERE dev IS NOT NULL GROUP BY 1)
+      SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.n,
+        floor(d.level * 1e4 + 0.5)/1e4 AS level,
+        CASE WHEN d.forecast IS NOT NULL THEN floor(d.forecast * 1e4 + 0.5)/1e4 END AS forecast,
+        d.dev, m.mae,
+        CAST(CASE WHEN d.dev IS NOT NULL AND d.dev > 3.0 * m.mae THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+      FROM dv d JOIN mae m USING (event_type)
+      ORDER BY d.event_type, d.day"""))
+
+  /** Two-sample Kolmogorov-Smirnov drift check per event type: the
+    * month's first half vs second half of the `value` distribution.
+    * D = max|F1 − F2| is carried as the exact integer numerator
+    * |n2·c1 − n1·c2| over the merged order statistics (one window pass
+    * over the per-(type,value) counts), divided out only at the end;
+    * the α=0.05 critical value 1.358·√((n1+n2)/(n1·n2)) gates the
+    * drift flag. This is the distribution-level complement to q196/q199
+    * (which watch the COUNT series): a payload whose values drift at
+    * constant volume only this catches.
+    *
+    * Scale: groupBy (type, value) first, so the window runs over
+    * distinct values, not rows; at 100 TB swap the exact order
+    * statistics for the q139 histogram CDF — identical comparison.
+    */
+  def ksDrift(events: DataFrame): DataFrame = {
+    val halved = events.select(col("event_type"), col("value"),
+      (dayofmonth(col("ts")) <= 15).cast("int").as("h1"))
+    val perValue = halved.groupBy("event_type", "value")
+      .agg(sum(col("h1")).as("c1"), sum(lit(1) - col("h1")).as("c2"))
+    val run = Window.partitionBy("event_type").orderBy("value")
+    val whole = Window.partitionBy("event_type")
+    val scored = perValue
+      .withColumn("cum1", sum("c1").over(run))
+      .withColumn("cum2", sum("c2").over(run))
+      .withColumn("n1", sum("c1").over(whole))
+      .withColumn("n2", sum("c2").over(whole))
+      .withColumn("num", abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
+    scored.groupBy("event_type", "n1", "n2")
+      .agg(max(col("num")).as("ks_num"))
+      .withColumn("ks_d",
+        graft.functions.Metrics.canonRound(
+          col("ks_num").cast("double") / (col("n1") * col("n2")).cast("double"), 6))
+      .withColumn("d_crit",
+        graft.functions.Metrics.canonRound(
+          lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") / (col("n1") * col("n2")).cast("double")), 6))
+      .withColumn("drifted", (col("ks_d") > col("d_crit")).cast("int"))
+      .select("event_type", "n1", "n2", "ks_num", "ks_d", "d_crit", "drifted")
+      .orderBy("event_type")
+  }
+
+  val q200 = GQuery(
+    "q200_ks_drift",
+    (s, dir) => ksDrift(Tables.events(s, dir)),
+    Some("""WITH halved AS (
+        SELECT event_type, value,
+          CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 1 ELSE 0 END AS h1
+        FROM events),
+      pv AS (
+        SELECT event_type, value,
+          CAST(sum(h1) AS BIGINT) AS c1, CAST(sum(1 - h1) AS BIGINT) AS c2
+        FROM halved GROUP BY 1, 2),
+      s AS (
+        SELECT event_type, value,
+          sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS cum1,
+          sum(c2) OVER (PARTITION BY event_type ORDER BY value) AS cum2,
+          sum(c1) OVER (PARTITION BY event_type) AS n1,
+          sum(c2) OVER (PARTITION BY event_type) AS n2
+        FROM pv),
+      agg AS (
+        SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          CAST(max(abs(n2*cum1 - n1*cum2)) AS BIGINT) AS ks_num
+        FROM s GROUP BY 1, 2, 3)
+      SELECT event_type, n1, n2, ks_num,
+        floor(CAST(ks_num AS DOUBLE) / (n1 * n2) * 1e6 + 0.5)/1e6 AS ks_d,
+        floor(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) * 1e6 + 0.5)/1e6 AS d_crit,
+        CAST(CASE WHEN floor(CAST(ks_num AS DOUBLE) / (n1 * n2) * 1e6 + 0.5)/1e6
+                     > floor(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) * 1e6 + 0.5)/1e6
+             THEN 1 ELSE 0 END AS INTEGER) AS drifted
+      FROM agg ORDER BY event_type"""))
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158, q162,
-    q163, q166, q171, q196, q197)
+    q163, q166, q171, q196, q197, q199, q200)
 }

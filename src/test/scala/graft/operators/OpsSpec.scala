@@ -692,4 +692,40 @@ class OpsSpec extends SparkSpec {
     // var18 = 300−300 = 0 → z defined as 0, trend none
     assert(got("flat") == ((5, 0L, 0L, 0.0, "none")), s"flat: ${got("flat")}")
   }
+
+  test("EWMA control chart: dyadic levels and the 3-MAE fence (q199)") {
+    import spark.implicits._
+    // 4,4,4,4,40 over 5 days: level stays exactly 4 until the spike
+    // (partial-window norms divide out), day-5 level = 43.75/1.9375,
+    // devs 0,0,0,36 → MAE 9 → only the spike clears the 27 fence
+    val rows = (0 until 4).flatMap(d => (0 until 4).map(i => f"2024-01-${d + 1}%02d 00:0$i:00")) ++
+      (0 until 40).map(i => f"2024-01-05 00:$i%02d:00")
+    val e = rows.zipWithIndex.map { case (t, i) => (i.toLong, t, "a") }
+      .toDF("event_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = EventQueries.ewmaAnomalies(e).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](1).getDayOfMonth ->
+        (r.getLong(2), r.getDouble(3), r.getInt(7))).toMap
+    assert(got(1) == ((4L, 4.0, 0)) && got(4) == ((4L, 4.0, 0)), s"flat days: $got")
+    assert(got(5)._1 == 40L && got(5)._2 == 22.5806 && got(5)._3 == 1, s"spike day: ${got(5)}")
+    assert(got.values.count(_._3 == 1) == 1, "exactly one anomaly")
+  }
+
+  test("KS drift: exact integer numerator on disjoint vs identical halves (q200)") {
+    import spark.implicits._
+    // type x: halves {1,2} vs {3,4} → D = 1 (num 4 of n1·n2 4);
+    // type y: identical halves → D = 0. Neither clears the small-sample
+    // critical value 1.358·sqrt(4/4).
+    val e = Seq(
+      (0L, "2024-01-01 00:00:00", "x", 1.0), (1L, "2024-01-02 00:00:00", "x", 2.0),
+      (2L, "2024-01-20 00:00:00", "x", 3.0), (3L, "2024-01-21 00:00:00", "x", 4.0),
+      (4L, "2024-01-01 00:00:00", "y", 1.0), (5L, "2024-01-02 00:00:00", "y", 2.0),
+      (6L, "2024-01-20 00:00:00", "y", 1.0), (7L, "2024-01-21 00:00:00", "y", 2.0))
+      .toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = EventQueries.ksDrift(e).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(6))).toMap
+    assert(got("x") == ((2L, 2L, 4L, 1.0, 0)), s"x: ${got("x")}")
+    assert(got("y") == ((2L, 2L, 0L, 0.0, 0)), s"y: ${got("y")}")
+  }
 }
