@@ -19,71 +19,75 @@ package graft
   */
 object Bench {
 
-  /** Isolated single-query medians (sec) for the heavy tail, measured on
-    * the round-10 box via `runMain graft.Bench <names>` at sf0.1 with
-    * nothing else running. These exist to make the retry policy
-    * self-contained: a first-pass time > RetryFactor × median marks the
-    * run contended, not the query slow. Values are a reference SCALE
-    * (±20% box drift is fine), not a regression gate — re-measure when a
-    * query's plan genuinely changes.
+  /** Best observed cold times (sec) for the heavy tail, re-measured on
+    * the 2026-08-14 REGENERATED fixtures (min over one full sweep + two
+    * isolated tail sweeps on an otherwise-idle box; the regeneration
+    * made several documents/embeddings workloads genuinely heavier --
+    * e.g. q83 1.8->2.9, q87 1.7->3.4, q107 3.3->5.5 -- so the previous
+    * table under-scaled their thresholds). Entries are bumped where
+    * needed so the worst honest-noise time observed stays under the 3x
+    * threshold: the retry policy fires on real (5x+) contention only.
+    * Values are a reference SCALE, not a regression gate -- re-measure
+    * when a query's plan genuinely changes or fixtures regenerate.
     */
   private[graft] val refMedianSec: Map[String, Double] = Map(
-    "q64_stacking" -> 5.6,
-    "q63_boosted_hybrid" -> 4.1,
-    "q100_stream_neardup" -> 4.0,
-    "q134_stream_session_evict" -> 3.5,
-    "q107_ann_pq" -> 3.3,
-    "q138_stream_attribution" -> 3.3,
-    "q119_span_dedup" -> 2.9,
-    "q49_rolling_fingerprint" -> 2.7,
-    "q62_blend_round" -> 2.7,
-    "q146_stream_windowed_dedup" -> 2.6,
-    "q161_containment_pairs" -> 2.5,
-    "q188_line_dedup" -> 2.5,
-    "q85_fuzzy_match" -> 2.4,
-    "q96_iqr_outliers" -> 2.3,
-    "q105_incremental_neardup" -> 2.2,
-    "q168_item_cf" -> 2.0,
-    "q184_bootstrap_ci" -> 2.0,
-    "q106_corpus_filter" -> 1.8,
-    "q109_contamination" -> 1.5,
-    // the 1.5-2.8s band (min of two clean full runs): without an entry
-    // the 3.0s default threshold sits close enough that a warm-tail run
-    // triggers wasted end-of-sweep retries; with one, the threshold is
-    // ~3x the honest time and still catches real (5x+) contention
-    "q102_ann_recall" -> 1.8,
-    "q114_stream_contamination" -> 2.1,
-    "q121_semantic_dedup" -> 1.7,
-    "q126_bpe_merges" -> 1.9,
-    "q127_kmeans_lloyd" -> 1.7,
-    "q129_stream_sessions" -> 1.7,
-    "q131_bpe_apply" -> 1.7,
-    "q132_pit_enrich" -> 1.5,
-    "q133_label_propagation" -> 1.7,
-    "q135_pq_adc" -> 1.9,
-    "q137_luby_mis" -> 2.2,
-    "q139_histogram_quantile" -> 1.7,
-    "q142_split_leakage" -> 1.9,
-    "q151_kcore" -> 1.6,
-    "q160_integrity_audit" -> 1.6,
-    "q169_dbscan" -> 1.9,
-    "q175_bfs_distance" -> 1.7,
-    "q176_hits_scores" -> 1.9,
-    "q177_mmr_rerank" -> 1.7,
-    "q191_image_resize" -> 2.8,
-    "q19_star_join" -> 1.6,
-    "q27_approx_distinct" -> 2.0,
+    "q64_stacking" -> 7.0,
+    "q107_ann_pq" -> 5.5,
+    "q100_stream_neardup" -> 5.2,
+    "q63_boosted_hybrid" -> 5.1,
+    "q119_span_dedup" -> 4.3,
+    "q191_image_resize" -> 4.2,
+    "q87_setsim_join" -> 3.5,
+    "q99_dedup_rate" -> 3.3,
+    "q134_stream_session_evict" -> 3.2,
+    "q106_corpus_filter" -> 3.0,
+    "q83_dedup_clusters" -> 2.9,
+    "q96_iqr_outliers" -> 2.9,
+    "q85_fuzzy_match" -> 2.6,
+    "q49_rolling_fingerprint" -> 2.6,
+    "q137_luby_mis" -> 2.5,
+    "q146_stream_windowed_dedup" -> 2.5,
+    "q138_stream_attribution" -> 2.5,
+    "q168_item_cf" -> 2.5,
+    "q105_incremental_neardup" -> 2.5,
+    "q62_blend_round" -> 2.4,
+    "q114_stream_contamination" -> 2.3,
+    "q81_multimodal_features" -> 2.3,
+    "q184_bootstrap_ci" -> 2.2,
     "q46_ngram_jaccard" -> 2.2,
-    "q47_minhash_dedup" -> 1.5,
+    "q161_containment_pairs" -> 2.2,
+    "q135_pq_adc" -> 2.2,
+    "q102_ann_recall" -> 2.1,
+    "q132_pit_enrich" -> 2.0,
+    "q86_bloom_novelty" -> 2.0,
+    "q169_dbscan" -> 1.9,
+    "q84_rank_suite" -> 1.9,
+    "q109_contamination" -> 1.9,
+    "q131_bpe_apply" -> 1.9,
+    "q126_bpe_merges" -> 1.8,
+    "q142_split_leakage" -> 1.8,
     "q53_ann_ivf" -> 1.8,
-    "q60_smape" -> 1.6,
-    "q61_weight_grid" -> 1.7,
-    "q69_quantiles" -> 1.9,
-    "q83_dedup_clusters" -> 2.0,
-    "q86_bloom_novelty" -> 1.7,
-    "q87_setsim_join" -> 1.7,
-    "q99_dedup_rate" -> 1.8,
-    "q192_url_canonical" -> 1.5)
+    "q151_kcore" -> 1.7,
+    "q69_quantiles" -> 1.7,
+    "q139_histogram_quantile" -> 1.7,
+    "q127_kmeans_lloyd" -> 1.6,
+    "q195_phash_dedup" -> 1.6,
+    "q176_hits_scores" -> 1.6,
+    "q61_weight_grid" -> 1.6,
+    "q27_approx_distinct" -> 1.6,
+    "q47_minhash_dedup" -> 1.6,
+    "q194_image_phash" -> 1.6,
+    "q133_label_propagation" -> 1.6,
+    "q90_tfidf_terms" -> 1.5,
+    "q129_stream_sessions" -> 1.4,
+    "q121_semantic_dedup" -> 1.4,
+    "q177_mmr_rerank" -> 1.4,
+    "q192_url_canonical" -> 1.3,
+    "q108_repetition_filter" -> 1.3,
+    "q175_bfs_distance" -> 1.3,
+    "q60_smape" -> 1.2,
+    "q160_integrity_audit" -> 1.2,
+    "q19_star_join" -> 1.2)
 
   /** Queries without a recorded median are treated as ~this fast; most of
     * the registry runs in 0.3-1.5s at sf0.1.

@@ -57,6 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShingleSetExpr(exprs.head))
     inject(e, "graft_lines", 2, classOf[LinesGenerator],
       exprs => LinesGenerator(exprs(0), exprs(1)))
+    inject(e, "graft_nfc", 1, classOf[NfcNormalizeExpr],
+      exprs => NfcNormalizeExpr(exprs.head))
     inject(e, "graft_ngrams", 2, classOf[ShinglesGenerator],
       exprs => {
         val n = exprs(1) match {
