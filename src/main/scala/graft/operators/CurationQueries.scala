@@ -397,5 +397,72 @@ object CurationQueries {
         CAST(domain IN (${BlockedDomains.map(d => s"'$d'").mkString(", ")}) AS INTEGER) AS is_blocked
       FROM c GROUP BY domain ORDER BY domain"""))
 
-  def all: Seq[GQuery] = Seq(q186, q187, q188, q189, q192, q193)
+  // --- unicode text normalization ------------------------------------
+
+  /** Deterministic messy-unicode injection (the fixture text is pure
+    * ASCII): a third of docs get a DECOMPOSED accent (e + U+0301) plus a
+    * doubled space, a third the PRECOMPOSED form of the same visible
+    * string, and a quarter a no-break space — the canonical-equivalence
+    * traps every crawled corpus carries. Oracle side builds the same
+    * string via chr() code points.
+    */
+  private def messyText: Column = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(pmod(id, lit(3)) === 0, lit(" cafe\u0301  menu"))
+        .when(pmod(id, lit(3)) === 1, lit(" caf\u00e9 menu"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(4)) === 0, lit("\u00a0tail")).otherwise(lit("")))
+  }
+
+  private val messySql =
+    """SELECT doc_id, source, text
+      || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || '  menu'
+              WHEN doc_id % 3 = 1 THEN ' caf' || chr(233) || ' menu'
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN chr(160) || 'tail' ELSE '' END AS t
+      FROM documents"""
+
+  /** Unicode normalization — the stage that must run BEFORE any hashing
+    * dedup stage, because canonically-equivalent strings (composed vs
+    * decomposed accents) hash differently while rendering identically.
+    * NFC via the native `graft_nfc` codegen expression (java.text.
+    * Normalizer — Spark ships no normalizer; DuckDB's nfc_normalize
+    * implements the same UCD algorithm, so outputs are byte-identical),
+    * then NBSP→space and whitespace-run collapse. Emits the per-doc
+    * before/after code-point lengths, the changed flag, and the md5 of
+    * the normalized text — the witness that both engines produced the
+    * same canonical bytes.
+    *
+    * Scale: one codegen scan, no shuffle before the orderBy (the q186
+    * shape). At 100 TB this IS the first map stage of the pipeline.
+    */
+  val q201 = GQuery(
+    "q201_text_normalize",
+    (s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(call_function("graft_nfc", col("t")), "\u00a0", " "),
+        " +", " "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), messyText.as("t"))
+        .select(col("doc_id"), col("source"),
+          length(col("t")).as("n_before"),
+          length(norm).as("n_after"),
+          (norm =!= col("t")).cast("int").as("changed"),
+          md5(norm).as("norm_hash"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH aug AS ($messySql),
+      n AS (
+        SELECT doc_id, source, t,
+          trim(regexp_replace(regexp_replace(nfc_normalize(t), chr(160), ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM aug)
+      SELECT doc_id, source,
+        CAST(length(t) AS INTEGER) AS n_before,
+        CAST(length(norm) AS INTEGER) AS n_after,
+        CAST(norm <> t AS INTEGER) AS changed,
+        md5(norm) AS norm_hash
+      FROM n ORDER BY doc_id"""))
+
+  def all: Seq[GQuery] = Seq(q186, q187, q188, q189, q192, q193, q201)
 }

@@ -477,4 +477,27 @@ class PlansSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == expected)
   }
+
+  test("graft_nfc: NFC parity with java.text.Normalizer, SQL, null, codegen") {
+    import spark.implicits._
+    // decomposed e+COMBINING ACUTE composes; precomposed passes through;
+    // NBSP is NOT whitespace to NFC and must survive
+    val cases = Seq("cafe\u0301", "caf\u00e9", "a\u0300b\u0302", "plain", "nb\u00a0sp", "")
+    val got = cases.toDF("s")
+      .select(call_function("graft_nfc", col("s")).as("n")).collect().map(_.getString(0))
+    cases.zip(got).foreach { case (in, out) =>
+      assert(out == java.text.Normalizer.normalize(in, java.text.Normalizer.Form.NFC), in)
+    }
+    assert(got(0) == "caf\u00e9" && got(0) == got(1), "composed and decomposed converge")
+    assert(got(4) == "nb\u00a0sp", "NBSP untouched by NFC")
+    // null in, null out; callable from SQL
+    val viaSql = spark.sql("SELECT graft_nfc(CAST(NULL AS STRING)), graft_nfc('x')").head()
+    assert(viaSql.isNullAt(0) && viaSql.getString(1) == "x")
+    // stays inside whole-stage codegen on a real source
+    val plan = Tables.documents(spark, sf001)
+      .select(call_function("graft_nfc", col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [nfcnormalizeexpr"),
+      plan.linesIterator.take(6).mkString("\n"))
+  }
 }
