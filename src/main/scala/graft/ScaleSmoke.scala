@@ -382,7 +382,28 @@ object ScaleSmoke {
         .agg(count(lit(1)).as("n_lines"),
           sum((!col("keep")).cast("int")).as("n_removed"))
 
+    // q194/q195's shape: real PNG encode+decode+hash per row inside one
+    // mapPartitions scan, then the fingerprint group-by — must stay
+    // CPU-linear in the corpus (no shuffle grows with dup clusters)
+    def phash(d: DataFrame) =
+      multimodal.Multimodal.imagePerceptualHashes(
+          spark, multimodal.Multimodal.syntheticImages(d))
+        .groupBy("phash").agg(count(lit(1)))
+
+    // q200's shape: per-(type,value) hash agg, then windows over DISTINCT
+    // values — the window input must grow with the value vocabulary, not
+    // the row count
+    def ksDriftShape(e: DataFrame) = operators.EventQueries.ksDrift(e)
+
+    // q196's shape: map-side-combinable hourly pre-agg, then windows on
+    // the calendar-bounded dense series — the window input must NOT grow
+    // with the row count at all
+    def cusumShape(e: DataFrame) = operators.EventQueries.cusumChangepoint(e)
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("image_phash", () => noop(phash(d1)), () => noop(phash(dk))),
+      ("ks_drift", () => noop(ksDriftShape(e1)), () => noop(ksDriftShape(ek))),
+      ("cusum_changepoint", () => noop(cusumShape(e1)), () => noop(cusumShape(ek))),
       ("scan_agg", () => noop(scanAgg(l1)), () => noop(scanAgg(lk))),
       ("join_agg", () => noop(joinAgg(l1, o1)), () => noop(joinAgg(lk, ok))),
       ("minhash_lsh", () => noop(lshPairs(d1)), () => noop(lshPairs(dk))),
