@@ -43,6 +43,7 @@ object Bench {
     "q106_corpus_filter" -> 3.0,
     "q83_dedup_clusters" -> 2.9,
     "q96_iqr_outliers" -> 2.9,
+    "q202_exact_kth" -> 2.9,
     "q85_fuzzy_match" -> 2.6,
     "q49_rolling_fingerprint" -> 2.6,
     "q137_luby_mis" -> 2.5,

@@ -28,7 +28,8 @@ object Registry {
     graft.functions.FeatureQueries.all,
     graft.multimodal.MultimodalQueries.all,
     graft.operators.TableProfile.all,
-    graft.operators.TableMaintenance.all
+    graft.operators.TableMaintenance.all,
+    graft.operators.ExactSelect.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
