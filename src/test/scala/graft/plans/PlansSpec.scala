@@ -500,4 +500,42 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [nfcnormalizeexpr"),
       plan.linesIterator.take(6).mkString("\n"))
   }
+
+  test("q201 NFC normalization is one codegen stage: no shuffle before the sort") {
+    val plan = graft.registry.Registry.queries("q201_text_normalize")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("nfcnormalizeexpr"), "native graft_nfc must drive the normalize")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"), plan.take(2000))
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"expected only the orderBy exchange:\n${plan.take(2000)}")
+  }
+
+  test("q196 CUSUM windows run on the pre-aggregated hourly series, not raw events") {
+    val plan = graft.registry.Registry.queries("q196_cusum_changepoint")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the hourly count agg must sit BELOW the first window sort: the
+    // window input is the calendar-bounded series, never the event rows
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, plan.take(2000))
+    assert(plan.indexOf("HashAggregate", winIdx) >= 0,
+      s"hourly pre-agg must feed the window:\n${plan.take(3000)}")
+    // the axis x types cross join compiles to BroadcastNestedLoopJoin
+    // over the 5-row broadcast types frame - that IS the intended shape;
+    // what must never appear is a shuffle cartesian
+    assert(!plan.contains("CartesianProduct"),
+      "the hour-axis x types frame must broadcast, never shuffle-cartesian")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"counts must broadcast onto the dense axis:\n${plan.take(2000)}")
+  }
+
+  test("q198 retrieval metrics broadcast the probe side onto the corpus scan") {
+    val plan = graft.registry.Registry.queries("q198_retrieval_metrics")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probes must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      "probe fan-out must be broadcast-driven, never a cartesian shuffle")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join expected:\n${plan.take(2000)}")
+  }
 }
