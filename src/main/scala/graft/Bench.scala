@@ -44,6 +44,7 @@ object Bench {
     "q83_dedup_clusters" -> 2.9,
     "q96_iqr_outliers" -> 2.9,
     "q202_exact_kth" -> 2.9,
+    "q203_stream_upsert" -> 2.7,
     "q85_fuzzy_match" -> 2.6,
     "q49_rolling_fingerprint" -> 2.6,
     "q137_luby_mis" -> 2.5,

@@ -1229,7 +1229,23 @@ object EventQueries {
              THEN 1 ELSE 0 END AS INTEGER) AS drifted
       FROM agg ORDER BY event_type"""))
 
+  /** foreachBatch + idempotent MERGE sink (streaming.UpsertStreams): the
+    * exactly-once streaming-lakehouse ingest pattern — three genuine
+    * microbatches accumulate into a keyed state table, replayed batch
+    * ids are no-ops, and the running sum is integer micros so batch
+    * boundaries cannot perturb it. The final state is a set property of
+    * the corpus, so the batch oracle verifies any microbatch layout.
+    */
+  val q203 = GQuery(
+    "q203_stream_upsert",
+    (s, dir) => graft.streaming.UpsertStreams.streamingUpsert(s, dir),
+    Some("""SELECT user_id,
+        count(*) AS n_events,
+        floor(CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 1e4 + 0.5)/1e4 AS sum_value,
+        max(CAST(ts AS TIMESTAMP)) AS last_ts
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158, q162,
-    q163, q166, q171, q196, q197, q199, q200)
+    q163, q166, q171, q196, q197, q199, q200, q203)
 }

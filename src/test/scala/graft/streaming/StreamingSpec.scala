@@ -287,4 +287,33 @@ class StreamingSpec extends SparkSpec {
     val batch = Registry.queries("q109_contamination")(spark, sf001).collect().toSeq
     assert(streamed == batch)
   }
+
+  test("foreachBatch upsert sink: merge is associative/commutative and replay-guarded (q203)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    // three slices, merged in two different orders -> identical state
+    val d = (0 until 3).map(i =>
+      UpsertStreams.deltaAgg(e.filter(pmod(col("event_id"), lit(3)) === i)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fwd = UpsertStreams.mergeStep(
+      Some(UpsertStreams.mergeStep(Some(d(0)), d(1))), d(2))
+    val rev = UpsertStreams.mergeStep(
+      Some(UpsertStreams.mergeStep(Some(d(2)), d(1))), d(0))
+    assert(canon(fwd) == canon(rev), "merge order must not matter")
+    // and the merged state equals the one-shot batch aggregation
+    assert(canon(fwd) == canon(UpsertStreams.deltaAgg(e)), "merge must equal batch agg")
+    // end-to-end: the streaming run (3 real microbatches through the
+    // replay-guarded foreachBatch sink) matches the direct batch form
+    val streamed = UpsertStreams.streamingUpsert(spark, sf001, queryName = "upsert_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = e.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Metrics.canonRound(
+          sum(floor(col("value") * 1e4 + 0.5).cast("long")).cast("double") / 1e4, 4).as("sv"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch, s"streamed head=${streamed.take(3)} batch head=${batch.take(3)}")
+  }
 }
