@@ -45,6 +45,7 @@ object Bench {
     "q96_iqr_outliers" -> 2.9,
     "q202_exact_kth" -> 2.9,
     "q203_stream_upsert" -> 2.7,
+    "q205_conformal_interval" -> 2.6,
     "q85_fuzzy_match" -> 2.6,
     "q49_rolling_fingerprint" -> 2.6,
     "q137_luby_mis" -> 2.5,
@@ -52,6 +53,7 @@ object Bench {
     "q138_stream_attribution" -> 2.5,
     "q168_item_cf" -> 2.5,
     "q105_incremental_neardup" -> 2.5,
+    "q204_chain_resolve" -> 2.2,
     "q62_blend_round" -> 2.4,
     "q114_stream_contamination" -> 2.3,
     "q81_multimodal_features" -> 2.3,
@@ -73,6 +75,7 @@ object Bench {
     "q69_quantiles" -> 1.7,
     "q139_histogram_quantile" -> 1.7,
     "q127_kmeans_lloyd" -> 1.6,
+    "q206_power_iteration" -> 1.5,
     "q195_phash_dedup" -> 1.6,
     "q176_hits_scores" -> 1.6,
     "q61_weight_grid" -> 1.6,

@@ -29,7 +29,10 @@ object Registry {
     graft.multimodal.MultimodalQueries.all,
     graft.operators.TableProfile.all,
     graft.operators.TableMaintenance.all,
-    graft.operators.ExactSelect.all
+    graft.operators.ExactSelect.all,
+    graft.operators.ChainResolve.all,
+    graft.operators.Conformal.all,
+    graft.operators.PowerIteration.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
