@@ -400,7 +400,53 @@ object ScaleSmoke {
     // with the row count at all
     def cusumShape(e: DataFrame) = operators.EventQueries.cusumChangepoint(e)
 
+    // q204's shape: 13 pointer-doubling self-joins — wall time must grow
+    // ~linearly with the node count (the ROUND count is pinned by log2 of
+    // the longest chain, not by |V|; each round is one equi join)
+    def chainResolve(d: DataFrame) = {
+      val n = d.count()
+      val succ = d.select(col("doc_id").as("u"),
+        when(col("doc_id") % 17 === 0, lit(null).cast("long"))
+          .otherwise((col("doc_id") * 37 + 11) % n).as("ptr"))
+      operators.ChainResolve.resolve(succ, rounds = 13)
+    }
+
+    // q206's shape: 4 power-iteration rounds — per round two narrow aggs
+    // (row-keyed dot products, then a dim-keyed second moment whose
+    // output is CONSTANT 64 rows at any corpus size)
+    def powerIter(e: DataFrame) =
+      operators.PowerIteration.topDirection(e, rounds = 4)
+
+    // q205's shape: grouped model mean + broadcast probe + per-group
+    // window rank over the calibration slice + test-side coverage agg —
+    // the rank's per-group sort is the only super-linear piece
+    def conformalShape(l: DataFrame) = {
+      val li = l.select((col("l_partkey") % 25).as("g"),
+        col("l_extendedprice").as("y"),
+        ((col("l_orderkey") * 7919 + col("l_linenumber")) % 100).as("slot"))
+      val model = li.filter(col("slot") < 60).groupBy("g")
+        .agg(functions.Metrics.exactMean(col("y")).as("yhat"))
+      val cal = li.filter(col("slot") >= 60 && col("slot") < 80)
+        .join(broadcast(model), "g")
+        .select(col("g"),
+          functions.Metrics.canonRound(abs(col("y") - col("yhat")), 4).as("r"))
+      val n = cal.groupBy("g").agg(count(lit(1)).as("n_cal"))
+      val ranked = cal.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("r")))
+      val qhat = ranked.join(broadcast(n), "g")
+        .filter(col("rk") === floor((lit(9) * (col("n_cal") + 1) + 9) / 10).cast("long"))
+        .select(col("g"), col("r").as("q_hat"))
+      li.filter(col("slot") >= 80)
+        .join(broadcast(model), "g").join(broadcast(qhat), "g")
+        .groupBy("g")
+        .agg(sum(when(abs(col("y") - col("yhat")) <= col("q_hat"), 1L)
+          .otherwise(0L)).as("n_cov"), count(lit(1)).as("n_test"))
+    }
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("chain_resolve", () => noop(chainResolve(d1)), () => noop(chainResolve(dk))),
+      ("power_iteration", () => noop(powerIter(em1)), () => noop(powerIter(emK))),
+      ("conformal", () => noop(conformalShape(l1)), () => noop(conformalShape(lk))),
       ("image_phash", () => noop(phash(d1)), () => noop(phash(dk))),
       ("ks_drift", () => noop(ksDriftShape(e1)), () => noop(ksDriftShape(ek))),
       ("cusum_changepoint", () => noop(cusumShape(e1)), () => noop(cusumShape(ek))),

@@ -79,7 +79,10 @@ object Conformal {
           Metrics.canonRound(
             sum(when(Metrics.canonRound(abs(col("y") - col("yhat")), 4) <= col("q_hat"), 1L)
               .otherwise(0L)).cast("double") / count(lit(1)), 4).as("coverage"))
-      model.join(n, "p_brand").join(qhat, "p_brand").join(test, "p_brand")
+      // assembly of four brand-grain frames (≤ |brands| rows each):
+      // broadcast explicitly — grain stays low-cardinality at any SF
+      model.join(broadcast(n), "p_brand").join(broadcast(qhat), "p_brand")
+        .join(broadcast(test), "p_brand")
         .select(col("p_brand"),
           Metrics.canonRound(col("yhat"), 4).as("yhat"),
           col("n_cal"), col("q_hat"), col("n_test"), col("coverage"))

@@ -528,6 +528,21 @@ class PlansSpec extends SparkSpec {
       s"counts must broadcast onto the dense axis:\n${plan.take(2000)}")
   }
 
+  test("q205 conformal keeps every model-side join broadcast") {
+    val plan = graft.registry.Registry.queries("q205_conformal_interval")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // part dim, per-brand model, n_cal, and q_hat are all tiny frames:
+    // probing them onto the lineitem scans must never shuffle the fact
+    // side into a sort-merge join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      s"model-side joins must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+    // the conformal rank runs as a per-group window on the calibration
+    // slice only
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
   test("q198 retrieval metrics broadcast the probe side onto the corpus scan") {
     val plan = graft.registry.Registry.queries("q198_retrieval_metrics")(spark, sf001)
       .queryExecution.executedPlan.toString
