@@ -32,7 +32,8 @@ object Registry {
     graft.operators.ExactSelect.all,
     graft.operators.ChainResolve.all,
     graft.operators.Conformal.all,
-    graft.operators.PowerIteration.all
+    graft.operators.PowerIteration.all,
+    graft.operators.Sprt.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
