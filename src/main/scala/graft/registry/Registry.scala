@@ -33,7 +33,8 @@ object Registry {
     graft.operators.ChainResolve.all,
     graft.operators.Conformal.all,
     graft.operators.PowerIteration.all,
-    graft.operators.Sprt.all
+    graft.operators.Sprt.all,
+    graft.operators.GroupedOls.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
