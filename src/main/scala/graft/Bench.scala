@@ -76,6 +76,7 @@ object Bench {
     "q139_histogram_quantile" -> 1.7,
     "q127_kmeans_lloyd" -> 1.6,
     "q206_power_iteration" -> 1.5,
+    "q209_hierarchy_rollup" -> 1.7,
     "q195_phash_dedup" -> 1.6,
     "q176_hits_scores" -> 1.6,
     "q61_weight_grid" -> 1.6,

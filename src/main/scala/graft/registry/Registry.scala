@@ -34,7 +34,8 @@ object Registry {
     graft.operators.Conformal.all,
     graft.operators.PowerIteration.all,
     graft.operators.Sprt.all,
-    graft.operators.GroupedOls.all
+    graft.operators.GroupedOls.all,
+    graft.operators.HierarchyRollup.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
