@@ -55,10 +55,14 @@ object ChainResolve {
       coalesce(col("ptr"), col("u")).as("ptr"),
       when(col("ptr").isNull, lit(0L)).otherwise(lit(1L)).as("hops"),
       col("ptr").isNull.as("done"))
-    // seed 'done' for nodes whose direct successor is already terminal
+    // seed 'done' for nodes whose direct successor is already terminal.
+    // NO broadcast hint: terminals are a constant FRACTION of the node
+    // set (1/17 on the q204 graph), i.e. corpus-sized at 100 TB — this
+    // is a shuffle equi-join by design; the planner may still broadcast
+    // it at fixture scale on its own statistics.
     val term = succ.filter(col("ptr").isNull).select(col("u").as("t_id"))
     state = state
-      .join(broadcastIfSmall(term), col("ptr") === col("t_id"), "left")
+      .join(term, col("ptr") === col("t_id"), "left")
       .select(col("u"), col("ptr"), col("hops"),
         (col("done") || col("t_id").isNotNull).as("done"))
       .localCheckpoint(true)
@@ -84,12 +88,6 @@ object ChainResolve {
       when(col("done"), col("ptr")).as("final_id"),
       when(col("done"), col("hops")).as("hops"))
   }
-
-  /** Broadcast a frame we know to be a small fraction of the node set
-    * (terminal ids) — at fixture scale always broadcastable; at 100 TB
-    * the hint degrades gracefully to a shuffle join past the threshold.
-    */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
   /** q204: synthetic redirect graph over documents — doc u redirects to
     * (37·u + 11) mod N unless u ≡ 0 (mod 17), which is terminal. The
