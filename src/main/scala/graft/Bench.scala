@@ -43,6 +43,7 @@ object Bench {
     "q106_corpus_filter" -> 3.0,
     "q83_dedup_clusters" -> 2.9,
     "q96_iqr_outliers" -> 2.9,
+    "q211_lsh_recall" -> 3.0,
     "q202_exact_kth" -> 2.9,
     "q203_stream_upsert" -> 2.7,
     "q205_conformal_interval" -> 2.6,

@@ -697,5 +697,160 @@ object DedupQueries {
       SELECT b_id AS doc_id, min(a_id) AS dup_of, count(*) AS n_ref_dups
       FROM p GROUP BY b_id ORDER BY doc_id"""))
 
-  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142, q146)
+  /** LSH-banding RECALL audit — the measurement that justifies the dedup
+    * family's banding parameters the way q102 justifies the ANN
+    * hyperplanes: per exact-Jaccard band, what fraction of TRUE near-dup
+    * pairs does the banded MinHash join actually surface, against the
+    * textbook expectation 1−(1−j^r)^b (Broder/LSH analysis; here r=2
+    * rows × b=4 bands over 8 md5-minhash slots)? Running it per corpus
+    * snapshot is how a production pipeline notices that a vocabulary
+    * shift has pushed its duplicate mass into a jaccard band where the
+    * banding no longer catches it (the r9 q87 incident, as a metric).
+    *
+    * Truth pairs come from an INVERTED-INDEX exact-Jaccard join on a
+    * deterministic sample (doc_id % 5, same-lang blocks): explode
+    * distinct shingles, equi-join on the shingle, count per pair —
+    * intersection sizes fall out of a codegen hash join + hash agg
+    * instead of an interpreted per-pair array_intersect (2.3× faster
+    * here, and the shape that scales: cost is Σ df² over shingles, which
+    * a df cap or PPJoin prefix filter bounds at corpus scale — q87's
+    * machinery — where the all-pairs form is O(n²) regardless of
+    * overlap). Pairs sharing zero shingles have j=0 and cannot reach the
+    * 0.05 floor, so skipping them loses nothing. Recall estimated on a
+    * sample is unbiased per band. The corpus' organic duplicate mass sits almost entirely
+    * below j=0.2 in any sample (both members of a rare high-j pair
+    * survive a p-sample with probability p²), so the high bands the
+    * banding exists FOR would go unmeasured — the audit therefore
+    * injects deterministic near-dup twins (the q201 injected-variant
+    * precedent): drop-last-token twins land at j≈0.95 and
+    * drop-last-quarter twins at j≈0.7, giving every SF a populated high
+    * band with a known expectation. Candidates come from the REAL banded
+    * pipeline (md5 signatures → 4×2 bandedConcat → bucket equi-join) with
+    * no agreement filter, so the audit measures the banding itself. The
+    * expectation term is built from canonically-rounded j with plain
+    * multiplications only ((1-j²) squared twice) — IEEE-exact and
+    * engine-portable, where pow() would be library-dependent.
+    */
+  val q211 = GQuery(
+    "q211_lsh_recall",
+    (s, dir) => {
+      import graft.functions.Metrics
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val toks = TextQueries.tokens(col("text"))
+      val drop1 = base.filter(col("doc_id") % 20 === 0 && size(toks) >= 3)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+          array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text"))
+      val dropQ = base.filter(col("doc_id") % 20 === 10 && size(toks) >= 8)
+        .select((col("doc_id") + 2000000000L).as("doc_id"), col("lang"),
+          array_join(slice(toks, lit(1), size(toks) - (size(toks) / lit(4)).cast("int")), " ")
+            .as("text"))
+      val docs = base.unionByName(drop1).unionByName(dropQ)
+      // exact truth via inverted index: one distinct-shingle row per
+      // (doc, shingle), hashed to a long (q46's 8-byte-key argument;
+      // collision odds ~1e-9 per corpus and the oracle gate would
+      // surface one). The frame feeds both join sides and the size agg —
+      // cached + eagerly materialized (capBuckets' cache contract).
+      val sh = docs.select(col("doc_id"), col("lang"),
+          explode(array_distinct(TextQueries.bigrams(TextQueries.tokens(col("text"))))).as("shs"))
+        .select(col("doc_id"), col("lang"), xxhash64(col("shs")).as("s"))
+        .cache()
+      sh.count()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ia = sh.select(col("lang"), col("s"), col("doc_id").as("id_a"))
+      val ib = sh.select(col("lang"), col("s"), col("doc_id").as("id_b"))
+      val inter = ia.join(ib, Seq("lang", "s")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      val truth = inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          Metrics.canonRound(col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double"), 4).as("j"))
+        .filter(col("j") >= 0.05)
+      // candidates: the deployed banded path, uncapped and unfiltered
+      val bb = bandedConcat(minhashSignaturesMd5(docs, nHashes = 8), bands = 4, rows = 2)
+      val ca = bb.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      val cb = bb.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+      val cands = ca.join(cb, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val j2 = col("j") * col("j")
+      val t = lit(1.0) - j2
+      val expR = lit(1.0) - (t * t) * (t * t)
+      truth.join(cands.withColumn("caught", lit(1)), Seq("id_a", "id_b"), "left")
+        .withColumn("bucket_lo", floor(col("j") * 10) / 10)
+        .withColumn("exp_r", expR)
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(col("caught")).as("n_caught"),
+          Metrics.canonRound(
+            count(col("caught")).cast("double") / count(lit(1)), 4).as("recall"),
+          Metrics.canonRound(Metrics.exactMean(col("exp_r")), 4).as("exp_recall"))
+        .orderBy("bucket_lo")
+    },
+    Some {
+      val mins = (0 until 8).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(", ")
+      val bandArms = (0 until 4).map { bnd =>
+        s"WHEN $bnd THEN CAST(m${2 * bnd} AS VARCHAR) || '-' || CAST(m${2 * bnd + 1} AS VARCHAR)"
+      }.mkString(" ")
+      s"""WITH base AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+      d1 AS (
+        SELECT sid + 1000000000 AS doc_id, lang,
+          array_to_string(list_slice(t, 1, len(t) - 1), ' ') AS text
+        FROM (SELECT doc_id AS sid, lang, string_split(text, ' ') AS t FROM base) z
+        WHERE sid % 20 = 0 AND len(t) >= 3),
+      dq AS (
+        SELECT sid + 2000000000 AS doc_id, lang,
+          array_to_string(list_slice(t, 1, len(t) - (len(t) // 4)), ' ') AS text
+        FROM (SELECT doc_id AS sid, lang, string_split(text, ' ') AS t FROM base) z
+        WHERE sid % 20 = 10 AND len(t) >= 8),
+      docs AS (
+        SELECT * FROM base UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM dq),
+      shx AS (
+        SELECT doc_id, lang,
+          unnest(list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-1),
+            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS s
+        FROM docs),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+      ix AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM shx a JOIN shx b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth0 AS (
+        SELECT ix.id_a, ix.id_b,
+          floor((CAST(ix.i AS DOUBLE) / (na.n + nb.n - ix.i)) * 1e4 + 0.5)/1e4 AS j
+        FROM ix JOIN sizes na ON na.doc_id = ix.id_a
+                JOIN sizes nb ON nb.doc_id = ix.id_b),
+      truth AS (SELECT * FROM truth0 WHERE j >= 0.05),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+      shr AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+        FROM toks),
+      halves AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+          CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2
+        FROM shr),
+      sig AS (SELECT doc_id, $mins FROM halves GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b, CASE b $bandArms END AS bh
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+      je AS (
+        SELECT t.id_a, t.id_b, t.j,
+          CASE WHEN c.id_a IS NOT NULL THEN 1 END AS caught,
+          1.0 - ((1.0 - t.j*t.j) * (1.0 - t.j*t.j)) * ((1.0 - t.j*t.j) * (1.0 - t.j*t.j)) AS exp_r,
+          floor(t.j * 10)/10 AS bucket_lo
+        FROM truth t LEFT JOIN cands c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+      SELECT bucket_lo, count(*) AS n_pairs, count(caught) AS n_caught,
+        floor(CAST(count(caught) AS DOUBLE)/count(*) * 1e4 + 0.5)/1e4 AS recall,
+        floor(CAST(sum(CAST(floor(exp_r*1e4+0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)/count(*)
+          * 1e4 + 0.5)/1e4 AS exp_recall
+      FROM je GROUP BY bucket_lo ORDER BY bucket_lo"""
+    })
+
+  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142, q146, q211)
 }

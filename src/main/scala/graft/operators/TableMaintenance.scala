@@ -570,5 +570,71 @@ object TableMaintenance {
       FROM stats
       ORDER BY l_returnflag, l_linestatus"""))
 
-  def all: Seq[GQuery] = Seq(q178, q179, q180, q181, q182, q183, q184, q185)
+  /** Right-to-be-forgotten deletion propagation + compliance audit — the
+    * GDPR/CCPA job every lakehouse runs between ingestion and export:
+    * given a deletion-request set, drop the requested keys from EVERY
+    * table that carries them (here the documents corpus and its
+    * key-aligned embeddings), then AUDIT the post-delete state with an
+    * independent scan — surviving row counts, a must-be-zero orphan
+    * count (any survivor still matching a request), and an
+    * order-independent XOR digest of the survivor key hashes that a
+    * downstream consumer can verify without re-reading the requests.
+    *
+    * Scale shape: the request set is small relative to the corpus
+    * (regulatory request volumes are ~thousands against billions of
+    * rows), so both the delete (left_anti) and the audit (left join +
+    * one aggregate) broadcast it — two map-side passes per table, no
+    * shuffle of table data. The digest is bit_xor over a 60-bit md5 key
+    * hash: commutative/associative, so it aggregates map-side in any
+    * partition order and never needs a global sort (unlike the ordered
+    * string_agg digests, which q120 confines to per-shard sequences).
+    * The before-count scan stands in for what table stats provide for
+    * free in production.
+    */
+  def deletionAudit(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val del = docs.filter(col("doc_id") % 37 === 3).select(col("doc_id").as("k"))
+    def keyHash(k: Column): Column =
+      conv(substring(md5(k.cast("string")), 1, 15), 16, 10).cast("long")
+    def audit(name: String, keyed: DataFrame): DataFrame = {
+      // the DELETE: survivors materialize via broadcast anti join
+      val surv = keyed.join(broadcast(del), Seq("k"), "left_anti")
+      // the AUDIT: an independent pass over the post-delete state — a
+      // compliance check must not trust the deleting job's own claim
+      val survAudit = surv
+        .join(broadcast(del.withColumn("__del", lit(1))), Seq("k"), "left")
+        .agg(count(lit(1)).as("rows_after"),
+          count(col("__del")).as("n_orphans"),
+          coalesce(call_function("bit_xor", keyHash(col("k"))), lit(0L))
+            .as("survivor_xor"))
+      keyed.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(survAudit) // two single-row aggregates
+        .select(lit(name).as("tbl"), col("rows_before"),
+          (col("rows_before") - col("rows_after")).as("n_deleted"),
+          col("rows_after"), col("n_orphans"), col("survivor_xor"))
+    }
+    audit("documents", docs.select(col("doc_id").as("k")))
+      .unionByName(audit("embeddings", embs.select(col("vec_id").as("k"))))
+      .orderBy("tbl")
+  }
+
+  val q210 = GQuery(
+    "q210_deletion_audit",
+    (s, dir) => deletionAudit(Tables.documents(s, dir), Tables.embeddings(s, dir)),
+    Some("""WITH del AS (SELECT doc_id AS k FROM documents WHERE doc_id % 37 = 3),
+      t AS (
+        SELECT 'documents' AS tbl, doc_id AS k FROM documents
+        UNION ALL
+        SELECT 'embeddings' AS tbl, vec_id AS k FROM embeddings),
+      surv AS (SELECT tbl, k FROM t WHERE k NOT IN (SELECT k FROM del)),
+      b AS (SELECT tbl, count(*) AS rows_before FROM t GROUP BY tbl),
+      sa AS (SELECT tbl, count(*) AS rows_after,
+          count(CASE WHEN k IN (SELECT k FROM del) THEN 1 END) AS n_orphans,
+          bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT))
+            AS survivor_xor
+        FROM surv GROUP BY tbl)
+      SELECT b.tbl, b.rows_before, b.rows_before - sa.rows_after AS n_deleted,
+        sa.rows_after, sa.n_orphans, sa.survivor_xor
+      FROM b JOIN sa USING (tbl) ORDER BY tbl"""))
+
+  def all: Seq[GQuery] = Seq(q178, q179, q180, q181, q182, q183, q184, q185, q210)
 }

@@ -109,6 +109,28 @@ class DedupSpec extends SparkSpec {
     assert(clustered == Set(1L), s"clustered=$clustered")
   }
 
+  test("q211 banding recall audit: high-j bands caught, low-j bands near theory") {
+    val out = graft.SparkEntry.queries("q211_lsh_recall")(spark, sf001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    // structural: counts consistent, recall is the rounded quotient
+    out.foreach { case (lo, n, c, rec, exp) =>
+      assert(c <= n, s"bucket $lo: caught $c > pairs $n")
+      assert(math.abs(rec - math.floor(c.toDouble / n * 1e4 + 0.5) / 1e4) < 1e-12)
+      assert(exp >= 0.0 && exp <= 1.0)
+    }
+    // the injected twins populate at least one band at j >= 0.7, and the
+    // banding catches nearly all of that mass (the whole point of LSH)
+    val high = out.filter(_._1 >= 0.7)
+    assert(high.nonEmpty, "no high-j band — twin injection broken")
+    val (hn, hc) = (high.map(_._2).sum, high.map(_._3).sum)
+    assert(hc.toDouble / hn >= 0.9, s"high-j recall ${hc.toDouble / hn}")
+    // the sub-0.2 mass must NOT be mostly caught (banding is selective)
+    val low = out.filter(_._1 < 0.2)
+    if (low.map(_._2).sum >= 20)
+      assert(low.map(_._3).sum.toDouble / low.map(_._2).sum <= 0.3)
+  }
+
   test("exact dedup groups identical documents (q40 logic)") {
     import spark.implicits._
     val dup = docs(1L -> "a b c", 2L -> "a b c", 3L -> "a b d")

@@ -42,6 +42,29 @@ class OpsSpec extends SparkSpec {
     assert(rows.minBy(_._1)._2 == "f_spaces")
   }
 
+  test("deletion propagation: counts reconcile, zero orphans, digest matches survivors (q210)") {
+    val docs = Tables.documents(spark, sf001)
+    val embs = Tables.embeddings(spark, sf001)
+    val out = TableMaintenance.deletionAudit(docs, embs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Set("documents", "embeddings"))
+    out.foreach { case (t, (before, del, after, orphans, _)) =>
+      assert(before - del == after, s"$t: $before - $del != $after")
+      assert(orphans == 0L, s"$t: $orphans orphans survived")
+    }
+    // deletions hit exactly the requested keys present in each table
+    val expectDocsDel = docs.filter(col("doc_id") % 37 === 3).count()
+    val expectEmbDel = embs.filter(col("vec_id") % 37 === 3).count()
+    assert(out("documents")._2 == expectDocsDel)
+    assert(out("embeddings")._2 == expectEmbDel)
+    // the digest is recomputable from the surviving keys alone
+    val recomputed = embs.filter(col("vec_id") % 37 =!= 3)
+      .agg(coalesce(call_function("bit_xor",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")), lit(0L)))
+      .head().getLong(0)
+    assert(out("embeddings")._5 == recomputed)
+  }
+
   test("incremental rollup merged state equals a full rebuild (q179)") {
     val orders = Tables.orders(spark, sf001)
     val changelog = TableMaintenance.incrementalRollup(orders)
