@@ -372,6 +372,32 @@ object ScaleSmoke {
     def groupCi(l: DataFrame) =
       operators.TableMaintenance.groupSampleCi(l, pPct = 10, targetRel = 0.01)
 
+    // q211's truth shape: inverted-index exact-overlap join (explode
+    // distinct shingles → df-capped equi self-join → per-pair counts →
+    // jaccard bands). The df cap is the scale guard: replication
+    // multiplies every shingle's df by K so the UNCAPPED join cost grows
+    // K² — exactly the blowup the cap (or a PPJoin prefix filter,
+    // SetSimJoin) bounds at 100 TB, where ultra-common shingles carry no
+    // jaccard signal anyway.
+    def lshRecallTruth(d: DataFrame, dfCap: Int = 64) = {
+      val sh = d.select(col("doc_id"),
+          explode(array_distinct(operators.TextQueries.bigrams(split(col("text"), " ")))).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("s"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+      val capped = sh.withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") <= dfCap).drop("df")
+      val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ia = capped.select(col("s"), col("doc_id").as("id_a"))
+      val ib = capped.select(col("s"), col("doc_id").as("id_b"))
+      ia.join(ib, "s").filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .select((col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("j"))
+        .groupBy(floor(col("j") * 10).as("b")).agg(count(lit(1)))
+    }
+
     // q188/q189's shape: explode docs to lines, hash-agg doc frequency,
     // long-keyed join back — the whole pipeline must stay ~linear in
     // corpus size (the df build side is the line vocabulary, not the
@@ -486,6 +512,7 @@ object ScaleSmoke {
       ("bootstrap_ci", () => noop(bootCi(o1)), () => noop(bootCi(ok))),
       ("group_sample_ci", () => noop(groupCi(l1)), () => noop(groupCi(lk))),
       ("line_dedup", () => noop(lineDedup(d1)), () => noop(lineDedup(dk))),
+      ("lsh_recall_truth", () => noop(lshRecallTruth(d1)), () => noop(lshRecallTruth(dk))),
       (s"setsim_join_k$k4", () => noop(setsim(d1)), () => noop(setsim(d4))),
       // the df guard at FULL k: hot prefix tokens stop generating df²
       // candidates; sets holding them route through the MinHash fallback

@@ -166,6 +166,15 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dims must not sort-merge at this scale")
   }
 
+  test("q210 deletes and audits via broadcast joins (request set never shuffles the table)") {
+    val plan = graft.registry.Registry.queries("q210_deletion_audit")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the anti join (the delete) and the left join (the audit) both
+    // broadcast the tombstones; table data must not sort-merge
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "request set must broadcast at this scale")
+  }
+
   test("ThresholdLevenshtein rewrites bounded edit-distance predicates") {
     import spark.implicits._
     val df = Seq(("kitten", "sitting"), ("abc", "abd"), ("abc", "zzzzzz"))
