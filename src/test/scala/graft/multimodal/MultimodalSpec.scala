@@ -34,8 +34,9 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("real PNG codec round-trips dimensions and exact mean luminance") {
-    // encode with javax.imageio, decode with javax.imageio — the decoded
-    // stats must equal the closed-form values the q81 oracle computes
+    // encode with the minimal writer, decode with javax.imageio (a real
+    // third-party codec) — the decoded stats must equal the closed-form
+    // values the q81 oracle computes
     val cases = Seq((8, 8, 0, 255), (31, 9, 17, 200), (224, 13, 255, 255), (9, 24, 128, 1))
     cases.foreach { case (w, h, g1, g2) =>
       val bytes = Multimodal.ImageCodec.encodePng(w, h, g1, g2)
@@ -46,6 +47,30 @@ class MultimodalSpec extends SparkSpec {
       val expected = (g1.toLong * (h / 2) * w + g2.toLong * (h - h / 2) * w).toDouble /
         (w.toLong * h * 255L).toDouble
       assert(bright == expected, s"($w,$h,$g1,$g2): $bright vs $expected")
+    }
+  }
+
+  test("minimal PNG writer is raster-bitwise-identical to an ImageIO encode") {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    val cases = Seq((8, 8, 0, 255), (31, 9, 17, 200), (224, 13, 255, 255), (9, 24, 128, 1))
+    cases.foreach { case (w, h, g1, g2) =>
+      // reference: the same two-tone image through the ImageIO encoder
+      val ref = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach { y =>
+        val g = if (y < h / 2) g1 else g2
+        (0 until w).foreach(x => ref.getRaster.setSample(x, y, 0, g))
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(ref, "png", bos)
+      def raster(bytes: Array[Byte]): Seq[Int] = {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        assert((img.getWidth, img.getHeight) == ((w, h)))
+        for (y <- 0 until h; x <- 0 until w) yield img.getRaster.getSample(x, y, 0)
+      }
+      assert(raster(Multimodal.ImageCodec.encodePng(w, h, g1, g2)) == raster(bos.toByteArray),
+        s"raster drift at ($w,$h,$g1,$g2)")
     }
   }
 
