@@ -111,16 +111,14 @@ object Multimodal {
       val defl = new Deflater(Deflater.BEST_SPEED)
       defl.setInput(raw)
       defl.finish()
-      val buf = new Array[Byte](raw.length + 64)
-      var idatLen = 0
-      while (!defl.finished()) {
-        // tiny images always fit one buffer round; loop for safety
-        val n = defl.deflate(buf, idatLen, buf.length - idatLen)
-        idatLen += n
-        if (idatLen == buf.length && !defl.finished())
-          throw new IllegalStateException("IDAT buffer undersized")
-      }
+      // chunked drain: deflate can exceed input size on incompressible
+      // data, so never assume one fixed buffer suffices
+      val idat = new ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
       defl.end()
+      val idatBytes = idat.toByteArray
+      val idatLen = idatBytes.length
       val out = new ByteArrayOutputStream(idatLen + 64)
       out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
       def chunk(tag: String, data: Array[Byte], len: Int): Unit = {
@@ -138,7 +136,7 @@ object Multimodal {
         out.write(cb)
       }
       chunk("IHDR", ihdr, 13)
-      chunk("IDAT", buf, idatLen)
+      chunk("IDAT", idatBytes, idatLen)
       chunk("IEND", Array.emptyByteArray, 0)
       out.toByteArray
     }

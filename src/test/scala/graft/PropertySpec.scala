@@ -163,6 +163,26 @@ object PropertySpec extends Properties("graft.kernels") {
       doubledStr.trim.split("  ", -1).toSeq == toks
     }
 
+  private val pngGen = for {
+    w <- Gen.chooseNum(1, 300)
+    h <- Gen.chooseNum(1, 60)
+    g1 <- Gen.chooseNum(0, 255)
+    g2 <- Gen.chooseNum(0, 255)
+  } yield (w, h, g1, g2)
+
+  property("minimal PNG writer round-trips through ImageIO pixel-exactly") =
+    forAll(pngGen) { case (w, h, g1, g2) =>
+      val bytes = graft.multimodal.Multimodal.ImageCodec.encodePng(w, h, g1, g2)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      img.getWidth == w && img.getHeight == h && {
+        val r = img.getRaster
+        (0 until h).forall { y =>
+          val expect = if (y < h / 2) g1 else g2
+          (0 until w).forall(x => r.getSample(x, y, 0) == expect)
+        }
+      }
+    }
+
   property("BPE merge via doubled replace equals greedy left-to-right pair fusion") =
     forAll(tokensGen, tokenGen, tokenGen) { (toks, a, b) =>
       val doubledStr = "  " + toks.mkString("  ") + "  "
