@@ -44,9 +44,12 @@ object PqAnn {
       array_to_vector(slice(col("u"), i * dsub + 1, dsub)).as(s"sub$i"))
     // cached AND right-sized: m k-means fits re-scan this tiny frame
     // every iteration, and at fixture scale 32 near-empty tasks per pass
-    // would make task launch the dominant cost (same reasoning as
-    // BaselineParity's coalesce)
-    val subs = unit.select((col("vec_id") +: subCols): _*).coalesce(4).cache()
+    // would make task launch the dominant cost. The floor derives from
+    // the INPUT's layout (coalesce never raises a count), so a real
+    // corpus keeps its parallelism — the PqLloyd fix from the r9
+    // ADVICE, applied to the MLlib-codebook twin too.
+    val subs = unit.select((col("vec_id") +: subCols): _*)
+      .coalesce(math.max(4, embeddings.rdd.getNumPartitions)).cache()
     subs.count()
     // the m subspace fits are independent → submit them CONCURRENTLY
     // from a thread pool (CrossValidator.setParallelism-style, like
@@ -71,8 +74,16 @@ object PqAnn {
           scala.concurrent.Future.sequence(futs),
           scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
+    // materialize the code table (vec_id + m ints — the 32×-compressed
+    // form), then release the subvector cache: encoded is what every
+    // downstream search scans, and leaving subs pinned would leak cache
+    // in a long-lived session (the bootstrapCi lesson from the r9
+    // ADVICE)
     val encoded = models.foldLeft(subs: DataFrame)((acc, mdl) => mdl.transform(acc))
       .select(col("vec_id"), array((0 until m).map(i => col(s"c$i")): _*).as("codes"))
+      .cache()
+    encoded.count()
+    subs.unpersist()
     (encoded, models.map(_.clusterCenters.map(_.toArray)).toArray)
   }
 
