@@ -1058,6 +1058,121 @@ object SimilarityQueries {
              ELSE floor(CAST(dcg_micro AS DOUBLE) / idcg_micro * 1e4 + 0.5)/1e4 END AS ndcg
       FROM fin ORDER BY q_id"""))
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    * 2009, the RRF every RAG stack ships): per probe document, a LEXICAL
+    * ranking (multi-query BM25 — the probe's own distinct tokens as the
+    * query, scored against the corpus through the inverted index) and a
+    * DENSE ranking (cosine over the key-aligned embeddings), fused as
+    * Σ 1/(60+rank) over the lists a document appears in. Completes the
+    * retrieval family: q123 scores one fixed term set, q50-q53/q107 rank
+    * dense-only, q198 evaluates rankings, q177 diversifies one — this is
+    * the query shape that combines the two signals users actually deploy.
+    *
+    * Determinism: every score snaps to the 1e-6 grid BEFORE ranking
+    * (per-addend for BM25, then an order-independent DECIMAL(18,6)
+    * accumulate — a raw double sum over ~40 shared terms would be
+    * partition-order-dependent), ranks tie-break by doc_id, and the RRF
+    * sum is two exact IEEE divisions — so both engines rank identically.
+    *
+    * Scale shape: probe terms and probe vectors are broadcast (probes are
+    * few); BM25 touches only inverted-index postings for probe terms
+    * (the q123 argument, generalized to a query TABLE); the cosine side
+    * is q50's broadcast-probe scan. The per-probe rank windows partition
+    * by probe over candidate sets — at a real probe volume the window
+    * swaps for the bounded-heap TopK aggregator (q79), same as q147's
+    * documented witness-vs-production split.
+    */
+  val q212 = GQuery(
+    "q212_hybrid_rrf",
+    (s, dir) => {
+      val k1 = 1.2; val b = 0.75; val rrfK = 60
+      val docs = Tables.documents(s, dir)
+      val embs = Tables.embeddings(s, dir)
+      val tok = docs.select(col("doc_id"), explode(TextQueries.tokens(col("text"))).as("term"))
+      val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val stats = len.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
+      val pterms = tok.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("probe_id"), col("term")).distinct()
+      val qterms = pterms.select("term").distinct()
+      val dfreq = tok.select("doc_id", "term").distinct()
+        .join(broadcast(qterms), "term")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val tf = tok.join(broadcast(qterms), "term")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(broadcast(pterms), "term")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .join(len, "doc_id").join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+        .withColumn("idf", log((col("n_docs").cast("double") - col("df") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0))
+        .withColumn("sc", col("idf") * (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len").cast("double") / col("avg_len"))))
+        .groupBy("probe_id", "doc_id")
+        .agg(sum(Metrics.canonRound(col("sc"), 6).cast("decimal(18,6)"))
+          .cast("double").as("bm25"))
+      val wB = Window.partitionBy("probe_id").orderBy(col("bm25").desc, col("doc_id"))
+      val topB = scored.withColumn("r_bm25", row_number().over(wB))
+        .filter(col("r_bm25") <= 20)
+        .select(col("probe_id"), col("doc_id"), col("r_bm25"))
+      val probes = embs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec"))
+      val sims = embs.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("doc_id"),
+          Metrics.canonRound(VectorOps.cosine(col("q_vec"), col("embedding")), 6).as("cos"))
+      val wC = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("doc_id"))
+      val topC = sims.withColumn("r_cos", row_number().over(wC))
+        .filter(col("r_cos") <= 20)
+        .select(col("probe_id"), col("doc_id"), col("r_cos"))
+      val fused = topB.join(topC, Seq("probe_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_cos")), lit(0.0)))
+      val wF = Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(wF)).filter(col("rank") <= 10)
+        .select(col("probe_id"), col("doc_id"), col("r_bm25"), col("r_cos"),
+          Metrics.canonRound(col("rrf"), 6).as("rrf"), col("rank"))
+        .orderBy("probe_id", "rank")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      len AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM len),
+      pt AS (SELECT DISTINCT doc_id AS probe_id, term FROM tok WHERE doc_id < 3),
+      qt AS (SELECT DISTINCT term FROM pt),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+      sc AS (SELECT p.probe_id, t.doc_id,
+          CAST(sum(CAST(floor((
+            ln((CAST(st.n_docs AS DOUBLE) - d.df + 0.5)/(CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+            * (CAST(t.tf AS DOUBLE)*(1.2 + 1))
+            / (CAST(t.tf AS DOUBLE) + 1.2*(1 - 0.75 + 0.75*CAST(l.len AS DOUBLE)/st.avg_len))
+          )*1e6 + 0.5)/1e6 AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM tf t JOIN pt p USING (term) JOIN len l ON l.doc_id = t.doc_id
+             JOIN dfreq d ON d.term = t.term, st
+        WHERE t.doc_id <> p.probe_id
+        GROUP BY 1, 2),
+      tb AS (SELECT probe_id, doc_id, r_bm25 FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY bm25 DESC, doc_id) AS r_bm25
+          FROM sc) WHERE r_bm25 <= 20),
+      pr AS (SELECT vec_id AS probe_id, embedding AS q FROM embeddings WHERE vec_id < 3),
+      sims AS (SELECT pr.probe_id, e.vec_id AS doc_id,
+          floor(list_cosine_similarity(CAST(pr.q AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))*1e6 + 0.5)/1e6 AS cos
+        FROM embeddings e CROSS JOIN pr WHERE e.vec_id <> pr.probe_id),
+      tc AS (SELECT probe_id, doc_id, r_cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, doc_id) AS r_cos
+          FROM sims) WHERE r_cos <= 20),
+      f AS (SELECT coalesce(tb.probe_id, tc.probe_id) AS probe_id,
+          coalesce(tb.doc_id, tc.doc_id) AS doc_id, tb.r_bm25, tc.r_cos,
+          coalesce(1.0/(60 + tb.r_bm25), 0.0) + coalesce(1.0/(60 + tc.r_cos), 0.0) AS rrf
+        FROM tb FULL OUTER JOIN tc ON tb.probe_id = tc.probe_id AND tb.doc_id = tc.doc_id)
+      SELECT probe_id, doc_id, CAST(r_bm25 AS INT) AS r_bm25, CAST(r_cos AS INT) AS r_cos,
+        floor(rrf*1e6 + 0.5)/1e6 AS rrf, CAST(rank AS INT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
+            FROM f)
+      WHERE rank <= 10 ORDER BY probe_id, rank"""))
+
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
-    q127, q128, q133, q135, q137, q143, q145, q148, q151, q169, q175, q176, q177, q198)
+    q127, q128, q133, q135, q137, q143, q145, q148, q151, q169, q175, q176, q177, q198,
+    q212)
 }

@@ -307,4 +307,31 @@ class SimilaritySpec extends SparkSpec {
     val expNdcg = math.floor((wm(0) + wm(2) + wm(3)).toDouble / (wm(0) + wm(1) + wm(2)) * 1e4 + 0.5) / 1e4
     assert(r.getDouble(6) == expNdcg, s"nDCG: ${r.getDouble(6)} vs $expNdcg")
   }
+
+  test("hybrid RRF: fused ranks follow the reciprocal-rank sums, rows come from a source list (q212)") {
+    val out = graft.SparkEntry.queries("q212_hybrid_rrf")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getDouble(4), r.getInt(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (probe, rows) =>
+      // ranks are 1..n dense per probe and ordered by (rrf desc, doc_id)
+      assert(rows.map(_._6).sorted.toSeq == (1 to rows.length), s"probe $probe ranks")
+      val ordered = rows.sortBy(_._6)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 > b._5 || (a._5 == b._5 && a._2 < b._2), s"probe $probe order: $a vs $b")
+        case _ => ()
+      }
+      rows.foreach { case (_, doc, rb, rc, rrf, _) =>
+        // every fused row cites at least one source list, never the probe itself
+        assert(rb.nonEmpty || rc.nonEmpty, s"doc $doc in neither list")
+        assert(doc != probe)
+        val expected = rb.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          rc.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        assert(rrf == math.floor(expected * 1e6 + 0.5) / 1e6, s"doc $doc rrf")
+      }
+    }
+  }
 }
