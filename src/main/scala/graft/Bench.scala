@@ -43,7 +43,7 @@ object Bench {
     "q83_dedup_clusters" -> 2.1,
     "q96_iqr_outliers" -> 2.9,
     "q211_lsh_recall" -> 3.0,
-    "q212_hybrid_rrf" -> 1.8,
+    "q212_hybrid_rrf" -> 2.0,
     "q202_exact_kth" -> 1.7,
     "q203_stream_upsert" -> 2.7,
     "q205_conformal_interval" -> 2.6,

@@ -768,8 +768,13 @@ object DedupQueries {
           Metrics.canonRound(col("i").cast("double") /
             (col("na") + col("nb") - col("i")).cast("double"), 4).as("j"))
         .filter(col("j") >= 0.05)
-      // candidates: the deployed banded path, uncapped and unfiltered
+      // candidates: the deployed banded path, uncapped and unfiltered.
+      // Cached + eager (capBuckets' racing-consumers rule): both sides
+      // of the self-join read this frame, and an uncached subtree would
+      // re-run the scan→shingle→md5→8-min-agg pipeline per side.
       val bb = bandedConcat(minhashSignaturesMd5(docs, nHashes = 8), bands = 4, rows = 2)
+        .cache()
+      bb.count()
       val ca = bb.select(col("band"), col("bh"), col("doc_id").as("id_a"))
       val cb = bb.select(col("band"), col("bh"), col("doc_id").as("id_b"))
       val cands = ca.join(cb, Seq("band", "bh")).filter(col("id_a") < col("id_b"))

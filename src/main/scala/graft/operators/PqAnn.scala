@@ -42,14 +42,14 @@ object PqAnn {
     val unit = embeddings.select(col("vec_id"), normalized(col("embedding")).as("u"))
     val subCols = (0 until m).map(i =>
       array_to_vector(slice(col("u"), i * dsub + 1, dsub)).as(s"sub$i"))
-    // cached AND right-sized: m k-means fits re-scan this tiny frame
-    // every iteration, and at fixture scale 32 near-empty tasks per pass
-    // would make task launch the dominant cost. The floor derives from
-    // the INPUT's layout (coalesce never raises a count), so a real
-    // corpus keeps its parallelism — the PqLloyd fix from the r9
-    // ADVICE, applied to the MLlib-codebook twin too.
-    val subs = unit.select((col("vec_id") +: subCols): _*)
-      .coalesce(math.max(4, embeddings.rdd.getNumPartitions)).cache()
+    // cached: m k-means fits re-scan this frame every iteration. Its
+    // partition layout is inherited from the input scan (the projection
+    // is narrow), so it is already few-partition at fixture scale and
+    // corpus-parallel on a real table — no coalesce needed: a
+    // coalesce(max(4, input partitions)) here is provably a no-op
+    // (coalesce never raises a count and the target equals the current
+    // count), and a literal coalesce(4) would serialize a real corpus.
+    val subs = unit.select((col("vec_id") +: subCols): _*).cache()
     subs.count()
     // the m subspace fits are independent → submit them CONCURRENTLY
     // from a thread pool (CrossValidator.setParallelism-style, like

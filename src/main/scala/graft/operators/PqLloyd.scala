@@ -54,15 +54,15 @@ object PqLloyd {
         struct(lit(s).as("s"), slice(col("emb"), s * dsub + 1, dsub).as("v"))
       }: _*)).as("sub"))
       .select(col("vec_id"), col("sub.s").as("s"), col("sub.v").as("v"))
-      // cached AND right-sized (PqAnn's reasoning): every Lloyd round
-      // re-reads this small frame for assignment + update, and at fixture
-      // scale 32 near-empty tasks per pass make task launch the dominant
-      // per-round cost. The floor is derived from the INPUT's layout so a
-      // real corpus keeps its parallelism (coalesce never raises a count,
-      // so this only trims near-empty fixture shards). Decimal-exact
-      // means and fully tie-broken argmins keep the result
-      // partition-layout-independent (oracle-certified).
-      .coalesce(math.max(4, e.rdd.getNumPartitions))
+      // cached: every Lloyd round re-reads this frame for assignment +
+      // update. Its partition layout is inherited from the input scan
+      // (explode is narrow) — already few-partition at fixture scale,
+      // corpus-parallel on a real table — so no coalesce: the previous
+      // coalesce(max(4, input partitions)) was provably a no-op
+      // (coalesce never raises a count and the target equals the
+      // current count). Decimal-exact means and fully tie-broken
+      // argmins keep the result partition-layout-independent
+      // (oracle-certified).
       .cache()
     val seedIds = e.select(col("vec_id")).orderBy("vec_id").limit(k)
       .collect().map(_.getLong(0)).toSeq

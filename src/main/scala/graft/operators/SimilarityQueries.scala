@@ -1088,7 +1088,12 @@ object SimilarityQueries {
       val k1 = 1.2; val b = 0.75; val rrfK = 60
       val docs = Tables.documents(s, dir)
       val embs = Tables.embeddings(s, dir)
+      // cached + eager (the racing-consumers rule): four independent
+      // subtrees consume the tokenized corpus (len/pterms/dfreq/tf) and
+      // would each re-run the scan+explode uncached
       val tok = docs.select(col("doc_id"), explode(TextQueries.tokens(col("text"))).as("term"))
+        .cache()
+      tok.count()
       val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
       val stats = len.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
       val pterms = tok.filter(col("doc_id") < 3)

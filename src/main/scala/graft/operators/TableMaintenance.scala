@@ -632,9 +632,12 @@ object TableMaintenance {
           bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT))
             AS survivor_xor
         FROM surv GROUP BY tbl)
-      SELECT b.tbl, b.rows_before, b.rows_before - sa.rows_after AS n_deleted,
-        sa.rows_after, sa.n_orphans, sa.survivor_xor
-      FROM b JOIN sa USING (tbl) ORDER BY tbl"""))
+      SELECT b.tbl, b.rows_before,
+        b.rows_before - coalesce(sa.rows_after, 0) AS n_deleted,
+        coalesce(sa.rows_after, 0) AS rows_after,
+        coalesce(sa.n_orphans, 0) AS n_orphans,
+        coalesce(sa.survivor_xor, 0) AS survivor_xor
+      FROM b LEFT JOIN sa USING (tbl) ORDER BY tbl"""))
 
   def all: Seq[GQuery] = Seq(q178, q179, q180, q181, q182, q183, q184, q185, q210)
 }

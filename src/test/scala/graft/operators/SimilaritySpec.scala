@@ -308,6 +308,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(6) == expNdcg, s"nDCG: ${r.getDouble(6)} vs $expNdcg")
   }
 
+  test("PqAnn (MLlib-codebook PQ) recall@10 vs brute force — the production trainer stays exercised") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val (encoded, books) = PqAnn.buildIndex(spark, e, m = 8, k = 16, dim = 64)
+    val got = PqAnn.search(spark, e, encoded, books, probeIds = Seq(0L, 1L, 2L), kNN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    encoded.unpersist()
+    val byProbe = got.groupBy(_._1)
+    assert(byProbe.keySet == Set(0L, 1L, 2L))
+    byProbe.values.foreach(rows => assert(rows.map(_._3).sorted.toSeq == (1 to 10)))
+    // recall@10 vs the exact cosine top-10 (bruteForceTopK probes vec_id < 5)
+    val exact = SimilarityQueries.bruteForceTopK(e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._1 < 3).groupBy(_._1)
+    val recall = byProbe.map { case (p, rows) =>
+      rows.map(_._2).toSet.intersect(exact(p).map(_._2).toSet).size / 10.0
+    }
+    assert(recall.sum / recall.size >= 0.5, s"mean recall ${recall.sum / recall.size}")
+  }
+
   test("hybrid RRF: fused ranks follow the reciprocal-rank sums, rows come from a source list (q212)") {
     val out = graft.SparkEntry.queries("q212_hybrid_rrf")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1),
