@@ -712,10 +712,15 @@ object DedupQueries {
     * distinct shingles, equi-join on the shingle, count per pair —
     * intersection sizes fall out of a codegen hash join + hash agg
     * instead of an interpreted per-pair array_intersect (2.3× faster
-    * here, and the shape that scales: cost is Σ df² over shingles, which
-    * a df cap or PPJoin prefix filter bounds at corpus scale — q87's
-    * machinery — where the all-pairs form is O(n²) regardless of
-    * overlap). Pairs sharing zero shingles have j=0 and cannot reach the
+    * here, and the shape that scales: cost is Σ df² over shingles). The
+    * truth join applies the SAME df cap (64, per lang-scoped shingle)
+    * that ScaleSmoke's lsh_recall_truth row certifies at 10× data —
+    * ultra-common shingles stop generating df² candidate rows, and the
+    * oracle replays the identical windowed-count cap so the audit stays
+    * hash-checked. The cap biases j slightly downward for pairs whose
+    * overlap includes a hot shingle (documented measurement trade-off;
+    * a hot shingle carries ~no jaccard signal at corpus scale). Pairs
+    * sharing zero surviving shingles have j=0 and cannot reach the
     * 0.05 floor, so skipping them loses nothing. Recall estimated on a
     * sample is unbiased per band. The corpus' organic duplicate mass sits almost entirely
     * below j=0.2 in any sample (both members of a rare high-j pair
@@ -737,12 +742,17 @@ object DedupQueries {
       import graft.functions.Metrics
       val base = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("lang"), col("text"))
+      // Injected twin ids live in the NEGATIVE id range: -(doc_id+1)
+      // can never collide with a real non-negative doc_id at ANY corpus
+      // size (the former +1e9/+2e9 offsets silently collided past ~1e9
+      // rows), and the two twin families stay disjoint from each other
+      // because their source residues (doc_id%20 = 0 vs 10) are.
       val toks = TextQueries.tokens(col("text"))
       val drop1 = base.filter(col("doc_id") % 20 === 0 && size(toks) >= 3)
-        .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+        .select((-(col("doc_id") + 1)).as("doc_id"), col("lang"),
           array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text"))
       val dropQ = base.filter(col("doc_id") % 20 === 10 && size(toks) >= 8)
-        .select((col("doc_id") + 2000000000L).as("doc_id"), col("lang"),
+        .select((-(col("doc_id") + 1)).as("doc_id"), col("lang"),
           array_join(slice(toks, lit(1), size(toks) - (size(toks) / lit(4)).cast("int")), " ")
             .as("text"))
       val docs = base.unionByName(drop1).unionByName(dropQ)
@@ -751,9 +761,17 @@ object DedupQueries {
       // collision odds ~1e-9 per corpus and the oracle gate would
       // surface one). The frame feeds both join sides and the size agg —
       // cached + eagerly materialized (capBuckets' cache contract).
-      val sh = docs.select(col("doc_id"), col("lang"),
+      // df cap (ScaleSmoke.lshRecallTruth's certified shape): a windowed
+      // per-(lang, shingle) doc count drops ultra-common shingles BEFORE
+      // the self-join, bounding the join at Σ min(df, 64)² instead of
+      // Σ df² — the difference between linear-ish and quadratic blowup
+      // when one boilerplate bigram appears in half a real corpus.
+      val shAll = docs.select(col("doc_id"), col("lang"),
           explode(array_distinct(TextQueries.bigrams(TextQueries.tokens(col("text"))))).as("shs"))
         .select(col("doc_id"), col("lang"), xxhash64(col("shs")).as("s"))
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("lang", "s")
+      val sh = shAll.withColumn("df", count(lit(1)).over(wDf))
+        .filter(col("df") <= 64).drop("df")
         .cache()
       sh.count()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -800,22 +818,27 @@ object DedupQueries {
       }.mkString(" ")
       s"""WITH base AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
       d1 AS (
-        SELECT sid + 1000000000 AS doc_id, lang,
+        SELECT -(sid + 1) AS doc_id, lang,
           array_to_string(list_slice(t, 1, len(t) - 1), ' ') AS text
         FROM (SELECT doc_id AS sid, lang, string_split(text, ' ') AS t FROM base) z
         WHERE sid % 20 = 0 AND len(t) >= 3),
       dq AS (
-        SELECT sid + 2000000000 AS doc_id, lang,
+        SELECT -(sid + 1) AS doc_id, lang,
           array_to_string(list_slice(t, 1, len(t) - (len(t) // 4)), ' ') AS text
         FROM (SELECT doc_id AS sid, lang, string_split(text, ' ') AS t FROM base) z
         WHERE sid % 20 = 10 AND len(t) >= 8),
       docs AS (
         SELECT * FROM base UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM dq),
-      shx AS (
+      shx0 AS (
         SELECT doc_id, lang,
           unnest(list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-1),
             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS s
         FROM docs),
+      shx AS (
+        SELECT doc_id, lang, s FROM (
+          SELECT doc_id, lang, s, count(*) OVER (PARTITION BY lang, s) AS df
+          FROM shx0) c
+        WHERE df <= 64),
       sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
       ix AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i

@@ -35,7 +35,17 @@ object PqAnn {
     transform(c, x => x.cast("double") / n)
   }
 
-  /** @return (codes frame: vec_id, codes ARRAY<INT>; codebooks [m][k][dsub]). */
+  /** Build the PQ index: m per-subspace codebooks plus the encoded code
+    * table.
+    *
+    * CACHE CONTRACT: the returned codes frame is `.cache()`d and eagerly
+    * materialized (every downstream ADC search scans it, and the
+    * m-transform encode chain would otherwise re-run per search). The
+    * CALLER owns the cache and must `.unpersist()` the frame when done
+    * with the index, or it leaks block-manager memory in a long-lived
+    * session (same contract as DedupQueries.capBuckets).
+    *
+    * @return (codes frame: vec_id, codes ARRAY<INT>; codebooks [m][k][dsub]). */
   def buildIndex(spark: SparkSession, embeddings: DataFrame,
                  m: Int = 8, k: Int = 16, dim: Int = 64): (DataFrame, Array[Array[Array[Double]]]) = {
     val dsub = dim / m
