@@ -115,11 +115,13 @@ object DedupStreams {
     */
   def nearDupStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType,
                     minAgree: Int = NumHashes / 2, bucketCap: Int = 50,
-                    queryName: String = "stream_neardup"): DataFrame =
+                    queryName: String = "stream_neardup",
+                    docFilter: Option[Column] = None): DataFrame =
     runNearDupStream(spark, dir, schema, sigOf(_),
       bands = Bands, rows = NumHashes / Bands,
       bandKey = (sig, b, r) => xxhash64(slice(sig, b * r + 1, r).cast("string")).cast("string"),
-      minAgree = minAgree, bucketCap = bucketCap, queryName = queryName)
+      minAgree = minAgree, bucketCap = bucketCap, queryName = queryName,
+      docFilter = docFilter)
 
   /** The md5/K-M twin of [[nearDupStream]] (8 slots, 4 string-keyed bands —
     * the q56/q83/q99 signature scheme): identical stateful dataflow, but
@@ -130,12 +132,14 @@ object DedupStreams {
     */
   def nearDupStreamMd5(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType,
                        nHashes: Int = 8, minAgree: Int = 4, bucketCap: Int = 50,
-                       queryName: String = "stream_neardup_md5"): DataFrame =
+                       queryName: String = "stream_neardup_md5",
+                       docFilter: Option[Column] = None): DataFrame =
     runNearDupStream(spark, dir, schema, sigOfMd5(_, nHashes),
       bands = nHashes / 2, rows = 2,
       bandKey = (sig, b, r) =>
         array_join(transform(slice(sig, b * r + 1, r), _.cast("string")), "-"),
-      minAgree = minAgree, bucketCap = bucketCap, queryName = queryName)
+      minAgree = minAgree, bucketCap = bucketCap, queryName = queryName,
+      docFilter = docFilter)
 
   private def runNearDupStream(spark: SparkSession, dir: String,
                                schema: org.apache.spark.sql.types.StructType,
@@ -143,10 +147,16 @@ object DedupStreams {
                                bands: Int, rows: Int,
                                bandKey: (Column, Int, Int) => Column,
                                minAgree: Int, bucketCap: Int,
-                               queryName: String): DataFrame =
+                               queryName: String,
+                               docFilter: Option[Column] = None): DataFrame =
     EventStreams.withStreamShufflePartitions(spark) {
     import spark.implicits._
-    val docs = spark.readStream.schema(schema).parquet(dir)
+    // docFilter prunes documents BEFORE the per-doc signature hashing —
+    // the pipeline's dominant cost — so callers can run the full
+    // stateful dataflow on a deterministic corpus sample (the q100
+    // registry entry). None = whole corpus (the StreamingSpec fixtures).
+    val scanned = spark.readStream.schema(schema).parquet(dir)
+    val docs = docFilter.fold(scanned)(scanned.filter)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         sigFn(text).map(sig => (id, sig.toSeq)) })
