@@ -35,6 +35,7 @@ object Registry {
     graft.operators.PowerIteration.all,
     graft.operators.Sprt.all,
     graft.operators.GroupedOls.all,
+    graft.ml.HybridTwin.all,
     graft.operators.HierarchyRollup.all
   )
 
