@@ -193,6 +193,97 @@ object DedupQueries {
     },
     None)
 
+  /** md5-voted SimHash signatures — the oracle-checkable twin of
+    * [[simhashSignatures]] (the q56-vs-q47 relationship, applied to
+    * Charikar's scheme): bit j of the signature is the sign of the vote
+    * sum over distinct tokens of bit j of the token's md5-derived 60-bit
+    * hash (the q56 15-hex-half recipe). 60 bits instead of the
+    * production path's 64 — the md5 half IS the hash, and both engines
+    * read its bits identically; the width is a parameter of the scheme,
+    * not of the dataflow being proven. Zero vote sums resolve to bit 0
+    * (strict > 0), deterministically in both engines. Same aggregation
+    * shape as production: one hash per distinct token row, 60 conditional
+    * sums with map-side combine.
+    */
+  def simhashSignaturesMd5(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h1", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map { j =>
+      sum(when(shiftright(col("h1"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val bits = (0 until 60).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
+  /** SimHash near-dup twin (q48's banded pipeline on the md5-voted
+    * signatures): 4 bands × 15 bits, bucket cap, Hamming ≤ 3 — by
+    * pigeonhole any pair within Hamming 3 of a 60-bit signature agrees
+    * exactly on at least one 15-bit quarter. Every step (votes, bit
+    * assembly, band extraction, whole-bucket cap, xor-popcount) replays
+    * verbatim in DuckDB, closing the last no-oracle family from the r10
+    * VERDICT: q48 keeps the 64-bit xxhash64 production path.
+    */
+  val q214 = GQuery(
+    "q214_simhash_twin",
+    (s, dir) => {
+      val sigs = simhashSignaturesMd5(Tables.documents(s, dir))
+      val bandedSh = sigs.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL).as("bh"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
+      val bb = capBuckets(bandedSh, cap = 50)
+      val a = bb.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b2 = bb.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b2, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val votes = (0 until 60)
+        .map(j => s"sum(CASE WHEN (h1 >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n          ")
+      val bits = (0 until 60)
+        .map(j => s"CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+        .mkString(" +\n          ")
+      s"""WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+      h AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h1
+        FROM toks),
+      v AS (
+        SELECT doc_id,
+          $votes
+        FROM h GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id,
+          $bits AS sh
+        FROM v),
+      bands AS (
+        SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bh
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      capped AS (
+        SELECT doc_id, sh, b, bh FROM (
+          SELECT doc_id, sh, b, bh, count(*) OVER (PARTITION BY b, bh) AS bn
+          FROM bands) z
+        WHERE bn <= 50),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+          CAST(bit_count(xor(a.sh, c.sh)) AS INTEGER) AS hamming
+        FROM capped a JOIN capped c
+          ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)
+      SELECT id_a, id_b, hamming FROM pairs
+      WHERE hamming <= 3 ORDER BY id_a, id_b"""
+    })
+
   /** Cross-engine-verifiable MinHash: ONE md5 per shingle split into two
     * 60-bit halves (h1, h2), expanded to 8 slot hashes by Kirsch-
     * Mitzenmacher double hashing — slot_i = h1 XOR (i·h2) (public
@@ -880,5 +971,5 @@ object DedupQueries {
       FROM je GROUP BY bucket_lo ORDER BY bucket_lo"""
     })
 
-  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142, q146, q211)
+  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142, q146, q211, q214)
 }

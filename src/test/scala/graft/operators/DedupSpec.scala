@@ -109,6 +109,32 @@ class DedupSpec extends SparkSpec {
     assert(clustered == Set(1L), s"clustered=$clustered")
   }
 
+  test("q214 simhash twin: hamming-0 pairs have identical distinct-token sets") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("q214_simhash_twin")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 <= 3))
+    val zeros = out.filter(_._3 == 0)
+    assert(zeros.nonEmpty, "no hamming-0 pairs — fixture exact dups missing")
+    val tokSets = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // hamming 0 does NOT imply identical sets — SimHash is a similarity
+    // sketch, and near-identical sets (e.g. 2 tokens of symmetric
+    // difference out of 29 on this corpus) legitimately leave every vote
+    // margin unflipped. The semantic pin is therefore a Jaccard FLOOR on
+    // colliding pairs, plus the converse guarantee (identical sets MUST
+    // collide at 0, which is exact by construction).
+    zeros.foreach { case (a, b, _) =>
+      val (sa, sb) = (tokSets(a).toSet, tokSets(b).toSet)
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j >= 0.7, s"pair ($a,$b) hamming 0 but token jaccard $j")
+    }
+    assert(zeros.exists { case (a, b, _) => tokSets(a) == tokSets(b) },
+      "no identical-token-set pair at hamming 0")
+  }
+
   test("q211 banding recall audit: high-j bands caught, low-j bands near theory") {
     val out = graft.SparkEntry.queries("q211_lsh_recall")(spark, sf001).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
