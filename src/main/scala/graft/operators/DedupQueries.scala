@@ -971,5 +971,45 @@ object DedupQueries {
       FROM je GROUP BY bucket_lo ORDER BY bucket_lo"""
     })
 
-  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142, q146, q211, q214)
+  /** Streaming-maintained MinHash/LSH index (streaming.IndexStreams):
+    * batch-built base index over doc_id%3==0, two micro-batches of new
+    * documents extend it via foreachBatch insert-only merges, candidate
+    * pairs emitted new-vs-index + within-batch per batch. The oracle is
+    * the BATCH banded self-join over the whole corpus — equal to the
+    * streamed pair log for any micro-batch slicing (every pair lands
+    * exactly once: bootstrap, later-arrival, or within-batch). Closes
+    * the index-maintenance lifecycle stage the r10 VERDICT named; the
+    * stream-built ≡ batch-built INDEX equality is pinned in
+    * StreamingSpec.
+    */
+  val q215 = GQuery(
+    "q215_stream_minhash_index",
+    (s, dir) => graft.streaming.IndexStreams.streamingMinhashIndex(
+      s, dir, queryName = "stream_minhash_index_q215"),
+    Some {
+      val mins = (0 until 8).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(", ")
+      val bandArms = (0 until 4).map { bnd =>
+        s"WHEN $bnd THEN CAST(m${2 * bnd} AS VARCHAR) || '-' || CAST(m${2 * bnd + 1} AS VARCHAR)"
+      }.mkString(" ")
+      s"""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      shr AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+        FROM toks),
+      halves AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+          CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2
+        FROM shr),
+      sig AS (SELECT doc_id, $mins FROM halves GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b, CASE b $bandArms END AS bh
+        FROM sig, (SELECT unnest(range(0, 4)) AS b))
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b, count(*) AS n_bands
+      FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+      GROUP BY 1, 2 ORDER BY id_a, id_b"""
+    })
+
+  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142, q146, q211, q214, q215)
 }

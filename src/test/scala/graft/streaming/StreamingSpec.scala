@@ -316,4 +316,35 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(streamed == batch, s"streamed head=${streamed.take(3)} batch head=${batch.take(3)}")
   }
+
+  test("stream-maintained minhash index: pair log AND final index equal the batch build (q215)") {
+    import org.apache.spark.sql.functions._
+    // pair log ≡ batch banded self-join (the q215 oracle's claim, checked
+    // here engine-internally so the spec fails close to the cause)
+    val (pairLog, finalIndex) =
+      IndexStreams.streamingMinhashIndexWithState(spark, sf001, "mhidx_spec")
+    val streamedPairs = pairLog
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val allBands = IndexStreams.batchBands(spark, sf001).cache()
+    allBands.count()
+    // final index ≡ batch-built index: the insert-only merges must land
+    // every document's bands exactly once
+    val streamedIdx = finalIndex.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batchIdx = allBands.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamedIdx == batchIdx,
+      s"index drift: only-stream=${(streamedIdx -- batchIdx).take(3)} " +
+        s"only-batch=${(batchIdx -- streamedIdx).take(3)}")
+    val batchPairs = allBands.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(allBands.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamedPairs == batchPairs,
+      s"pair log drift: only-stream=${(streamedPairs -- batchPairs).take(3)} " +
+        s"only-batch=${(batchPairs -- streamedPairs).take(3)}")
+    assert(streamedPairs.nonEmpty)
+    allBands.unpersist()
+  }
 }
