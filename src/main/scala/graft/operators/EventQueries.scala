@@ -1255,7 +1255,141 @@ object EventQueries {
         max(CAST(ts AS TIMESTAMP)) AS last_ts
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Additive Holt-Winters (level + trend + weekly season) over the
+    * first 28 days of the per-type daily count series, with a one-step-
+    * ahead backtest — the FORECASTER the time-series family was missing
+    * (STL q170 and EWMA q199 are components; neither predicts). Dyadic
+    * smoothing weights α=1/2, β=γ=1/4 and the classic two-week
+    * initialization (level = week-1 mean; trend = (week-2 mean − week-1
+    * mean)/7; season_j = y_j − level).
+    *
+    * Cross-engine exactness: the recursion is evaluated SEQUENTIALLY per
+    * series in both engines with the identical per-step IEEE expression
+    * shapes — Spark folds a 21-step `aggregate` HOF over the dense count
+    * array (interpreted per SERIES, of which there are 5 — never per
+    * corpus row; the HOF-per-join-row trap does not apply), and the
+    * oracle unrolls the same 21 steps as chained MATERIALIZED CTEs
+    * (invariant 12: un-materialized chained CTEs inline exponentially —
+    * each step references its predecessor four times). Same snapped
+    * integer inputs + same expression order ⇒ identical doubles, no
+    * dyadic-denominator bookkeeping needed.
+    *
+    * Scale shape: the only corpus-scale work is the (type, day) count
+    * aggregation (map-side combinable); the fold runs on one row per
+    * SERIES. Forecasting millions of series is the same plan — the
+    * groupBy key carries the series id and the fold parallelizes per
+    * group; state is O(season length) per series.
+    */
+  val q216 = GQuery(
+    "q216_holt_winters",
+    (s, dir) => {
+      import graft.functions.Metrics
+      val T = 28
+      val ev = Tables.events(s, dir)
+      val d0 = ev.agg(min(to_date(col("ts"))).as("d0"))
+      val counts = ev.crossJoin(broadcast(d0))
+        .withColumn("t", datediff(to_date(col("ts")), col("d0")))
+        .filter(col("t") < T)
+        .groupBy("event_type", "d0", "t").agg(count(lit(1)).as("n"))
+      val series = counts.groupBy("event_type", "d0")
+        .agg(map_from_entries(collect_list(struct(col("t"), col("n")))).as("mp"))
+        .withColumn("ys", transform(sequence(lit(0), lit(T - 1)),
+          i => coalesce(element_at(col("mp"), i), lit(0L)).cast("double")))
+      def el(i: Int) = element_at(col("ys"), i + 1)
+      val withInit = series
+        .withColumn("l6", (0 until 7).map(el).reduce(_ + _) / lit(7.0))
+        .withColumn("b6", ((7 until 14).map(el).reduce(_ + _) / lit(7.0) - col("l6")) / lit(7.0))
+      val sInit = (0 until 7).map(j => (el(j) - col("l6")).as(s"x$j"))
+      val st0 = struct(
+        (col("l6").as("l") +: col("b6").as("b") +:
+          array(sInit: _*).as("s") +:
+          Seq(array().cast("array<double>").as("fs"))): _*)
+      val folded = withInit.withColumn("st",
+        aggregate(sequence(lit(7), lit(T - 1)), st0, (st, t) => {
+          val y = element_at(col("ys"), t + 1)
+          val idx = (t % 7) + 1
+          val sOld = element_at(st.getField("s"), idx)
+          val f = st.getField("l") + st.getField("b") + sOld
+          val lN = lit(0.5) * (y - sOld) + lit(0.5) * (st.getField("l") + st.getField("b"))
+          val bN = lit(0.25) * (lN - st.getField("l")) + lit(0.75) * st.getField("b")
+          val sN = lit(0.25) * (y - lN) + lit(0.75) * sOld
+          struct(lN.as("l"), bN.as("b"),
+            transform(sequence(lit(1), lit(7)),
+              j => when(j === idx, sN).otherwise(element_at(st.getField("s"), j))).as("s"),
+            concat(st.getField("fs"), array(f)).as("fs"))
+        }))
+      folded
+        .select(col("event_type"), col("d0"), col("ys"),
+          posexplode(col("st").getField("fs")).as(Seq("pos", "f")))
+        .select(col("event_type"),
+          date_add(col("d0"), col("pos") + 7).cast("timestamp_ntz").as("day"),
+          element_at(col("ys"), col("pos") + 8).cast("long").as("n"),
+          Metrics.canonRound(col("f"), 4).as("forecast"),
+          Metrics.canonRound(abs(element_at(col("ys"), col("pos") + 8) - col("f")), 4)
+            .as("abs_err"))
+        .orderBy("event_type", "day")
+    },
+    Some {
+      val T = 28
+      val yCols = (0 until T)
+        .map(j => s"CAST(coalesce(sum(CASE WHEN t = $j THEN n END), 0) AS DOUBLE) AS y$j")
+        .mkString(",\n          ")
+      val sum1 = (0 until 7).map(j => s"y$j").mkString(" + ")
+      val sum2 = (7 until 14).map(j => s"y$j").mkString(" + ")
+      val carryY = (7 until T).map(j => s"y$j").mkString(", ")
+      val seasonName = Array.tabulate(7)(j => s"s${j}_6")
+      val sInit = (0 until 7).map(j => s"y$j - l6 AS ${seasonName(j)}").mkString(", ")
+      val sb = new StringBuilder
+      var prevL = "l6"; var prevB = "b6"; var prevCte = "init"
+      var fCols = List.empty[String]
+      for (t <- 7 until T) {
+        val slot = t % 7
+        val sOld = seasonName(slot)
+        val (lN, bN, sN, fN) = (s"l$t", s"b$t", s"s${slot}_$t", s"f$t")
+        val keepS = (0 until 7).filter(_ != slot).map(seasonName).mkString(", ")
+        val keepF = if (fCols.isEmpty) "" else fCols.reverse.mkString(", ") + ","
+        sb.append(s""",
+      st$t AS MATERIALIZED (
+        SELECT event_type, d0, $carryY, $keepF $keepS,
+          $prevL + $prevB + $sOld AS $fN,
+          0.5 * (y$t - $sOld) + 0.5 * ($prevL + $prevB) AS $lN,
+          0.25 * ($lN - $prevL) + 0.75 * $prevB AS $bN,
+          0.25 * (y$t - $lN) + 0.75 * $sOld AS $sN
+        FROM $prevCte)""")
+        seasonName(slot) = sN; prevL = lN; prevB = bN; prevCte = s"st$t"
+        fCols = fN :: fCols
+      }
+      val fArms = (7 until T).map(t => s"WHEN $t THEN f$t").mkString(" ")
+      val yArms = (7 until T).map(t => s"WHEN $t THEN y$t").mkString(" ")
+      s"""WITH b0 AS (SELECT CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS d0 FROM events),
+      c AS (
+        SELECT event_type, d0,
+          datediff('day', d0, CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS t, count(*) AS n
+        FROM events, b0 GROUP BY 1, 2, 3),
+      w AS (
+        SELECT event_type, d0,
+          $yCols
+        FROM c WHERE t < $T GROUP BY event_type, d0),
+      pre AS MATERIALIZED (
+        SELECT event_type, d0, $carryY, ${(0 until 7).map(j => s"y$j").mkString(", ")},
+          ($sum1) / 7.0 AS l6
+        FROM w),
+      init AS MATERIALIZED (
+        SELECT event_type, d0, $carryY,
+          l6, (($sum2) / 7.0 - l6) / 7.0 AS b6, $sInit
+        FROM pre)${sb},
+      melt AS (
+        SELECT event_type, d0, g.t,
+          CASE g.t $yArms END AS y, CASE g.t $fArms END AS f
+        FROM $prevCte, (SELECT unnest(range(7, $T)) AS t) g)
+      SELECT event_type, CAST(d0 + t * INTERVAL 1 DAY AS TIMESTAMP) AS day,
+        CAST(y AS BIGINT) AS n,
+        floor(f * 1e4 + 0.5) / 1e4 AS forecast,
+        floor(abs(y - f) * 1e4 + 0.5) / 1e4 AS abs_err
+      FROM melt ORDER BY event_type, day"""
+    })
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158, q162,
-    q163, q166, q171, q196, q197, q199, q200, q203)
+    q163, q166, q171, q196, q197, q199, q200, q203, q216)
 }

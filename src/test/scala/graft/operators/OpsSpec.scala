@@ -751,4 +751,28 @@ class OpsSpec extends SparkSpec {
     assert(got("x") == ((2L, 2L, 4L, 1.0, 0)), s"x: ${got("x")}")
     assert(got("y") == ((2L, 2L, 0L, 0.0, 0)), s"y: ${got("y")}")
   }
+
+  test("Holt-Winters forecaster (q216): 21 backtest rows per type, errors consistent") {
+    val out = graft.SparkEntry.queries("q216_holt_winters")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val byType = out.groupBy(_._1)
+    assert(byType.nonEmpty)
+    // 28-day axis, 7-day init → exactly 21 one-step-ahead forecasts per series
+    byType.foreach { case (t, rows) => assert(rows.length == 21, s"$t: ${rows.length}") }
+    out.foreach { case (t, n, f, err) =>
+      assert(!f.isNaN && !f.isInfinite, s"$t forecast $f")
+      // abs_err is |n - forecast| up to the two independent 1e-4 roundings
+      assert(math.abs(err - math.abs(n - f)) < 2e-4, s"$t: n=$n f=$f err=$err")
+      assert(n >= 0)
+    }
+    // the forecaster must track the series level: mean error strictly
+    // under the mean count (a flat-zero forecast scores exactly meanN; a
+    // runaway trend scores far above). At sf0.001 the daily counts are
+    // ~7/day so Poisson noise keeps the ratio high — the bound is a
+    // level-tracking floor, not an accuracy claim (sf0.1's ~670-count
+    // series backtest at ~5% MAE through the oracle gate).
+    val meanN = out.map(_._2).sum.toDouble / out.length
+    val meanErr = out.map(_._4).sum / out.length
+    assert(meanErr < meanN, s"meanErr $meanErr vs meanN $meanN")
+  }
 }
