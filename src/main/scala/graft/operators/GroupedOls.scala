@@ -111,5 +111,134 @@ object GroupedOls {
                   THEN floor(cov * cov / (varx * vary) * 1e6 + 0.5) / 1e6 END AS r2
       FROM d ORDER BY p_brand"""))
 
-  def all: Seq[GQuery] = Seq(q208)
+  /** q217: per-group quantile regression lines — the pinball-loss member
+    * of the per-group regression family (pairs with q208's OLS and
+    * q205's conformal intervals). Exact, deterministic construction:
+    * the group's OLS slope anchors the line (q208's integer sufficient
+    * statistics), and the τ-quantile intercepts are EXACT order
+    * statistics of the 1e-4-snapped residuals — the k = ⌈τ·n⌉ smallest
+    * residual, computed from integer ranks, never an interpolating
+    * quantile (Spark percentile_approx and DuckDB quantile_cont would
+    * each interpolate differently; the integer-rank definition is the
+    * one both engines reproduce bit-for-bit). For τ=0.9 the query also
+    * reports the pinball loss of the shifted line — carried as EXACT
+    * integer 1e-4 units (ρ_0.9 in tenths: 9·max(u,0) + max(−u,0),
+    * divided out once at the end) — and the empirical coverage.
+    *
+    * Scale shape: suff-stats agg (map-side combinable) → residual scan
+    * with broadcast coefficients → per-(group, value) count agg → one
+    * cumulative window over DISTINCT residual values per group (the
+    * histogram-CDF idiom; at 100 TB narrow first with q202's ExactSelect
+    * bucketing so the window runs over buckets, not values) → broadcast
+    * quantiles back for the pinball/coverage pass.
+    */
+  val q217 = GQuery(
+    "q217_quantile_regression",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      val coefs = fit(li, "p_brand", "l_quantity", "l_extendedprice")
+        .filter(col("slope").isNotNull)
+        .select(col("g").as("p_brand"), col("slope"), col("intercept"))
+      val res = li.select(col("p_brand"), col("l_quantity").as("x"),
+          col("l_extendedprice").as("y"))
+        .join(broadcast(coefs), "p_brand")
+        .select(col("p_brand"), col("slope"), col("intercept"),
+          floor((col("y") - (col("intercept") + col("slope") * col("x"))) * 1e4 + 0.5)
+            .cast("long").as("ri"))
+      val perVal = res.groupBy("p_brand", "slope", "intercept", "ri")
+        .agg(count(lit(1)).as("c"))
+      val wCum = w.partitionBy("p_brand").orderBy("ri")
+        .rowsBetween(w.unboundedPreceding, 0)
+      val cum = perVal.withColumn("cum", sum("c").over(wCum))
+      val tot = res.groupBy("p_brand").agg(count(lit(1)).as("n"))
+      def kOf(p: Int) =
+        floor((col("n") * p + 9).cast("double") / 10.0).cast("long")
+      val quants = cum.join(tot, "p_brand")
+        .groupBy("p_brand", "slope", "intercept", "n")
+        .agg(min(when(col("cum") >= kOf(1), col("ri"))).as("q10i"),
+          min(when(col("cum") >= kOf(5), col("ri"))).as("q50i"),
+          min(when(col("cum") >= kOf(9), col("ri"))).as("q90i"))
+      val pin = res.select(col("p_brand"), col("ri"))
+        .join(broadcast(quants.select(col("p_brand"), col("q90i"))), "p_brand")
+        .withColumn("u", col("ri") - col("q90i"))
+        .groupBy("p_brand")
+        .agg(sum(when(col("u") > 0, col("u") * 9).otherwise(-col("u")))
+            .cast("decimal(38,0)").as("ps"),
+          sum((col("ri") <= col("q90i")).cast("long")).as("n_cov"))
+      quants.join(pin, "p_brand")
+        .select(col("p_brand"), col("n"), col("slope"), col("intercept"),
+          Metrics.canonRound(col("q10i").cast("double") / 1e4, 4).as("q10"),
+          Metrics.canonRound(col("q50i").cast("double") / 1e4, 4).as("q50"),
+          Metrics.canonRound(col("q90i").cast("double") / 1e4, 4).as("q90"),
+          Metrics.canonRound(
+            col("ps").cast("double") / 10.0 / col("n").cast("double") / 1e4, 4)
+            .as("pinball90"),
+          Metrics.canonRound(col("n_cov").cast("double") / col("n").cast("double"), 4)
+            .as("cov90"))
+        .orderBy("p_brand")
+    },
+    Some("""WITH s AS (
+        SELECT p.p_brand,
+               count(*) AS n,
+               sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+               sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy,
+               sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS sxx
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand),
+      d AS (
+        SELECT p_brand, n,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM s),
+      coefs AS (
+        SELECT p_brand,
+               floor(cov / varx * 1e6 + 0.5) / 1e6 AS slope,
+               floor((syd - cov / varx * sxd) / n / 100.0 * 1e6 + 0.5) / 1e6 AS intercept
+        FROM d WHERE varx > 0),
+      res AS (
+        SELECT l2.p_brand, c.slope, c.intercept,
+          CAST(floor((l2.y - (c.intercept + c.slope * l2.x)) * 1e4 + 0.5) AS BIGINT) AS ri
+        FROM (
+          SELECT p.p_brand, l.l_quantity AS x, l.l_extendedprice AS y
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) l2
+        JOIN coefs c ON c.p_brand = l2.p_brand),
+      pv AS (
+        SELECT p_brand, slope, intercept, ri, count(*) AS c
+        FROM res GROUP BY 1, 2, 3, 4),
+      cum AS (
+        SELECT p_brand, slope, intercept, ri, c,
+          sum(c) OVER (PARTITION BY p_brand ORDER BY ri) AS cum
+        FROM pv),
+      tot AS (SELECT p_brand, count(*) AS n FROM res GROUP BY 1),
+      quants AS (
+        SELECT c.p_brand, c.slope, c.intercept, t.n,
+          min(CASE WHEN c.cum >= (t.n * 1 + 9) // 10 THEN c.ri END) AS q10i,
+          min(CASE WHEN c.cum >= (t.n * 5 + 9) // 10 THEN c.ri END) AS q50i,
+          min(CASE WHEN c.cum >= (t.n * 9 + 9) // 10 THEN c.ri END) AS q90i
+        FROM cum c JOIN tot t USING (p_brand)
+        GROUP BY 1, 2, 3, 4),
+      pin AS (
+        SELECT r.p_brand,
+          sum(CASE WHEN r.ri - q.q90i > 0 THEN (r.ri - q.q90i) * 9
+                   ELSE -(r.ri - q.q90i) END) AS ps,
+          sum(CASE WHEN r.ri <= q.q90i THEN 1 ELSE 0 END) AS n_cov
+        FROM res r JOIN quants q USING (p_brand)
+        GROUP BY 1)
+      SELECT q.p_brand, q.n, q.slope, q.intercept,
+        floor(CAST(q.q10i AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4 AS q10,
+        floor(CAST(q.q50i AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4 AS q50,
+        floor(CAST(q.q90i AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4 AS q90,
+        floor(CAST(p.ps AS DOUBLE) / 10.0 / CAST(q.n AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4 AS pinball90,
+        floor(CAST(p.n_cov AS DOUBLE) / CAST(q.n AS DOUBLE) * 1e4 + 0.5) / 1e4 AS cov90
+      FROM quants q JOIN pin p USING (p_brand)
+      ORDER BY q.p_brand"""))
+
+  def all: Seq[GQuery] = Seq(q208, q217)
 }

@@ -60,4 +60,23 @@ class GroupedOlsSpec extends SparkSpec {
       assert(r2 >= 0.0 && r2 < 0.1, s"${r.getString(0)}: r2 $r2")
     }
   }
+
+  test("q217 quantile regression: ordered quantiles, exact-rank coverage floor") {
+    val out = graft.SparkEntry.queries("q217_quantile_regression")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+    assert(out.length == 25)
+    out.foreach { case (brand, n, q10, q50, q90, pinball, cov) =>
+      assert(q10 <= q50 && q50 <= q90, s"$brand: $q10 / $q50 / $q90")
+      assert(pinball >= 0.0, s"$brand pinball $pinball")
+      // k = ceil(0.9n) smallest residual ⇒ AT LEAST 90% of rows sit at or
+      // below q90, by the integer-rank definition — an exact invariant,
+      // not a statistical one (ties can only push coverage up)
+      assert(cov >= 0.9 - 1e-9, s"$brand cov $cov")
+      assert(n > 0)
+      // the median residual of an OLS fit sits near zero relative to the
+      // quantile band (a sign-convention bug would shift it to a band edge)
+      assert(math.abs(q50) < 0.5 * (q90 - q10), s"$brand q50 $q50 band ${q90 - q10}")
+    }
+  }
 }
