@@ -464,5 +464,58 @@ object CurationQueries {
         md5(norm) AS norm_hash
       FROM n ORDER BY doc_id"""))
 
-  def all: Seq[GQuery] = Seq(q186, q187, q188, q189, q192, q193, q201)
+  /** Sliding-window document chunking — the RAG/context-window prep
+    * stage that SPLITS long documents (q113's packing plan BINS whole
+    * docs; this produces the chunk manifest a retrieval index or a
+    * fixed-context trainer actually ingests): 32-token windows at stride
+    * 24 (8-token overlap), chunk k covering tokens [24k+1, 24k+32],
+    * emitted while 24k < n_tokens so every token lands in ≥1 chunk and
+    * the tail chunk may run short. Each chunk row carries provenance
+    * (doc_id, chunk_id, start_tok, n_tokens, is_full) plus an md5
+    * witness of the re-joined chunk text, so the oracle pins the exact
+    * reconstruction, not just the counts.
+    *
+    * Scale: one scan, per-doc transform+explode (HOF per DOCUMENT — the
+    * acceptable tier; a fused Generator à la graft_lines is the upgrade
+    * if chunking ever becomes the scan-dominant stage), no shuffle
+    * before the output sort. Chunk count ≈ corpus tokens / stride.
+    */
+  val q218 = GQuery(
+    "q218_doc_chunking",
+    (s, dir) => {
+      val C = 32; val S = 24
+      val toks = split(col("text"), " ")
+      val n = size(toks)
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"), n.as("n"))
+        .select(col("doc_id"), col("n"),
+          posexplode(transform(
+            sequence(lit(0), floor((col("n") - 1).cast("double") / S).cast("int")),
+            k => array_join(slice(col("t"), k * S + 1, lit(C)), " "))).as(Seq("chunk_id", "chunk")))
+      chunks.select(
+          col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * S + 1).as("start_tok"),
+          size(split(col("chunk"), " ")).as("n_tokens"),
+          (size(split(col("chunk"), " ")) === C).cast("int").as("is_full"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+        FROM documents),
+      ch AS (
+        SELECT doc_id, n, unnest(range(0, ((n - 1) // 24) + 1)) AS k
+        FROM toks),
+      cut AS (
+        SELECT c.doc_id, c.k AS chunk_id, c.k * 24 + 1 AS start_tok,
+          array_to_string(list_slice(t.t, c.k * 24 + 1, least(c.k * 24 + 32, c.n)), ' ') AS chunk
+        FROM ch c JOIN toks t USING (doc_id))
+      SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        CAST(start_tok AS INTEGER) AS start_tok,
+        CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_tokens,
+        CAST(len(string_split(chunk, ' ')) = 32 AS INTEGER) AS is_full,
+        md5(chunk) AS chunk_md5
+      FROM cut ORDER BY doc_id, chunk_id"""))
+
+  def all: Seq[GQuery] = Seq(q186, q187, q188, q189, q192, q193, q201, q218)
 }

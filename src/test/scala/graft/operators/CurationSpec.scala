@@ -104,4 +104,28 @@ class CurationSpec extends SparkSpec {
       .filter(col("n_removed") =!= col("removed") || col("n_lines") =!= col("total"))
     assert(joined.count() == 0)
   }
+
+  test("q218 chunking: windows cover every token with the declared stride/overlap") {
+    val out = graft.SparkEntry.queries("q218_doc_chunking")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    val docTok = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.groupBy(_._1).foreach { case (id, chunks) =>
+      val n = docTok(id)
+      val sorted = chunks.sortBy(_._2)
+      // chunk ids dense from 0; starts at 1 + 24k; expected chunk count
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, s"doc $id ids")
+      assert(sorted.length == (n - 1) / 24 + 1, s"doc $id count")
+      sorted.foreach { case (_, k, start, nt, full) =>
+        assert(start == 24 * k + 1)
+        assert(nt == math.min(32, n - 24 * k), s"doc $id chunk $k len $nt")
+        assert(full == (if (nt == 32) 1 else 0))
+      }
+      // coverage: last chunk reaches the last token
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 == n, s"doc $id tail coverage")
+    }
+  }
 }
