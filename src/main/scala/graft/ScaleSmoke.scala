@@ -469,7 +469,46 @@ object ScaleSmoke {
           .otherwise(0L)).as("n_cov"), count(lit(1)).as("n_test"))
     }
 
+    // q217's shape: per-group OLS + residual scan + cumulative window over
+    // DISTINCT residual values per group — the window is the super-linear
+    // suspect (distinct residuals ≈ rows on continuous data); q202's
+    // bucketed narrowing is the documented fallback if this ratio drifts
+    def quantileReg(l: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+      val g = l.select((col("l_partkey") % 25).as("g"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      val coefs = operators.GroupedOls.fit(g, "g", "x", "y")
+        .filter(col("slope").isNotNull)
+        .select(col("g"), col("slope"), col("intercept"))
+      val res = g.join(broadcast(coefs), "g")
+        .select(col("g"),
+          floor((col("y") - (col("intercept") + col("slope") * col("x"))) * 1e4 + 0.5)
+            .cast("long").as("ri"))
+      val pv = res.groupBy("g", "ri").agg(count(lit(1)).as("c"))
+      val cum = pv.withColumn("cum", sum("c").over(
+        w.partitionBy("g").orderBy("ri").rowsBetween(w.unboundedPreceding, 0)))
+      val tot = res.groupBy("g").agg(count(lit(1)).as("n"))
+      cum.join(tot, "g").groupBy("g", "n")
+        .agg(min(when(col("cum") >= floor((col("n") * 9 + 9).cast("double") / 10.0)
+          .cast("long"), col("ri"))).as("q90i"))
+    }
+
+    // q218's shape: per-doc chunk explode (rows ≈ tokens/stride) + the
+    // output projection — must stay linear in corpus size
+    def docChunk(d: DataFrame) = {
+      val toks = split(col("text"), " ")
+      d.select(col("doc_id"), toks.as("t"), size(toks).as("n"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((col("n") - 1).cast("double") / 24).cast("int")),
+            kk => array_join(slice(col("t"), kk * 24 + 1, lit(32)), " ")))
+            .as(Seq("chunk_id", "chunk")))
+        .groupBy("doc_id").agg(count(lit(1)), sum(length(col("chunk"))))
+    }
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("quantile_regression", () => noop(quantileReg(l1)), () => noop(quantileReg(lk))),
+      ("doc_chunking", () => noop(docChunk(d1)), () => noop(docChunk(dk))),
       ("chain_resolve", () => noop(chainResolve(d1)), () => noop(chainResolve(dk))),
       ("power_iteration", () => noop(powerIter(em1)), () => noop(powerIter(emK))),
       ("conformal", () => noop(conformalShape(l1)), () => noop(conformalShape(lk))),
