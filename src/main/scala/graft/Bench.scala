@@ -30,9 +30,20 @@ object Bench {
     * query's plan genuinely changes or fixtures regenerate.
     */
   private[graft] val refMedianSec: Map[String, Double] = Map(
-    "q64_stacking" -> 6.3,
+    // r11 re-baselines: q64 trimmed to the trial stack, q100 to a 1-in-3
+    // sample (both r10-verdict levers); q211 +~0.5s for the df-cap
+    // window (Scratch A/B: capped cache 1.79s vs uncapped 1.35s, truth
+    // join unchanged). New entries measured on a box with sustained
+    // external load 2-5 — values sit at the optimistic end so the 3x
+    // retry threshold still reflects an idle-box honest time.
+    "q64_stacking" -> 5.0,
     "q107_ann_pq" -> 3.6,
-    "q100_stream_neardup" -> 4.2,
+    "q100_stream_neardup" -> 3.0,
+    "q215_stream_minhash_index" -> 4.0,
+    "q217_quantile_regression" -> 3.0,
+    "q214_simhash_twin" -> 2.0,
+    "q213_hybrid_twin" -> 1.3,
+    "q216_holt_winters" -> 1.3,
     "q63_boosted_hybrid" -> 4.0,
     "q119_span_dedup" -> 3.0,
     "q191_image_resize" -> 2.0,
@@ -42,7 +53,7 @@ object Bench {
     "q106_corpus_filter" -> 1.5,
     "q83_dedup_clusters" -> 2.1,
     "q96_iqr_outliers" -> 2.9,
-    "q211_lsh_recall" -> 3.0,
+    "q211_lsh_recall" -> 3.5,
     "q212_hybrid_rrf" -> 2.0,
     "q202_exact_kth" -> 1.7,
     "q203_stream_upsert" -> 2.7,
