@@ -156,7 +156,7 @@ object GroupedOls {
       val tot = res.groupBy("p_brand").agg(count(lit(1)).as("n"))
       def kOf(p: Int) =
         floor((col("n") * p + 9).cast("double") / 10.0).cast("long")
-      val quants = cum.join(tot, "p_brand")
+      val quants = cum.join(broadcast(tot), "p_brand")
         .groupBy("p_brand", "slope", "intercept", "n")
         .agg(min(when(col("cum") >= kOf(1), col("ri"))).as("q10i"),
           min(when(col("cum") >= kOf(5), col("ri"))).as("q50i"),
@@ -168,7 +168,7 @@ object GroupedOls {
         .agg(sum(when(col("u") > 0, col("u") * 9).otherwise(-col("u")))
             .cast("decimal(38,0)").as("ps"),
           sum((col("ri") <= col("q90i")).cast("long")).as("n_cov"))
-      quants.join(pin, "p_brand")
+      quants.join(broadcast(pin), "p_brand")
         .select(col("p_brand"), col("n"), col("slope"), col("intercept"),
           Metrics.canonRound(col("q10i").cast("double") / 1e4, 4).as("q10"),
           Metrics.canonRound(col("q50i").cast("double") / 1e4, 4).as("q50"),

@@ -562,4 +562,30 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"no corpus-sized shuffle join expected:\n${plan.take(2000)}")
   }
+
+  test("q213 hybrid twin broadcasts coefficients and stump constants onto every scan") {
+    val plan = graft.registry.Registry.queries("q213_hybrid_twin")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // coef (1 row), tot (1 row), and best (1 row) ride broadcast joins;
+    // the corpus sides must never shuffle into a sort-merge join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the split search runs its window over per-value rows (one Window,
+    // fed by a hash aggregate — never a window over raw train rows)
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
+  test("q217 quantile regression: CDF window fed by the per-value aggregate") {
+    val plan = graft.registry.Registry.queries("q217_quantile_regression")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Window"), plan.take(2000))
+    // the pinball pass re-joins quantiles per brand: tiny frame, must
+    // broadcast — a SortMergeJoin here would shuffle the residual scan
+    val smjCount = "SortMergeJoin".r.findAllIn(plan).length
+    assert(smjCount == 0, s"$smjCount sort-merge joins:\n${plan.take(3000)}")
+  }
 }
