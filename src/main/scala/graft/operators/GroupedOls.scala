@@ -142,6 +142,12 @@ object GroupedOls {
       val coefs = fit(li, "p_brand", "l_quantity", "l_extendedprice")
         .filter(col("slope").isNotNull)
         .select(col("g").as("p_brand"), col("slope"), col("intercept"))
+      // deliberately NOT cached despite three consumers: the subtree is
+      // one cheap whole-stage-codegen scan + broadcast join (re-running
+      // it 3x measured FASTER than materializing 600k rows to the memory
+      // store — 4.1-4.6s vs 5.3-6.0s at sf0.1; the capBuckets rule
+      // applies when the recomputed subtree carries expensive hashing,
+      // which this one doesn't)
       val res = li.select(col("p_brand"), col("l_quantity").as("x"),
           col("l_extendedprice").as("y"))
         .join(broadcast(coefs), "p_brand")
