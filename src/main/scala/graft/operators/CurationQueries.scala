@@ -475,23 +475,21 @@ object CurationQueries {
     * witness of the re-joined chunk text, so the oracle pins the exact
     * reconstruction, not just the counts.
     *
-    * Scale: one scan, per-doc transform+explode (HOF per DOCUMENT — the
-    * acceptable tier; a fused Generator à la graft_lines is the upgrade
-    * if chunking ever becomes the scan-dominant stage), no shuffle
-    * before the output sort. Chunk count ≈ corpus tokens / stride.
+    * Scale: one scan through the FUSED `graft_chunks` Generator
+    * (plans.ChunksGenerator — string → chunk rows with zero
+    * intermediate arrays; ChunksGeneratorSpec proves ≡ the HOF
+    * transform+posexplode composition, and the oracle kept
+    * hash-matching across the swap), no shuffle before the output
+    * sort. Chunk count ≈ corpus tokens / stride.
     */
   val q218 = GQuery(
     "q218_doc_chunking",
     (s, dir) => {
       val C = 32; val S = 24
-      val toks = split(col("text"), " ")
-      val n = size(toks)
       val chunks = Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("t"), n.as("n"))
-        .select(col("doc_id"), col("n"),
-          posexplode(transform(
-            sequence(lit(0), floor((col("n") - 1).cast("double") / S).cast("int")),
-            k => array_join(slice(col("t"), k * S + 1, lit(C)), " "))).as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          call_function("graft_chunks", col("text"), lit(C), lit(S)).as(Seq("chunk_id", "chunk")))
       chunks.select(
           col("doc_id"), col("chunk_id"),
           (col("chunk_id") * S + 1).as("start_tok"),

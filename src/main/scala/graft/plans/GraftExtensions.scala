@@ -79,6 +79,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ShinglesGenerator(exprs(0), n)
       })
+    inject(e, "graft_chunks", 3, classOf[ChunksGenerator],
+      exprs => {
+        def foldInt(ex: Expression, what: String): Int = ex match {
+          case f if f.foldable => f.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map("functionName" -> "graft_chunks",
+                "expectedNum" -> s"a foldable INT $what", "actualNum" -> s"$other",
+                "docroot" -> ""))
+          }
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "graft_chunks",
+              "expectedNum" -> s"a foldable INT $what", "actualNum" -> "non-foldable",
+              "docroot" -> ""))
+        }
+        ChunksGenerator(exprs(0), foldInt(exprs(1), "size"), foldInt(exprs(2), "stride"))
+      })
     e.injectOptimizerRule(_ => CollapseIdempotentRound)
     e.injectOptimizerRule(_ => ThresholdLevenshtein)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
