@@ -639,5 +639,123 @@ object TableMaintenance {
         coalesce(sa.survivor_xor, 0) AS survivor_xor
       FROM b LEFT JOIN sa USING (tbl) ORDER BY tbl"""))
 
-  def all: Seq[GQuery] = Seq(q178, q179, q180, q181, q182, q183, q184, q185, q210)
+  /** md5 60-bit point for a ring label — the identical value both
+    * engines derive from `substr(md5(x), 1, 15)` (the sigOfMd5 compiled-
+    * twin precedent; StreamingSpec asserts that equivalence for the
+    * signature scheme, and q220's oracle hash-match asserts it here).
+    */
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private val VNodes = 16
+  /** (shard, ring position) for shards 0..9 × 16 virtual nodes —
+    * compile-time constants embedded in BOTH the Spark plan and the
+    * oracle SQL (the q51 hyperplane-literal pattern).
+    */
+  private lazy val ring10: Seq[(Int, Long)] =
+    for { sh <- 0 until 10; v <- 0 until VNodes } yield (sh, h60(s"shard:$sh:$v"))
+
+  /** Consistent-hash re-sharding audit (Karger et al. 1997 — public
+    * literature): when a sharded corpus grows 8 → 10 shards, naive
+    * `h % N` reassignment moves ~80% of all keys (r stays only when
+    * r%8 == r%10 — 8 residues of 40), while a hash RING with virtual
+    * nodes moves only the keys the two NEW shards take over (~2/10).
+    * At 100 TB that is the difference between a full-corpus rewrite
+    * and touching a fifth of it — the shard-maintenance complement of
+    * q120's export and q178's compaction plan.
+    *
+    * Ring assignment = successor virtual node (smallest ring position
+    * ≥ the key's point, wrapping to the global minimum). The 160 ring
+    * positions are md5-derived COMPILE-TIME literals shared verbatim
+    * with the oracle, so both engines walk the identical ring; the
+    * per-key successor is a broadcast ≤-join + min_by/arg_min (each key
+    * meets ~half the 160-row vnode table before the map-side-combinable
+    * min — at extreme scale the sorted ring becomes a binary-search
+    * scalar expression, same result). Output: per scheme, keys moved,
+    * the moved fraction, and the new layout's load balance.
+    */
+  val q220 = GQuery(
+    "q220_consistent_shards",
+    (s, dir) => {
+      import s.implicits._
+      val vn10 = ring10.toDF("shard", "vh")
+      val vn8 = ring10.filter(_._1 < 8).toDF("shard", "vh")
+      val wrap10 = ring10.minBy(_._2)._1
+      val wrap8 = ring10.filter(_._1 < 8).minBy(_._2)._1
+      val keys = Tables.documents(s, dir).select(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      def ringAssign(k: DataFrame, vn: DataFrame, wrap: Int, out: String): DataFrame =
+        k.join(broadcast(vn), col("h") <= col("vh"), "left")
+          .groupBy("h")
+          .agg(coalesce(min_by(col("shard"), col("vh")), lit(wrap)).as(out))
+      val ringMoves = ringAssign(keys, vn8, wrap8, "old_shard")
+        .join(ringAssign(keys, vn10, wrap10, "new_shard"), "h")
+      val naiveMoves = keys.select(col("h"),
+        (col("h") % 8).cast("int").as("old_shard"),
+        (col("h") % 10).cast("int").as("new_shard"))
+      def summarize(m: DataFrame, scheme: String): DataFrame = {
+        val loads = m.groupBy("new_shard").agg(count(lit(1)).as("load"))
+          .agg(max("load").as("max_load"), min("load").as("min_load"))
+        m.agg(count(lit(1)).as("n_keys"),
+            sum((col("old_shard") =!= col("new_shard")).cast("long")).as("n_moved"))
+          .withColumn("moved_frac",
+            Metrics.canonRound(col("n_moved").cast("double") / col("n_keys").cast("double"), 4))
+          .crossJoin(broadcast(loads))
+          .select(lit(scheme).as("scheme"), col("n_keys"), col("n_moved"),
+            col("moved_frac"), col("max_load"), col("min_load"))
+      }
+      summarize(naiveMoves, "naive_mod")
+        .unionByName(summarize(ringMoves, "ring"))
+        .orderBy("scheme")
+    },
+    Some {
+      val vals10 = ring10
+        .map { case (sh, vh) => s"($sh, CAST($vh AS BIGINT))" }.mkString(", ")
+      val vals8 = ring10.filter(_._1 < 8)
+        .map { case (sh, vh) => s"($sh, CAST($vh AS BIGINT))" }.mkString(", ")
+      val wrap10 = ring10.minBy(_._2)._1
+      val wrap8 = ring10.filter(_._1 < 8).minBy(_._2)._1
+      s"""WITH keys AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents),
+      vn10(shard, vh) AS (VALUES $vals10),
+      vn8(shard, vh) AS (VALUES $vals8),
+      r8 AS (
+        SELECT k.h, coalesce(arg_min(v.shard, v.vh), $wrap8) AS old_shard
+        FROM keys k LEFT JOIN vn8 v ON k.h <= v.vh GROUP BY k.h),
+      r10 AS (
+        SELECT k.h, coalesce(arg_min(v.shard, v.vh), $wrap10) AS new_shard
+        FROM keys k LEFT JOIN vn10 v ON k.h <= v.vh GROUP BY k.h),
+      ring AS (SELECT r8.h, r8.old_shard, r10.new_shard FROM r8 JOIN r10 USING (h)),
+      naive AS (
+        SELECT h, CAST(h % 8 AS INTEGER) AS old_shard, CAST(h % 10 AS INTEGER) AS new_shard
+        FROM keys),
+      summar AS (
+        SELECT 'naive_mod' AS scheme, count(*) AS n_keys,
+          CAST(sum(CASE WHEN old_shard != new_shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        FROM naive
+        UNION ALL
+        SELECT 'ring', count(*),
+          CAST(sum(CASE WHEN old_shard != new_shard THEN 1 ELSE 0 END) AS BIGINT)
+        FROM ring),
+      loads AS (
+        SELECT 'naive_mod' AS scheme, max(load) AS max_load, min(load) AS min_load
+        FROM (SELECT new_shard, count(*) AS load FROM naive GROUP BY 1) z
+        UNION ALL
+        SELECT 'ring', max(load), min(load)
+        FROM (SELECT new_shard, count(*) AS load FROM ring GROUP BY 1) z)
+      SELECT s.scheme, s.n_keys, s.n_moved,
+        floor(CAST(s.n_moved AS DOUBLE) / CAST(s.n_keys AS DOUBLE) * 1e4 + 0.5) / 1e4
+          AS moved_frac,
+        l.max_load, l.min_load
+      FROM summar s JOIN loads l USING (scheme)
+      ORDER BY s.scheme"""
+    })
+
+  def all: Seq[GQuery] = Seq(q178, q179, q180, q181, q182, q183, q184, q185, q210, q220)
 }

@@ -775,4 +775,21 @@ class OpsSpec extends SparkSpec {
     val meanErr = out.map(_._4).sum / out.length
     assert(meanErr < meanN, s"meanErr $meanErr vs meanN $meanN")
   }
+
+  test("q220 re-sharding: ring moves ~2/10 of keys where naive mod moves ~4/5") {
+    val out = graft.SparkEntry.queries("q220_consistent_shards")(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val nDocs = graft.Tables.documents(spark, sf001).count()
+    val (naive, ring) = (out("naive_mod"), out("ring"))
+    assert(naive._1 == nDocs && ring._1 == nDocs)
+    // theory: naive keeps only the 8-of-40 residues (moves 0.8); the
+    // ring moves just the mass the two NEW shards take over (~0.2)
+    assert(naive._3 > 0.7 && naive._3 < 0.9, s"naive ${naive._3}")
+    assert(ring._3 < 0.35, s"ring ${ring._3}")
+    assert(ring._3 < naive._3 / 2, s"ring ${ring._3} vs naive ${naive._3}")
+    Seq(naive, ring).foreach { case (_, moved, _, maxL, minL) =>
+      assert(moved > 0 && minL > 0 && maxL >= minL)
+    }
+  }
 }
