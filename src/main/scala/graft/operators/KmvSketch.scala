@@ -66,16 +66,30 @@ object KmvSketch {
       .filter(col("rk") <= k)
   }
 
-  val q219 = GQuery(
-    "q219_kmv_overlap",
-    (s, dir) => {
-      val base = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
-      val nextSource = concat(lit("src"),
-        ((substring(col("source"), 4, 10).cast("int") + 1) % 20).cast("string"))
-      val docs = base.select(col("source"), col("text"))
-        .unionByName(base.filter(col("doc_id") % 2 === 0)
-          .select(nextSource.as("source"), col("text")))
-      val sk = sketch(docs).cache()
+  /** The q219 corpus: fixture documents plus the deterministic injected
+    * duplication (even doc_ids re-attributed to the next source). Keeps
+    * doc_id so streaming callers can slice into micro-batches.
+    */
+  def augmentedDocs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val nextSource = concat(lit("src"),
+      ((substring(col("source"), 4, 10).cast("int") + 1) % 20).cast("string"))
+    base.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), nextSource.as("source"), col("text")))
+  }
+
+  /** Everything downstream of the sketch: pairwise merged-minima overlap
+    * estimation plus the exact audit over the full (augmented) corpus.
+    * Shared by q219 (batch-built sketch) and q221 (stream-built sketch —
+    * identical output for ANY micro-batch slicing because k-min merge is
+    * associative and commutative, which is what lets q221 reuse q219's
+    * oracle verbatim, the q179/q181 argument).
+    */
+  def overlapReport(s: org.apache.spark.sql.SparkSession, dir: String,
+                    skIn: DataFrame): DataFrame = {
+      val docs = augmentedDocs(s, dir).select(col("source"), col("text"))
+      val sk = skIn.select(col("source"), col("h")).cache()
       sk.count()
       // pairwise merge: union the two sketches' hash sets, rank, keep the
       // K smallest; count how many of those K appear in BOTH sketches
@@ -124,7 +138,12 @@ object KmvSketch {
                 .cast("double"), 4).as("exact_jaccard"),
           col("est_jaccard"), col("est_intersection"))
         .orderBy("src_a", "src_b")
-    },
+  }
+
+  val q219 = GQuery(
+    "q219_kmv_overlap",
+    (s, dir) => overlapReport(s, dir,
+      sketch(augmentedDocs(s, dir).select(col("source"), col("text")))),
     Some(s"""WITH docs AS (
         SELECT source, text FROM documents
         UNION ALL
@@ -181,5 +200,19 @@ object KmvSketch {
       LEFT JOIN ex x ON x.src_a = e.src_a AND x.src_b = e.src_b
       ORDER BY e.src_a, e.src_b"""))
 
-  def all: Seq[GQuery] = Seq(q219)
+  /** Streaming twin of q219 (streaming.SketchStreams): the per-source
+    * KMV state is maintained across three genuine micro-batches via
+    * replay-guarded foreachBatch merges; k-min merge associativity makes
+    * the final sketch — and so the whole overlap report — equal the
+    * batch build for any slicing, which is why this entry reuses q219's
+    * oracle VERBATIM (zero drift possible between the streaming and
+    * batch contracts, the q179/q181 trick).
+    */
+  val q221 = GQuery(
+    "q221_stream_kmv",
+    (s, dir) => graft.streaming.SketchStreams.streamingKmv(
+      s, dir, queryName = "stream_kmv_q221"),
+    q219.oracle)
+
+  def all: Seq[GQuery] = Seq(q219, q221)
 }

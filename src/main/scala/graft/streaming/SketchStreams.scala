@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.KmvSketch
+
+/** Streaming-maintained KMV sketch — the sketch-family member of the
+  * incremental-maintenance story (q181 maintains a rollup, q215 a band
+  * index, this a distinct/overlap sketch): per micro-batch the delta's
+  * per-source k-minimum fingerprints merge into the sketch state, and
+  * because k-min-of-union is ASSOCIATIVE and COMMUTATIVE
+  * (kmin(A ∪ B) = kmin(kmin(A) ∪ kmin(B))), the final state equals the
+  * batch-built sketch for ANY micro-batch slicing. The post-stream
+  * overlap report is therefore identical to q219's, and q221 reuses
+  * q219's oracle VERBATIM — the q179/q181 zero-drift argument.
+  *
+  * The merge is the q203 foreachBatch idiom: versioned parquet state,
+  * idempotent batch-id guard, delta aggregated (to its own k-min)
+  * BEFORE the merge so the state table stays k·|sources| rows however
+  * large the stream. At 100 TB the sketch state is kilobytes per
+  * source — the entire point of maintaining the sketch instead of the
+  * corpus.
+  */
+object SketchStreams {
+
+  /** One merge step: k-min of (state ∪ delta) per source, after
+    * dropping duplicate (source, h) rows — the same text may arrive in
+    * several batches.
+    */
+  def mergeStep(state: Option[DataFrame], delta: DataFrame, k: Int): DataFrame = {
+    val all = state.map(_.unionByName(delta)).getOrElse(delta)
+      .select(col("source"), col("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("h")
+    all.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("source"), col("h"))
+  }
+
+  /** Stream the (augmented) corpus in three doc_id-sliced micro-batches,
+    * maintain the per-source KMV state, and return q219's overlap report
+    * computed from the STREAM-BUILT sketch.
+    */
+  def streamingKmv(spark: SparkSession, dir: String, k: Int = 32,
+                   queryName: String = "stream_kmv"): DataFrame =
+    EventStreams.withStreamShufflePartitions(spark) {
+      val docs = KmvSketch.augmentedDocs(spark, dir)
+      val stage = java.nio.file.Files.createTempDirectory("graft_kmv_stage_")
+      stage.toFile.deleteOnExit()
+      (0 until 3).foreach { i =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .select(col("source"), col("text"))
+          .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      }
+      val stateBase = java.nio.file.Files.createTempDirectory("graft_kmv_state_")
+      stateBase.toFile.deleteOnExit()
+      def statePath(v: Long) = s"$stateBase/v$v"
+      var version = -1L
+      var lastApplied = -1L
+      val schema = spark.read.parquet(s"$stage/slice_0").schema
+      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
+        if (id != lastApplied) {
+          val delta = KmvSketch.sketch(batch.toDF(), k).select(col("source"), col("h"))
+          val prev = if (version < 0) None else Some(spark.read.parquet(statePath(version)))
+          mergeStep(prev, delta, k)
+            .write.mode("overwrite").parquet(statePath(version + 1))
+          version += 1
+          lastApplied = id
+        }
+      }
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$stage/slice_*")
+        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+      require(version >= 0, "stream produced no batches")
+      KmvSketch.overlapReport(spark, dir, spark.read.parquet(statePath(version)))
+    }
+}

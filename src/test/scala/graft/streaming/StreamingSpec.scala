@@ -317,6 +317,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed head=${streamed.take(3)} batch head=${batch.take(3)}")
   }
 
+  test("streaming KMV merge: order-independent and equal to the one-shot sketch (q221)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.operators.KmvSketch.augmentedDocs(spark, sf001)
+    val slices = (0 until 3).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i).select(col("source"), col("text")))
+    def sk(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.KmvSketch.sketch(d, k = 32).select(col("source"), col("h"))
+    def canon(d: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      d.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val fwd = SketchStreams.mergeStep(
+      Some(SketchStreams.mergeStep(Some(sk(slices(0))), sk(slices(1)), 32)),
+      sk(slices(2)), 32)
+    val rev = SketchStreams.mergeStep(
+      Some(SketchStreams.mergeStep(Some(sk(slices(2))), sk(slices(1)), 32)),
+      sk(slices(0)), 32)
+    val oneShot = sk(docs.select(col("source"), col("text")))
+    assert(canon(fwd) == canon(rev), "k-min merge must be order-independent")
+    assert(canon(fwd) == canon(oneShot), "merged sketch must equal the one-shot build")
+  }
+
   test("stream-maintained minhash index: pair log AND final index equal the batch build (q215)") {
     import org.apache.spark.sql.functions._
     // pair log ≡ batch banded self-join (the q215 oracle's claim, checked
