@@ -914,11 +914,21 @@ object EventQueries {
     */
   def cusumChangepoint(events: DataFrame): DataFrame = {
     val e = events.select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
-    val axis = e.agg(min("h").as("h0"), max("h").as("h1"))
+    cusumFromCounts(
+      e.groupBy(col("h").as("hour_start"), col("event_type")).agg(count(lit(1)).as("n")))
+  }
+
+  /** The CUSUM finisher on a sparse hourly count table — counts are the
+    * incrementally-maintainable half (what q222's stream carries; the
+    * q162 split), the scoring half runs identically on either source.
+    * The dense axis derives from the counts' min/max hour, which equals
+    * the raw events' truncated min/max because an hour appears in the
+    * count table iff it has an event.
+    */
+  def cusumFromCounts(counts: DataFrame): DataFrame = {
+    val axis = counts.agg(min("hour_start").as("h0"), max("hour_start").as("h1"))
       .select(explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_start"))
-    val types = e.select("event_type").distinct()
-    val counts = e.groupBy(col("h").as("hour_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+    val types = counts.select("event_type").distinct()
     val dense = axis.crossJoin(broadcast(types))
       .join(counts, Seq("hour_start", "event_type"), "left")
       .select(col("hour_start"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
@@ -1389,7 +1399,37 @@ object EventQueries {
       FROM melt ORDER BY event_type, day"""
     })
 
+  /** Streaming twin of q196 (the monitoring family's first streaming
+    * member): the stream maintains the watermarked tumbling hourly
+    * counts — the incrementally-maintainable half, per the q162 split —
+    * and the CUSUM scoring runs as the batch finisher on the sink.
+    * Counts are a set property of the corpus (independent of
+    * micro-batch slicing), so the report equals the batch q196 and this
+    * entry reuses q196's oracle VERBATIM (the q179/q181 trick).
+    */
+  val q222 = GQuery(
+    "q222_stream_cusum",
+    (s, dir) => graft.streaming.EventStreams.withStreamShufflePartitions(s) {
+      val agg = graft.streaming.EventStreams.eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .format("memory").queryName("stream_cusum_q222").start()
+      try q.processAllAvailable() finally q.stop()
+      // localCheckpoint: the finisher references the counts THREE times
+      // (axis, types, the dense left join) and the raw memory-sink plan
+      // trips analyzer self-join dedup ("conflicting references");
+      // truncating to a LogicalRDD — a few hundred rows — resolves it,
+      // same as the iterative-loop lineage rule (invariant 14)
+      cusumFromCounts(s.table("stream_cusum_q222")
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
+        .localCheckpoint(true))
+    },
+    q196.oracle)
+
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158, q162,
-    q163, q166, q171, q196, q197, q199, q200, q203, q216)
+    q163, q166, q171, q196, q197, q199, q200, q203, q216, q222)
 }

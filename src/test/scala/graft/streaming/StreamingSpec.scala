@@ -317,6 +317,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed head=${streamed.take(3)} batch head=${batch.take(3)}")
   }
 
+  test("streaming CUSUM report equals the batch changepoint (q222 vs q196)") {
+    val streamed = graft.SparkEntry.queries("q222_stream_cusum")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    val batch = graft.SparkEntry.queries("q196_cusum_changepoint")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming KMV merge: order-independent and equal to the one-shot sketch (q221)") {
     import org.apache.spark.sql.functions._
     val docs = graft.operators.KmvSketch.augmentedDocs(spark, sf001)
