@@ -44,6 +44,10 @@ object Bench {
     "q214_simhash_twin" -> 2.0,
     "q213_hybrid_twin" -> 1.3,
     "q216_holt_winters" -> 1.3,
+    "q219_kmv_overlap" -> 2.0,
+    "q220_consistent_shards" -> 1.2,
+    "q221_stream_kmv" -> 4.0,
+    "q222_stream_cusum" -> 2.2,
     "q63_boosted_hybrid" -> 4.0,
     "q119_span_dedup" -> 3.0,
     "q191_image_resize" -> 2.0,
