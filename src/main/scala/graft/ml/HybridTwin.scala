@@ -62,9 +62,14 @@ object HybridTwin {
       val varx = nD * col("sxx").cast("double") - sxD * sxD
       val cov = nD * col("sxy").cast("double") - sxD * syD
       val rawSlope = cov / varx
+      // zero-x-variance guard (GroupedOls' rule): a degenerate corpus
+      // (all docs the same token count) yields an empty coef frame and
+      // an empty report instead of NaN propagation
       val coef = st.select(
-        Metrics.canonRound(rawSlope, 6).as("slope"),
-        Metrics.canonRound((syD - rawSlope * sxD) / col("n"), 6).as("intercept"))
+        Metrics.canonRound(when(varx > 0, rawSlope), 6).as("slope"),
+        Metrics.canonRound(when(varx > 0, (syD - rawSlope * sxD) / col("n")), 6)
+          .as("intercept"))
+        .filter(col("slope").isNotNull)
 
       // stage-2 residuals on the 1e-4 grid: computed from the ROUNDED
       // coefficients (both engines see the identical doubles), snapped
@@ -137,7 +142,7 @@ object HybridTwin {
       coef AS (
         SELECT floor(cov / varx * 1e6 + 0.5) / 1e6 AS slope,
                floor((syd - cov / varx * sxd) / n * 1e6 + 0.5) / 1e6 AS intercept
-        FROM d),
+        FROM d WHERE varx > 0),
       res AS (
         SELECT t.x,
           CAST(floor((CAST(t.y AS DOUBLE) -

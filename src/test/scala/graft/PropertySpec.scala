@@ -198,4 +198,73 @@ object PropertySpec extends Properties("graft.kernels") {
       }
       got == out.toSeq
     }
+
+  // --- r11 kernels -----------------------------------------------------
+
+  private val hashSetGen: Gen[Set[Long]] =
+    Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.containerOfN[Set, Long](n, Gen.chooseNum(0L, Long.MaxValue)))
+
+  private def kmin(k: Int, s: Set[Long]): Set[Long] = s.toSeq.sorted.take(k).toSet
+
+  property("KMV k-min merge: kmin(A ∪ B) = kmin(kmin(A) ∪ kmin(B)), assoc + comm") =
+    forAll(hashSetGen, hashSetGen, hashSetGen) { (a, b, c) =>
+      val k = 8
+      // the mergeability identity q221's streaming maintenance rests on
+      val direct = kmin(k, a ++ b)
+      val merged = kmin(k, kmin(k, a) ++ kmin(k, b))
+      val assoc1 = kmin(k, kmin(k, kmin(k, a) ++ kmin(k, b)) ++ kmin(k, c))
+      val assoc2 = kmin(k, kmin(k, a) ++ kmin(k, kmin(k, b) ++ kmin(k, c)))
+      direct == merged && assoc1 == assoc2 &&
+        kmin(k, kmin(k, a) ++ kmin(k, b)) == kmin(k, kmin(k, b) ++ kmin(k, a))
+    }
+
+  private val ringKeyGen: Gen[Long] = Gen.chooseNum(0L, (1L << 60) - 1)
+  private val ringGen: Gen[Map[Int, Seq[Long]]] =
+    Gen.chooseNum(2, 6).flatMap { shards =>
+      Gen.sequence[Seq[(Int, Seq[Long])], (Int, Seq[Long])](
+        (0 until shards).map(s =>
+          Gen.containerOfN[Seq, Long](4, ringKeyGen).map(vs => s -> vs.distinct)))
+        .map(_.toMap)
+    }
+
+  private def ringAssign(ring: Map[Int, Seq[Long]], h: Long): Int = {
+    val nodes = ring.toSeq.flatMap { case (s, vs) => vs.map(v => (v, s)) }.sortBy(_._1)
+    nodes.find(_._1 >= h).getOrElse(nodes.head)._2
+  }
+
+  property("consistent ring: adding a shard only moves keys TO the new shard") =
+    forAll(ringGen, Gen.containerOfN[Seq, Long](30, ringKeyGen),
+      Gen.containerOfN[Seq, Long](4, ringKeyGen)) { (ring, keys, newVs) =>
+      // q220's monotonicity theorem (Karger): keys either stay on their
+      // old shard or move to the NEWLY added shard — never between two
+      // pre-existing shards
+      val newShard = ring.keys.max + 1
+      val grown = ring + (newShard -> newVs.distinct)
+      keys.forall { h =>
+        val before = ringAssign(ring, h)
+        val after = ringAssign(grown, h)
+        after == before || after == newShard
+      }
+    }
+
+  private val chunkToksGen: Gen[Seq[String]] =
+    Gen.chooseNum(1, 90).flatMap(n =>
+      Gen.containerOfN[Seq, String](n, Gen.alphaLowerStr.map(s => "w" + s.take(4))))
+
+  property("chunk windows: full coverage when stride ≤ size, bounded length always") =
+    forAll(chunkToksGen, Gen.chooseNum(2, 12), Gen.chooseNum(1, 12)) { (toks, size, stride) =>
+      // the q218 geometry contract, independent of the engine tier
+      val n = toks.length
+      val chunks = Iterator.from(0).takeWhile(_.toLong * stride < n)
+        .map(k => (k, toks.slice(k * stride, math.min(k * stride + size, n)))).toSeq
+      val covered = stride <= size || chunks.forall(_._2.nonEmpty)
+      val coverage = if (stride <= size)
+        chunks.flatMap { case (k, c) => (k * stride) until (k * stride + c.length) }
+          .toSet == (0 until n).toSet
+      else true // gaps are legal geometry when stride > size; rows still non-empty
+      val tail = chunks.last
+      covered && coverage && (tail._1 * stride + tail._2.length <= n) &&
+        chunks.forall(_._2.length <= size)
+    }
 }
