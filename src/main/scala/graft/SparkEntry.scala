@@ -19,8 +19,10 @@ object SparkEntry {
     registry.Registry.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (LSH/MinHash/SimHash signatures), which get rows-only checks.
+    * the same parquet tables. Omitted only for engine-internal ops
+    * (xxhash64 signatures q47/q48, HLL sketches q27/q98, real MLlib
+    * training q63/q64) — each of which has an oracle-checked md5/exact
+    * twin (q56/q214, q219, q213) carrying the cross-engine proof.
     */
   def oracleSql: Map[String, String] = registry.Registry.oracleSql
 }
