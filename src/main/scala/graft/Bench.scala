@@ -44,6 +44,7 @@ object Bench {
     "q214_simhash_twin" -> 2.0,
     "q213_hybrid_twin" -> 1.3,
     "q216_holt_winters" -> 1.3,
+    "q218_doc_chunking" -> 0.8,
     "q219_kmv_overlap" -> 2.0,
     "q220_consistent_shards" -> 1.2,
     "q221_stream_kmv" -> 4.0,

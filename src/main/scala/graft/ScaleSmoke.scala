@@ -494,17 +494,15 @@ object ScaleSmoke {
     }
 
     // q218's shape: per-doc chunk explode (rows ≈ tokens/stride) + the
-    // output projection — must stay linear in corpus size
-    def docChunk(d: DataFrame) = {
-      val toks = split(col("text"), " ")
-      d.select(col("doc_id"), toks.as("t"), size(toks).as("n"))
-        .select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), floor((col("n") - 1).cast("double") / 24).cast("int")),
-            kk => array_join(slice(col("t"), kk * 24 + 1, lit(32)), " ")))
+    // output projection — must stay linear in corpus size. Measures the
+    // FUSED graft_chunks Generator, i.e. the plan the registered query
+    // actually executes (the HOF composition it replaced is pinned
+    // equivalent in ChunksGeneratorSpec).
+    def docChunk(d: DataFrame) =
+      d.select(col("doc_id"),
+          call_function("graft_chunks", col("text"), lit(32), lit(24))
             .as(Seq("chunk_id", "chunk")))
         .groupBy("doc_id").agg(count(lit(1)), sum(length(col("chunk"))))
-    }
 
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("quantile_regression", () => noop(quantileReg(l1)), () => noop(quantileReg(lk))),

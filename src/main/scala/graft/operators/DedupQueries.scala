@@ -857,6 +857,13 @@ object DedupQueries {
       // the self-join, bounding the join at Σ min(df, 64)² instead of
       // Σ df² — the difference between linear-ish and quadratic blowup
       // when one boilerplate bigram appears in half a real corpus.
+      // Collision note: the cap keys on xxhash64(shingle) while the
+      // oracle keys on the raw string, so a 64-bit collision (~1e-9 at
+      // fixture scale, the pre-existing acknowledged risk) would now
+      // merge two shingles' dfs and could drop BOTH wholesale on the
+      // Spark side only — a bigger blast radius than the old one-pair
+      // count inflation. The oracle hash gate at 3 SFs is precisely
+      // what would surface it.
       val shAll = docs.select(col("doc_id"), col("lang"),
           explode(array_distinct(TextQueries.bigrams(TextQueries.tokens(col("text"))))).as("shs"))
         .select(col("doc_id"), col("lang"), xxhash64(col("shs")).as("s"))

@@ -171,8 +171,8 @@ object GroupedOls {
         .join(broadcast(quants.select(col("p_brand"), col("q90i"))), "p_brand")
         .withColumn("u", col("ri") - col("q90i"))
         .groupBy("p_brand")
-        .agg(sum(when(col("u") > 0, col("u") * 9).otherwise(-col("u")))
-            .cast("decimal(38,0)").as("ps"),
+        .agg(sum(when(col("u") > 0, col("u") * 9).otherwise(-col("u"))
+              .cast("decimal(38,0)")).as("ps"),
           sum((col("ri") <= col("q90i")).cast("long")).as("n_cov"))
       quants.join(broadcast(pin), "p_brand")
         .select(col("p_brand"), col("n"), col("slope"), col("intercept"),

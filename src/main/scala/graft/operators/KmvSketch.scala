@@ -108,14 +108,24 @@ object KmvSketch {
       val merged = unioned.withColumn("rk", row_number().over(wU))
         .filter(col("rk") <= K)
         .join(both, Seq("src_a", "src_b", "h"), "left")
+      // small-union regime: when the merged union holds FEWER than K
+      // fingerprints the sketch IS the full union — hk has no rank-K row
+      // and the estimators collapse to the exact values (divide by the
+      // union size n_u, est_union = n_u). At fixture scale every pair's
+      // union exceeds K, so n_u = K and this is the plain KMV formula;
+      // the guard keeps tiny corpora NULL-free and unbiased.
       val est = merged.groupBy("src_a", "src_b")
         .agg(max(when(col("rk") === K, col("h"))).as("hk"),
+          count(lit(1)).as("n_u"),
           sum(coalesce(col("in_both"), lit(0))).as("n_both"))
         .select(col("src_a"), col("src_b"),
-          Metrics.canonRound(col("n_both").cast("double") / K, 4).as("est_jaccard"),
           Metrics.canonRound(
-            (lit((K - 1).toDouble) / (col("hk").cast("double") / Pow60)) *
-              (col("n_both").cast("double") / K), 2).as("est_intersection"))
+            col("n_both").cast("double") / col("n_u").cast("double"), 4).as("est_jaccard"),
+          Metrics.canonRound(
+            coalesce(lit((K - 1).toDouble) / (col("hk").cast("double") / Pow60),
+              col("n_u").cast("double")) *
+              (col("n_both").cast("double") / col("n_u").cast("double")), 2)
+            .as("est_intersection"))
       // exact audit (fixture-scale harness; a real corpus drops this):
       // distinct fingerprints per source, exact pairwise intersection
       val fps = docs.select(col("source"),
@@ -179,6 +189,7 @@ object KmvSketch {
       est AS (
         SELECT src_a, src_b,
           max(CASE WHEN rk = 32 THEN h END) AS hk,
+          count(*) AS n_u,
           sum(in_both) AS n_both
         FROM tagged GROUP BY 1, 2),
       ex AS (
@@ -191,9 +202,12 @@ object KmvSketch {
         floor(CAST(coalesce(x.exact_intersection, 0) AS DOUBLE) /
           CAST(na.n + nb.n - coalesce(x.exact_intersection, 0) AS DOUBLE)
           * 1e4 + 0.5) / 1e4 AS exact_jaccard,
-        floor(CAST(e.n_both AS DOUBLE) / 32 * 1e4 + 0.5) / 1e4 AS est_jaccard,
-        floor((31.0 / (CAST(e.hk AS DOUBLE) / 1152921504606846976.0)) *
-          (CAST(e.n_both AS DOUBLE) / 32) * 1e2 + 0.5) / 1e2 AS est_intersection
+        floor(CAST(e.n_both AS DOUBLE) / CAST(e.n_u AS DOUBLE) * 1e4 + 0.5) / 1e4
+          AS est_jaccard,
+        floor(coalesce(31.0 / (CAST(e.hk AS DOUBLE) / 1152921504606846976.0),
+            CAST(e.n_u AS DOUBLE)) *
+          (CAST(e.n_both AS DOUBLE) / CAST(e.n_u AS DOUBLE)) * 1e2 + 0.5) / 1e2
+          AS est_intersection
       FROM est e
       JOIN nn na ON na.source = e.src_a
       JOIN nn nb ON nb.source = e.src_b

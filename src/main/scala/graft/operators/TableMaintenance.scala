@@ -686,9 +686,15 @@ object TableMaintenance {
       val vn8 = ring10.filter(_._1 < 8).toDF("shard", "vh")
       val wrap10 = ring10.minBy(_._2)._1
       val wrap8 = ring10.filter(_._1 < 8).minBy(_._2)._1
+      // cached + eager: THREE consumers (both ring assignments and the
+      // naive projection) would each re-run the scan + per-key md5 —
+      // the capBuckets rule's "recomputed subtree carries expensive
+      // hashing" case; the cached frame is one long per key
       val keys = Tables.documents(s, dir).select(
         conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
           .cast("long").as("h"))
+        .cache()
+      keys.count()
       def ringAssign(k: DataFrame, vn: DataFrame, wrap: Int, out: String): DataFrame =
         k.join(broadcast(vn), col("h") <= col("vh"), "left")
           .groupBy("h")

@@ -229,7 +229,10 @@ object PropertySpec extends Properties("graft.kernels") {
     }
 
   private def ringAssign(ring: Map[Int, Seq[Long]], h: Long): Int = {
-    val nodes = ring.toSeq.flatMap { case (s, vs) => vs.map(v => (v, s)) }.sortBy(_._1)
+    // sort by (position, shard): two shards drawing the SAME position
+    // must tie-break identically before and after a shard is added, or
+    // the monotonicity property fails spuriously on Map iteration order
+    val nodes = ring.toSeq.flatMap { case (s, vs) => vs.map(v => (v, s)) }.sorted
     nodes.find(_._1 >= h).getOrElse(nodes.head)._2
   }
 
