@@ -823,6 +823,169 @@ object PipelineQueries {
         floor(CAST(n_test AS DOUBLE)/CAST(n_docs AS DOUBLE)*1e4+0.5)/1e4 AS frac_test
       FROM agg ORDER BY source"""))
 
+  /** The CAPSTONE composition — a full C4/RefinedWeb-style curation pass
+    * as ONE hash-verified query, proving the individually-oracled stages
+    * actually compose: eval holdout (q109's doc_id%17 convention) →
+    * quality gate (q42/q112's scorer at a fixed 0.15 threshold, rounded
+    * BEFORE the compare — drops ~13% at every SF) → exact dedup (q40's
+    * min-doc_id-per-md5 survivor rule) → decontamination (q109's
+    * distinct-8-gram overlap with the eval set, here as a full DROP, not
+    * a rate) → temperature-scaled mixture sampling (q141's α=0.5 rates
+    * recomputed on the POST-decontamination per-source counts, md5-
+    * uniform accept) → per-source funnel manifest with kept-token sums
+    * and a commutative bit_xor doc_id digest (q210's order-independent
+    * witness). A user running "the whole pipeline" runs THIS dataflow;
+    * every intermediate frame is one of the library's audited shapes.
+    *
+    * Scale: each stage is scan → hash agg / hash join of the shapes
+    * already certified piecewise (quality = codegen scan; dedup = fp
+    * group-by; decontam = distinct-gram equi join with the small bench
+    * side; sampling = broadcast rate table); the funnel counts are five
+    * map-side-combinable aggs over shrinking frames.
+    */
+  val q223 = GQuery(
+    "q223_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 17 === 0)
+      val train = docs.filter(col("doc_id") % 17 =!= 0)
+      // stage 1: quality gate (rounded score, q112's discipline)
+      val toks = TextQueries.tokens(col("text"))
+      val qual = train
+        .withColumn("q", Metrics.canonRound(TextQueries.qualityExpr(toks), 4))
+        .filter(col("q") >= 0.15)
+      // stage 2: exact dedup — min doc_id survives per content hash
+      val fp = qual.withColumn("fp", md5(col("text")))
+      val dedup = fp.join(
+          fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), "fp")
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("source"), col("text"))
+      // stage 3: decontamination — any distinct 8-gram shared with eval
+      val gramsOf = (d: DataFrame) => d
+        .select(col("doc_id"), call_function("graft_ngrams", col("text"), lit(8)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("ng")).distinct()
+      val benchGrams = gramsOf(evalSet).select("ng").distinct()
+      val contaminatedIds = gramsOf(dedup).join(benchGrams, "ng")
+        .select("doc_id").distinct()
+      val clean = dedup.join(contaminatedIds, Seq("doc_id"), "left_anti")
+      // stage 4: temperature mixture sampling on the cleaned counts
+      val perSrc = clean.groupBy("source").agg(count(lit(1)).as("n_clean"))
+        .withColumn("w_raw", Metrics.canonRound(sqrt(col("n_clean").cast("double")), 4))
+      val tot = perSrc.agg(Metrics.exactSum(col("w_raw")).as("z"),
+        sum("n_clean").as("n_tot"))
+      val rates = perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_clean"),
+          Metrics.canonRound(
+            least(lit(1.0), lit(0.5) * col("n_tot").cast("double") * col("w_raw")
+              / col("z") / col("n_clean").cast("double")), 6).as("samp_rate"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1152921504606846976.0)
+      val sampled = clean.withColumn("u", u)
+        .join(broadcast(rates.select("source", "samp_rate")), "source")
+        .filter(col("u") < col("samp_rate"))
+      // funnel manifest per source (left joins: a source may lose all docs)
+      def cnt(d: DataFrame, as: String) =
+        d.groupBy("source").agg(count(lit(1)).as(as))
+      val kept = sampled.groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(size(TextQueries.tokens(col("text"))).cast("long")).as("kept_tokens"),
+          bit_xor(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")).as("kept_digest"))
+      cnt(train, "n_raw")
+        .join(cnt(qual, "n_quality"), Seq("source"), "left")
+        .join(cnt(dedup, "n_dedup"), Seq("source"), "left")
+        .join(cnt(clean, "n_clean"), Seq("source"), "left")
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          coalesce(col("kept_digest"), lit(0L)).as("kept_digest"))
+        .orderBy("source")
+    },
+    Some {
+      val stop = TextQueries.stopwords.map(w => s"'$w'").mkString(",")
+      s"""WITH train AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
+      ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+      qs AS (
+        SELECT doc_id, source, text,
+          floor((least(tok_n / 100.0, 1.0) * (1.0 - stop_n / tok_n) * (uniq_n / tok_n))
+            * 1e4 + 0.5) / 1e4 AS q
+        FROM (
+          SELECT doc_id, source, text,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS tok_n,
+            CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE)
+              AS stop_n,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS uniq_n
+          FROM train) t),
+      qual AS (SELECT doc_id, source, text FROM qs WHERE q >= 0.15),
+      dd AS (
+        SELECT q2.doc_id, q2.source, q2.text
+        FROM (SELECT *, md5(text) AS fp FROM qual) q2
+        JOIN (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+              FROM qual GROUP BY 1) k
+          ON k.fp = q2.fp AND k.keep_id = q2.doc_id),
+      bg AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 7),
+            i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS ng
+        FROM ev),
+      dg AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 7),
+            i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS ng
+        FROM dd),
+      contam AS (SELECT DISTINCT d.doc_id FROM dg d JOIN bg b ON d.ng = b.ng),
+      clean AS (
+        SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      ps AS (
+        SELECT source, count(*) AS n_clean,
+          floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS w_raw
+        FROM clean GROUP BY source),
+      tot AS (
+        SELECT CAST(sum(CAST(floor(w_raw * 1e4 + 0.5) / 1e4 AS DECIMAL(18,4))) AS DOUBLE)
+            AS z,
+          CAST(sum(n_clean) AS BIGINT) AS n_tot
+        FROM ps),
+      rates AS (
+        SELECT source,
+          floor(least(1.0, 0.5 * CAST(n_tot AS DOUBLE) * w_raw / z
+            / CAST(n_clean AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS samp_rate
+        FROM ps, tot),
+      samp AS (
+        SELECT c.doc_id, c.source, c.text
+        FROM clean c JOIN rates r USING (source)
+        WHERE CAST(CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            AS DOUBLE) / 1152921504606846976.0 < r.samp_rate),
+      kept AS (
+        SELECT source, count(*) AS n_sampled,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens,
+          bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT))
+            AS kept_digest
+        FROM samp GROUP BY source),
+      cr AS (SELECT source, count(*) AS n_raw FROM train GROUP BY source),
+      cq AS (SELECT source, count(*) AS n_quality FROM qual GROUP BY source),
+      cd AS (SELECT source, count(*) AS n_dedup FROM dd GROUP BY source),
+      cc AS (SELECT source, count(*) AS n_clean FROM clean GROUP BY source)
+      SELECT cr.source, cr.n_raw,
+        coalesce(cq.n_quality, 0) AS n_quality,
+        coalesce(cd.n_dedup, 0) AS n_dedup,
+        coalesce(cc.n_clean, 0) AS n_clean,
+        coalesce(k.n_sampled, 0) AS n_sampled,
+        coalesce(k.kept_tokens, 0) AS kept_tokens,
+        coalesce(k.kept_digest, 0) AS kept_digest
+      FROM cr
+      LEFT JOIN cq USING (source)
+      LEFT JOIN cd USING (source)
+      LEFT JOIN cc USING (source)
+      LEFT JOIN kept k USING (source)
+      ORDER BY cr.source"""
+    })
+
   def all: Seq[GQuery] = Seq(q108, q109, q110, q111, q112, q113, q114, q119, q120,
-    q125, q126, q131, q132, q136, q141, q147, q156, q157)
+    q125, q126, q131, q132, q136, q141, q147, q156, q157, q223)
 }

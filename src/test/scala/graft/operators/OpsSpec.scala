@@ -776,6 +776,26 @@ class OpsSpec extends SparkSpec {
     assert(meanErr < meanN, s"meanErr $meanErr vs meanN $meanN")
   }
 
+  test("q223 curation pipeline: funnel monotone per source, sampling hits its target") {
+    val out = graft.SparkEntry.queries("q223_curation_pipeline")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length == 20)
+    out.foreach { case (src, raw, qual, dedup, clean, sampled, toks) =>
+      // each stage can only shrink the corpus
+      assert(raw >= qual && qual >= dedup && dedup >= clean && clean >= sampled,
+        s"$src: $raw/$qual/$dedup/$clean/$sampled")
+      assert(sampled == 0 || toks > 0)
+    }
+    val nTrain = graft.Tables.documents(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 17 =!= 0).count()
+    assert(out.map(_._2).sum == nTrain, "n_raw must partition the train split")
+    // α=0.5 temperature sampling targets half the cleaned corpus; on
+    // near-equal sources the realized fraction lands close to it
+    val frac = out.map(_._6).sum.toDouble / out.map(_._5).sum
+    assert(frac > 0.4 && frac < 0.6, s"sampled fraction $frac")
+  }
+
   test("q220 re-sharding: ring moves ~2/10 of keys where naive mod moves ~4/5") {
     val out = graft.SparkEntry.queries("q220_consistent_shards")(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
