@@ -49,6 +49,7 @@ object Bench {
     "q220_consistent_shards" -> 1.2,
     "q221_stream_kmv" -> 4.0,
     "q222_stream_cusum" -> 2.2,
+    "q223_curation_pipeline" -> 2.2,
     "q63_boosted_hybrid" -> 4.0,
     "q119_span_dedup" -> 3.0,
     "q191_image_resize" -> 2.0,
