@@ -855,20 +855,32 @@ object PipelineQueries {
       val qual = train
         .withColumn("q", Metrics.canonRound(TextQueries.qualityExpr(toks), 4))
         .filter(col("q") >= 0.15)
-      // stage 2: exact dedup — min doc_id survives per content hash
+      // stage 2: exact dedup — min doc_id survives per content hash.
+      // Cached + eager (capBuckets' rule): three consumers (the gram
+      // explode, the anti-join base, the funnel count) would each re-run
+      // the scan → tokenize/quality → md5 self-join chain.
       val fp = qual.withColumn("fp", md5(col("text")))
       val dedup = fp.join(
           fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), "fp")
         .filter(col("doc_id") === col("keep_id"))
         .select(col("doc_id"), col("source"), col("text"))
-      // stage 3: decontamination — any distinct 8-gram shared with eval
-      val gramsOf = (d: DataFrame) => d
+        .cache()
+      dedup.count()
+      // stage 3: decontamination — any distinct 8-gram shared with eval.
+      // The bench side needs only the gram SET: project to the hash
+      // before the single distinct (no doc_id-level distinct first).
+      val benchGrams = evalSet
+        .select(call_function("graft_ngrams", col("text"), lit(8)).as("g"))
+        .select(xxhash64(col("g")).as("ng")).distinct()
+      val docGrams = dedup
         .select(col("doc_id"), call_function("graft_ngrams", col("text"), lit(8)).as("g"))
         .select(col("doc_id"), xxhash64(col("g")).as("ng")).distinct()
-      val benchGrams = gramsOf(evalSet).select("ng").distinct()
-      val contaminatedIds = gramsOf(dedup).join(benchGrams, "ng")
+      val contaminatedIds = docGrams.join(benchGrams, "ng")
         .select("doc_id").distinct()
-      val clean = dedup.join(contaminatedIds, Seq("doc_id"), "left_anti")
+      // cached + eager: FIVE consumers (rate table twice, the sampling
+      // scan, the funnel count, the kept aggregation) read this frame
+      val clean = dedup.join(contaminatedIds, Seq("doc_id"), "left_anti").cache()
+      clean.count()
       // stage 4: temperature mixture sampling on the cleaned counts
       val perSrc = clean.groupBy("source").agg(count(lit(1)).as("n_clean"))
         .withColumn("w_raw", Metrics.canonRound(sqrt(col("n_clean").cast("double")), 4))
