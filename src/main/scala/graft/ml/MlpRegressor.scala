@@ -42,11 +42,18 @@ final case class MlpModel(
     override val uid: String = "graft_mlp_model") extends Transformer {
 
   private def predExpr: Column = {
+    // standardization FOLDED into the weights: tanh(b1 + Σ w1·(x−m)/s)
+    // ≡ tanh((b1 − Σ w1·m/s) + Σ (w1/s)·x), so the expression tree is
+    // exactly h·d multiply-adds over raw element_at's — no per-feature
+    // standardization subexpression repeated per hidden unit (which at
+    // wide one-hot d would triple the node count and lean on codegen
+    // CSE/method-splitting). Algebraically identical; the spec's
+    // unfolded driver reference agrees to 1e-9.
     val xs = vector_to_array(col(featuresCol))
-    def x(i: Int): Column = (element_at(xs, i + 1) - lit(mean(i))) / lit(std(i))
     val hs = w1.indices.map { j =>
-      tanh(mean.indices.foldLeft(lit(b1(j)): Column)((acc, i) =>
-        acc + lit(w1(j)(i)) * x(i)))
+      val bAdj = b1(j) - mean.indices.map(i => w1(j)(i) * mean(i) / std(i)).sum
+      tanh(mean.indices.foldLeft(lit(bAdj): Column)((acc, i) =>
+        acc + lit(w1(j)(i) / std(i)) * element_at(xs, i + 1)))
     }
     val z = hs.zipWithIndex.foldLeft(lit(b2): Column) { case (acc, (h, j)) =>
       acc + lit(w2(j)) * h
@@ -74,8 +81,14 @@ final case class MlpRegressor(
 
   def fit(train: DataFrame): MlpModel = {
     val spark = train.sparkSession
+    // null labels would skew the moments (null-ignoring sum vs row
+    // count) and then NPE in the executor — fail them out up front.
+    // Cached: the d-probe, the moments pass, and the RDD build would
+    // otherwise each re-run the full upstream feature pipeline.
     val raw = train
       .select(vector_to_array(col(featuresCol)).as("x"), col(labelCol).cast("double").as("y"))
+      .filter(col("y").isNotNull)
+      .cache()
     val d = raw.select(size(col("x"))).head().getInt(0)
     // standardization moments in one distributed pass
     val momRow = raw.select(
@@ -103,6 +116,7 @@ final case class MlpRegressor(
       (xs, (r.getDouble(1) - yMean) / yStd)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     data.count()
+    raw.unpersist()
 
     // seeded Xavier-ish init
     val rnd = new scala.util.Random(seed)
@@ -160,6 +174,11 @@ final case class MlpRegressor(
       epoch += 1
     }
     data.unpersist(blocking = false)
+    // the standardization broadcasts are only referenced by the now-
+    // unpersisted RDD's closure — destroy them so repeated fits (grid
+    // search, stacking folds) don't accumulate broadcast blocks
+    bMean.destroy()
+    bStd.destroy()
     MlpModel(w1, b1, w2, b2, mean, std, yMean, yStd, featuresCol, predictionCol)
   }
 }

@@ -51,11 +51,13 @@ class MlpRegressorSpec extends SparkSpec {
   test("codegen scoring expression matches a driver-side forward pass") {
     val m = MlpRegressor(labelCol = "y", hidden = 4, epochs = 30, lr = 0.3)
       .fit(planted)
-    val viaExpr = m.transform(planted.limit(50))
-      .select(col("id"), col("pred_1")).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val rows = planted.limit(50)
-      .select(col("id"), col("x1"), col("x2")).collect()
+    // ONE limited execution carrying inputs and prediction together —
+    // two independent limit(50) runs have no shared row-selection
+    // guarantee (a plan change could pick different rows and turn a
+    // map-key miss into a spurious failure)
+    val rows = m.transform(planted.limit(50))
+      .select(col("id"), col("x1"), col("x2"), col("pred_1")).collect()
+    assert(rows.length == 50)
     rows.foreach { r =>
       val xs = Array(r.getDouble(1), r.getDouble(2))
       val std = xs.indices.map(i => (xs(i) - m.mean(i)) / m.std(i))
@@ -64,8 +66,8 @@ class MlpRegressorSpec extends SparkSpec {
           std.indices.map(i => m.w1(j)(i) * std(i)).sum)
       }.sum + m.b2
       val expect = m.yMean + m.yStd * z
-      assert(math.abs(viaExpr(r.getLong(0)) - expect) < 1e-9,
-        s"id ${r.getLong(0)}: expr ${viaExpr(r.getLong(0))} vs $expect")
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+        s"id ${r.getLong(0)}: expr ${r.getDouble(3)} vs $expect")
     }
   }
 
