@@ -89,7 +89,13 @@ final case class MlpRegressor(
       .select(vector_to_array(col(featuresCol)).as("x"), col(labelCol).cast("double").as("y"))
       .filter(col("y").isNotNull)
       .cache()
-    val d = raw.select(size(col("x"))).head().getInt(0)
+    // explicit fail-fast: head() on an empty frame would surface as a
+    // bare NoSuchElementException (and n=0 would NaN the moments and
+    // divide the lr/n step by zero) with no hint at the cause
+    val probe = raw.select(size(col("x"))).head(1)
+    require(probe.nonEmpty,
+      s"MlpRegressor.fit: no training rows with a non-null '$labelCol' label")
+    val d = probe(0).getInt(0)
     // standardization moments in one distributed pass
     val momRow = raw.select(
       (0 until d).map(i => sum(element_at(col("x"), i + 1)).as(s"s$i")) ++

@@ -85,6 +85,16 @@ object KmvSketch {
     * identical output for ANY micro-batch slicing because k-min merge is
     * associative and commutative, which is what lets q221 reuse q219's
     * oracle verbatim, the q179/q181 argument).
+    *
+    * CACHE CONTRACT (the PqAnn.buildIndex rule): the sketch and the
+    * exact-audit fingerprint frames are `.cache()`d and eagerly
+    * materialized here because the returned report consumes each of them
+    * through several join branches — recomputing would re-scan the corpus
+    * per branch. The blocks stay pinned for the lifetime of the returned
+    * (lazy) frame; a long-lived session that runs this repeatedly must
+    * clear them between runs (Bench/Verify already call
+    * `sharedState.cacheManager.clearCache()` between queries, which is
+    * why registry sweeps don't accumulate).
     */
   def overlapReport(s: org.apache.spark.sql.SparkSession, dir: String,
                     skIn: DataFrame): DataFrame = {

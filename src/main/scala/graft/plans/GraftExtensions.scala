@@ -26,6 +26,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         build(exprs)
       }))
 
+  /** Fold a literal INT parameter at analysis time, raising the PROPER
+    * error classes: a non-foldable argument is NON_FOLDABLE_ARGUMENT, a
+    * foldable non-integer is DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE —
+    * not WRONG_NUM_ARGS, whose "wrong number of arguments" text misled
+    * for what is a type error.
+    */
+  private def foldInt(funcName: String, paramName: String, paramIndex: String,
+                      ex: Expression): Int = ex match {
+    case f if f.foldable => f.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+        messageParameters = Map(
+          "sqlExpr" -> s""""$funcName"""", "paramIndex" -> paramIndex,
+          "requiredType" -> "\"INT\"", "inputSql" -> s""""${ex.sql}"""",
+          "inputType" -> s""""${ex.dataType.sql}""""))
+    }
+    case _ => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> s""""$funcName"""", "paramName" -> s""""$paramName"""",
+        "paramType" -> "\"INT\""))
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     inject(e, "geometric_round", 1, classOf[GeometricRoundExpr],
       exprs => GeometricRoundExpr(exprs.head))
@@ -60,45 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_nfc", 1, classOf[NfcNormalizeExpr],
       exprs => NfcNormalizeExpr(exprs.head))
     inject(e, "graft_ngrams", 2, classOf[ShinglesGenerator],
-      exprs => {
-        val n = exprs(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-              messageParameters = Map("functionName" -> "graft_ngrams",
-                "expectedNum" -> "a foldable INT n", "actualNum" -> s"$other",
-                "docroot" -> ""))
-          }
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map("functionName" -> "graft_ngrams",
-              "expectedNum" -> "a foldable INT n", "actualNum" -> "non-foldable",
-              "docroot" -> ""))
-        }
-        ShinglesGenerator(exprs(0), n)
-      })
+      exprs => ShinglesGenerator(exprs(0), foldInt("graft_ngrams", "n", "second", exprs(1))))
     inject(e, "graft_chunks", 3, classOf[ChunksGenerator],
-      exprs => {
-        def foldInt(ex: Expression, what: String): Int = ex match {
-          case f if f.foldable => f.eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-              messageParameters = Map("functionName" -> "graft_chunks",
-                "expectedNum" -> s"a foldable INT $what", "actualNum" -> s"$other",
-                "docroot" -> ""))
-          }
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map("functionName" -> "graft_chunks",
-              "expectedNum" -> s"a foldable INT $what", "actualNum" -> "non-foldable",
-              "docroot" -> ""))
-        }
-        ChunksGenerator(exprs(0), foldInt(exprs(1), "size"), foldInt(exprs(2), "stride"))
-      })
+      exprs => ChunksGenerator(exprs(0),
+        foldInt("graft_chunks", "size", "second", exprs(1)),
+        foldInt("graft_chunks", "stride", "third", exprs(2))))
     e.injectOptimizerRule(_ => CollapseIdempotentRound)
     e.injectOptimizerRule(_ => ThresholdLevenshtein)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)

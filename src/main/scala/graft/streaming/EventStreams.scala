@@ -28,8 +28,7 @@ object EventStreams extends Serializable {
     // FileStreamSource wants a directory; the fixture is a single file.
     // Stage a symlink in a temp dir — a cluster deployment streams a real
     // landing directory (or Kafka) and this staging disappears.
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_")
-    stage.toFile.deleteOnExit()
+    val stage = TempDirs.create("graft_stream_")
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -343,8 +342,7 @@ object EventStreams extends Serializable {
       else
         days => (col("ts") + expr(s"INTERVAL $days DAYS")).as("ts")
     Seq((10L, "hb1"), (11L, "hb2")).foreach { case (days, name) =>
-      val hbDir = java.nio.file.Files.createTempDirectory(s"graft_${name}_")
-      hbDir.toFile.deleteOnExit()
+      val hbDir = TempDirs.create(s"graft_${name}_")
       raw.orderBy(col("ts").desc).limit(1)
         .select(lit(-1L).as("event_id"), shift(days), lit(-1L).as("user_id"),
           lit("heartbeat").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))

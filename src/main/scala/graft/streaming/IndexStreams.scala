@@ -80,10 +80,8 @@ object IndexStreams {
       val base = docs.filter(col("doc_id") % 3 === 0)
       val streamed = docs.filter(col("doc_id") % 3 =!= 0)
 
-      val indexBase = java.nio.file.Files.createTempDirectory("graft_mhidx_state_")
-      indexBase.toFile.deleteOnExit()
-      val pairsDir = java.nio.file.Files.createTempDirectory("graft_mhidx_pairs_")
-      pairsDir.toFile.deleteOnExit()
+      val indexBase = TempDirs.create("graft_mhidx_state_")
+      val pairsDir = TempDirs.create("graft_mhidx_pairs_")
       def indexPath(v: Long) = s"$indexBase/v$v"
 
       // bootstrap: batch-built index over the base corpus, plus the
@@ -97,8 +95,7 @@ object IndexStreams {
       baseBands.unpersist()
 
       // landing slices: two micro-batches of new documents
-      val stage = java.nio.file.Files.createTempDirectory("graft_mhidx_stage_")
-      stage.toFile.deleteOnExit()
+      val stage = TempDirs.create("graft_mhidx_stage_")
       Seq(1, 2).foreach { i =>
         streamed.filter(col("doc_id") % 3 === i)
           .write.mode("overwrite").parquet(s"$stage/slice_$i")

@@ -44,15 +44,13 @@ object SketchStreams {
                    queryName: String = "stream_kmv"): DataFrame =
     EventStreams.withStreamShufflePartitions(spark) {
       val docs = KmvSketch.augmentedDocs(spark, dir)
-      val stage = java.nio.file.Files.createTempDirectory("graft_kmv_stage_")
-      stage.toFile.deleteOnExit()
+      val stage = TempDirs.create("graft_kmv_stage_")
       (0 until 3).foreach { i =>
         docs.filter(pmod(col("doc_id"), lit(3)) === i)
           .select(col("source"), col("text"))
           .write.mode("overwrite").parquet(s"$stage/slice_$i")
       }
-      val stateBase = java.nio.file.Files.createTempDirectory("graft_kmv_state_")
-      stateBase.toFile.deleteOnExit()
+      val stateBase = TempDirs.create("graft_kmv_state_")
       def statePath(v: Long) = s"$stateBase/v$v"
       var version = -1L
       var lastApplied = -1L

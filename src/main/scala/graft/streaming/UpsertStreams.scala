@@ -62,14 +62,12 @@ object UpsertStreams {
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       // local staging harness: slice by event_id so every slice carries
       // every user; a cluster deployment reads a real landing directory
-      val stage = java.nio.file.Files.createTempDirectory("graft_upsert_stage_")
-      stage.toFile.deleteOnExit()
+      val stage = TempDirs.create("graft_upsert_stage_")
       (0 until 3).foreach { i =>
         events.filter(pmod(col("event_id"), lit(3)) === i)
           .write.mode("overwrite").parquet(s"$stage/slice_$i")
       }
-      val stateBase = java.nio.file.Files.createTempDirectory("graft_upsert_state_")
-      stateBase.toFile.deleteOnExit()
+      val stateBase = TempDirs.create("graft_upsert_state_")
       var version = -1L
       var lastApplied = -1L
       def statePath(v: Long) = s"$stateBase/v$v"
