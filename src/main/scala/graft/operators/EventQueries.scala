@@ -303,6 +303,35 @@ object EventQueries {
         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
       GROUP BY 1, 2, 3 ORDER BY purchase_id"""))
 
+  /** q68's attribution window in the NAIVE spelling — a plain
+    * `join(cond && ts >= lo && ts <= hi)` with no RangeJoin helper call —
+    * relying on plans.RangeJoinRewrite (the optimizer rule that detects
+    * the equi-key + interval conjunction and rewrites it to the binned
+    * equi join). Same oracle as q68, so the driver hash-verifies that
+    * the RULE-generated plan computes exactly what the hand-built helper
+    * computes; RangeJoinRuleSpec separately pins the plan shape (bin key
+    * present, no nested-loop join even with the equi key removed).
+    */
+  val q224 = GQuery(
+    "q224_range_join_rule",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        .withColumn("lo", col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      clicks.join(purchases,
+          col("c_uid") === col("user_id") &&
+            col("click_ts") >= col("lo") && col("click_ts") <= col("p_ts"))
+        .groupBy("purchase_id", "user_id")
+        .agg(count(lit(1)).as("n_clicks"), max(col("p_ts")).as("p_ts"))
+        .select(col("purchase_id"), col("user_id"),
+          col("p_ts").cast("timestamp_ntz").as("purchase_ts"), col("n_clicks"))
+        .orderBy("purchase_id")
+    },
+    q68.oracle)
+
   /** Cohort retention: users bucketed by first-seen month, distinct active
     * users counted per (cohort, months-since-cohort). Two shuffles total —
     * the per-user first-touch aggregate (map-side combined) and the final
@@ -1431,5 +1460,5 @@ object EventQueries {
 
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158, q162,
-    q163, q166, q171, q196, q197, q199, q200, q203, q216, q222)
+    q163, q166, q171, q196, q197, q199, q200, q203, q216, q222, q224)
 }

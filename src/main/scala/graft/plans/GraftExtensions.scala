@@ -92,6 +92,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         foldInt("graft_chunks", "stride", "third", exprs(2))))
     e.injectOptimizerRule(_ => CollapseIdempotentRound)
     e.injectOptimizerRule(_ => ThresholdLevenshtein)
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,166 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, And, AttributeReference, Cast, EqualTo, Explode, Expression,
+  GreaterThan, GreaterThanOrEqual, If, IntegralDivide, LessThan,
+  LessThanOrEqual, Literal, Pmod, Sequence, Subtract, UnixMicros}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{
+  ArrayType, LongType, TimestampNTZType, TimestampType}
+
+/** Optimizer rule promoting the binned range join (operators.RangeJoin)
+  * from an opt-in helper to something EVERY point-in-interval join gets —
+  * the survey's own named candidate (SURVEY.md §4.3 "range-join rule").
+  *
+  * The problem: `points.join(intervals, keysEq && p >= lo && p <= hi)`
+  * with no equi conjunct plans as a BroadcastNestedLoopJoin (fatal when
+  * both sides are big), and even WITH an equi key the range residual runs
+  * as a per-key cartesian inside the sort-merge join — quadratic in the
+  * hottest key at 100 TB. The standard fix (Flink interval joins,
+  * warehouse range-join optimizations) is to quantize time into
+  * fixed-width bins, replicate each interval into every bin it covers,
+  * and equi-join points to intervals on the bin — candidates become
+  * bin-local, and the exact predicate (kept in the rewritten join's
+  * condition) restores exactness. RangeJoin.pointInInterval writes that
+  * by hand; this rule grants it to the naive spelling, including SQL.
+  *
+  * Pattern matched on an Inner join condition's conjuncts: a lower bound
+  * (p >= lo or p > lo) and an upper bound (p <= hi or p < hi) over the
+  * SAME point expression p, where p references one side only and lo/hi
+  * the other side only, all of timestamp type. Strict bounds are fine —
+  * bins only generate candidates; the retained original predicate
+  * enforces strictness. Any other conjuncts (equi keys included) are
+  * preserved verbatim, so with equi keys present the bin simply becomes
+  * one more join key bounding the per-key fan-out.
+  *
+  * Rewrite (same construction as RangeJoin.pointInInterval, on raw
+  * Catalyst nodes): bin(x) = (unix_micros(x) − pmod(unix_micros, w))
+  * div w — pmod keeps floor semantics pre-1970, and the subtraction
+  * makes the division exact. The interval side explodes
+  * sequence(bin(lo), bin(hi)); an inverted interval (lo > hi, which the
+  * naive join silently emits zero rows for) gets an empty array rather
+  * than sequence()'s descending-step surprise, and a NULL bound nulls
+  * the If guard into the same empty array — both preserve inner-join
+  * semantics exactly. A point lies in exactly one bin, so no pair is
+  * produced twice and no distinct is needed.
+  *
+  * Guard against re-fire (the rule runs in the operator-optimization
+  * FIX-POINT, and the rewritten join still contains the range
+  * conjuncts): skip joins whose children already carry a bin column —
+  * ours (__graft_rj_bin) or the hand-written helper's (__bin), so a
+  * query already routed through RangeJoin.pointInInterval is not
+  * double-binned after filter-pushdown folds its exact re-filter back
+  * into the join condition.
+  *
+  * Config: spark.graft.rangeJoin.enabled (default true),
+  * spark.graft.rangeJoin.binSeconds (default 3600 — pick ≳ the typical
+  * interval span so most intervals replicate into ≤ 2 bins).
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  private val PointBin = "__graft_rj_bin_p"
+  private val IntervalBin = "__graft_rj_bin_i"
+  private val markerNames = Set(PointBin, IntervalBin, "__bin")
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
+  private def binSeconds: Long =
+    conf.getConfString("spark.graft.rangeJoin.binSeconds", "3600").toLong
+
+  private def isTs(e: Expression): Boolean =
+    e.dataType == TimestampType || e.dataType == TimestampNTZType
+
+  /** Conjunct → both readings of a timestamp inequality as
+    * (point, bound, isLower): `a >= b` says "a is lower-bounded by b"
+    * AND "b is upper-bounded by a" — which reading applies is decided
+    * later by the sides constraint, so both are emitted.
+    */
+  private def asBounds(c: Expression): Seq[(Expression, Expression, Boolean)] =
+    c match {
+      case GreaterThanOrEqual(a, b) if isTs(a) && isTs(b) =>
+        Seq((a, b, true), (b, a, false))
+      case GreaterThan(a, b) if isTs(a) && isTs(b) =>
+        Seq((a, b, true), (b, a, false))
+      case LessThanOrEqual(a, b) if isTs(a) && isTs(b) =>
+        Seq((a, b, false), (b, a, true))
+      case LessThan(a, b) if isTs(a) && isTs(b) =>
+        Seq((a, b, false), (b, a, true))
+      case _ => Seq.empty
+    }
+
+  private def binOf(ts: Expression, binMicros: Long): Expression = {
+    val micros = ts.dataType match {
+      case TimestampType => UnixMicros(ts)
+      // NTZ: session-zone cast — applied identically to point and bounds,
+      // so bins stay mutually consistent. The explicit timeZoneId keeps
+      // the expression RESOLVED (TimeZoneAwareExpression.resolved
+      // requires it, and an optimizer rule must not un-resolve the plan).
+      case _ => UnixMicros(Cast(ts, TimestampType, Some(conf.sessionLocalTimeZone)))
+    }
+    val w = Literal(binMicros)
+    IntegralDivide(Subtract(micros, Pmod(micros, w)), w)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !(left.output ++ right.output).exists(a => markerNames(a.name)) =>
+        rewrite(j, left, right, cond, hint).getOrElse(j)
+    }
+
+  private def refsOnly(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression,
+                      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint)
+      : Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val bounds = conjuncts.flatMap(asBounds)
+    val lowers = bounds.collect { case (p, b, true) => (p, b) }
+    val uppers = bounds.collect { case (p, b, false) => (p, b) }
+    // first (point, lo, hi) where the same point expression has a lower
+    // AND an upper bound, point and bounds on opposite sides
+    val matched = (for {
+      (p, lo) <- lowers.iterator
+      (p2, hi) <- uppers.iterator
+      if p2.semanticEquals(p)
+      if (refsOnly(p, left) && refsOnly(lo, right) && refsOnly(hi, right)) ||
+        (refsOnly(p, right) && refsOnly(lo, left) && refsOnly(hi, left))
+    } yield (p, lo, hi)).nextOption()
+    matched.map { case (p, lo, hi) =>
+      val pointOnLeft = refsOnly(p, left)
+      val (pointSide, intervalSide) = if (pointOnLeft) (left, right) else (right, left)
+      val binMicros = binSeconds * 1000000L
+      // point side: one bin column
+      val pBinAlias = Alias(binOf(p, binMicros), PointBin)()
+      val pointProj = Project(pointSide.output :+ pBinAlias, pointSide)
+      // interval side: explode the covered bin range (empty on inverted
+      // or NULL-bounded intervals — inner-join-equivalent)
+      val binLo = binOf(lo, binMicros)
+      val binHi = binOf(hi, binMicros)
+      val seqExpr = If(LessThanOrEqual(binLo, binHi),
+        // explicit timeZoneId: Sequence is TimeZoneAwareExpression and
+        // stays UNRESOLVED without one — a rule-generated plan must not
+        // regress from resolved to unresolved
+        new Sequence(binLo, binHi, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+        Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+      val iBinAttr = AttributeReference(IntervalBin, LongType, nullable = false)()
+      val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(iBinAttr),
+        child = intervalSide)
+      // rebuilt condition: bin equality + every original conjunct
+      // (bounds included — they are the exact re-filter)
+      val newCond = (EqualTo(pBinAlias.toAttribute, iBinAttr) +: conjuncts)
+        .reduce(And)
+      val (newLeft, newRight) =
+        if (pointOnLeft) (pointProj, gen) else (gen, pointProj)
+      Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.RangeJoin
+
+/** RangeJoinRewrite — the optimizer rule that turns a naively-spelled
+  * point-in-interval join into the binned equi join. Each test asserts
+  * the PLAN property (no nested-loop, rule fired / correctly held back)
+  * and pins the rewritten result against the hand-built RangeJoin
+  * helper, which q68/q163's oracles already hash-verify cross-engine.
+  */
+class RangeJoinRuleSpec extends SparkSpec {
+
+  private def clicks: DataFrame =
+    Tables.events(spark, sf001).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts").as("click_ts"))
+
+  private def purchases: DataFrame =
+    Tables.events(spark, sf001).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withColumn("lo", col("p_ts") - expr("INTERVAL 30 MINUTES"))
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("naive pure-range join (no equi key) plans the binned equi join, not a nested loop") {
+    // without the rule this is a BroadcastNestedLoopJoin — the fatal
+    // large×large shape. No user filter: the fixture's events are sparse
+    // in time (26 cross-user pairs land inside a 30-minute window at
+    // sf0.001), so the full frames keep the pair set non-empty.
+    val p = clicks
+    val i = purchases
+    val naive = p.join(i,
+      col("click_ts") >= col("lo") && col("click_ts") <= col("p_ts"))
+    val plan = planString(naive)
+    assert(plan.contains("__graft_rj_bin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+    // exactness: identical pair set to the uncapped nested-loop semantics,
+    // via the proven helper (keyless: join on bin only)
+    val viaHelper = RangeJoin.pointInInterval(
+        p, i, "click_ts", "lo", "p_ts", keys = Nil, binSeconds = 3600L)
+      .select("click_id", "purchase_id")
+    val viaRule = naive.select("click_id", "purchase_id")
+    assert(viaRule.exceptAll(viaHelper).isEmpty && viaHelper.exceptAll(viaRule).isEmpty)
+    assert(viaRule.count() > 0)
+  }
+
+  test("equi-key + interval conjunction gets the bin as an extra join key") {
+    val naive = clicks.join(purchases,
+      col("c_uid") === col("user_id") &&
+        col("click_ts") >= col("lo") && col("click_ts") <= col("p_ts"))
+    val plan = planString(naive)
+    assert(plan.contains("__graft_rj_bin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // same aggregate as the registered q68 (which runs the helper): the
+    // rewritten naive spelling must reproduce it row-for-row
+    val viaRule = naive.groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks"))
+    val viaHelper = RangeJoin.pointInInterval(
+        clicks, purchases, "click_ts", "lo", "p_ts", Seq.empty, 3600L)
+      .filter(col("c_uid") === col("user_id"))
+      .groupBy("purchase_id").agg(count(lit(1)).as("n_clicks"))
+    assert(viaRule.exceptAll(viaHelper).isEmpty && viaHelper.exceptAll(viaRule).isEmpty)
+  }
+
+  test("strict bounds and flipped operand order still match; exactness preserved") {
+    val p = clicks
+    val i = purchases
+    // lo < p (flipped, strict) AND p_ts >= click_ts (flipped side)
+    val naive = p.join(i, col("lo") < col("click_ts") && col("p_ts") >= col("click_ts"))
+    assert(planString(naive).contains("__graft_rj_bin"))
+    val expected = p.crossJoin(i)
+      .filter(col("lo") < col("click_ts") && col("p_ts") >= col("click_ts"))
+      .select("click_id", "purchase_id")
+    val got = naive.select("click_id", "purchase_id")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("rule holds back: non-timestamp bounds, disabled conf, and the hand-binned helper") {
+    import spark.implicits._
+    // double-typed band join (the q12 shape) must NOT be rewritten
+    val bands = Seq(("low", 0.0, 3000.0), ("high", 3000.0, 1e9)).toDF("band", "lo", "hi")
+    val q12ish = Tables.customer(spark, sf001)
+      .join(broadcast(bands), col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+    assert(!planString(q12ish).contains("__graft_rj_bin"))
+    // conf off → naive stays naive
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    try {
+      val naive = clicks.limit(50).join(purchases.limit(50),
+        col("click_ts") >= col("lo") && col("click_ts") <= col("p_ts"))
+      assert(!planString(naive).contains("__graft_rj_bin"))
+    } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    // the helper's own output carries a __bin marker through the join —
+    // the guard must not double-bin it
+    val helper = RangeJoin.pointInInterval(
+      clicks, purchases, "click_ts", "lo", "p_ts", Seq.empty, 3600L)
+    assert(!planString(helper).contains("__graft_rj_bin"))
+  }
+
+  test("inverted and NULL intervals yield zero rows without errors") {
+    import spark.implicits._
+    val p = Seq(("p1", java.sql.Timestamp.valueOf("2020-01-01 12:00:00")))
+      .toDF("pid", "ts")
+    val i = Seq(
+      ("bad", java.sql.Timestamp.valueOf("2020-01-01 13:00:00"),
+        java.sql.Timestamp.valueOf("2020-01-01 11:00:00")), // lo > hi
+      ("nul", null.asInstanceOf[java.sql.Timestamp],
+        java.sql.Timestamp.valueOf("2020-01-01 13:00:00"))) // null lo
+      .toDF("iid", "lo", "hi")
+    val joined = p.join(i, col("ts") >= col("lo") && col("ts") <= col("hi"))
+    assert(planString(joined).contains("__graft_rj_bin"))
+    assert(joined.count() === 0)
+  }
+}
