@@ -76,6 +76,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1)))
+    // mergeable quantile sketch pair (plans.QuantileSketchAgg): build
+    // from raw (hash, value) rows / re-aggregate built sketches at a
+    // coarser grain. Bare AggregateFunction returned — analyzer wraps.
+    inject(e, "graft_qsketch", 3, classOf[QuantileSketchAgg],
+      exprs => QuantileSketchAgg(exprs(0), exprs(1),
+        foldInt("graft_qsketch", "k", "third", exprs(2))))
+    inject(e, "graft_qsketch_merge", 2, classOf[QuantileSketchMergeAgg],
+      exprs => QuantileSketchMergeAgg(exprs(0),
+        foldInt("graft_qsketch_merge", "k", "second", exprs(1))))
     inject(e, "graft_shingles", 1, classOf[ShinglesGenerator],
       exprs => ShinglesGenerator(exprs.head))
     inject(e, "graft_shingle_set", 1, classOf[ShingleSetExpr],

@@ -37,6 +37,7 @@ object Registry {
     graft.operators.GroupedOls.all,
     graft.ml.HybridTwin.all,
     graft.operators.KmvSketch.all,
+    graft.operators.QuantileSketchQueries.all,
     graft.operators.HierarchyRollup.all
   )
 

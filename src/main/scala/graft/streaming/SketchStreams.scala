@@ -73,4 +73,53 @@ object SketchStreams {
       require(version >= 0, "stream produced no batches")
       KmvSketch.overlapReport(spark, dir, spark.read.parquet(statePath(version)))
     }
+
+  /** Streaming-maintained QUANTILE sketch (q226, the q221 idiom pointed
+    * at plans.QuantileSketchAgg): per micro-batch the arriving orders
+    * rows aggregate to per-quarter delta sketches (`graft_qsketch`) and
+    * merge into the persisted quarter state (`graft_qsketch_merge`) —
+    * delta reduced to its own bottom-k BEFORE the merge, so the state
+    * stays ≤ k pairs per quarter for any stream size. k-min-of-union
+    * associativity makes the final state equal the batch build for ANY
+    * slicing, so the returned report is q225's and reuses its oracle
+    * verbatim.
+    */
+  def streamingQuantileSketch(spark: SparkSession, dir: String,
+                              queryName: String = "stream_qsketch"): DataFrame =
+    EventStreams.withStreamShufflePartitions(spark) {
+      import graft.operators.QuantileSketchQueries
+      val k = QuantileSketchQueries.K
+      val rows = QuantileSketchQueries.base(spark, dir)
+        .select(col("qkey"), col("h"), col("v"))
+      val stage = TempDirs.create("graft_qsk_stage_")
+      (0 until 3).foreach { i =>
+        rows.filter(pmod(col("h"), lit(3)) === i)
+          .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      }
+      val stateBase = TempDirs.create("graft_qsk_state_")
+      def statePath(v: Long) = s"$stateBase/v$v"
+      var version = -1L
+      var lastApplied = -1L
+      val schema = spark.read.parquet(s"$stage/slice_0").schema
+      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
+        if (id != lastApplied) {
+          val delta = batch.toDF().groupBy("qkey")
+            .agg(call_function("graft_qsketch", col("h"), col("v"), lit(k)).as("sk"))
+          val merged = (if (version < 0) delta
+            else spark.read.parquet(statePath(version)).unionByName(delta))
+            .groupBy("qkey")
+            .agg(call_function("graft_qsketch_merge", col("sk"), lit(k)).as("sk"))
+          merged.write.mode("overwrite").parquet(statePath(version + 1))
+          version += 1
+          lastApplied = id
+        }
+      }
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$stage/slice_*")
+        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+      require(version >= 0, "stream produced no batches")
+      QuantileSketchQueries.report(spark, dir, spark.read.parquet(statePath(version)))
+    }
 }
