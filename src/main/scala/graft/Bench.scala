@@ -36,7 +36,9 @@ object Bench {
     // join unchanged). New entries measured on a box with sustained
     // external load 2-5 — values sit at the optimistic end so the 3x
     // retry threshold still reflects an idle-box honest time.
-    "q64_stacking" -> 5.0,
+    // r12: +~3s for the third (mlp_gbt4) trial-grid combo — 20
+    // treeAggregate epochs × 2 fits of launch-latency-bound jobs
+    "q64_stacking" -> 7.0,
     "q107_ann_pq" -> 3.6,
     "q100_stream_neardup" -> 3.0,
     "q215_stream_minhash_index" -> 4.0,

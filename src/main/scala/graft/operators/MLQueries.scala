@@ -163,11 +163,23 @@ object MLQueries {
       // ~6.9 for elastic-net at matched strength; GBT depth is
       // irrelevant) — and the failure is invisible to the OOF meta fit,
       // which scores in-range. So every base gets the L1 component.
+      // the third combo routes stage-1 through ml.MlpRegressor so the
+      // Spark-native MLP trains under the driver's bench/correctness
+      // gates every round like every other operator (r11 VERDICT item 4 —
+      // E7's closure previously lived only in specs). Trial-scale epoch
+      // budget: 40 full-batch treeAggregate epochs × 2 fits (one OOF
+      // fold + final) ≈ +3s, launch latency per epoch-job dominating at
+      // trial scale; the converged-quality config (150 epochs,
+      // hidden 16, SMAPE 6.78 vs linear 13.59) stays pinned in
+      // SalesMlSpec — this slot's job is exercising the estimator
+      // end-to-end, not re-winning the grid.
       val grid = Seq(
         ("enet_gbt3", graft.ml.BoostedHybrid(elasticNetParam = 0.5, regParam = 0.005,
           gbtMaxIter = 5, gbtMaxDepth = 3)),
         ("enet_gbt4", graft.ml.BoostedHybrid(elasticNetParam = 0.5, regParam = 0.005,
-          gbtMaxIter = 5, gbtMaxDepth = 4)))
+          gbtMaxIter = 5, gbtMaxDepth = 4)),
+        ("mlp_gbt4", graft.ml.BoostedHybrid(stage1 = "mlp", mlpHidden = 8,
+          mlpEpochs = 20, mlpLr = 0.3, gbtMaxIter = 5, gbtMaxDepth = 4)))
       // metaFolds=1: meta weights fit on the last fold's OOF rows only —
       // validated in round 2 (earlier short-prefix folds bias the blend)
       val stack = graft.ml.Stacking.fit(train, grid, k = 3, metaFolds = 1)
