@@ -351,38 +351,54 @@ object DedupQueries {
     * interpreted HOF — fine per candidate pair, never per corpus row); the
     * component step is O(log) shuffle rounds (see ConnectedComponents).
     */
+  /** q83's near-dup EDGE pipeline, factored for reuse: md5/K-M MinHash
+    * signatures → 4×2 banding → bucket cap → signature-agreement filter
+    * → (u, v) pairs. Shared by the batch clustering (q83) and the
+    * streaming incremental clustering (q227), which slices exactly this
+    * edge set into micro-batches.
+    */
+  def dedupEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val nH = 8
+    val docs = Tables.documents(s, dir)
+    // one md5 per shingle, K-M-expanded to 8 slots — see q56
+    // cached: consumed by banding AND twice by the pair filter
+    val sig = minhashSignaturesMd5(docs, nH).cache()
+    val bandedSig = bandedConcat(sig, bands = 4, rows = 2)
+      .select(col("doc_id"), col("band"), col("bh"))
+    val bb = capBuckets(bandedSig, cap = 50)
+    // no distinct: multi-band repeats (≤4×) cost less than the extra
+    // shuffle, and ConnectedComponents dedups its edge set anyway
+    val pairs = bb.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(bb.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val sa = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("n_eq", call_function("graft_eq_count", col("sig_a"), col("sig_b")))
+      .filter(col("n_eq") >= nH / 2)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+  }
+
+  /** Per-document cluster assignment + sizes from a (id, comp) non-root
+    * component frame — q83's reporting tail, shared with q227.
+    */
+  def clusterReport(s: org.apache.spark.sql.SparkSession, dir: String,
+                    comp: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val assign = docs.select("doc_id")
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+    val sizes = assign.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    assign.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val q83 = GQuery(
     "q83_dedup_clusters",
-    (s, dir) => {
-      val nH = 8
-      val docs = Tables.documents(s, dir)
-      // one md5 per shingle, K-M-expanded to 8 slots — see q56
-      // cached: consumed by banding AND twice by the pair filter
-      val sig = minhashSignaturesMd5(docs, nH).cache()
-      val bandedSig = bandedConcat(sig, bands = 4, rows = 2)
-        .select(col("doc_id"), col("band"), col("bh"))
-      val bb = capBuckets(bandedSig, cap = 50)
-      // no distinct: multi-band repeats (≤4×) cost less than the extra
-      // shuffle, and ConnectedComponents dedups its edge set anyway
-      val pairs = bb.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-        .join(bb.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      val sa = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val sb = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      val edges = pairs.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("n_eq", call_function("graft_eq_count", col("sig_a"), col("sig_b")))
-        .filter(col("n_eq") >= nH / 2)
-        .select(col("id_a").as("u"), col("id_b").as("v"))
-      val comp = ConnectedComponents.components(edges)
-      val assign = docs.select("doc_id")
-        .join(comp, col("doc_id") === col("id"), "left")
-        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-      val sizes = assign.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      assign.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => clusterReport(s, dir,
+      ConnectedComponents.components(dedupEdges(s, dir))),
     Some {
       val nH = 8
       val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
@@ -1018,5 +1034,18 @@ object DedupQueries {
       GROUP BY 1, 2 ORDER BY id_a, id_b"""
     })
 
-  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142, q146, q211, q214, q215)
+  /** Streaming twin of q83 (streaming.GraphStreams): the same near-dup
+    * edge set arrives in three micro-batches and the component FOREST is
+    * maintained incrementally; CC(forest(E₁) ∪ E₂) = CC(E₁ ∪ E₂) makes
+    * the final state — and so the whole cluster report — equal the batch
+    * clustering for any slicing, which is why this entry reuses q83's
+    * recursive-CTE oracle VERBATIM (the q179/q181/q221 argument).
+    */
+  val q227 = GQuery(
+    "q227_stream_components",
+    (s, dir) => graft.streaming.GraphStreams.streamingComponents(
+      s, dir, queryName = "stream_components_q227"),
+    q83.oracle)
+
+  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142, q146, q211, q214, q215, q227)
 }

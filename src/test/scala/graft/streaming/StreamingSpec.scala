@@ -376,4 +376,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamedPairs.nonEmpty)
     allBands.unpersist()
   }
+
+  test("incremental CC forest merges equal the batch clustering for any slicing (q227)") {
+    import org.apache.spark.sql.functions._
+    // CC(forest(E1) ∪ E2) = CC(E1 ∪ E2): replay GraphStreams' merge step
+    // over two orderings of three edge slices and compare with the batch
+    // components over the full edge set
+    val edges = graft.operators.DedupQueries.dedupEdges(spark, sf001).cache()
+    edges.count()
+    def slice(i: Int) = edges.filter(pmod(xxhash64(col("u"), col("v")), lit(3)) === i)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fwd = GraphStreams.mergeStep(
+      Some(GraphStreams.mergeStep(Some(GraphStreams.mergeStep(None, slice(0))),
+        slice(1))), slice(2))
+    val rev = GraphStreams.mergeStep(
+      Some(GraphStreams.mergeStep(Some(GraphStreams.mergeStep(None, slice(2))),
+        slice(1))), slice(0))
+    val batch = graft.operators.ConnectedComponents.components(edges)
+    assert(canon(fwd) == canon(batch), "forward merge must equal batch CC")
+    assert(canon(rev) == canon(batch), "merge must be slicing-order-independent")
+    assert(canon(batch).nonEmpty)
+    edges.unpersist()
+  }
 }
