@@ -36,6 +36,7 @@ object Registry {
     graft.operators.Sprt.all,
     graft.operators.GroupedOls.all,
     graft.ml.HybridTwin.all,
+    graft.ml.QualityGate.all,
     graft.operators.KmvSketch.all,
     graft.operators.QuantileSketchQueries.all,
     graft.operators.HierarchyRollup.all
