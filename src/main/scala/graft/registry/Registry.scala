@@ -39,7 +39,8 @@ object Registry {
     graft.ml.QualityGate.all,
     graft.operators.KmvSketch.all,
     graft.operators.QuantileSketchQueries.all,
-    graft.operators.HierarchyRollup.all
+    graft.operators.HierarchyRollup.all,
+    graft.operators.WeightedSample.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
