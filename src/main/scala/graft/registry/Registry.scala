@@ -40,7 +40,8 @@ object Registry {
     graft.operators.KmvSketch.all,
     graft.operators.QuantileSketchQueries.all,
     graft.operators.HierarchyRollup.all,
-    graft.operators.WeightedSample.all
+    graft.operators.WeightedSample.all,
+    graft.operators.DsirSelect.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
