@@ -41,7 +41,8 @@ object Registry {
     graft.operators.QuantileSketchQueries.all,
     graft.operators.HierarchyRollup.all,
     graft.operators.WeightedSample.all,
-    graft.operators.DsirSelect.all
+    graft.operators.DsirSelect.all,
+    graft.operators.KAnonymity.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
