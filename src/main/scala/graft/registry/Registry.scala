@@ -42,7 +42,8 @@ object Registry {
     graft.operators.HierarchyRollup.all,
     graft.operators.WeightedSample.all,
     graft.operators.DsirSelect.all,
-    graft.operators.KAnonymity.all
+    graft.operators.KAnonymity.all,
+    graft.sources.GShardQueries.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
