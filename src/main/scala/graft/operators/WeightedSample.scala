@@ -48,6 +48,33 @@ object WeightedSample {
   // position of the 60-bit md5 hash
   private val Pow60 = 1.152921504606846976e18
 
+  /** Row-local priorities (lang, prio, doc_id) — a pure function of each
+    * row, so any slicing of the corpus yields the same priority set
+    * (what makes the streaming twin q233 exact).
+    */
+  def priorities(docs: DataFrame): DataFrame = {
+    val prio = col("n_chars").cast("double") * lit(Pow60) /
+      conv(substring(md5(concat_ws(":", col("doc_id"), col("text"))), 1, 15), 16, 10)
+        .cast("long").cast("double")
+    docs.select(col("lang"), prio.as("prio"), col("doc_id"))
+  }
+
+  /** Per-group top-(k+1) priority state via the bounded heap — k sample
+    * slots plus the threshold row. Top-(k+1) of a union of top-(k+1)s
+    * equals top-(k+1) of the union (associative + commutative), so this
+    * is also the streaming merge step.
+    */
+  def topState(rows: DataFrame, k: Int = K): DataFrame = {
+    val topk = graft.functions.TopK.topK(k + 1)
+    // bounded heap: (prio desc, doc_id asc) is TopK.Rec's native order
+    rows.distinct()
+      .groupBy("lang")
+      .agg(topk(col("prio"), col("doc_id"), lit(0)).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("r.key1").as("doc_id"), col("r.value").as("prio"))
+  }
+
   /** Per-group (lang) priority sample of documents weighted by n_chars:
     * one row per sampled doc with its rank, priority, DLT estimator
     * ŵ = max(w, τ), and the per-group audit totals (estimated vs exact).
@@ -55,19 +82,14 @@ object WeightedSample {
     * DLT exhaustive case — every fixture lang exceeds k at every SF,
     * so the spec exercises that branch on a thinned frame).
     */
-  def prioritySample(docs: DataFrame, k: Int = K): DataFrame = {
-    val topk = graft.functions.TopK.topK(k + 1)
-    val prio = col("n_chars").cast("double") * lit(Pow60) /
-      conv(substring(md5(concat_ws(":", col("doc_id"), col("text"))), 1, 15), 16, 10)
-        .cast("long").cast("double")
-    // bounded heap: (prio desc, doc_id asc) is TopK.Rec's native order
-    val ranked = docs
-      .select(col("lang"), prio.as("prio"), col("doc_id"))
-      .groupBy("lang")
-      .agg(topk(col("prio"), col("doc_id"), lit(0)).as("top"))
-      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "r")))
-      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
-        col("r.key1").as("doc_id"), col("r.value").as("prio"))
+  def prioritySample(docs: DataFrame, k: Int = K): DataFrame =
+    report(topState(priorities(docs), k), docs, k)
+
+  /** Final report from the ranked top-(k+1) state: the audit totals are
+    * dimension lookups against the corpus (shared by batch q229 and the
+    * streaming q233, which differ only in how the state was built).
+    */
+  def report(ranked: DataFrame, docs: DataFrame, k: Int = K): DataFrame = {
     val tau = ranked.filter(col("rk") === k + 1)
       .select(col("lang"), col("prio").as("tau"))
     val weights = docs.select(col("doc_id"), col("n_chars").as("w"))
@@ -123,5 +145,16 @@ object WeightedSample {
       JOIN tot t ON t.lang = s.lang
       ORDER BY s.lang, s.rk"""))
 
-  val all: Seq[GQuery] = Seq(q229)
+  /** Streaming twin: the per-lang top-(k+1) state maintained across
+    * three genuine micro-batches (streaming.SampleStreams); merge
+    * associativity makes the final state — and so the whole report —
+    * equal the batch build for any slicing, which is why this entry
+    * reuses q229's oracle VERBATIM.
+    */
+  val q233 = GQuery(
+    "q233_streaming_priority_sample",
+    (s, dir) => graft.streaming.SampleStreams.streamingPrioritySample(s, dir),
+    q229.oracle)
+
+  val all: Seq[GQuery] = Seq(q229, q233)
 }

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.WeightedSample
+
+/** Streaming-maintained priority sample (the q221/q226 idiom pointed at
+  * q229's Duffield-Lund-Thorup sampler): per micro-batch the arriving
+  * documents' row-local priorities reduce to their own per-group
+  * top-(k+1) and merge into the persisted state — which stays ≤ (k+1)
+  * rows per group for ANY stream size, the reservoir property that
+  * makes a weighted sample maintainable over an unbounded ingest
+  * stream. Top-(k+1)-of-union associativity makes the final state
+  * equal the batch build for any slicing, so the post-stream report is
+  * q229's and q233 reuses its oracle VERBATIM (the q179/q181 zero-drift
+  * argument).
+  */
+object SampleStreams {
+
+  /** Stream the documents table in three doc_id-sliced micro-batches,
+    * maintain the per-lang top-(k+1) priority state, and return q229's
+    * report computed from the STREAM-BUILT state.
+    */
+  def streamingPrioritySample(spark: SparkSession, dir: String,
+                              queryName: String = "stream_psample"): DataFrame =
+    EventStreams.withStreamShufflePartitions(spark) {
+      val docs = graft.Tables.documents(spark, dir)
+      val stage = TempDirs.create("graft_psample_stage_")
+      (0 until 3).foreach { i =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      }
+      val stateBase = TempDirs.create("graft_psample_state_")
+      def statePath(v: Long) = s"$stateBase/v$v"
+      var version = -1L
+      var lastApplied = -1L
+      val schema = spark.read.parquet(s"$stage/slice_0").schema
+      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
+        if (id != lastApplied) {
+          // delta reduced to its OWN top-(k+1) before the merge: the
+          // state write stays (k+1)·|langs| rows however large the batch
+          val delta = WeightedSample.priorities(batch.toDF())
+          val prev = if (version < 0) None else Some(spark.read.parquet(statePath(version)))
+          val merged = prev.map(_.unionByName(delta)).getOrElse(delta)
+          WeightedSample.topState(merged)
+            .select(col("lang"), col("prio"), col("doc_id"))
+            .write.mode("overwrite").parquet(statePath(version + 1))
+          version += 1
+          lastApplied = id
+        }
+      }
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$stage/slice_*")
+        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+      require(version >= 0, "stream produced no batches")
+      val state = spark.read.parquet(statePath(version))
+      WeightedSample.report(WeightedSample.topState(state), docs)
+    }
+}

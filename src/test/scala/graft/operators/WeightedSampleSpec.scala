@@ -72,6 +72,25 @@ class WeightedSampleSpec extends SparkSpec {
     assert(win.exceptAll(heap).count() == 0 && heap.exceptAll(win).count() == 0)
   }
 
+  test("state merge is associative: topState(topState(A) ∪ B) = topState(A ∪ B)") {
+    val docs = Tables.documents(spark, sf001)
+    val pr = WeightedSample.priorities(docs)
+    val a = pr.filter(col("doc_id") % 2 === 0)
+    val b = pr.filter(col("doc_id") % 2 =!= 0)
+    val merged = WeightedSample.topState(
+      WeightedSample.topState(a).select("lang", "prio", "doc_id").unionByName(b))
+    val oneShot = WeightedSample.topState(a.unionByName(b))
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0)
+  }
+
+  test("streamed state equals the batch sample row-for-row (q233 ≡ q229)") {
+    val streamed = graft.streaming.SampleStreams
+      .streamingPrioritySample(spark, sf001, queryName = "psample_spec")
+    assert(streamed.exceptAll(out).count() == 0 &&
+      out.exceptAll(streamed).count() == 0)
+  }
+
   test("est_total is the exact sum of the sampled estimators") {
     val bad = out.groupBy("lang", "est_total")
       .agg(graft.functions.Metrics.exactSum(col("w_hat_r")).as("s"))
