@@ -39,6 +39,12 @@ object Bench {
     // r12: +~3s for the third (mlp_gbt4) trial-grid combo — 20
     // treeAggregate epochs × 2 fits of launch-latency-bound jobs
     "q64_stacking" -> 7.0,
+    // r12 additions, measured isolated at sf0.1 (load ~2)
+    "q229_priority_sample" -> 1.8,
+    "q230_dsir_select" -> 2.3,
+    "q231_k_anonymity" -> 1.8,
+    "q232_gshard_scan" -> 1.1,
+    "q233_streaming_priority_sample" -> 3.0,
     "q107_ann_pq" -> 3.6,
     "q100_stream_neardup" -> 3.0,
     "q215_stream_minhash_index" -> 4.0,

@@ -524,7 +524,20 @@ object ScaleSmoke {
       ()
     }
 
+    // r12 shapes: DSIR two-pass model fit + scoring; DLT bounded-heap
+    // sampling; class-grain k-anonymity (customer and orders replicated
+    // with a consistent custkey shift so the spend join structure holds)
+    val c1 = Tables.customer(spark, sfDir)
+    val cK = replicate(c1, Seq("c_custkey"))
+    val oCk = replicate(o1, Seq("o_orderkey", "o_custkey"))
+    def dsirShape(docs: DataFrame) = operators.DsirSelect.selectFrom(docs)
+    def prioShape(docs: DataFrame) = operators.WeightedSample.prioritySample(docs)
+    def kanonShape(c: DataFrame, o: DataFrame) = operators.KAnonymity.audit(c, o)
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("dsir_select", () => noop(dsirShape(d1)), () => noop(dsirShape(dk))),
+      ("priority_sample", () => noop(prioShape(d1)), () => noop(prioShape(dk))),
+      ("k_anonymity", () => noop(kanonShape(c1, o1)), () => noop(kanonShape(cK, oCk))),
       ("quantile_regression", () => noop(quantileReg(l1)), () => noop(quantileReg(lk))),
       ("doc_chunking", () => noop(docChunk(d1)), () => noop(docChunk(dk))),
       ("mlp_epochs", () => mlpFit(l1), () => mlpFit(lk)),

@@ -63,8 +63,10 @@ object DsirSelect {
   /** Target corpus (marker-augmented src0/src1) and raw pool (sources
     * ≥ src2; even doc_ids marker-augmented — the planted positives).
     */
-  def corpora(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val d = Tables.documents(s, dir)
+  def corpora(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    corpora(Tables.documents(s, dir))
+
+  def corpora(d: DataFrame): (DataFrame, DataFrame) = {
     val target = d.filter(col("source").isin("src0", "src1"))
       .select(concat(col("text"), lit(Marker)).as("text"))
     val raw = d.filter(!col("source").isin("src0", "src1"))
@@ -84,8 +86,12 @@ object DsirSelect {
         df.select(idCols :+ call_function("graft_shingles", col("text")).as("f"): _*))
   }
 
-  def selectTopK(s: SparkSession, dir: String, k: Int = K): DataFrame = {
-    val (target, raw) = corpora(s, dir)
+  def selectTopK(s: SparkSession, dir: String, k: Int = K): DataFrame =
+    selectFrom(Tables.documents(s, dir), k)
+
+  def selectFrom(docs: DataFrame, k: Int = K): DataFrame = {
+    val s = docs.sparkSession
+    val (target, raw) = corpora(docs)
     val tf = feats(target, Seq.empty)
     val rf = feats(raw, Seq("doc_id"))
     val tb = tf.groupBy(bucket(col("f")).as("b")).agg(count(lit(1)).as("ct"))
@@ -112,7 +118,7 @@ object DsirSelect {
       .select((col("pos") + 1).cast("int").as("rank"),
         col("r.key1").as("doc_id"), col("r.key2").cast("long").as("n_feats"),
         col("r.value").as("score"))
-    val dims = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang"))
+    val dims = docs.select(col("doc_id"), col("source"), col("lang"))
     broadcast(top).join(dims, Seq("doc_id"))
       .select(col("rank"), col("doc_id"), col("source"), col("lang"),
         col("n_feats"), col("score"))

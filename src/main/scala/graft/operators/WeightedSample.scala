@@ -66,8 +66,11 @@ object WeightedSample {
     */
   def topState(rows: DataFrame, k: Int = K): DataFrame = {
     val topk = graft.functions.TopK.topK(k + 1)
-    // bounded heap: (prio desc, doc_id asc) is TopK.Rec's native order
-    rows.distinct()
+    // NO distinct here: it would shuffle every row before the heap and
+    // defeat the map-side combine. Row uniqueness is the caller's
+    // invariant (doc_id is unique; the streaming merge's replay guard
+    // prevents double delivery).
+    rows
       .groupBy("lang")
       .agg(topk(col("prio"), col("doc_id"), lit(0)).as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "r")))

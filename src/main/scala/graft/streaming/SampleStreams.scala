@@ -38,8 +38,10 @@ object SampleStreams {
       val schema = spark.read.parquet(s"$stage/slice_0").schema
       val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
         if (id != lastApplied) {
-          // delta reduced to its OWN top-(k+1) before the merge: the
-          // state write stays (k+1)·|langs| rows however large the batch
+          // topState's partial aggregation reduces the raw batch
+          // priorities map-side, so the state write stays (k+1)·|langs|
+          // rows however large the batch; the replay guard (not a
+          // distinct) is what prevents duplicate doc delivery
           val delta = WeightedSample.priorities(batch.toDF())
           val prev = if (version < 0) None else Some(spark.read.parquet(statePath(version)))
           val merged = prev.map(_.unionByName(delta)).getOrElse(delta)
