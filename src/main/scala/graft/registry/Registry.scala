@@ -43,7 +43,8 @@ object Registry {
     graft.operators.WeightedSample.all,
     graft.operators.DsirSelect.all,
     graft.operators.KAnonymity.all,
-    graft.sources.GShardQueries.all
+    graft.sources.GShardQueries.all,
+    graft.operators.AnnotatorAgreement.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
