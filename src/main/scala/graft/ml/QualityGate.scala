@@ -111,15 +111,19 @@ object QualityGate {
 
   // ---------------------------------------------------------------- twin
 
-  val q228 = GQuery(
-    "q228_quality_gate_twin",
-    (s, dir) => {
-      val base = labeled(Tables.documents(s, dir))
-        .select(col("doc_id"), col("source"),
-          col("x_slow").cast("long").as("x1"),
-          col("x_fast").cast("long").as("x2"),
-          col("y").cast("long").as("y"))
-      val train = base.filter(col("doc_id") % 4 =!= 3)
+  /** The twin's feature/label base: (doc_id, source, x1, x2, y). */
+  def twinBase(docs: DataFrame): DataFrame =
+    labeled(docs)
+      .select(col("doc_id"), col("source"),
+        col("x_slow").cast("long").as("x1"),
+        col("x_fast").cast("long").as("x2"),
+        col("y").cast("long").as("y"))
+
+  /** Exact-arithmetic LPM coefficients (b0, b1, b2) from the training
+    * split — the q228 Cramer solve, factored so the calibration audit
+    * (q235) scores with the identical model.
+    */
+  def lpmCoef(train: DataFrame): DataFrame = {
       // exact integer sufficient statistics for the 3×3 normal equations
       val st = train.agg(
         count(lit(1)).as("n"),
@@ -153,33 +157,19 @@ object QualityGate {
           d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
       // singular-design guard (the q213 varx rule): degenerate corpora
       // produce an empty report, never NaN coefficients
-      val coef = st.select(
+      st.select(
         Metrics.canonRound(when(abs(det) > 1e-9, det0 / det), 6).as("b0"),
         Metrics.canonRound(when(abs(det) > 1e-9, det1 / det), 6).as("b1"),
         Metrics.canonRound(when(abs(det) > 1e-9, det2 / det), 6).as("b2"))
         .filter(col("b0").isNotNull)
-      // score + τ-gate the FULL corpus with the rounded coefficients
-      val scored = base.crossJoin(broadcast(coef))
-        .withColumn("p", col("b0") + col("b1") * col("x1").cast("double") +
-          col("b2") * col("x2").cast("double"))
-        .withColumn("pass", (col("p") >= 0.5).cast("int"))
-      scored.groupBy("source", "b0", "b1", "b2")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("pass")).as("n_pass"),
-          sum(when(col("pass") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
-          sum(when(col("pass") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
-          sum(when(col("pass") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
-          sum(when(col("pass") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
-        .select(col("source"), col("n_docs"), col("n_pass"),
-          Metrics.canonRound(col("n_pass").cast("double") / col("n_docs").cast("double"), 4)
-            .as("pass_rate"),
-          col("tp"), col("fp"), col("fn"), col("tn"),
-          Metrics.canonRound((col("tp") + col("tn")).cast("double") /
-            col("n_docs").cast("double"), 4).as("accuracy"),
-          col("b0"), col("b1"), col("b2"))
-        .orderBy("source")
-    },
-    Some("""WITH base AS (
+  }
+
+  /** The q228 oracle's model block (ends with `coef(b0, b1, b2)`),
+    * kept as one string so q228 and the q235 calibration audit cannot
+    * drift (the lmOracleCtes precedent).
+    */
+  private def twinCoefCtes: String =
+    """base AS (
         SELECT doc_id, source,
           len(list_filter(string_split(text, ' '), t -> t = 'slow')) AS x1,
           len(list_filter(string_split(text, ' '), t -> t = 'fast')) AS x2,
@@ -216,7 +206,35 @@ object QualityGate {
         SELECT floor(det0 / det * 1e6 + 0.5) / 1e6 AS b0,
                floor(det1 / det * 1e6 + 0.5) / 1e6 AS b1,
                floor(det2 / det * 1e6 + 0.5) / 1e6 AS b2
-        FROM dets WHERE abs(det) > 1e-9),
+        FROM dets WHERE abs(det) > 1e-9)"""
+
+  val q228 = GQuery(
+    "q228_quality_gate_twin",
+    (s, dir) => {
+      val base = twinBase(Tables.documents(s, dir))
+      val coef = lpmCoef(base.filter(col("doc_id") % 4 =!= 3))
+      // score + τ-gate the FULL corpus with the rounded coefficients
+      val scored = base.crossJoin(broadcast(coef))
+        .withColumn("p", col("b0") + col("b1") * col("x1").cast("double") +
+          col("b2") * col("x2").cast("double"))
+        .withColumn("pass", (col("p") >= 0.5).cast("int"))
+      scored.groupBy("source", "b0", "b1", "b2")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pass")).as("n_pass"),
+          sum(when(col("pass") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pass") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("pass") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("pass") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+        .select(col("source"), col("n_docs"), col("n_pass"),
+          Metrics.canonRound(col("n_pass").cast("double") / col("n_docs").cast("double"), 4)
+            .as("pass_rate"),
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          Metrics.canonRound((col("tp") + col("tn")).cast("double") /
+            col("n_docs").cast("double"), 4).as("accuracy"),
+          col("b0"), col("b1"), col("b2"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $twinCoefCtes,
       scored AS (
         SELECT b.source, b.y, c.b0, c.b1, c.b2,
           CAST(c.b0 + c.b1 * CAST(b.x1 AS DOUBLE) + c.b2 * CAST(b.x2 AS DOUBLE)
@@ -236,5 +254,77 @@ object QualityGate {
       GROUP BY source, b0, b1, b2
       ORDER BY source"""))
 
-  def all: Seq[GQuery] = Seq(q228)
+  /** Calibration audit of the gate (q235): reliability diagram +
+    * expected calibration error (Naeini et al. 2015, "Obtaining well
+    * calibrated probabilities using Bayesian binning"; the ECE as
+    * commonly reported per Guo et al. 2017 — public literature) for the
+    * LPM twin's clipped probabilities on the HELD-OUT quarter (doc_id %
+    * 4 = 3 — the split q228 trains around). A learned gate that scores
+    * 0.9 should be right 90% of the time; the per-bin (confidence,
+    * accuracy) pairs and their weighted gap measure exactly that, and
+    * are what decides whether the gate's τ can be trusted as a
+    * probability or must be re-calibrated. Everything is IEEE
+    * arithmetic over exact integers plus the established decimal-sum
+    * idioms — same coefficients as q228 (shared twinCoefCtes, zero
+    * drift possible).
+    *
+    * Scale shape: score+bin is one scan over the holdout with a 1-row
+    * broadcast coef; the diagram is a ≤10-row aggregate; ECE a 1-row
+    * rollup of that. Nothing beyond the q228 plan.
+    */
+  val q235 = GQuery(
+    "q235_gate_calibration",
+    (s, dir) => {
+      val base = twinBase(Tables.documents(s, dir))
+      val coef = lpmCoef(base.filter(col("doc_id") % 4 =!= 3))
+      val holdout = base.filter(col("doc_id") % 4 === 3)
+        .crossJoin(broadcast(coef))
+        .withColumn("p", col("b0") + col("b1") * col("x1").cast("double") +
+          col("b2") * col("x2").cast("double"))
+        .withColumn("pc", least(greatest(col("p"), lit(0.0)), lit(1.0)))
+        .withColumn("bin", least(floor(col("pc") * 10), lit(9L)).cast("int"))
+      val bins = holdout.groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          Metrics.exactMean(col("pc")).as("conf"),
+          (sum("y").cast("double") / count(lit(1)).cast("double")).as("acc"))
+        .withColumn("conf_r", Metrics.canonRound(col("conf"), 6))
+        .withColumn("acc_r", Metrics.canonRound(col("acc"), 6))
+        .withColumn("gap_r", Metrics.canonRound(abs(col("conf_r") - col("acc_r")), 6))
+      val tot = bins.agg(sum("n").as("nn"),
+          sum((col("gap_r") * col("n")).cast("decimal(28,6)")).as("wg"))
+        .select(Metrics.canonRound(
+          col("wg").cast("double") / col("nn").cast("double"), 6).as("ece_r"))
+      bins.crossJoin(broadcast(tot)) // 1-row scalar
+        .select(col("bin"), col("n"), col("conf_r"), col("acc_r"),
+          col("gap_r"), col("ece_r"))
+        .orderBy("bin")
+    },
+    Some(s"""WITH $twinCoefCtes,
+      holdout AS (
+        SELECT b.y,
+          least(greatest(c.b0 + c.b1 * CAST(b.x1 AS DOUBLE)
+                + c.b2 * CAST(b.x2 AS DOUBLE), 0.0), 1.0) AS pc
+        FROM base b CROSS JOIN coef c
+        WHERE b.doc_id % 4 = 3),
+      binned AS (
+        SELECT CAST(least(floor(pc * 10), 9) AS INTEGER) AS bin, y, pc
+        FROM holdout),
+      bins AS (
+        SELECT bin, count(*) AS n,
+          floor((CAST(sum(CAST(floor((pc)*1e4+0.5)/1e4 AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*)) * 1e6 + 0.5) / 1e6 AS conf_r,
+          floor((CAST(sum(y) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS acc_r
+        FROM binned GROUP BY 1),
+      bins2 AS (
+        SELECT bin, n, conf_r, acc_r,
+          floor(abs(conf_r - acc_r) * 1e6 + 0.5) / 1e6 AS gap_r
+        FROM bins),
+      tot AS (
+        SELECT floor((CAST(sum(CAST(gap_r * n AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(sum(n) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ece_r
+        FROM bins2)
+      SELECT b.bin, b.n, b.conf_r, b.acc_r, b.gap_r, t.ece_r
+      FROM bins2 b CROSS JOIN tot t ORDER BY b.bin"""))
+
+  def all: Seq[GQuery] = Seq(q228, q235)
 }

@@ -63,4 +63,21 @@ class QualityGateSpec extends SparkSpec {
     assert(strict.count() === docs.count())
     assert(nLoose > 0)
   }
+
+  test("calibration audit (q235): bins cover the holdout, ECE is the " +
+      "weighted gap, values stay probabilities") {
+    val out = graft.SparkEntry.queries("q235_gate_calibration")(spark, sf001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val holdoutN = QualityGate.twinBase(docs).filter(col("doc_id") % 4 === 3).count()
+    assert(rows.map(_.getLong(1)).sum == holdoutN)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0) // conf
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0) // acc
+    }
+    val ece = rows.head.getDouble(5)
+    val recomputed = rows.map(r => r.getDouble(4) * r.getLong(1)).sum / holdoutN
+    assert(math.abs(ece - recomputed) < 1e-6)
+    assert(rows.map(_.getDouble(5)).distinct.length == 1)
+  }
 }
