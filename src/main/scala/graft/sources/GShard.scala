@@ -4,16 +4,20 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
   DataOutputStream, EOFException, File, FileInputStream, FileOutputStream,
   RandomAccessFile}
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns,
   SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -72,56 +76,29 @@ object GShard {
     StructField("n_chars", LongType),
     StructField("text", StringType)))
 
-  /** Write `docs` (documents-shaped) as `nShards` range-sharded .gsh
-    * files under `outDir`. One shuffle on the shard key; each task
-    * streams its shard files row-by-row (no buffering — the footer
-    * carries the metadata a header would need up front).
+  /** Write `docs` (documents-shaped) as range-sharded .gsh files under
+    * `outDir`, through the DSv2 WRITE path (GShardBatchWrite): one
+    * shuffle on the shard key, then each task's DataWriter streams rows
+    * and rolls to a new file whenever the doc_id range changes — temp
+    * files promoted atomically at driver commit (the two-phase V2
+    * protocol), so a failed job never leaves a half-written shard
+    * visible.
     */
   def write(docs: DataFrame, outDir: String, nShards: Int): Unit = {
     val b = docs.agg(org.apache.spark.sql.functions.min("doc_id"),
       org.apache.spark.sql.functions.max("doc_id")).head
     val lo = b.getLong(0)
     val step = math.max(1L, (b.getLong(1) - lo + nShards) / nShards)
-    new File(outDir).mkdirs()
     docs.select("doc_id", "lang", "source", "n_chars", "text")
       .withColumn("__shard", ((col("doc_id") - lo) / step).cast("int"))
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions("__shard", "doc_id")
-      .foreachPartition { it: Iterator[Row] =>
-        var shard = -1
-        var out: DataOutputStream = null
-        var n = 0
-        var minId = Long.MaxValue
-        var maxId = Long.MinValue
-        def close(): Unit = if (out != null) {
-          out.writeInt(n); out.writeLong(minId); out.writeLong(maxId)
-          out.writeInt(Magic); out.close()
-          out = null
-        }
-        it.foreach { r =>
-          val sh = r.getInt(5)
-          if (sh != shard) {
-            close()
-            shard = sh
-            out = new DataOutputStream(new BufferedOutputStream(
-              new FileOutputStream(new File(outDir, f"shard-$sh%05d.gsh"))))
-            n = 0; minId = Long.MaxValue; maxId = Long.MinValue
-          }
-          val id = r.getLong(0)
-          out.writeLong(id)
-          out.writeLong(r.getLong(3))
-          val lang = r.getString(1).getBytes("UTF-8")
-          out.writeShort(lang.length); out.write(lang)
-          val src = r.getString(2).getBytes("UTF-8")
-          out.writeShort(src.length); out.write(src)
-          val text = r.getString(4).getBytes("UTF-8")
-          out.writeInt(text.length); out.write(text)
-          n += 1
-          if (id < minId) minId = id
-          if (id > maxId) maxId = id
-        }
-        close()
-      }
+      .drop("__shard")
+      .write.format("graft.sources.GShardSource")
+      .option("shard.lo", lo.toString)
+      .option("shard.step", step.toString)
+      .mode("overwrite")
+      .save(outDir)
   }
 
   /** Footer of one shard file: (rowCount, minDocId, maxDocId). */
@@ -186,16 +163,21 @@ object GShardSource {
   @volatile var lastPlanned: (Int, Int) = (0, 0)
 }
 
-class GShardTable(path: String) extends Table with SupportsRead {
+class GShardTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"gshard:$path"
   override def schema(): StructType = GShard.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GShardScanBuilder(path)
+    new GShardScanBuilder(path, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GShardWriteBuilder(path, info)
 }
 
-class GShardScanBuilder(path: String) extends ScanBuilder
+class GShardScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = GShard.schema
   private var pushed: Array[Filter] = Array.empty
@@ -207,16 +189,20 @@ class GShardScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
-  override def build(): Scan = new GShardScan(path, required, pushed)
+  override def build(): Scan = new GShardScan(path, required, pushed,
+    options.getInt("maxfilespertrigger", Int.MaxValue))
 }
 
 case class GShardPartition(file: String, rows: Int) extends InputPartition
 
-class GShardScan(path: String, required: StructType, pushed: Array[Filter])
+class GShardScan(path: String, required: StructType, pushed: Array[Filter],
+    maxFilesPerTrigger: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GShardMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
   override def description(): String =
     s"GShardScan(path=$path, pushed=[${pushed.mkString(", ")}])"
 
@@ -315,3 +301,189 @@ class GShardPartitionReader(file: String, rows: Int, required: StructType,
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
 }
+
+// ------------------------------------------------------------- streaming
+
+/** Offset = how many files of the sorted shard listing have been
+  * processed. A static staged directory plays back as a genuine
+  * multi-batch stream under maxFilesPerTrigger (the file-source
+  * admission idiom); a growing directory streams new shards as they
+  * land, which is the production ingest shape.
+  */
+case class GShardOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+class GShardMicroBatchStream(path: String, required: StructType,
+    pushed: Array[Filter], maxFilesPerTrigger: Int) extends MicroBatchStream {
+
+  private def files: Array[File] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".gsh")).sortBy(_.getName)
+
+  override def initialOffset(): Offset = GShardOffset(0)
+  override def deserializeOffset(json: String): Offset = GShardOffset(json.toInt)
+
+  private var lastEnd = 0
+  override def latestOffset(): Offset = {
+    val total = files.length
+    lastEnd = math.min(total, lastEnd + math.max(1, maxFilesPerTrigger))
+    GShardOffset(lastEnd)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GShardOffset].n
+    val e = end.asInstanceOf[GShardOffset].n
+    files.slice(s, e).map { f =>
+      val (n, _, _) = GShard.readFooter(f)
+      GShardPartition(f.getAbsolutePath, n): InputPartition
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GShardReaderFactory(required, GShard.docIdBounds(pushed))
+
+  override def commit(end: Offset): Unit = {
+    // keep the admission cursor monotone with what the engine recorded
+    lastEnd = math.max(lastEnd, end.asInstanceOf[GShardOffset].n)
+  }
+  override def stop(): Unit = ()
+}
+
+// ----------------------------------------------------------------- write
+
+/** DSv2 write path with the standard two-phase protocol: each task's
+  * DataWriter streams rows into TEMP files (rolling to a new file when
+  * the doc_id range — from the shard.lo/shard.step options — changes,
+  * so zone maps stay tight), the commit messages carry the temp paths,
+  * and the driver promotes them to `shard-*.gsh` names atomically at
+  * job commit (truncating first under SaveMode.Overwrite). A failed or
+  * speculative task never publishes a partial shard.
+  */
+class GShardWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def buildForBatch(): BatchWrite = {
+    val fields = GShard.schema.fieldNames
+    val inSchema = info.schema()
+    require(fields.forall(inSchema.fieldNames.contains),
+      s"GSH write needs columns ${fields.mkString(", ")}, " +
+        s"got ${inSchema.fieldNames.mkString(", ")}")
+    new GShardBatchWrite(path, inSchema, doTruncate,
+      Option(info.options.get("shard.lo")).map(_.toLong),
+      Option(info.options.get("shard.step")).map(_.toLong))
+  }
+}
+
+case class GShardCommit(tempPath: String, finalName: String)
+    extends WriterCommitMessage
+
+class GShardBatchWrite(path: String, schema: StructType, doTruncate: Boolean,
+    lo: Option[Long], step: Option[Long]) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GShardWriterFactory(path, schema, lo, step)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    dir.mkdirs()
+    if (doTruncate)
+      Option(dir.listFiles()).getOrElse(Array.empty[File])
+        .filter(_.getName.endsWith(".gsh")).foreach(f => { val _ = f.delete() })
+    messages.foreach {
+      case t: GShardTaskCommit => t.parts.foreach { c =>
+        val ok = new File(c.tempPath).renameTo(new File(dir, c.finalName))
+        require(ok, s"commit rename failed: ${c.tempPath} -> ${c.finalName}")
+      }
+      case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case t: GShardTaskCommit =>
+        t.parts.foreach(c => { val _ = new File(c.tempPath).delete() })
+      case _ => ()
+    }
+}
+
+class GShardWriterFactory(path: String, schema: StructType,
+    lo: Option[Long], step: Option[Long]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GShardDataWriter(path, schema, partitionId, taskId, lo, step)
+}
+
+class GShardDataWriter(path: String, schema: StructType, partitionId: Int,
+    taskId: Long, lo: Option[Long], step: Option[Long])
+    extends DataWriter[InternalRow] {
+
+  private val iDoc = schema.fieldIndex("doc_id")
+  private val iLang = schema.fieldIndex("lang")
+  private val iSrc = schema.fieldIndex("source")
+  private val iChars = schema.fieldIndex("n_chars")
+  private val iText = schema.fieldIndex("text")
+
+  private val commits = scala.collection.mutable.ArrayBuffer.empty[GShardCommit]
+  private var out: DataOutputStream = null
+  private var tempFile: File = null
+  private var range = Long.MinValue
+  private var n = 0
+  private var minId = Long.MaxValue
+  private var maxId = Long.MinValue
+
+  private def rangeOf(id: Long): Long =
+    (for (l <- lo; s <- step) yield (id - l) / s).getOrElse(0L)
+
+  private def roll(r: Long): Unit = {
+    closeFile()
+    range = r
+    tempFile = File.createTempFile(s"_gsh-$taskId-", ".tmp", {
+      val d = new File(path); d.mkdirs(); d
+    })
+    out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(tempFile)))
+    n = 0; minId = Long.MaxValue; maxId = Long.MinValue
+  }
+
+  private def closeFile(): Unit = if (out != null) {
+    out.writeInt(n); out.writeLong(minId); out.writeLong(maxId)
+    out.writeInt(GShard.Magic); out.close()
+    out = null
+    commits += GShardCommit(tempFile.getAbsolutePath,
+      f"shard-p$partitionId%05d-r$range.gsh")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val id = row.getLong(iDoc)
+    val r = rangeOf(id)
+    if (out == null || r != range) roll(r)
+    out.writeLong(id)
+    out.writeLong(row.getLong(iChars))
+    val lang = row.getUTF8String(iLang).getBytes
+    out.writeShort(lang.length); out.write(lang)
+    val src = row.getUTF8String(iSrc).getBytes
+    out.writeShort(src.length); out.write(src)
+    val text = row.getUTF8String(iText).getBytes
+    out.writeInt(text.length); out.write(text)
+    n += 1
+    if (id < minId) minId = id
+    if (id > maxId) maxId = id
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeFile()
+    // one message per task: fold the per-range commits into a composite
+    GShardTaskCommit(commits.toArray)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); out = null }
+    commits.foreach(c => { val _ = new File(c.tempPath).delete() })
+    if (tempFile != null) { val _ = tempFile.delete() }
+  }
+
+  override def close(): Unit = ()
+}
+
+case class GShardTaskCommit(parts: Array[GShardCommit]) extends WriterCommitMessage

@@ -50,6 +50,37 @@ class GShardSpec extends SparkSpec {
     assert(n == ref)
   }
 
+  test("micro-batch stream replays the directory in admission-limited batches") {
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("graft.sources.GShardSource")
+      .option("maxFilesPerTrigger", 3)
+      .load(stage)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batches += ((id, b.count())); ()
+      }.queryName("gshard_spec_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    // 8 shards at 3 files/trigger → 3 batches covering every row once
+    assert(batches.length == 3, s"expected 3 batches, got $batches")
+    assert(batches.map(_._2).sum == Tables.documents(spark, sf001).count())
+    assert(batches.forall(_._2 > 0))
+  }
+
+  test("V2 overwrite truncates: a second write leaves no stale shards") {
+    val dir = graft.streaming.TempDirs.create("gshard-ow-").toString
+    val docs = Tables.documents(spark, sf001)
+    GShard.write(docs, dir, nShards = 8)
+    val first = new java.io.File(dir).listFiles().count(_.getName.endsWith(".gsh"))
+    GShard.write(docs.filter(col("doc_id") < 100), dir, nShards = 2)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gsh"))
+    assert(files.length < first, "truncate must drop the old shard set")
+    val n = spark.read.format("graft.sources.GShardSource").load(dir).count()
+    assert(n == docs.filter(col("doc_id") < 100).count())
+    // the two-phase protocol leaves no temp files behind
+    assert(new java.io.File(dir).listFiles().forall(f =>
+      f.getName.endsWith(".gsh")))
+  }
+
   test("statistics report the surviving row count") {
     val narrow = gsh.filter(col("doc_id") === 17L).select("doc_id")
     narrow.count()
