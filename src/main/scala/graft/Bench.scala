@@ -45,6 +45,9 @@ object Bench {
     "q231_k_anonymity" -> 1.8,
     "q232_gshard_scan" -> 1.1,
     "q233_streaming_priority_sample" -> 3.0,
+    "q234_fleiss_kappa" -> 1.5,
+    "q235_gate_calibration" -> 2.0,
+    "q236_gshard_stream" -> 1.9,
     "q107_ann_pq" -> 3.6,
     "q100_stream_neardup" -> 3.0,
     "q215_stream_minhash_index" -> 4.0,

@@ -10,10 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns,
-  SupportsReportStatistics}
+  SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
@@ -161,6 +164,11 @@ object GShardSource {
     * of the most recent planInputPartitions call in this JVM.
     */
   @volatile var lastPlanned: (Int, Int) = (0, 0)
+
+  /** True when the most recent batch planning served a pushed
+    * aggregation straight from the footers (no row section opened).
+    */
+  @volatile var lastAggPushed: Boolean = false
 }
 
 class GShardTable(path: String) extends Table with SupportsRead with SupportsWrite {
@@ -178,9 +186,12 @@ class GShardTable(path: String) extends Table with SupportsRead with SupportsWri
 
 class GShardScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = GShard.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggFns: Option[Seq[String]] = None
+  private var limit: Int = Int.MaxValue
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GShard.isDocIdRange)
@@ -189,22 +200,57 @@ class GShardScanBuilder(path: String, options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
+
+  /** Footer-servable aggregates: a filterless, ungrouped COUNT(*) /
+    * MIN(doc_id) / MAX(doc_id) never opens a shard's row section — the
+    * zone-map footers ARE the answer. Anything else (a filter, a group
+    * key, another column) is declined and runs as a normal scan.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def docIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
+        case _                  => false
+      }
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    val fns = agg.aggregateExpressions().map {
+      case _: CountStar            => Some("count")
+      case m: Min if docIdRef(m.column()) => Some("min")
+      case m: Max if docIdRef(m.column()) => Some("max")
+      case _                       => None
+    }
+    if (fns.exists(_.isEmpty)) false
+    else { aggFns = Some(fns.flatten.toSeq); true }
+  }
+
+  /** Partial-pushdown IO bound: each partition reader stops decoding
+    * after `n` rows (Spark still applies the authoritative LIMIT).
+    */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+
   override def build(): Scan = new GShardScan(path, required, pushed,
-    options.getInt("maxfilespertrigger", Int.MaxValue))
+    options.getInt("maxfilespertrigger", Int.MaxValue), aggFns, limit)
 }
 
 case class GShardPartition(file: String, rows: Int) extends InputPartition
 
 class GShardScan(path: String, required: StructType, pushed: Array[Filter],
-    maxFilesPerTrigger: Int = Int.MaxValue)
+    maxFilesPerTrigger: Int = Int.MaxValue,
+    aggFns: Option[Seq[String]] = None, limit: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggFns match {
+    case Some(fns) => StructType(fns.zipWithIndex.map { case (f, i) =>
+      StructField(s"${f}_$i", LongType, nullable = f != "count") })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GShardMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
   override def description(): String =
-    s"GShardScan(path=$path, pushed=[${pushed.mkString(", ")}])"
+    s"GShardScan(path=$path, pushed=[${pushed.mkString(", ")}], " +
+      s"agg=${aggFns.map(_.mkString("+")).getOrElse("none")}, " +
+      s"limit=${if (limit == Int.MaxValue) "none" else limit.toString})"
 
   private lazy val planned: Array[GShardPartition] = {
     val (lo, hi) = GShard.docIdBounds(pushed)
@@ -221,11 +267,30 @@ class GShardScan(path: String, required: StructType, pushed: Array[Filter],
     kept
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    planned.toArray[InputPartition]
+  override def planInputPartitions(): Array[InputPartition] = aggFns match {
+    case Some(fns) =>
+      // answer the whole aggregation from the 24-byte footers at
+      // planning time: one synthetic partition, zero row decodes
+      val footers = Option(new File(path).listFiles())
+        .getOrElse(Array.empty[File])
+        .filter(_.getName.endsWith(".gsh")).map(GShard.readFooter)
+      val cnt = footers.map(_._1.toLong).sum
+      val mn = if (cnt == 0) null else java.lang.Long.valueOf(footers.filter(_._1 > 0).map(_._2).min)
+      val mx = if (cnt == 0) null else java.lang.Long.valueOf(footers.filter(_._1 > 0).map(_._3).max)
+      GShardSource.lastAggPushed = true
+      val values: Seq[Any] = fns.map {
+        case "count" => cnt
+        case "min"   => mn
+        case "max"   => mx
+      }
+      Array(GShardAggPartition(values))
+    case None =>
+      GShardSource.lastAggPushed = false
+      planned.toArray[InputPartition]
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GShardReaderFactory(required, GShard.docIdBounds(pushed))
+    new GShardReaderFactory(required, GShard.docIdBounds(pushed), limit)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // upper bound from the surviving footers; ~120 bytes/row fixture avg
@@ -236,12 +301,23 @@ class GShardScan(path: String, required: StructType, pushed: Array[Filter],
   }
 }
 
-class GShardReaderFactory(required: StructType, bounds: (Long, Long))
-    extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GShardPartition]
-    new GShardPartitionReader(gp.file, gp.rows, required, bounds._1, bounds._2)
-  }
+case class GShardAggPartition(values: Seq[Any]) extends InputPartition
+
+class GShardReaderFactory(required: StructType, bounds: (Long, Long),
+    limit: Int = Int.MaxValue) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case a: GShardAggPartition => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow =
+          new GenericInternalRow(a.values.toArray)
+        override def close(): Unit = ()
+      }
+      case gp: GShardPartition =>
+        new GShardPartitionReader(gp.file, gp.rows, required,
+          bounds._1, bounds._2, limit)
+    }
 }
 
 /** Streams one shard file. Decodes ONLY the projected fields: with
@@ -249,7 +325,8 @@ class GShardReaderFactory(required: StructType, bounds: (Long, Long))
   * the custom reader.
   */
 class GShardPartitionReader(file: String, rows: Int, required: StructType,
-    lo: Long, hi: Long) extends PartitionReader[InternalRow] {
+    lo: Long, hi: Long, limit: Int = Int.MaxValue)
+    extends PartitionReader[InternalRow] {
 
   private val in = new DataInputStream(new BufferedInputStream(
     new FileInputStream(file), 1 << 16))
@@ -258,6 +335,7 @@ class GShardPartitionReader(file: String, rows: Int, required: StructType,
   private val needText = required.fieldNames.contains("text")
   private val ordinals = required.fieldNames.zipWithIndex.toMap
   private var remaining = rows
+  private var kept = 0
   private var current: InternalRow = _
 
   private def skipFully(n: Int): Unit = {
@@ -274,6 +352,9 @@ class GShardPartitionReader(file: String, rows: Int, required: StructType,
   }
 
   override def next(): Boolean = {
+    // pushed LIMIT: stop decoding once this partition produced enough
+    // rows (partial pushdown — Spark applies the authoritative limit)
+    if (kept >= limit) return false
     while (remaining > 0) {
       remaining -= 1
       val id = in.readLong()
@@ -293,7 +374,7 @@ class GShardPartitionReader(file: String, rows: Int, required: StructType,
       val textLen = in.readInt()
       if (keep && needText) row.update(ordinals("text"), readUtf(textLen))
       else skipFully(textLen)
-      if (keep) { current = row; return true }
+      if (keep) { current = row; kept += 1; return true }
     }
     false
   }

@@ -76,5 +76,25 @@ object GShardQueries {
         CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY source ORDER BY source"""))
 
-  val all: Seq[GQuery] = Seq(q232, q236)
+  /** Aggregate pushdown (q237): a filterless, ungrouped COUNT(*) /
+    * MIN / MAX(doc_id) over the custom format is answered ENTIRELY from
+    * the 24-byte shard footers at planning time — zero row decodes (the
+    * spec pins the lastAggPushed flag and that a grouped/filtered query
+    * declines the pushdown). The scan-free metadata query every lakehouse
+    * format optimizes; here the zone maps double as the statistics.
+    */
+  val q237 = GQuery(
+    "q237_gshard_footer_stats",
+    (s, dir) => {
+      val stage = graft.streaming.TempDirs.create("gshard-q237-").toString
+      GShard.write(Tables.documents(s, dir), stage, nShards = 8)
+      s.read.format("graft.sources.GShardSource").load(stage)
+        .selectExpr("count(*) AS n_docs", "min(doc_id) AS min_id",
+          "max(doc_id) AS max_id")
+    },
+    Some("""SELECT count(*) AS n_docs, min(doc_id) AS min_id,
+        max(doc_id) AS max_id
+      FROM documents"""))
+
+  val all: Seq[GQuery] = Seq(q232, q236, q237)
 }

@@ -81,6 +81,44 @@ class GShardSpec extends SparkSpec {
       f.getName.endsWith(".gsh")))
   }
 
+  test("filterless count/min/max is served from footers alone") {
+    val df = gsh.selectExpr("count(*)", "min(doc_id)", "max(doc_id)")
+    val row = df.head()
+    val ref = Tables.documents(spark, sf001)
+      .selectExpr("count(*)", "min(doc_id)", "max(doc_id)").head()
+    assert(row == ref)
+    assert(GShardSource.lastAggPushed,
+      "aggregation must be answered at planning time from the footers")
+    // a doc_id filter makes footer counts unsafe: pushdown must decline
+    val filtered = gsh.filter(col("doc_id") < 100).selectExpr("count(*)")
+    assert(filtered.head().getLong(0) ==
+      Tables.documents(spark, sf001).filter(col("doc_id") < 100).count())
+    assert(!GShardSource.lastAggPushed,
+      "filtered aggregation must run as a real scan")
+    // grouped aggregation likewise declines (and stays correct)
+    val grouped = gsh.groupBy("source").count()
+    assert(grouped.count() == 20 || grouped.count() > 0)
+    assert(!GShardSource.lastAggPushed)
+    // a NON-doc_id filter never reaches `pushed`, so the correctness of
+    // this case rests on Spark only attempting aggregate pushdown when
+    // no post-scan filter remains (ours always remain — belt-and-braces
+    // with the builder's own pushed.nonEmpty guard)
+    val langN = gsh.filter(col("lang") === "en").selectExpr("count(*)")
+      .head().getLong(0)
+    assert(langN == Tables.documents(spark, sf001)
+      .filter(col("lang") === "en").count(),
+      "footer count must not be served under a residual lang filter")
+    assert(!GShardSource.lastAggPushed)
+  }
+
+  test("pushed limit stops the row decoder early and stays correct") {
+    val df = gsh.select("doc_id").limit(7)
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.description().contains("limit=7"),
+      s"limit must reach the scan: ${scans.head.scan.description()}")
+    assert(df.count() == 7)
+  }
+
   test("statistics report the surviving row count") {
     val narrow = gsh.filter(col("doc_id") === 17L).select("doc_id")
     narrow.count()
