@@ -44,7 +44,8 @@ object Registry {
     graft.operators.DsirSelect.all,
     graft.operators.KAnonymity.all,
     graft.sources.GShardQueries.all,
-    graft.operators.AnnotatorAgreement.all
+    graft.operators.AnnotatorAgreement.all,
+    graft.operators.SequencePacking.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
