@@ -56,12 +56,15 @@ object KAnonymity {
         floor(col("c_acctbal") / 1000.0).cast("int").as("b1"))
     val cls0 = base.groupBy("c_nationkey", "c_mktsegment", "b0", "b1")
       .agg(count(lit(1)).as("n0"), countDistinct(col("tier")).as("ldiv0"))
-    val viol = cls0.filter(col("n0") < k)
-      .select("c_nationkey", "c_mktsegment", "b0")
+    // class tables are orders of magnitude smaller than the data —
+    // broadcast them explicitly (fixture stats planned these as
+    // sort-merge; plan-audited)
+    val viol = broadcast(cls0.filter(col("n0") < k)
+      .select("c_nationkey", "c_mktsegment", "b0"))
     val cls1 = base.join(viol, Seq("c_nationkey", "c_mktsegment", "b0"))
       .groupBy("c_mktsegment", "b1")
       .agg(count(lit(1)).as("n1"), countDistinct(col("tier")).as("ldiv1"))
-    cls0.join(cls1, Seq("c_mktsegment", "b1"), "left")
+    cls0.join(broadcast(cls1), Seq("c_mktsegment", "b1"), "left")
       .select(col("c_nationkey"), col("c_mktsegment"), col("b0"),
         col("n0"), col("ldiv0"),
         when(col("n0") < k, col("b1")).as("b1"),

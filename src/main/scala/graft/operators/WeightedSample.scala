@@ -92,12 +92,19 @@ object WeightedSample {
     * dimension lookups against the corpus (shared by batch q229 and the
     * streaming q233, which differ only in how the state was built).
     */
-  def report(ranked: DataFrame, docs: DataFrame, k: Int = K): DataFrame = {
+  def report(rankedIn: DataFrame, docs: DataFrame, k: Int = K): DataFrame = {
+    // the ranked state is only (k+1)·|groups| rows but its subtree scans
+    // and md5-hashes the whole corpus, and it feeds tau, the sample, AND
+    // the estimator total — cache it or the hashing scan runs three
+    // times (plan-audited; a ≤ hundred-row cache needs no unpersist)
+    val ranked = rankedIn.cache()
     val tau = ranked.filter(col("rk") === k + 1)
       .select(col("lang"), col("prio").as("tau"))
     val weights = docs.select(col("doc_id"), col("n_chars").as("w"))
-    val sample = ranked.filter(col("rk") <= k)
-      .join(broadcast(tau), Seq("lang"), "left")
+    // broadcast the SAMPLE side: weights is the corpus-sized side at
+    // scale (fixture stats would happily broadcast it instead)
+    val sample = broadcast(ranked.filter(col("rk") <= k)
+        .join(broadcast(tau), Seq("lang"), "left"))
       .join(weights, Seq("doc_id"))
       .withColumn("w_hat",
         greatest(col("w").cast("double"), coalesce(col("tau"), lit(0.0))))
