@@ -95,9 +95,13 @@ object DsirSelect {
     val tf = feats(target, Seq.empty)
     val rf = feats(raw, Seq("doc_id"))
     val tb = tf.groupBy(bucket(col("f")).as("b")).agg(count(lit(1)).as("ct"))
+      .cache() // ≤ B rows; feeds both the total and the λ join
     val rb = rf.groupBy(bucket(col("f")).as("b")).agg(count(lit(1)).as("cr"))
-    val tt = tf.agg(count(lit(1)).as("tt"))
-    val tr = rf.agg(count(lit(1)).as("tr"))
+      .cache()
+    // totals are ALGEBRAIC over the bucket counts — deriving them here
+    // removes two whole feature-extraction+md5 scans (plan-audited)
+    val tt = tb.agg(sum("ct").as("tt"))
+    val tr = rb.agg(sum("cr").as("tr"))
     val axis = s.range(0, B).select(col("id").as("b"))
     val lam = axis
       .join(tb, Seq("b"), "left").join(rb, Seq("b"), "left")
