@@ -18,8 +18,14 @@ object Metrics {
     when(denom === 0.0, lit(0.0)).otherwise(abs(y - yhat) / denom)
   }
 
-  /** Aggregate SMAPE over a DataFrame = avg of the per-row terms. */
-  def smape(y: Column, yhat: Column): Column = avg(smapeTerm(y, yhat))
+  /** Aggregate SMAPE over a DataFrame — the codegen'd native aggregate
+    * (plans.SmapeAgg, SURVEY §4.3), spec-pinned bitwise-equal to
+    * `avg(smapeTerm(y, yhat))` including null semantics, so swapping it
+    * in here changed no oracle. Double casts make integral inputs take
+    * the same widening avg's implicit casts produced.
+    */
+  def smape(y: Column, yhat: Column): Column =
+    call_function("graft_smape", y.cast("double"), yhat.cast("double"))
 
   /** Geometric rounding (kaggle/kaggle.py:837-842): round x up iff x is at
     * or above the geometric mean of floor(x) and ceil(x). For integral x,

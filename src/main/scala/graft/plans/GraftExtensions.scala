@@ -85,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_qsketch_merge", 2, classOf[QuantileSketchMergeAgg],
       exprs => QuantileSketchMergeAgg(exprs(0),
         foldInt("graft_qsketch_merge", "k", "second", exprs(1))))
+    // codegen'd SMAPE aggregate (SURVEY §4.3's second named candidate);
+    // bare AggregateFunction returned — analyzer wraps
+    inject(e, "graft_smape", 2, classOf[SmapeAgg],
+      exprs => SmapeAgg(exprs(0), exprs(1)))
     inject(e, "graft_shingles", 1, classOf[ShinglesGenerator],
       exprs => ShinglesGenerator(exprs.head))
     inject(e, "graft_shingle_set", 1, classOf[ShingleSetExpr],

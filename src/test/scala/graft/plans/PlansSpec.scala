@@ -588,4 +588,35 @@ class PlansSpec extends SparkSpec {
     val smjCount = "SortMergeJoin".r.findAllIn(plan).length
     assert(smjCount == 0, s"$smjCount sort-merge joins:\n${plan.take(3000)}")
   }
+
+  test("graft_smape: bitwise-equal to avg(smapeTerm), null and empty semantics") {
+    import org.apache.spark.sql.functions._
+    val l = Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("y"),
+        (col("l_extendedprice") / 100.0).as("p"))
+    val viaAgg = l.groupBy("g")
+      .agg(call_function("graft_smape", col("y"), col("p")).as("s"))
+    val viaAvg = l.groupBy("g")
+      .agg(avg(graft.functions.Metrics.smapeTerm(col("y"), col("p"))).as("s"))
+    val joined = viaAgg.withColumnRenamed("s", "sa")
+      .join(viaAvg.withColumnRenamed("s", "sv"), "g")
+    // EXACT equality — NOTES invariant 8 (same update order, same doubles)
+    assert(joined.filter(col("sa") =!= col("sv")).count() == 0)
+    // SQL surface + null semantics: null rows contribute neither term
+    // nor count; an all-null group yields NULL like avg
+    l.createOrReplaceTempView("smape_in")
+    val sqlRow = spark.sql(
+      """SELECT graft_smape(CASE WHEN y > 1e9 THEN y END, p) AS all_null,
+                graft_smape(CASE WHEN y < 10 THEN y END, p) AS some_null
+         FROM smape_in""").head()
+    assert(sqlRow.isNullAt(0))
+    val expSome = l.filter(col("y") < 10)
+      .agg(avg(graft.functions.Metrics.smapeTerm(col("y"), col("p")))).head().getDouble(0)
+    assert(sqlRow.getDouble(1) == expSome)
+    // 0/0 guard: identical zero rows score 0, not NaN
+    import spark.implicits._
+    val z = Seq((0.0, 0.0), (0.0, 0.0)).toDF("y", "p")
+      .agg(call_function("graft_smape", col("y"), col("p"))).head().getDouble(0)
+    assert(z == 0.0)
+  }
 }
