@@ -229,15 +229,22 @@ class GShardScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   override def build(): Scan = new GShardScan(path, required, pushed,
-    options.getInt("maxfilespertrigger", Int.MaxValue), aggFns, limit)
+    options.getInt("maxfilespertrigger", Int.MaxValue), aggFns, limit,
+    options.getBoolean("columnar", true))
 }
 
 case class GShardPartition(file: String, rows: Int) extends InputPartition
 
 class GShardScan(path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerTrigger: Int = Int.MaxValue,
-    aggFns: Option[Seq[String]] = None, limit: Int = Int.MaxValue)
+    aggFns: Option[Seq[String]] = None, limit: Int = Int.MaxValue,
+    columnar: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics {
+
+  // shard partitions read vectorized, the synthetic aggregate partition
+  // row-based — the factory decides per partition
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    Scan.ColumnarSupportMode.PARTITION_DEFINED
 
   override def readSchema(): StructType = aggFns match {
     case Some(fns) => StructType(fns.zipWithIndex.map { case (f, i) =>
@@ -290,7 +297,7 @@ class GShardScan(path: String, required: StructType, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GShardReaderFactory(required, GShard.docIdBounds(pushed), limit)
+    new GShardReaderFactory(required, GShard.docIdBounds(pushed), limit, columnar)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // upper bound from the surviving footers; ~120 bytes/row fixture avg
@@ -304,7 +311,8 @@ class GShardScan(path: String, required: StructType, pushed: Array[Filter],
 case class GShardAggPartition(values: Seq[Any]) extends InputPartition
 
 class GShardReaderFactory(required: StructType, bounds: (Long, Long),
-    limit: Int = Int.MaxValue) extends PartitionReaderFactory {
+    limit: Int = Int.MaxValue, columnar: Boolean = true)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case a: GShardAggPartition => new PartitionReader[InternalRow] {
@@ -318,6 +326,86 @@ class GShardReaderFactory(required: StructType, bounds: (Long, Long),
         new GShardPartitionReader(gp.file, gp.rows, required,
           bounds._1, bounds._2, limit)
     }
+
+  // vectorized path: shard partitions decode straight into on-heap
+  // column vectors (1024-row batches); the synthetic aggregate
+  // partition stays row-based (PARTITION_DEFINED on the scan)
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && p.isInstanceOf[GShardPartition]
+
+  override def createColumnarReader(p: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val gp = p.asInstanceOf[GShardPartition]
+    new GShardColumnarReader(gp.file, gp.rows, required, bounds._1, bounds._2, limit)
+  }
+}
+
+/** Vectorized shard reader: the same byte-level decode as the row
+  * reader (including the text-payload SKIP under column pruning and the
+  * zone-map row skip), but materializing 1024-row ColumnarBatches into
+  * OnHeapColumnVectors — so downstream whole-stage codegen consumes the
+  * custom format exactly as it consumes parquet's vectorized reader.
+  */
+class GShardColumnarReader(file: String, rows: Int, required: StructType,
+    lo: Long, hi: Long, limit: Int)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val Cap = 1024
+  private val in = new DataInputStream(new BufferedInputStream(
+    new FileInputStream(file), 1 << 16))
+  private val vectors =
+    org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      .allocateColumns(Cap, required)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+  private val ordinals = required.fieldNames.zipWithIndex.toMap
+  private val needLang = ordinals.contains("lang")
+  private val needSource = ordinals.contains("source")
+  private val needText = ordinals.contains("text")
+  private var remaining = rows
+  private var kept = 0
+
+  private def skipFully(n: Int): Unit = {
+    var left = n.toLong
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s <= 0) { if (in.read() < 0) throw new EOFException(file); left -= 1 }
+      else left -= s
+    }
+  }
+
+  private def readOrSkip(len: Int, need: Boolean, col: Int, row: Int): Unit =
+    if (need) {
+      val b = new Array[Byte](len); in.readFully(b)
+      vectors(col).putByteArray(row, b)
+    } else skipFully(len)
+
+  override def next(): Boolean = {
+    vectors.foreach(_.reset())
+    var n = 0
+    while (n < Cap && remaining > 0 && kept < limit) {
+      remaining -= 1
+      val id = in.readLong()
+      val nChars = in.readLong()
+      val keep = id >= lo && id <= hi
+      if (keep) {
+        ordinals.get("doc_id").foreach(i => vectors(i).putLong(n, id))
+        ordinals.get("n_chars").foreach(i => vectors(i).putLong(n, nChars))
+      }
+      val langLen = in.readUnsignedShort()
+      readOrSkip(langLen, keep && needLang, if (needLang) ordinals("lang") else 0, n)
+      val srcLen = in.readUnsignedShort()
+      readOrSkip(srcLen, keep && needSource, if (needSource) ordinals("source") else 0, n)
+      val textLen = in.readInt()
+      readOrSkip(textLen, keep && needText, if (needText) ordinals("text") else 0, n)
+      if (keep) { n += 1; kept += 1 }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); in.close() }
 }
 
 /** Streams one shard file. Decodes ONLY the projected fields: with
@@ -422,7 +510,10 @@ class GShardMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GShardReaderFactory(required, GShard.docIdBounds(pushed))
+    // streaming stays row-based: the micro-batch engine's plan has no
+    // columnar transition
+    new GShardReaderFactory(required, GShard.docIdBounds(pushed),
+      columnar = false)
 
   override def commit(end: Offset): Unit = {
     // keep the admission cursor monotone with what the engine recorded

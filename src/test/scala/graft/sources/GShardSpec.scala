@@ -119,6 +119,25 @@ class GShardSpec extends SparkSpec {
     assert(df.count() == 7)
   }
 
+  test("shard scans read vectorized; columnar ≡ row path ≡ parquet") {
+    val df = gsh.select("doc_id", "lang", "n_chars")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"expected a columnar transition in:\n${plan.take(1200)}")
+    val rowPath = spark.read.format("graft.sources.GShardSource")
+      .option("columnar", "false").load(stage)
+      .select("doc_id", "lang", "n_chars")
+    assert(!rowPath.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(df.exceptAll(rowPath).count() == 0 && rowPath.exceptAll(df).count() == 0)
+    // vectorized + zone-map row skip + pruning compose
+    val filtered = gsh.filter(col("doc_id") >= 10 && col("doc_id") < 40)
+      .select("doc_id", "source")
+    val ref = Tables.documents(spark, sf001)
+      .filter(col("doc_id") >= 10 && col("doc_id") < 40)
+      .select("doc_id", "source")
+    assert(filtered.exceptAll(ref).count() == 0 && ref.exceptAll(filtered).count() == 0)
+  }
+
   test("statistics report the surviving row count") {
     val narrow = gsh.filter(col("doc_id") === 17L).select("doc_id")
     narrow.count()
