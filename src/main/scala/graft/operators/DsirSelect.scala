@@ -89,15 +89,29 @@ object DsirSelect {
   def selectTopK(s: SparkSession, dir: String, k: Int = K): DataFrame =
     selectFrom(Tables.documents(s, dir), k)
 
+  /** Raw-pool bucket-count model (b, cr) — the expensive aggregation the
+    * streaming twin (q239) maintains incrementally; counts merge by sum,
+    * which is what makes the stream-built model equal the batch build
+    * for any slicing.
+    */
+  def rawBuckets(raw: DataFrame): DataFrame =
+    feats(raw, Seq("doc_id"))
+      .groupBy(bucket(col("f")).as("b")).agg(count(lit(1)).as("cr"))
+
   def selectFrom(docs: DataFrame, k: Int = K): DataFrame = {
+    val (_, raw) = corpora(docs)
+    selectGiven(docs, rawBuckets(raw), k)
+  }
+
+  /** Selection from a PREBUILT raw bucket model (batch or stream-built). */
+  def selectGiven(docs: DataFrame, rawModel: DataFrame, k: Int = K): DataFrame = {
     val s = docs.sparkSession
     val (target, raw) = corpora(docs)
     val tf = feats(target, Seq.empty)
     val rf = feats(raw, Seq("doc_id"))
     val tb = tf.groupBy(bucket(col("f")).as("b")).agg(count(lit(1)).as("ct"))
       .cache() // ≤ B rows; feeds both the total and the λ join
-    val rb = rf.groupBy(bucket(col("f")).as("b")).agg(count(lit(1)).as("cr"))
-      .cache()
+    val rb = rawModel.cache()
     // totals are ALGEBRAIC over the bucket counts — deriving them here
     // removes two whole feature-extraction+md5 scans (plan-audited)
     val tt = tb.agg(sum("ct").as("tt"))
@@ -186,5 +200,16 @@ object DsirSelect {
       FROM top t JOIN documents d ON d.doc_id = t.doc_id
       WHERE t.rank <= 100 ORDER BY t.rank"""))
 
-  val all: Seq[GQuery] = Seq(q230)
+  /** Streaming twin: the raw-pool bucket model maintained across three
+    * genuine micro-batches (streaming.SampleStreams.streamingDsirSelect);
+    * count-sum associativity makes the stream-built model — and so the
+    * whole selection — equal the batch build for any slicing, which is
+    * why this entry reuses q230's oracle VERBATIM.
+    */
+  val q239 = GQuery(
+    "q239_streaming_dsir",
+    (s, dir) => graft.streaming.SampleStreams.streamingDsirSelect(s, dir),
+    q230.oracle)
+
+  val all: Seq[GQuery] = Seq(q230, q239)
 }

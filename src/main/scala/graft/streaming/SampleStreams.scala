@@ -61,4 +61,49 @@ object SampleStreams {
       val state = spark.read.parquet(statePath(version))
       WeightedSample.report(WeightedSample.topState(state), docs)
     }
+
+  /** Streaming-maintained DSIR raw-pool model (q239): the raw corpus
+    * arrives in micro-batches and the hashed-bucket count model — the
+    * expensive md5-per-feature aggregation — is maintained by per-batch
+    * count merges (delta reduced to its own ≤ B-row bucket counts before
+    * the merge, so state stays ≤ B rows for any stream size). Count-sum
+    * associativity makes the stream-built model equal the batch build
+    * for any slicing, so the final selection is q230's and q239 reuses
+    * its oracle VERBATIM.
+    */
+  def streamingDsirSelect(spark: SparkSession, dir: String,
+                          queryName: String = "stream_dsir"): DataFrame =
+    EventStreams.withStreamShufflePartitions(spark) {
+      import graft.operators.DsirSelect
+      val docs = graft.Tables.documents(spark, dir)
+      val (_, raw) = DsirSelect.corpora(docs)
+      val stage = TempDirs.create("graft_dsir_stage_")
+      (0 until 3).foreach { i =>
+        raw.filter(pmod(col("doc_id"), lit(3)) === i)
+          .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      }
+      val stateBase = TempDirs.create("graft_dsir_state_")
+      def statePath(v: Long) = s"$stateBase/v$v"
+      var version = -1L
+      var lastApplied = -1L
+      val schema = spark.read.parquet(s"$stage/slice_0").schema
+      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
+        if (id != lastApplied) {
+          val delta = DsirSelect.rawBuckets(batch.toDF())
+          val merged = (if (version < 0) delta
+            else spark.read.parquet(statePath(version)).unionByName(delta))
+            .groupBy("b").agg(sum("cr").as("cr"))
+          merged.write.mode("overwrite").parquet(statePath(version + 1))
+          version += 1
+          lastApplied = id
+        }
+      }
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$stage/slice_*")
+        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+      require(version >= 0, "stream produced no batches")
+      DsirSelect.selectGiven(docs, spark.read.parquet(statePath(version)))
+    }
 }

@@ -32,6 +32,13 @@ class DsirSelectSpec extends SparkSpec {
     assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 })
   }
 
+  test("streamed model equals the batch selection row-for-row (q239 ≡ q230)") {
+    val streamed = graft.streaming.SampleStreams
+      .streamingDsirSelect(spark, sf001, queryName = "dsir_spec")
+    assert(streamed.exceptAll(top).count() == 0 &&
+      top.exceptAll(streamed).count() == 0)
+  }
+
   test("every selected doc has a positive log importance weight") {
     // marked docs are ~half the pool; an unmarked doc's expected score
     // is ~0, so the whole selection must sit strictly positive
