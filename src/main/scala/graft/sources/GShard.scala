@@ -17,7 +17,8 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
   SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit,
   SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
+  ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   WriteBuilder, WriterCommitMessage}
@@ -484,7 +485,8 @@ case class GShardOffset(n: Int) extends Offset {
 }
 
 class GShardMicroBatchStream(path: String, required: StructType,
-    pushed: Array[Filter], maxFilesPerTrigger: Int) extends MicroBatchStream {
+    pushed: Array[Filter], maxFilesPerTrigger: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def files: Array[File] =
     Option(new File(path).listFiles()).getOrElse(Array.empty[File])
@@ -493,12 +495,28 @@ class GShardMicroBatchStream(path: String, required: StructType,
   override def initialOffset(): Offset = GShardOffset(0)
   override def deserializeOffset(json: String): Offset = GShardOffset(json.toInt)
 
-  private var lastEnd = 0
-  override def latestOffset(): Offset = {
+  // admission control, the proper API: the engine hands us the previous
+  // end offset and the rate limit, we return the admitted end — no
+  // mutable cursor in the source
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFilesPerTrigger)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val total = files.length
-    lastEnd = math.min(total, lastEnd + math.max(1, maxFilesPerTrigger))
-    GShardOffset(lastEnd)
+    val s = start.asInstanceOf[GShardOffset].n
+    val step = limit match {
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _                => total
+    }
+    GShardOffset(math.min(total, s + math.max(1, step)))
   }
+
+  override def reportLatestOffset(): Offset = GShardOffset(files.length)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GShardOffset].n
@@ -515,10 +533,7 @@ class GShardMicroBatchStream(path: String, required: StructType,
     new GShardReaderFactory(required, GShard.docIdBounds(pushed),
       columnar = false)
 
-  override def commit(end: Offset): Unit = {
-    // keep the admission cursor monotone with what the engine recorded
-    lastEnd = math.max(lastEnd, end.asInstanceOf[GShardOffset].n)
-  }
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint
   override def stop(): Unit = ()
 }
 
