@@ -240,12 +240,43 @@ class GShardScan(path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerTrigger: Int = Int.MaxValue,
     aggFns: Option[Seq[String]] = None, limit: Int = Int.MaxValue,
     columnar: Boolean = true)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // shard partitions read vectorized, the synthetic aggregate partition
   // row-based — the factory decides per partition
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     Scan.ColumnarSupportMode.PARTITION_DEFINED
+
+  // ------------------------------------------------- runtime filtering
+  // DPP-style: when this scan probes a join whose build side is small,
+  // the engine hands the build side's doc_id set here BEFORE partition
+  // planning, and whole shards are pruned against it via the footer
+  // zone maps — dynamic partition pruning for the custom format.
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case org.apache.spark.sql.sources.In("doc_id", vs) =>
+        runtimeIds = Some(vs.collect {
+          case l: java.lang.Long    => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+        }.sorted)
+      case _ => ()
+    }
+
+  /** Any runtime id inside [mn, mx]? (binary search on the sorted set) */
+  private def idsOverlap(mn: Long, mx: Long): Boolean = runtimeIds match {
+    case None => true
+    case Some(ids) =>
+      val i = java.util.Arrays.binarySearch(ids, mn)
+      val from = if (i >= 0) i else -i - 1
+      from < ids.length && ids(from) <= mx
+  }
 
   override def readSchema(): StructType = aggFns match {
     case Some(fns) => StructType(fns.zipWithIndex.map { case (f, i) =>
@@ -260,15 +291,20 @@ class GShardScan(path: String, required: StructType, pushed: Array[Filter],
       s"agg=${aggFns.map(_.mkString("+")).getOrElse("none")}, " +
       s"limit=${if (limit == Int.MaxValue) "none" else limit.toString})"
 
-  private lazy val planned: Array[GShardPartition] = {
+  // a def, not a lazy val: runtime filters arrive AFTER estimateStatistics
+  // may have forced planning, so each planning call re-reads the (cheap,
+  // 24-byte) footers against the current filter state; a cluster
+  // deployment would cache the footer listing per snapshot
+  private def planned: Array[GShardPartition] = {
     val (lo, hi) = GShard.docIdBounds(pushed)
     val files = Option(new File(path).listFiles())
       .getOrElse(Array.empty[File])
       .filter(_.getName.endsWith(".gsh")).sortBy(_.getName)
     val kept = files.flatMap { f =>
       val (n, mn, mx) = GShard.readFooter(f)
-      // zone-map overlap test: skip shards wholly outside the bounds
-      if (mx < lo || mn > hi || n == 0) None
+      // zone-map overlap test: skip shards wholly outside the static
+      // bounds OR holding none of the runtime join keys
+      if (mx < lo || mn > hi || n == 0 || !idsOverlap(mn, mx)) None
       else Some(GShardPartition(f.getAbsolutePath, n))
     }
     GShardSource.lastPlanned = (files.length, kept.length)

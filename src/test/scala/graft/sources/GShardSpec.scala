@@ -138,6 +138,27 @@ class GShardSpec extends SparkSpec {
     assert(filtered.exceptAll(ref).count() == 0 && ref.exceptAll(filtered).count() == 0)
   }
 
+  test("runtime (DPP-style) filtering prunes shards from a join's key set") {
+    val df = gsh.select("doc_id", "n_chars")
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    val scan = scans.head.scan.asInstanceOf[GShardScan]
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before == 8)
+    // the engine delivers the build side's doc_id set through
+    // SupportsRuntimeFiltering.filter before execution planning
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id", Array(17L, 23L))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after == 1, s"two nearby keys must plan one shard, got $after")
+    // end-to-end: joining against a tiny key frame stays correct
+    import spark.implicits._
+    val keys = Seq(17L, 23L, 400L).toDF("doc_id")
+    val joined = gsh.join(keys, "doc_id").select("doc_id", "source")
+    val ref = Tables.documents(spark, sf001).join(keys, "doc_id")
+      .select("doc_id", "source")
+    assert(joined.exceptAll(ref).count() == 0 && ref.exceptAll(joined).count() == 0)
+  }
+
   test("statistics report the surviving row count") {
     val narrow = gsh.filter(col("doc_id") === 17L).select("doc_id")
     narrow.count()
