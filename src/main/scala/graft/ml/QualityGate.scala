@@ -283,6 +283,9 @@ object QualityGate {
           col("b2") * col("x2").cast("double"))
         .withColumn("pc", least(greatest(col("p"), lit(0.0)), lit(1.0)))
         .withColumn("bin", least(floor(col("pc") * 10), lit(9L)).cast("int"))
+      // ≤ 10 rows but its subtree is the whole holdout scoring pass —
+      // cached because BOTH the ECE rollup and the final select consume
+      // it (the q229 tiny-ranked-state rule)
       val bins = holdout.groupBy("bin")
         .agg(count(lit(1)).as("n"),
           Metrics.exactMean(col("pc")).as("conf"),
@@ -290,6 +293,7 @@ object QualityGate {
         .withColumn("conf_r", Metrics.canonRound(col("conf"), 6))
         .withColumn("acc_r", Metrics.canonRound(col("acc"), 6))
         .withColumn("gap_r", Metrics.canonRound(abs(col("conf_r") - col("acc_r")), 6))
+        .cache()
       val tot = bins.agg(sum("n").as("nn"),
           sum((col("gap_r") * col("n")).cast("decimal(28,6)")).as("wg"))
         .select(Metrics.canonRound(

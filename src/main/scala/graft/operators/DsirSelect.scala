@@ -124,6 +124,13 @@ object DsirSelect {
         log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + lit(B.toDouble))) -
           log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("tr") + lit(B.toDouble))),
         6).as("lam"))
+      // materialize the 64-row model and cut its lineage so the two
+      // bucket-count caches can be RELEASED here — a long-lived session
+      // (registry sweeps, ScaleSmoke) must not accumulate cached model
+      // frames per invocation (the q227/KmvSketch cache-hygiene rule)
+      .localCheckpoint(true)
+    tb.unpersist()
+    rb.unpersist()
     val scored = rf.select(col("doc_id"), bucket(col("f")).as("b"))
       .join(broadcast(lam), Seq("b"))
       .groupBy("doc_id")

@@ -128,10 +128,16 @@ object GShard {
       case i: Int  => i.toLong
       case other   => throw new IllegalArgumentException(s"$other")
     }
+    // saturating ±1 on the strict bounds: doc_id > Long.MaxValue must
+    // not wrap lo around to MinValue (which would silently disable all
+    // pruning); erring toward keeping one extreme-literal shard is
+    // harmless — the residual filter still applies
+    def incSat(x: Long): Long = if (x == Long.MaxValue) x else x + 1
+    def decSat(x: Long): Long = if (x == Long.MinValue) x else x - 1
     pushed.foreach {
-      case GreaterThan("doc_id", v)        => lo = math.max(lo, num(v) + 1)
+      case GreaterThan("doc_id", v)        => lo = math.max(lo, incSat(num(v)))
       case GreaterThanOrEqual("doc_id", v) => lo = math.max(lo, num(v))
-      case LessThan("doc_id", v)           => hi = math.min(hi, num(v) - 1)
+      case LessThan("doc_id", v)           => hi = math.min(hi, decSat(num(v)))
       case LessThanOrEqual("doc_id", v)    => hi = math.min(hi, num(v))
       case EqualTo("doc_id", v)            => lo = math.max(lo, num(v)); hi = math.min(hi, num(v))
       case _                               => ()
@@ -510,14 +516,21 @@ class GShardPartitionReader(file: String, rows: Int, required: StructType,
 
 // ------------------------------------------------------------- streaming
 
-/** Offset = how many files of the sorted shard listing have been
-  * processed. A static staged directory plays back as a genuine
-  * multi-batch stream under maxFilesPerTrigger (the file-source
-  * admission idiom); a growing directory streams new shards as they
-  * land, which is the production ingest shape.
+/** Offset = the lexicographic NAME WATERMARK of the last processed
+  * shard file ("" before any). A static staged directory plays back as
+  * a genuine multi-batch stream under maxFilesPerTrigger (the
+  * file-source admission idiom); a growing directory streams new shards
+  * as they land PROVIDED names are append-ordered (new files sort after
+  * the watermark — timestamped/job-sequenced names, the log-structured
+  * ingest convention). A name-based watermark is what makes that safe:
+  * a positional index into a re-sorted listing would silently re-read
+  * and skip files when a late file sorted below processed ones; files
+  * that DO land below the watermark are ignored by contract (the
+  * alternative — FileStreamSource's seen-files map — buys arbitrary
+  * arrival order at the cost of unbounded tracking state).
   */
-case class GShardOffset(n: Int) extends Offset {
-  override def json(): String = n.toString
+case class GShardOffset(watermark: String) extends Offset {
+  override def json(): String = watermark
 }
 
 class GShardMicroBatchStream(path: String, required: StructType,
@@ -528,8 +541,8 @@ class GShardMicroBatchStream(path: String, required: StructType,
     Option(new File(path).listFiles()).getOrElse(Array.empty[File])
       .filter(_.getName.endsWith(".gsh")).sortBy(_.getName)
 
-  override def initialOffset(): Offset = GShardOffset(0)
-  override def deserializeOffset(json: String): Offset = GShardOffset(json.toInt)
+  override def initialOffset(): Offset = GShardOffset("")
+  override def deserializeOffset(json: String): Offset = GShardOffset(json)
 
   // admission control, the proper API: the engine hands us the previous
   // end offset and the rate limit, we return the admitted end — no
@@ -539,25 +552,29 @@ class GShardMicroBatchStream(path: String, required: StructType,
     else ReadLimit.maxFiles(maxFilesPerTrigger)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val total = files.length
-    val s = start.asInstanceOf[GShardOffset].n
+    val wm = start.asInstanceOf[GShardOffset].watermark
+    val pending = files.map(_.getName).filter(_ > wm)
     val step = limit match {
-      case mf: ReadMaxFiles => mf.maxFiles()
-      case _                => total
+      case mf: ReadMaxFiles => math.max(1, mf.maxFiles())
+      case _                => pending.length
     }
-    GShardOffset(math.min(total, s + math.max(1, step)))
+    if (pending.isEmpty) start
+    else GShardOffset(pending.take(step).last)
   }
 
-  override def reportLatestOffset(): Offset = GShardOffset(files.length)
+  override def reportLatestOffset(): Offset = {
+    val names = files.map(_.getName)
+    GShardOffset(if (names.isEmpty) "" else names.max)
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GShardOffset].n
-    val e = end.asInstanceOf[GShardOffset].n
-    files.slice(s, e).map { f =>
+    val s = start.asInstanceOf[GShardOffset].watermark
+    val e = end.asInstanceOf[GShardOffset].watermark
+    files.filter(f => f.getName > s && f.getName <= e).map { f =>
       val (n, _, _) = GShard.readFooter(f)
       GShardPartition(f.getAbsolutePath, n): InputPartition
     }
@@ -588,12 +605,20 @@ class GShardWriteBuilder(path: String, info: LogicalWriteInfo)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def buildForBatch(): BatchWrite = {
-    val fields = GShard.schema.fieldNames
     val inSchema = info.schema()
-    require(fields.forall(inSchema.fieldNames.contains),
-      s"GSH write needs columns ${fields.mkString(", ")}, " +
-        s"got ${inSchema.fieldNames.mkString(", ")}")
-    new GShardBatchWrite(path, inSchema, doTruncate,
+    // validate TYPES, not just names: the DataWriter reads fixed-width
+    // slots (getLong/getUTF8String), so a wrong-typed column would write
+    // silent garbage at task time instead of failing here
+    GShard.schema.foreach { f =>
+      require(inSchema.fieldNames.contains(f.name),
+        s"GSH write needs column ${f.name} " +
+          s"(got ${inSchema.fieldNames.mkString(", ")})")
+      val got = inSchema(f.name).dataType
+      require(got == f.dataType,
+        s"GSH write: column ${f.name} must be ${f.dataType.catalogString}, " +
+          s"got ${got.catalogString}")
+    }
+    new GShardBatchWrite(path, inSchema, doTruncate, info.queryId(),
       Option(info.options.get("shard.lo")).map(_.toLong),
       Option(info.options.get("shard.step")).map(_.toLong))
   }
@@ -603,10 +628,17 @@ case class GShardCommit(tempPath: String, finalName: String)
     extends WriterCommitMessage
 
 class GShardBatchWrite(path: String, schema: StructType, doTruncate: Boolean,
-    lo: Option[Long], step: Option[Long]) extends BatchWrite {
+    queryId: String, lo: Option[Long], step: Option[Long]) extends BatchWrite {
+
+  // overwrite keeps the stable, reproducible names (the dir was just
+  // truncated — no collision possible); APPEND prefixes the engine's
+  // queryId so a second job can never silently clobber an earlier job's
+  // shards via the rename
+  private val namePrefix =
+    if (doTruncate) "shard" else s"shard-${queryId.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GShardWriterFactory(path, schema, lo, step)
+    new GShardWriterFactory(path, schema, namePrefix, lo, step)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
@@ -616,7 +648,9 @@ class GShardBatchWrite(path: String, schema: StructType, doTruncate: Boolean,
         .filter(_.getName.endsWith(".gsh")).foreach(f => { val _ = f.delete() })
     messages.foreach {
       case t: GShardTaskCommit => t.parts.foreach { c =>
-        val ok = new File(c.tempPath).renameTo(new File(dir, c.finalName))
+        val dest = new File(dir, c.finalName)
+        require(!dest.exists(), s"commit would clobber existing $dest")
+        val ok = new File(c.tempPath).renameTo(dest)
         require(ok, s"commit rename failed: ${c.tempPath} -> ${c.finalName}")
       }
       case _ => ()
@@ -631,14 +665,14 @@ class GShardBatchWrite(path: String, schema: StructType, doTruncate: Boolean,
     }
 }
 
-class GShardWriterFactory(path: String, schema: StructType,
+class GShardWriterFactory(path: String, schema: StructType, namePrefix: String,
     lo: Option[Long], step: Option[Long]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GShardDataWriter(path, schema, partitionId, taskId, lo, step)
+    new GShardDataWriter(path, schema, namePrefix, partitionId, taskId, lo, step)
 }
 
-class GShardDataWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long, lo: Option[Long], step: Option[Long])
+class GShardDataWriter(path: String, schema: StructType, namePrefix: String,
+    partitionId: Int, taskId: Long, lo: Option[Long], step: Option[Long])
     extends DataWriter[InternalRow] {
 
   private val iDoc = schema.fieldIndex("doc_id")
@@ -674,7 +708,7 @@ class GShardDataWriter(path: String, schema: StructType, partitionId: Int,
     out.writeInt(GShard.Magic); out.close()
     out = null
     commits += GShardCommit(tempFile.getAbsolutePath,
-      f"shard-p$partitionId%05d-r$range.gsh")
+      f"$namePrefix%s-p$partitionId%05d-r$range.gsh")
   }
 
   override def write(row: InternalRow): Unit = {

@@ -57,13 +57,24 @@ object EventStreams extends Serializable {
     * fixed at the query's FIRST start, so the conf must be set before
     * .start(); a production stream sizes this by throughput exactly as
     * a batch job sizes its shuffle.
+    *
+    * The conf is SESSION-GLOBAL, so the save/set/restore is serialized
+    * under a JVM lock: Verify's 4-way-parallel pool runs several
+    * streaming harnesses on one session, and unsynchronized save/restore
+    * pairs can interleave so that a body runs at 32 partitions and —
+    * worse — the LAST restore re-installs the temporary 8 permanently,
+    * skewing every later query in the sweep. Serializing the handful of
+    * streaming harnesses costs little; batch queries are unaffected.
     */
-  def withStreamShufflePartitions[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, saved)
-  }
+  private val shufflePartitionsLock = new Object
+
+  def withStreamShufflePartitions[A](spark: SparkSession, n: Int = 8)(body: => A): A =
+    shufflePartitionsLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val saved = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, saved)
+    }
 
   /** SLIDING 2h/1h trending-type ranking: every event lands in TWO
     * window states (the sliding shape q31 runs in batch, here with real
