@@ -194,7 +194,8 @@ class GShardTable(path: String) extends Table with SupportsRead with SupportsWri
 class GShardScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = GShard.schema
   private var pushed: Array[Filter] = Array.empty
   private var aggFns: Option[Seq[String]] = None
@@ -234,6 +235,30 @@ class GShardScanBuilder(path: String, options: CaseInsensitiveStringMap)
     * after `n` rows (Spark still applies the authoritative LIMIT).
     */
   override def pushLimit(n: Int): Boolean = { limit = n; true }
+
+  // both limit and top-n are PARTIAL pushdowns here (diamond default
+  // from the two traits must be disambiguated explicitly)
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY doc_id ASC LIMIT n: rows inside every shard are
+    * physically doc_id-sorted (the writer's sortWithinPartitions
+    * contract), so the per-shard first n rows are a superset of the
+    * global top-n — the same per-partition truncation as pushLimit,
+    * legal here ONLY because the requested order matches the storage
+    * order. Anything else is declined. Partial pushdown: Spark still
+    * runs the authoritative final TopN.
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    val ok = orders.length == 1 && (orders.head.expression() match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id")) &&
+        orders.head.direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+      case _ => false
+    })
+    if (ok) limit = math.min(limit, n)
+    ok
+  }
 
   override def build(): Scan = new GShardScan(path, required, pushed,
     options.getInt("maxfilespertrigger", Int.MaxValue), aggFns, limit,

@@ -96,5 +96,43 @@ object GShardQueries {
         max(doc_id) AS max_id
       FROM documents"""))
 
-  val all: Seq[GQuery] = Seq(q232, q236, q237)
+  /** The connector under a REAL text workload (q240): the full
+    * documents corpus staged as shards, read back through the
+    * VECTORIZED string path, and pushed through an exact-dedup +
+    * token-stats funnel — proof the existing operator surface runs
+    * unchanged on the custom source (q232 never decodes `text`; this
+    * query's dominant cost IS the text decode). Oracle reads the same
+    * rows from parquet.
+    */
+  val q240 = GQuery(
+    "q240_gshard_corpus",
+    (s, dir) => {
+      val stage = graft.streaming.TempDirs.create("gshard-q240-").toString
+      GShard.write(Tables.documents(s, dir), stage, nShards = 8)
+      val docs = s.read.format("graft.sources.GShardSource").load(stage)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      docs
+        .withColumn("is_survivor", col("doc_id") === min("doc_id").over(w))
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_survivor"), 1L).otherwise(0L)).as("n_unique"),
+          sum("n_tok").as("n_tokens"),
+          sum(when(col("is_survivor"), col("n_tok")).otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+        SELECT source, n_chars,
+          (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_survivor,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN is_survivor THEN n_tok ELSE 0 END) AS BIGINT)
+          AS kept_tokens
+      FROM d GROUP BY source ORDER BY source"""))
+
+  val all: Seq[GQuery] = Seq(q232, q236, q237, q240)
 }

@@ -159,6 +159,29 @@ class GShardSpec extends SparkSpec {
     assert(joined.exceptAll(ref).count() == 0 && ref.exceptAll(joined).count() == 0)
   }
 
+  test("top-n on doc_id asc pushes as a decode cap; other orders decline") {
+    // ascending doc_id matches the storage order → per-shard truncation
+    val asc = gsh.select("doc_id").orderBy("doc_id").limit(5)
+    val ascScan = asc.queryExecution.sparkPlan
+      .collect { case b: BatchScanExec => b }.head.scan
+    assert(ascScan.description().contains("limit=5"),
+      s"asc top-n must cap the decoder: ${ascScan.description()}")
+    assert(asc.collect().map(_.getLong(0)).toSeq ==
+      Tables.documents(spark, sf001).select("doc_id").orderBy("doc_id")
+        .limit(5).collect().map(_.getLong(0)).toSeq)
+    // any other order must NOT truncate the read
+    val desc = gsh.select("doc_id", "n_chars").orderBy(col("n_chars").desc).limit(5)
+    val descScan = desc.queryExecution.sparkPlan
+      .collect { case b: BatchScanExec => b }.head.scan
+    assert(descScan.description().contains("limit=none"),
+      s"non-storage order must decline: ${descScan.description()}")
+    val got = desc.collect().map(_.getLong(1)).toSeq
+    val ref = Tables.documents(spark, sf001)
+      .select("doc_id", "n_chars").orderBy(col("n_chars").desc).limit(5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == ref)
+  }
+
   test("statistics report the surviving row count") {
     val narrow = gsh.filter(col("doc_id") === 17L).select("doc_id")
     narrow.count()
