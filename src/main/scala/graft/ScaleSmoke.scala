@@ -533,11 +533,25 @@ object ScaleSmoke {
     def dsirShape(docs: DataFrame) = operators.DsirSelect.selectFrom(docs)
     def prioShape(docs: DataFrame) = operators.WeightedSample.prioritySample(docs)
     def kanonShape(c: DataFrame, o: DataFrame) = operators.KAnonymity.audit(c, o)
+    def packShape(docs: DataFrame) = operators.SequencePacking.packManifest(docs)
+    def kappaShape(docs: DataFrame) = operators.AnnotatorAgreement.fleissKappa(docs)
+    // gshard write+read roundtrip with the text-consuming funnel — the
+    // connector's end-to-end cost (stage + vectorized decode) vs data size
+    def gshardShape(docs: DataFrame): DataFrame = {
+      val stage = streaming.TempDirs.create("gshard-smoke-").toString
+      sources.GShard.write(docs, stage, nShards = 8)
+      spark.read.format("graft.sources.GShardSource").load(stage)
+        .groupBy("source").agg(count(lit(1)).as("n"),
+          sum(size(split(col("text"), " "))).as("toks"))
+    }
 
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("dsir_select", () => noop(dsirShape(d1)), () => noop(dsirShape(dk))),
       ("priority_sample", () => noop(prioShape(d1)), () => noop(prioShape(dk))),
       ("k_anonymity", () => noop(kanonShape(c1, o1)), () => noop(kanonShape(cK, oCk))),
+      ("sequence_packing", () => noop(packShape(d1)), () => noop(packShape(dk))),
+      ("fleiss_kappa", () => noop(kappaShape(d1)), () => noop(kappaShape(dk))),
+      ("gshard_roundtrip", () => noop(gshardShape(d1)), () => noop(gshardShape(dk))),
       ("quantile_regression", () => noop(quantileReg(l1)), () => noop(quantileReg(lk))),
       ("doc_chunking", () => noop(docChunk(d1)), () => noop(docChunk(dk))),
       ("mlp_epochs", () => mlpFit(l1), () => mlpFit(lk)),
