@@ -41,15 +41,15 @@ object Bench {
     "q64_stacking" -> 7.0,
     // r12-first-session queries, measured isolated at sf0.1 under
     // sustained external load 2-7 (optimistic end per the convention).
-    // q227 is the registry's heaviest honest query: edge-pipeline
-    // staging (~6s incl. cache materialization) + three genuine
-    // micro-batch CC merges + the cluster report — 17-24s observed
-    // contended, ~12s estimated idle; the median entry exists so the
-    // sweep stops burning two 19s retries on it.
+    // q227's original 17-28s readings were NOT honest cost: every
+    // multi-part slice dir fed maxFilesPerTrigger=1 one PART FILE per
+    // micro-batch, turning 3 intended slices into 24 engine rounds;
+    // with coalesce(1) slice staging (all streaming harnesses) q227
+    // reads 5.8s warm in-sweep / ~12s JVM-cold solo.
     "q224_range_join_rule" -> 1.5,
     "q225_quantile_sketch_rollup" -> 2.0,
     "q226_stream_quantile_sketch" -> 4.0,
-    "q227_stream_components" -> 12.0,
+    "q227_stream_components" -> 6.0,
     "q228_quality_gate_twin" -> 1.2,
     // r12 additions, measured isolated at sf0.1 (load ~2)
     "q229_priority_sample" -> 1.8,

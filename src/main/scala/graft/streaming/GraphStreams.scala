@@ -51,13 +51,16 @@ object GraphStreams {
     EventStreams.withStreamShufflePartitions(spark) {
       // the edge pipeline (minhash + banded self-join + eq-count filter)
       // is consumed by THREE slice writes — cache it eagerly or each
-      // write recomputes the banded join (racing-consumers rule;
-      // measured 17.3s → ~11s isolated at sf0.1)
+      // write recomputes the banded join (racing-consumers rule)
       val edges = DedupQueries.dedupEdges(spark, dir).cache()
       edges.count()
       val stage = TempDirs.create("graft_cc_stage_")
       (0 until 3).foreach { i =>
         edges.filter(pmod(xxhash64(col("u"), col("v")), lit(3)) === i)
+          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
+          // FILES, so a multi-part slice silently becomes many tiny
+          // micro-batches (q227 measured 24 batches / 23s of engine
+          // rounds for 3 intended slices before this)
           .write.mode("overwrite").parquet(s"$stage/slice_$i")
       }
       edges.unpersist()

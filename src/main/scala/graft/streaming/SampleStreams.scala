@@ -29,6 +29,10 @@ object SampleStreams {
       val stage = TempDirs.create("graft_psample_stage_")
       (0 until 3).foreach { i =>
         docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
+          // FILES, so a multi-part slice silently becomes many tiny
+          // micro-batches (q227 measured 24 batches / 23s of engine
+          // rounds for 3 intended slices before this)
           .write.mode("overwrite").parquet(s"$stage/slice_$i")
       }
       val stateBase = TempDirs.create("graft_psample_state_")
@@ -80,6 +84,10 @@ object SampleStreams {
       val stage = TempDirs.create("graft_dsir_stage_")
       (0 until 3).foreach { i =>
         raw.filter(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
+          // FILES, so a multi-part slice silently becomes many tiny
+          // micro-batches (q227 measured 24 batches / 23s of engine
+          // rounds for 3 intended slices before this)
           .write.mode("overwrite").parquet(s"$stage/slice_$i")
       }
       val stateBase = TempDirs.create("graft_dsir_state_")

@@ -48,6 +48,10 @@ object SketchStreams {
       (0 until 3).foreach { i =>
         docs.filter(pmod(col("doc_id"), lit(3)) === i)
           .select(col("source"), col("text"))
+          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
+          // FILES, so a multi-part slice silently becomes many tiny
+          // micro-batches (q227 measured 24 batches / 23s of engine
+          // rounds for 3 intended slices before this)
           .write.mode("overwrite").parquet(s"$stage/slice_$i")
       }
       val stateBase = TempDirs.create("graft_kmv_state_")
@@ -94,6 +98,10 @@ object SketchStreams {
       val stage = TempDirs.create("graft_qsk_stage_")
       (0 until 3).foreach { i =>
         rows.filter(pmod(col("h"), lit(3)) === i)
+          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
+          // FILES, so a multi-part slice silently becomes many tiny
+          // micro-batches (q227 measured 24 batches / 23s of engine
+          // rounds for 3 intended slices before this)
           .write.mode("overwrite").parquet(s"$stage/slice_$i")
       }
       val stateBase = TempDirs.create("graft_qsk_state_")

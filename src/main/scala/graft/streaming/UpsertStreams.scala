@@ -65,6 +65,10 @@ object UpsertStreams {
       val stage = TempDirs.create("graft_upsert_stage_")
       (0 until 3).foreach { i =>
         events.filter(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
+          // FILES, so a multi-part slice silently becomes many tiny
+          // micro-batches (q227 measured 24 batches / 23s of engine
+          // rounds for 3 intended slices before this)
           .write.mode("overwrite").parquet(s"$stage/slice_$i")
       }
       val stateBase = TempDirs.create("graft_upsert_state_")
