@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Metrics
+import graft.registry.GQuery
+
+/** Probabilistic record linkage, Fellegi-Sunter model (Fellegi & Sunter
+  * 1969, "A theory for record linkage", JASA — public literature; the
+  * same scoring model behind Splink and most production entity
+  * resolution). The pipeline question: given a feed of dirty entity
+  * records, which master records do they refer to — with a calibrated
+  * score, not just an edit-distance threshold (q85 covers the fuzzy
+  * compare; this is the probabilistic DECISION model on top of blocked
+  * comparisons).
+  *
+  * The FS machinery, all exact/deterministic here:
+  *   - u-probabilities (chance agreement among non-matches) computed
+  *     ALGEBRAICALLY from master-side value frequencies: u_f = Σ_v n_v²/N²
+  *     — exact integer sums, no pair sampling needed.
+  *   - m-probabilities (agreement among true matches) estimated on the
+  *     labeled truth pairs with add-half smoothing (m = (agree+½)/(n+1)),
+  *     so m is never 0 or 1 and every log weight is finite. (Production
+  *     systems estimate m via EM; the fixture carries generation truth,
+  *     so the deterministic supervised estimate is both simpler and
+  *     exactly replayable.)
+  *   - per-field log2 agreement/disagreement weights — the ONLY
+  *     transcendentals, snapped ONCE each at 1e-6 (six scalars; the
+  *     q230-λ pattern) and carried as DECIMAL(18,6) so pair scores are
+  *     exact decimal sums.
+  *   - classification by fixed thresholds (match ≥ 8 bits, possible ≥ 0),
+  *     plus truth-based precision/recall and blocking-recall audit
+  *     columns (the q229 audit-column pattern).
+  *
+  * Dirty records are synthesized deterministically from customers via the
+  * q56 60-bit md5 scheme (1-in-3 of customers gets a dirty twin; name
+  * corrupted at 20%, nation at 10%, segment at 15%, balance band at 25%),
+  * so the oracle replays generation, model estimation, scoring, and
+  * classification end to end.
+  *
+  * Scale shape: candidates come from a BLOCKED equi join on nation (the
+  * q85 rule — the block key is the scalability knob; a corrupted blocking
+  * field loses the pair, measured honestly by blocking_recall). The value
+  * -frequency tables, truth-pair counts, and the weight vector are tiny
+  * aggregate frames broadcast into the scoring join; nothing but the
+  * blocked pair stream is ever corpus-sized, and that stream reduces by
+  * map-side-combinable aggregation for the audit.
+  */
+object RecordLinkage {
+
+  private def h60(salt: String, key: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Master side: customers with their comparison fields. */
+  def masterRecords(cust: DataFrame): DataFrame =
+    cust.select(
+      col("c_custkey").as("k"), col("c_name"), col("c_nationkey"),
+      col("c_mktsegment"),
+      floor(col("c_acctbal") / 500).cast("long").as("band"))
+
+  /** Dirty feed: a deterministically corrupted twin for 1-in-3 customers.
+    * rec_id is the negative-twin-id convention (never collides with a
+    * master key).
+    */
+  def dirtyRecords(cust: DataFrame): DataFrame = {
+    val k = col("c_custkey")
+    cust
+      .filter(pmod(h60("pick", k), lit(3)) === 0)
+      .select(
+        (-k - 1).as("rec_id"), k.as("src_key"),
+        when(pmod(h60("nm", k), lit(100)) < 20, concat(col("c_name"), lit("~")))
+          .otherwise(col("c_name")).as("d_name"),
+        when(pmod(h60("nt", k), lit(100)) < 10, pmod(col("c_nationkey") + 7, lit(25)))
+          .otherwise(col("c_nationkey")).as("d_nation"),
+        when(pmod(h60("sg", k), lit(100)) < 15, lit("CORRUPTED"))
+          .otherwise(col("c_mktsegment")).as("d_seg"),
+        (floor(col("c_acctbal") / 500).cast("long") +
+          when(pmod(h60("bb", k), lit(100)) < 25, 1L).otherwise(0L)).as("d_band"))
+  }
+
+  /** One-row m/u weight frame: six snapped DECIMAL(18,6) log2 weights.
+    * Nation is the blocking field and is excluded from scoring (standard
+    * FS practice — within a block it always agrees).
+    */
+  def weights(master: DataFrame, dirty: DataFrame): DataFrame = {
+    def freqSq(c: String): DataFrame =
+      master.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("sq"))
+    val nsq = master.agg(count(lit(1)).as("nc"))
+      .select((col("nc") * col("nc")).cast("double").as("nsq"))
+    // truth pairs: every dirty record joins its (one) source master row
+    val truth = dirty.join(master, col("src_key") === col("k"))
+      .agg(
+        count(lit(1)).as("nt"),
+        sum(when(col("d_name") === col("c_name"), 1L).otherwise(0L)).as("an"),
+        sum(when(col("d_seg") === col("c_mktsegment"), 1L).otherwise(0L)).as("as"),
+        sum(when(col("d_band") === col("band"), 1L).otherwise(0L)).as("ab"))
+    def m(agree: Column, n: Column): Column =
+      (agree.cast("double") + 0.5) / (n.cast("double") + 1.0)
+    def u(sq: Column, nsq: Column): Column = sq.cast("double") / nsq
+    // ln(x)/ln(2) in BOTH engines; snapped once per scalar at 1e-6 —
+    // the only transcendental in the whole query (q230-λ precedent)
+    def w2(x: Column): Column =
+      Metrics.canonRound(log(x) / log(lit(2.0)), 6).cast("decimal(18,6)")
+    truth
+      .crossJoin(nsq)
+      .crossJoin(freqSq("c_name").select(col("sq").as("sqn")))
+      .crossJoin(freqSq("c_mktsegment").select(col("sq").as("sqs")))
+      .crossJoin(freqSq("band").select(col("sq").as("sqb")))
+      .select(
+        w2(m(col("an"), col("nt")) / u(col("sqn"), col("nsq"))).as("w_name_a"),
+        w2((lit(1.0) - m(col("an"), col("nt"))) / (lit(1.0) - u(col("sqn"), col("nsq")))).as("w_name_d"),
+        w2(m(col("as"), col("nt")) / u(col("sqs"), col("nsq"))).as("w_seg_a"),
+        w2((lit(1.0) - m(col("as"), col("nt"))) / (lit(1.0) - u(col("sqs"), col("nsq")))).as("w_seg_d"),
+        w2(m(col("ab"), col("nt")) / u(col("sqb"), col("nsq"))).as("w_band_a"),
+        w2((lit(1.0) - m(col("ab"), col("nt"))) / (lit(1.0) - u(col("sqb"), col("nsq")))).as("w_band_d"))
+  }
+
+  /** Blocked candidate pairs with their FS score (exact decimal sum of
+    * snapped weights) and truth flag.
+    */
+  def scoredPairs(master: DataFrame, dirty: DataFrame, w: DataFrame): DataFrame =
+    dirty
+      .join(master, col("d_nation") === col("c_nationkey"))
+      .crossJoin(broadcast(w))
+      .select(
+        col("rec_id"), col("k").as("master_key"),
+        when(col("d_name") === col("c_name"), 1).otherwise(0).as("a_name"),
+        when(col("d_seg") === col("c_mktsegment"), 1).otherwise(0).as("a_seg"),
+        when(col("d_band") === col("band"), 1).otherwise(0).as("a_band"),
+        (when(col("d_name") === col("c_name"), col("w_name_a")).otherwise(col("w_name_d")) +
+          when(col("d_seg") === col("c_mktsegment"), col("w_seg_a")).otherwise(col("w_seg_d")) +
+          when(col("d_band") === col("band"), col("w_band_a")).otherwise(col("w_band_d"))).as("score"),
+        when(col("src_key") === col("k"), 1).otherwise(0).as("is_true"))
+
+  /** Full linkage report: pairs classified match/possible (non-matches
+    * below 0 bits are dropped — the overwhelming majority), with the
+    * global audit appended to every row.
+    */
+  def linkageReport(cust: DataFrame): DataFrame = {
+    val master = masterRecords(cust)
+    val dirty = dirtyRecords(cust)
+    val scored = scoredPairs(master, dirty, weights(master, dirty))
+    val nDirty = dirty.agg(count(lit(1)).as("n_dirty"))
+    // one map-side-combinable pass over ALL candidates for the audit
+    val audit = scored.agg(
+        sum(col("is_true").cast("long")).as("n_true_cand"),
+        sum(when(col("score") >= 8 && col("is_true") === 1, 1L).otherwise(0L)).as("n_match_true"),
+        sum(when(col("score") >= 8, 1L).otherwise(0L)).as("n_match"))
+      .crossJoin(nDirty)
+      .select(
+        col("n_match"),
+        Metrics.canonRound(when(col("n_match") > 0,
+          col("n_match_true").cast("double") / col("n_match").cast("double")), 4)
+          .as("precision_match"),
+        Metrics.canonRound(col("n_match_true").cast("double") / col("n_dirty").cast("double"), 4)
+          .as("recall_match"),
+        Metrics.canonRound(col("n_true_cand").cast("double") / col("n_dirty").cast("double"), 4)
+          .as("blocking_recall"))
+    scored
+      .filter(col("score") >= 0)
+      .withColumn("verdict", when(col("score") >= 8, lit("match")).otherwise(lit("possible")))
+      .crossJoin(broadcast(audit))
+      .select(col("rec_id"), col("master_key"),
+        col("a_name"), col("a_seg"), col("a_band"),
+        col("score").cast("double").as("score"), col("verdict"), col("is_true"),
+        col("n_match"), col("precision_match"), col("recall_match"),
+        col("blocking_recall"))
+      .orderBy("rec_id", "master_key")
+  }
+
+  val q241 = GQuery(
+    "q241_record_linkage",
+    (s, dir) => linkageReport(Tables.customer(s, dir)),
+    Some("""WITH h AS (
+        SELECT c_custkey AS k, c_name, c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 500) AS BIGINT) AS band,
+          CAST(('0x' || substr(md5('pick:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS hp,
+          CAST(('0x' || substr(md5('nm:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hn,
+          CAST(('0x' || substr(md5('nt:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS ht,
+          CAST(('0x' || substr(md5('sg:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hs,
+          CAST(('0x' || substr(md5('bb:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hb
+        FROM customer),
+      master AS (
+        SELECT c_custkey AS k, c_name, c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 500) AS BIGINT) AS band
+        FROM customer),
+      dirty AS (
+        SELECT -k - 1 AS rec_id, k AS src_key,
+          CASE WHEN hn < 20 THEN c_name || '~' ELSE c_name END AS d_name,
+          CASE WHEN ht < 10 THEN (c_nationkey + 7) % 25 ELSE c_nationkey END AS d_nation,
+          CASE WHEN hs < 15 THEN 'CORRUPTED' ELSE c_mktsegment END AS d_seg,
+          band + CASE WHEN hb < 25 THEN 1 ELSE 0 END AS d_band
+        FROM h WHERE hp = 0),
+      nsq AS (SELECT CAST(count(*) * count(*) AS DOUBLE) AS nsq FROM master),
+      sqn AS (SELECT CAST(sum(n * n) AS BIGINT) AS sqn
+              FROM (SELECT count(*) AS n FROM master GROUP BY c_name)),
+      sqs AS (SELECT CAST(sum(n * n) AS BIGINT) AS sqs
+              FROM (SELECT count(*) AS n FROM master GROUP BY c_mktsegment)),
+      sqb AS (SELECT CAST(sum(n * n) AS BIGINT) AS sqb
+              FROM (SELECT count(*) AS n FROM master GROUP BY band)),
+      truth AS (
+        SELECT count(*) AS nt,
+          sum(CASE WHEN d.d_name = m.c_name THEN 1 ELSE 0 END) AS an,
+          sum(CASE WHEN d.d_seg = m.c_mktsegment THEN 1 ELSE 0 END) AS ags,
+          sum(CASE WHEN d.d_band = m.band THEN 1 ELSE 0 END) AS ab
+        FROM dirty d JOIN master m ON d.src_key = m.k),
+      wts AS (
+        SELECT
+          CAST(floor(ln(((an + 0.5) / (nt + 1.0)) / (sqn / nsq)) / ln(2) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS w_name_a,
+          CAST(floor(ln((1.0 - (an + 0.5) / (nt + 1.0)) / (1.0 - sqn / nsq)) / ln(2) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS w_name_d,
+          CAST(floor(ln(((ags + 0.5) / (nt + 1.0)) / (sqs / nsq)) / ln(2) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS w_seg_a,
+          CAST(floor(ln((1.0 - (ags + 0.5) / (nt + 1.0)) / (1.0 - sqs / nsq)) / ln(2) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS w_seg_d,
+          CAST(floor(ln(((ab + 0.5) / (nt + 1.0)) / (sqb / nsq)) / ln(2) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS w_band_a,
+          CAST(floor(ln((1.0 - (ab + 0.5) / (nt + 1.0)) / (1.0 - sqb / nsq)) / ln(2) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)) AS w_band_d
+        FROM truth, nsq, sqn, sqs, sqb),
+      scored AS (
+        SELECT d.rec_id, m.k AS master_key,
+          CASE WHEN d.d_name = m.c_name THEN 1 ELSE 0 END AS a_name,
+          CASE WHEN d.d_seg = m.c_mktsegment THEN 1 ELSE 0 END AS a_seg,
+          CASE WHEN d.d_band = m.band THEN 1 ELSE 0 END AS a_band,
+          (CASE WHEN d.d_name = m.c_name THEN w.w_name_a ELSE w.w_name_d END +
+           CASE WHEN d.d_seg = m.c_mktsegment THEN w.w_seg_a ELSE w.w_seg_d END +
+           CASE WHEN d.d_band = m.band THEN w.w_band_a ELSE w.w_band_d END) AS score,
+          CASE WHEN d.src_key = m.k THEN 1 ELSE 0 END AS is_true
+        FROM dirty d JOIN master m ON d.d_nation = m.c_nationkey
+        CROSS JOIN wts w),
+      nd AS (SELECT count(*) AS n_dirty FROM dirty),
+      audit AS (
+        SELECT
+          CAST(sum(CASE WHEN score >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+          floor(CASE WHEN sum(CASE WHEN score >= 8 THEN 1 ELSE 0 END) > 0 THEN
+              CAST(sum(CASE WHEN score >= 8 AND is_true = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(sum(CASE WHEN score >= 8 THEN 1 ELSE 0 END) AS DOUBLE) END * 1e4 + 0.5) / 1e4 AS precision_match,
+          floor(CAST(sum(CASE WHEN score >= 8 AND is_true = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST((SELECT n_dirty FROM nd) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS recall_match,
+          floor(CAST(sum(is_true) AS DOUBLE)
+              / CAST((SELECT n_dirty FROM nd) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS blocking_recall
+        FROM scored)
+      SELECT s.rec_id, s.master_key,
+        CAST(s.a_name AS INTEGER) AS a_name, CAST(s.a_seg AS INTEGER) AS a_seg,
+        CAST(s.a_band AS INTEGER) AS a_band,
+        CAST(s.score AS DOUBLE) AS score,
+        CASE WHEN s.score >= 8 THEN 'match' ELSE 'possible' END AS verdict,
+        CAST(s.is_true AS INTEGER) AS is_true,
+        a.n_match, a.precision_match, a.recall_match, a.blocking_recall
+      FROM scored s CROSS JOIN audit a
+      WHERE s.score >= 0
+      ORDER BY s.rec_id, s.master_key"""))
+
+  val all: Seq[GQuery] = Seq(q241)
+}

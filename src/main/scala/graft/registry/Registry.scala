@@ -45,7 +45,8 @@ object Registry {
     graft.operators.KAnonymity.all,
     graft.sources.GShardQueries.all,
     graft.operators.AnnotatorAgreement.all,
-    graft.operators.SequencePacking.all
+    graft.operators.SequencePacking.all,
+    graft.operators.RecordLinkage.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
