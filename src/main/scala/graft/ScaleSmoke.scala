@@ -545,7 +545,22 @@ object ScaleSmoke {
           sum(size(split(col("text"), " "))).as("toks"))
     }
 
+    // record linkage: replicas get DISJOINT block-key universes
+    // (nationkey shifted like custkey) so the blocked join's per-key
+    // fan-out stays constant — the honest 100 TB shape, where the block
+    // key's cardinality grows with the corpus. Keeping the 25 fixture
+    // nations while replicating rows would grow pairs K² BY DESIGN of
+    // blocking, not as an implementation defect.
+    val cNat = {
+      val rep = c1.withColumn("__rep", explode(sequence(lit(0L), lit(k - 1L))))
+      rep.withColumn("c_custkey", col("c_custkey") * k + col("__rep"))
+        .withColumn("c_nationkey", (col("c_nationkey") * k + col("__rep")).cast("int"))
+        .drop("__rep")
+    }
+    def linkShape(c: DataFrame) = operators.RecordLinkage.linkageReport(c)
+
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("record_linkage", () => noop(linkShape(c1)), () => noop(linkShape(cNat))),
       ("dsir_select", () => noop(dsirShape(d1)), () => noop(dsirShape(dk))),
       ("priority_sample", () => noop(prioShape(d1)), () => noop(prioShape(dk))),
       ("k_anonymity", () => noop(kanonShape(c1, o1)), () => noop(kanonShape(cK, oCk))),

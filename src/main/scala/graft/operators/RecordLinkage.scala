@@ -121,20 +121,38 @@ object RecordLinkage {
 
   /** Blocked candidate pairs with their FS score (exact decimal sum of
     * snapped weights) and truth flag.
+    *
+    * The six weights are a deterministic ONE-ROW aggregate; they are
+    * collected and folded in as decimal literals (the q228/MlpModel
+    * folded-weights recipe) rather than crossJoin(broadcast(w))-ed:
+    * a projection above a BroadcastNestedLoopJoin is evaluated outside
+    * whole-stage codegen, and at sf0.1 the interpreted per-pair score
+    * measured ~2.5s PER COLUMN over the 3M candidates (23s total) vs
+    * ~1s for the whole query with literal weights keeping the score
+    * inside the blocked join's codegen stage.
     */
-  def scoredPairs(master: DataFrame, dirty: DataFrame, w: DataFrame): DataFrame =
-    dirty
+  def scoredPairs(master: DataFrame, dirty: DataFrame, w: DataFrame): DataFrame = {
+    val wr = w.head()
+    def wl(i: Int): Column = lit(wr.getDecimal(i))
+    // The exchange below is load-bearing, not just co-location: codegen
+    // defers stream-side vars that the join key doesn't need into the
+    // match loop, so without it the md5-CASE dirty columns re-evaluate
+    // PER PAIR (3M md5s at sf0.1, measured ~2.3s per referencing column)
+    // instead of per dirty row. Shuffling the dirty feed on the block
+    // key materializes them once — and is the shuffle a non-broadcast
+    // blocked join needs at real scale anyway.
+    dirty.repartition(col("d_nation"))
       .join(master, col("d_nation") === col("c_nationkey"))
-      .crossJoin(broadcast(w))
       .select(
         col("rec_id"), col("k").as("master_key"),
         when(col("d_name") === col("c_name"), 1).otherwise(0).as("a_name"),
         when(col("d_seg") === col("c_mktsegment"), 1).otherwise(0).as("a_seg"),
         when(col("d_band") === col("band"), 1).otherwise(0).as("a_band"),
-        (when(col("d_name") === col("c_name"), col("w_name_a")).otherwise(col("w_name_d")) +
-          when(col("d_seg") === col("c_mktsegment"), col("w_seg_a")).otherwise(col("w_seg_d")) +
-          when(col("d_band") === col("band"), col("w_band_a")).otherwise(col("w_band_d"))).as("score"),
+        (when(col("d_name") === col("c_name"), wl(0)).otherwise(wl(1)) +
+          when(col("d_seg") === col("c_mktsegment"), wl(2)).otherwise(wl(3)) +
+          when(col("d_band") === col("band"), wl(4)).otherwise(wl(5))).as("score"),
         when(col("src_key") === col("k"), 1).otherwise(0).as("is_true"))
+  }
 
   /** Full linkage report: pairs classified match/possible (non-matches
     * below 0 bits are dropped — the overwhelming majority), with the
