@@ -64,6 +64,7 @@ object Bench {
     "q239_streaming_dsir" -> 4.0,
     "q240_gshard_corpus" -> 2.0,
     "q241_record_linkage" -> 2.5,
+    "q242_bradley_terry" -> 2.0,
     "q107_ann_pq" -> 3.6,
     "q100_stream_neardup" -> 3.0,
     "q215_stream_minhash_index" -> 4.0,

@@ -558,9 +558,14 @@ object ScaleSmoke {
         .drop("__rep")
     }
     def linkShape(c: DataFrame) = operators.RecordLinkage.linkageReport(c)
+    // Bradley-Terry: corpus grows 10x, the source set (and so the win
+    // matrix the MM iterations run on) stays fixed — only the one
+    // map-side-combinable reduction should scale
+    def btShape(docs: DataFrame) = operators.BradleyTerry.sourceRanking(docs)
 
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("record_linkage", () => noop(linkShape(c1)), () => noop(linkShape(cNat))),
+      ("bradley_terry", () => noop(btShape(d1)), () => noop(btShape(dk))),
       ("dsir_select", () => noop(dsirShape(d1)), () => noop(dsirShape(dk))),
       ("priority_sample", () => noop(prioShape(d1)), () => noop(prioShape(dk))),
       ("k_anonymity", () => noop(kanonShape(c1, o1)), () => noop(kanonShape(cK, oCk))),

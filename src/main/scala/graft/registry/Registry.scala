@@ -46,7 +46,8 @@ object Registry {
     graft.sources.GShardQueries.all,
     graft.operators.AnnotatorAgreement.all,
     graft.operators.SequencePacking.all,
-    graft.operators.RecordLinkage.all
+    graft.operators.RecordLinkage.all,
+    graft.operators.BradleyTerry.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
