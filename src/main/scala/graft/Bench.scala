@@ -65,6 +65,9 @@ object Bench {
     "q240_gshard_corpus" -> 2.0,
     "q241_record_linkage" -> 2.5,
     "q242_bradley_terry" -> 2.0,
+    // compute-bound O(m^1.5): 41M oriented wedges over the 1.2M-edge
+    // co-purchase graph at sf0.1 — honest work, not a plan defect
+    "q243_triangle_count" -> 7.0,
     "q107_ann_pq" -> 3.6,
     "q100_stream_neardup" -> 3.0,
     "q215_stream_minhash_index" -> 4.0,

@@ -562,10 +562,16 @@ object ScaleSmoke {
     // matrix the MM iterations run on) stays fixed — only the one
     // map-side-combinable reduction should scale
     def btShape(docs: DataFrame) = operators.BradleyTerry.sourceRanking(docs)
+    // triangle counting: replicas shift BOTH keys so the co-purchase
+    // graphs stay disjoint (10x edges/wedges, same density) — shifting
+    // only orderkey would densify one shared part universe superlinearly
+    val lTri = replicate(l1, Seq("l_orderkey", "l_partkey"))
+    def triShape(li: DataFrame) = operators.TriangleCount.triangleReport(li)
 
     val shapes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("record_linkage", () => noop(linkShape(c1)), () => noop(linkShape(cNat))),
       ("bradley_terry", () => noop(btShape(d1)), () => noop(btShape(dk))),
+      ("triangle_count", () => noop(triShape(l1)), () => noop(triShape(lTri))),
       ("dsir_select", () => noop(dsirShape(d1)), () => noop(dsirShape(dk))),
       ("priority_sample", () => noop(prioShape(d1)), () => noop(prioShape(dk))),
       ("k_anonymity", () => noop(kanonShape(c1, o1)), () => noop(kanonShape(cK, oCk))),

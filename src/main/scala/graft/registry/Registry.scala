@@ -47,7 +47,8 @@ object Registry {
     graft.operators.AnnotatorAgreement.all,
     graft.operators.SequencePacking.all,
     graft.operators.RecordLinkage.all,
-    graft.operators.BradleyTerry.all
+    graft.operators.BradleyTerry.all,
+    graft.operators.TriangleCount.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
