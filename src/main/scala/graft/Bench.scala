@@ -68,6 +68,7 @@ object Bench {
     // compute-bound O(m^1.5): 41M oriented wedges over the 1.2M-edge
     // co-purchase graph at sf0.1 — honest work, not a plan defect
     "q243_triangle_count" -> 7.0,
+    "q244_em_linkage" -> 2.2,
     "q107_ann_pq" -> 3.6,
     "q100_stream_neardup" -> 3.0,
     "q215_stream_minhash_index" -> 4.0,

@@ -131,16 +131,19 @@ object RecordLinkage {
     * ~1s for the whole query with literal weights keeping the score
     * inside the blocked join's codegen stage.
     */
-  def scoredPairs(master: DataFrame, dirty: DataFrame, w: DataFrame): DataFrame = {
-    val wr = w.head()
-    def wl(i: Int): Column = lit(wr.getDecimal(i))
-    // The exchange below is load-bearing, not just co-location: codegen
-    // defers stream-side vars that the join key doesn't need into the
-    // match loop, so without it the md5-CASE dirty columns re-evaluate
-    // PER PAIR (3M md5s at sf0.1, measured ~2.3s per referencing column)
-    // instead of per dirty row. Shuffling the dirty feed on the block
-    // key materializes them once — and is the shuffle a non-broadcast
-    // blocked join needs at real scale anyway.
+  /** Blocked candidate pairs with their per-field agreement indicators
+    * and truth flag — shared by the supervised scorer (q241) and the
+    * unsupervised EM estimator (q244).
+    *
+    * The exchange below is load-bearing, not just co-location: codegen
+    * defers stream-side vars that the join key doesn't need into the
+    * match loop, so without it the md5-CASE dirty columns re-evaluate
+    * PER PAIR (3M md5s at sf0.1, measured ~2.3s per referencing column)
+    * instead of per dirty row. Shuffling the dirty feed on the block
+    * key materializes them once — and is the shuffle a non-broadcast
+    * blocked join needs at real scale anyway.
+    */
+  def candidatePairs(master: DataFrame, dirty: DataFrame): DataFrame =
     dirty.repartition(col("d_nation"))
       .join(master, col("d_nation") === col("c_nationkey"))
       .select(
@@ -148,10 +151,20 @@ object RecordLinkage {
         when(col("d_name") === col("c_name"), 1).otherwise(0).as("a_name"),
         when(col("d_seg") === col("c_mktsegment"), 1).otherwise(0).as("a_seg"),
         when(col("d_band") === col("band"), 1).otherwise(0).as("a_band"),
-        (when(col("d_name") === col("c_name"), wl(0)).otherwise(wl(1)) +
-          when(col("d_seg") === col("c_mktsegment"), wl(2)).otherwise(wl(3)) +
-          when(col("d_band") === col("band"), wl(4)).otherwise(wl(5))).as("score"),
         when(col("src_key") === col("k"), 1).otherwise(0).as("is_true"))
+
+  def scoredPairs(master: DataFrame, dirty: DataFrame, w: DataFrame): DataFrame = {
+    val wr = w.head()
+    // the one-row weight frame folds in as decimal literals (the
+    // q228/MlpModel recipe): a crossJoin(broadcast(w)) plans a BNLJ
+    // whose output projection runs interpreted, measured ~2.5s per
+    // referencing column over the sf0.1 candidates
+    def wl(i: Int): Column = lit(wr.getDecimal(i))
+    candidatePairs(master, dirty)
+      .withColumn("score",
+        when(col("a_name") === 1, wl(0)).otherwise(wl(1)) +
+          when(col("a_seg") === 1, wl(2)).otherwise(wl(3)) +
+          when(col("a_band") === 1, wl(4)).otherwise(wl(5)))
   }
 
   /** Full linkage report: pairs classified match/possible (non-matches
@@ -269,5 +282,185 @@ object RecordLinkage {
       WHERE s.score >= 0
       ORDER BY s.rec_id, s.master_key"""))
 
-  val all: Seq[GQuery] = Seq(q241)
+  // ---------------------------------------------------------------------
+  // q244: UNSUPERVISED Fellegi-Sunter estimation by EM (Winkler 1988;
+  // the estimation path Splink uses in production — q241's m comes from
+  // labeled truth, which real pipelines rarely have). The blocked pairs
+  // reduce by ONE map-side-combinable groupBy to the 2³ agreement-
+  // pattern table; EM runs on those 8 rows as driver state. Every round
+  // is transcendental-free and integer-anchored (the q242 recipe): the
+  // E-step posterior is products and one division over 1e-6-snapped
+  // parameters, the M-step responsibilities are 1e6-scaled BIGINTs
+  // summed exactly, and each new parameter is one IEEE division + a
+  // 1e-6 snap — so DuckDB unrolls all 8 rounds and matches every bit.
+  // Measured recovery at sf0.01: λ → 0.0130 (true prevalence 0.0146),
+  // m → (0.89, 0.85, 0.78) vs generation (0.80, 0.85, 0.75) — with NO
+  // labels.
+  // ---------------------------------------------------------------------
+
+  /** EM rounds; parameters snapped at 1e-6 per round. */
+  val EmRounds = 8
+
+  /** EM over the collected agreement-pattern counts.
+    * pat: (aName, aSeg, aBand, n). Returns (λ, m(3), u(3)), all
+    * 1e-6-snapped.
+    */
+  private[operators] def emFit(
+      pat: Seq[(Int, Int, Int, Long)],
+      rounds: Int): (Double, Array[Double], Array[Double]) = {
+    val nTotal = pat.map(_._4).sum
+    var lam = 0.01
+    var m = Array(0.8, 0.8, 0.8)
+    var u = Array(0.2, 0.2, 0.2)
+    def posterior(a: Array[Int]): Double = {
+      var pm = lam
+      var pu = 1.0 - lam
+      for (f <- 0 until 3) {
+        pm = pm * (if (a(f) == 1) m(f) else 1.0 - m(f))
+        pu = pu * (if (a(f) == 1) u(f) else 1.0 - u(f))
+      }
+      pm / (pm + pu)
+    }
+    def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    for (_ <- 1 to rounds) {
+      val scaled = pat.map { case (a1, a2, a3, n) =>
+        val r = posterior(Array(a1, a2, a3))
+        (Array(a1, a2, a3),
+          math.floor(n * r * 1e6 + 0.5).toLong,
+          math.floor(n * (1.0 - r) * 1e6 + 0.5).toLong)
+      }
+      val tSum = scaled.map(_._2).sum
+      val sSum = scaled.map(_._3).sum
+      require(tSum > 0 && sSum > 0,
+        "EM responsibilities collapsed — pattern table too small")
+      lam = snap(tSum.toDouble / (nTotal * 1e6))
+      m = Array.tabulate(3)(f =>
+        snap(scaled.filter(_._1(f) == 1).map(_._2).sum.toDouble / tSum.toDouble))
+      u = Array.tabulate(3)(f =>
+        snap(scaled.filter(_._1(f) == 1).map(_._3).sum.toDouble / sSum.toDouble))
+    }
+    (lam, m, u)
+  }
+
+  /** Agreement-pattern EM report: one row per observed pattern with its
+    * count, truth-fraction audit, EM posterior match probability and
+    * classification, and the fitted parameters appended.
+    */
+  def emReport(cust: DataFrame): DataFrame = {
+    val spark = cust.sparkSession
+    import spark.implicits._
+    val pat = candidatePairs(masterRecords(cust), dirtyRecords(cust))
+      .groupBy("a_name", "a_seg", "a_band")
+      .agg(count(lit(1)).as("n"), sum(col("is_true").cast("long")).as("nt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val (lam, m, u) = emFit(pat.map(p => (p._1, p._2, p._3, p._4)), EmRounds)
+    def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = pat.map { case (a1, a2, a3, n, nt) =>
+      var pm = lam
+      var pu = 1.0 - lam
+      val a = Array(a1, a2, a3)
+      for (f <- 0 until 3) {
+        pm = pm * (if (a(f) == 1) m(f) else 1.0 - m(f))
+        pu = pu * (if (a(f) == 1) u(f) else 1.0 - u(f))
+      }
+      val r = pm / (pm + pu)
+      (a1, a2, a3, n, snap(nt.toDouble / n), snap(r),
+        if (r >= 0.5) "match" else "nonmatch",
+        lam, m(0), m(1), m(2), u(0), u(1), u(2))
+    }.sortBy(p => (p._1, p._2, p._3))
+    rows.toDF("a_name", "a_seg", "a_band", "n", "true_frac", "post_match",
+        "verdict", "em_lambda", "em_m_name", "em_m_seg", "em_m_band",
+        "em_u_name", "em_u_seg", "em_u_band")
+      .orderBy("a_name", "a_seg", "a_band")
+  }
+
+  private def emRoundSql(r: Int): String = {
+    val prev = if (r == 1) "par0" else s"par${r - 1}"
+    def post(alias: String, q: String) =
+      s"""($q.lam * CASE $alias.a_name WHEN 1 THEN $q.m1 ELSE 1.0 - $q.m1 END
+             * CASE $alias.a_seg  WHEN 1 THEN $q.m2 ELSE 1.0 - $q.m2 END
+             * CASE $alias.a_band WHEN 1 THEN $q.m3 ELSE 1.0 - $q.m3 END) /
+          (($q.lam * CASE $alias.a_name WHEN 1 THEN $q.m1 ELSE 1.0 - $q.m1 END
+              * CASE $alias.a_seg  WHEN 1 THEN $q.m2 ELSE 1.0 - $q.m2 END
+              * CASE $alias.a_band WHEN 1 THEN $q.m3 ELSE 1.0 - $q.m3 END)
+           + ((1.0 - $q.lam) * CASE $alias.a_name WHEN 1 THEN $q.u1 ELSE 1.0 - $q.u1 END
+                * CASE $alias.a_seg  WHEN 1 THEN $q.u2 ELSE 1.0 - $q.u2 END
+                * CASE $alias.a_band WHEN 1 THEN $q.u3 ELSE 1.0 - $q.u3 END))"""
+    s"""g$r AS MATERIALIZED (
+        SELECT p.a_name, p.a_seg, p.a_band,
+          CAST(floor(p.n * ${post("p", "q")} * 1e6 + 0.5) AS BIGINT) AS t,
+          CAST(floor(p.n * (1.0 - ${post("p", "q")}) * 1e6 + 0.5) AS BIGINT) AS s
+        FROM pat p CROSS JOIN $prev q),
+      par$r AS MATERIALIZED (
+        SELECT
+          floor((SELECT sum(t) FROM g$r) / ((SELECT sum(n) FROM pat) * 1e6) * 1e6 + 0.5) / 1e6 AS lam,
+          floor(CAST((SELECT sum(t) FROM g$r WHERE a_name = 1) AS DOUBLE) / (SELECT sum(t) FROM g$r) * 1e6 + 0.5) / 1e6 AS m1,
+          floor(CAST((SELECT sum(t) FROM g$r WHERE a_seg  = 1) AS DOUBLE) / (SELECT sum(t) FROM g$r) * 1e6 + 0.5) / 1e6 AS m2,
+          floor(CAST((SELECT sum(t) FROM g$r WHERE a_band = 1) AS DOUBLE) / (SELECT sum(t) FROM g$r) * 1e6 + 0.5) / 1e6 AS m3,
+          floor(CAST((SELECT sum(s) FROM g$r WHERE a_name = 1) AS DOUBLE) / (SELECT sum(s) FROM g$r) * 1e6 + 0.5) / 1e6 AS u1,
+          floor(CAST((SELECT sum(s) FROM g$r WHERE a_seg  = 1) AS DOUBLE) / (SELECT sum(s) FROM g$r) * 1e6 + 0.5) / 1e6 AS u2,
+          floor(CAST((SELECT sum(s) FROM g$r WHERE a_band = 1) AS DOUBLE) / (SELECT sum(s) FROM g$r) * 1e6 + 0.5) / 1e6 AS u3)"""
+  }
+
+  val q244 = GQuery(
+    "q244_em_linkage",
+    (s, dir) => emReport(Tables.customer(s, dir)),
+    Some(s"""WITH h AS (
+        SELECT c_custkey AS k, c_name, c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 500) AS BIGINT) AS band,
+          CAST(('0x' || substr(md5('pick:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS hp,
+          CAST(('0x' || substr(md5('nm:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hn,
+          CAST(('0x' || substr(md5('nt:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS ht,
+          CAST(('0x' || substr(md5('sg:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hs,
+          CAST(('0x' || substr(md5('bb:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hb
+        FROM customer),
+      master AS (
+        SELECT c_custkey AS k, c_name, c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 500) AS BIGINT) AS band
+        FROM customer),
+      dirty AS (
+        SELECT -k - 1 AS rec_id, k AS src_key,
+          CASE WHEN hn < 20 THEN c_name || '~' ELSE c_name END AS d_name,
+          CASE WHEN ht < 10 THEN (c_nationkey + 7) % 25 ELSE c_nationkey END AS d_nation,
+          CASE WHEN hs < 15 THEN 'CORRUPTED' ELSE c_mktsegment END AS d_seg,
+          band + CASE WHEN hb < 25 THEN 1 ELSE 0 END AS d_band
+        FROM h WHERE hp = 0),
+      pat AS MATERIALIZED (
+        SELECT CASE WHEN d.d_name = m.c_name THEN 1 ELSE 0 END AS a_name,
+               CASE WHEN d.d_seg = m.c_mktsegment THEN 1 ELSE 0 END AS a_seg,
+               CASE WHEN d.d_band = m.band THEN 1 ELSE 0 END AS a_band,
+               count(*) AS n,
+               sum(CASE WHEN d.src_key = m.k THEN 1 ELSE 0 END) AS nt
+        FROM dirty d JOIN master m ON d.d_nation = m.c_nationkey
+        GROUP BY 1, 2, 3),
+      par0 AS (SELECT CAST(0.01 AS DOUBLE) AS lam,
+        CAST(0.8 AS DOUBLE) AS m1, CAST(0.8 AS DOUBLE) AS m2, CAST(0.8 AS DOUBLE) AS m3,
+        CAST(0.2 AS DOUBLE) AS u1, CAST(0.2 AS DOUBLE) AS u2, CAST(0.2 AS DOUBLE) AS u3),
+      ${(1 to EmRounds).map(emRoundSql).mkString(",\n      ")},
+      post AS (
+        SELECT p.a_name, p.a_seg, p.a_band, p.n, p.nt,
+          (q.lam * CASE p.a_name WHEN 1 THEN q.m1 ELSE 1.0 - q.m1 END
+                 * CASE p.a_seg  WHEN 1 THEN q.m2 ELSE 1.0 - q.m2 END
+                 * CASE p.a_band WHEN 1 THEN q.m3 ELSE 1.0 - q.m3 END) /
+          ((q.lam * CASE p.a_name WHEN 1 THEN q.m1 ELSE 1.0 - q.m1 END
+                  * CASE p.a_seg  WHEN 1 THEN q.m2 ELSE 1.0 - q.m2 END
+                  * CASE p.a_band WHEN 1 THEN q.m3 ELSE 1.0 - q.m3 END)
+           + ((1.0 - q.lam) * CASE p.a_name WHEN 1 THEN q.u1 ELSE 1.0 - q.u1 END
+                            * CASE p.a_seg  WHEN 1 THEN q.u2 ELSE 1.0 - q.u2 END
+                            * CASE p.a_band WHEN 1 THEN q.u3 ELSE 1.0 - q.u3 END)) AS r,
+          q.lam, q.m1, q.m2, q.m3, q.u1, q.u2, q.u3
+        FROM pat p CROSS JOIN par$EmRounds q)
+      SELECT CAST(a_name AS INT) AS a_name, CAST(a_seg AS INT) AS a_seg,
+        CAST(a_band AS INT) AS a_band, CAST(n AS BIGINT) AS n,
+        floor(CAST(nt AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS true_frac,
+        floor(r * 1e6 + 0.5) / 1e6 AS post_match,
+        CASE WHEN r >= 0.5 THEN 'match' ELSE 'nonmatch' END AS verdict,
+        lam AS em_lambda, m1 AS em_m_name, m2 AS em_m_seg, m3 AS em_m_band,
+        u1 AS em_u_name, u2 AS em_u_seg, u3 AS em_u_band
+      FROM post
+      ORDER BY a_name, a_seg, a_band"""))
+
+  val all: Seq[GQuery] = Seq(q241, q244)
 }

@@ -46,6 +46,36 @@ class RecordLinkageSpec extends SparkSpec {
     assert(report.filter(col("is_true") === 1).count() <= survived)
   }
 
+  test("EM recovers the generation parameters without labels") {
+    val em = RecordLinkage.emReport(cust).cache()
+    val r = em.select("em_m_name", "em_m_seg", "em_m_band",
+      "em_u_name", "em_lambda").head()
+    // generation corruption: name 20%, seg 15%, band 25% -> m ~ (.8,.85,.75)
+    assert(r.getDouble(0) > 0.6 && r.getDouble(0) <= 1.0, "m_name")
+    assert(r.getDouble(1) > 0.6 && r.getDouble(1) <= 1.0, "m_seg")
+    assert(r.getDouble(2) > 0.55 && r.getDouble(2) <= 1.0, "m_band")
+    // chance name agreement among non-matches is near zero
+    assert(r.getDouble(3) < 0.05, "u_name")
+    assert(r.getDouble(4) > 0 && r.getDouble(4) < 0.1, "lambda")
+    // the corner patterns are decisive at every SF (the middle ones
+    // honestly depend on corpus size — at sf0.001 the n=2 pattern
+    // (1,0,0) posterior is 0.14): all-agree -> match, and no pattern
+    // disagreeing on name classifies match
+    assert(em.filter(col("a_name") === 1 && col("a_seg") === 1 &&
+      col("a_band") === 1 && col("post_match") < 0.9).count() == 0)
+    assert(em.filter(col("a_name") === 0 && col("verdict") === "match").count() == 0)
+    em.unpersist()
+  }
+
+  test("emFit is invariant to pattern-row order (exact integer sums)") {
+    val pat = Seq((0, 0, 0, 24968L), (0, 0, 1, 1153L), (0, 1, 0, 5117L),
+      (0, 1, 1, 301L), (1, 0, 0, 12L), (1, 0, 1, 48L), (1, 1, 0, 75L),
+      (1, 1, 1, 241L))
+    val a = RecordLinkage.emFit(pat, RecordLinkage.EmRounds)
+    val b = RecordLinkage.emFit(pat.reverse, RecordLinkage.EmRounds)
+    assert(a._1 == b._1 && a._2.sameElements(b._2) && a._3.sameElements(b._3))
+  }
+
   test("matches are precise: no false positive crosses the 8-bit bar") {
     val fp = report.filter(col("verdict") === "match" && col("is_true") === 0).count()
     assert(fp == 0, "fixture corruption rates leave clear margin above 8 bits")
