@@ -69,6 +69,7 @@ object Bench {
     // co-purchase graph at sf0.1 — honest work, not a plan defect
     "q243_triangle_count" -> 7.0,
     "q244_em_linkage" -> 2.2,
+    "q245_streaming_bradley_terry" -> 3.0,
     "q107_ann_pq" -> 3.6,
     "q100_stream_neardup" -> 3.0,
     "q215_stream_minhash_index" -> 4.0,

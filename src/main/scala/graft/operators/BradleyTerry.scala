@@ -60,7 +60,13 @@ object BradleyTerry {
     * the NEXT same-lang doc (by doc_id) when their sources differ;
     * higher pref wins, ties to the lower doc_id.
     */
-  def comparisonMatrix(docs: DataFrame): DataFrame = {
+  def comparisonMatrix(docs: DataFrame): DataFrame =
+    matrixFrom(comparisonRows(docs))
+
+  /** The raw judgment stream before matrix reduction — one row per
+    * comparison (lo, hi, win_lo). This is the grain preference events
+    * arrive at in production; q245 streams it. */
+  def comparisonRows(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang").orderBy("doc_id")
     val p = prefFrame(docs)
       .withColumn("n_doc", lead("doc_id", 1).over(w))
@@ -70,12 +76,18 @@ object BradleyTerry {
     val winA = col("pref") > col("n_pref") ||
       (col("pref") === col("n_pref") && col("doc_id") < col("n_doc"))
     p.select(
-        least(col("sidx"), col("n_sidx")).as("lo"),
-        greatest(col("sidx"), col("n_sidx")).as("hi"),
-        when(winA === (col("sidx") < col("n_sidx")), 1L).otherwise(0L).as("win_lo"))
-      .groupBy("lo", "hi")
-      .agg(count(lit(1)).as("n"), sum("win_lo").as("wlo"))
+      col("doc_id"),
+      least(col("sidx"), col("n_sidx")).as("lo"),
+      greatest(col("sidx"), col("n_sidx")).as("hi"),
+      when(winA === (col("sidx") < col("n_sidx")), 1L).otherwise(0L).as("win_lo"))
   }
+
+  /** Matrix reduction — associative in the comparison rows, so a
+    * streaming state merge of per-batch counts equals the one-shot
+    * build (q245's invariant). */
+  def matrixFrom(rows: DataFrame): DataFrame =
+    rows.groupBy("lo", "hi")
+      .agg(count(lit(1)).as("n"), sum("win_lo").as("wlo"))
 
   /** MM iterations over the collected matrix — the exact integer-scaled
     * scheme the oracle unrolls. pairs: (lo, hi, n, winsLo).
@@ -120,10 +132,15 @@ object BradleyTerry {
   /** Per-source BT ranking report: strength, rank, win/comparison
     * counts, planted tier.
     */
-  def sourceRanking(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def sourceRanking(docs: DataFrame): DataFrame =
+    rankingFromMatrix(docs.sparkSession, comparisonMatrix(docs))
+
+  /** The MM fit + report over a (lo, hi, n, wlo) matrix frame — shared
+    * by the batch query and q245's streamed state. */
+  def rankingFromMatrix(spark: org.apache.spark.sql.SparkSession,
+                        matrix: DataFrame): DataFrame = {
     import spark.implicits._
-    val pairs = comparisonMatrix(docs).collect()
+    val pairs = matrix.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
     val strengths = mmStrengths(pairs, Rounds)
     val items = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
@@ -207,5 +224,16 @@ object BradleyTerry {
       FROM w$Rounds f JOIN wn ON wn.sidx = f.sidx
       ORDER BY rank"""))
 
-  val all: Seq[GQuery] = Seq(q242)
+  /** Streaming twin: the win matrix maintained across three genuine
+    * micro-batches of comparison EVENTS (streaming.PreferenceStreams);
+    * count-sum associativity makes the final state — and so the MM fit
+    * and the whole ranking — equal the batch build for any slicing,
+    * which is why this entry reuses q242's oracle VERBATIM.
+    */
+  val q245 = GQuery(
+    "q245_streaming_bradley_terry",
+    (s, dir) => graft.streaming.PreferenceStreams.streamingBradleyTerry(s, dir),
+    q242.oracle)
+
+  val all: Seq[GQuery] = Seq(q242, q245)
 }

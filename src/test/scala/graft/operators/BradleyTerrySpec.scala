@@ -46,6 +46,13 @@ class BradleyTerrySpec extends SparkSpec {
     assert(r.getLong(1) == 2 * total)
   }
 
+  test("streamed win-matrix state yields the batch ranking row-for-row") {
+    val streamed = graft.streaming.PreferenceStreams
+      .streamingBradleyTerry(spark, sf001).collect().toSeq
+    val batch = out.collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("strengths are positive with snapped mean 1") {
     assert(out.filter(col("bt_strength") <= 0).count() == 0)
     val k = out.count()
