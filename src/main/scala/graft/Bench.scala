@@ -70,6 +70,8 @@ object Bench {
     "q243_triangle_count" -> 7.0,
     "q244_em_linkage" -> 2.2,
     "q245_streaming_bradley_terry" -> 3.0,
+    "q246_cms_heavy_hitters" -> 4.5,
+    "q247_streaming_cms" -> 6.0,
     "q107_ann_pq" -> 3.6,
     "q100_stream_neardup" -> 3.0,
     "q215_stream_minhash_index" -> 4.0,

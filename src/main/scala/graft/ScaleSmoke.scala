@@ -572,6 +572,9 @@ object ScaleSmoke {
       ("record_linkage", () => noop(linkShape(c1)), () => noop(linkShape(cNat))),
       ("bradley_terry", () => noop(btShape(d1)), () => noop(btShape(dk))),
       ("triangle_count", () => noop(triShape(l1)), () => noop(triShape(lTri))),
+      ("cms_heavy_hitters",
+        () => noop(operators.CountMinSketch.report(d1)),
+        () => noop(operators.CountMinSketch.report(dk))),
       ("dsir_select", () => noop(dsirShape(d1)), () => noop(dsirShape(dk))),
       ("priority_sample", () => noop(prioShape(d1)), () => noop(prioShape(dk))),
       ("k_anonymity", () => noop(kanonShape(c1, o1)), () => noop(kanonShape(cK, oCk))),

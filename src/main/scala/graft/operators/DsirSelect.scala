@@ -79,7 +79,7 @@ object DsirSelect {
   /** Unigram + bigram feature stream: one row per feature occurrence,
     * carrying the given id columns.
     */
-  private def feats(df: DataFrame, ids: Seq[String]): DataFrame = {
+  private[operators] def feats(df: DataFrame, ids: Seq[String]): DataFrame = {
     val idCols = ids.map(col)
     df.select(idCols :+ explode(split(col("text"), " ")).as("f"): _*)
       .unionByName(

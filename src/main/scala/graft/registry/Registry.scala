@@ -48,7 +48,8 @@ object Registry {
     graft.operators.SequencePacking.all,
     graft.operators.RecordLinkage.all,
     graft.operators.BradleyTerry.all,
-    graft.operators.TriangleCount.all
+    graft.operators.TriangleCount.all,
+    graft.operators.CountMinSketch.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten

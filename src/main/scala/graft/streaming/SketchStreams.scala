@@ -130,4 +130,49 @@ object SketchStreams {
       require(version >= 0, "stream produced no batches")
       QuantileSketchQueries.report(spark, dir, spark.read.parquet(statePath(version)))
     }
+
+  /** Streaming-maintained count-min sketch (q247): per micro-batch the
+    * arriving documents' feature stream reduces to its own D·W count
+    * matrix BEFORE the merge, so the state stays ≤ D·W rows however
+    * large the stream; matrix addition is associative and commutative,
+    * so the final state equals the batch-built global matrix for any
+    * slicing and the post-stream heavy-hitter report is q246's (oracle
+    * reused VERBATIM).
+    */
+  def streamingCms(spark: SparkSession, dir: String,
+                   queryName: String = "stream_cms"): DataFrame =
+    EventStreams.withStreamShufflePartitions(spark) {
+      import graft.operators.CountMinSketch
+      val docs = graft.Tables.documents(spark, dir)
+      val stage = TempDirs.create("graft_cms_stage_")
+      (0 until 3).foreach { i =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1) // ONE file per slice (the q227 lesson)
+          .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      }
+      val stateBase = TempDirs.create("graft_cms_state_")
+      def statePath(v: Long) = s"$stateBase/v$v"
+      var version = -1L
+      var lastApplied = -1L
+      val schema = spark.read.parquet(s"$stage/slice_0").schema
+      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
+        if (id != lastApplied) {
+          val delta = CountMinSketch.mergeMatrices(
+            CountMinSketch.langMatrices(batch.toDF()))
+          val merged = (if (version < 0) delta
+            else spark.read.parquet(statePath(version)).unionByName(delta))
+            .groupBy("r", "b").agg(sum("c").as("c"))
+          merged.write.mode("overwrite").parquet(statePath(version + 1))
+          version += 1
+          lastApplied = id
+        }
+      }
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$stage/slice_*")
+        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
+      try q.processAllAvailable() finally q.stop()
+      require(version >= 0, "stream produced no batches")
+      CountMinSketch.heavyHitters(docs, spark.read.parquet(statePath(version)))
+    }
 }
