@@ -72,6 +72,7 @@ object Bench {
     "q245_streaming_bradley_terry" -> 3.0,
     "q246_cms_heavy_hitters" -> 4.5,
     "q247_streaming_cms" -> 6.0,
+    "q248_lm_perplexity" -> 3.0,
     "q107_ann_pq" -> 3.6,
     "q100_stream_neardup" -> 3.0,
     "q215_stream_minhash_index" -> 4.0,

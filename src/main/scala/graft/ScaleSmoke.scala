@@ -575,6 +575,9 @@ object ScaleSmoke {
       ("cms_heavy_hitters",
         () => noop(operators.CountMinSketch.report(d1)),
         () => noop(operators.CountMinSketch.report(dk))),
+      ("lm_perplexity",
+        () => noop(operators.LmPerplexity.worstReport(d1)),
+        () => noop(operators.LmPerplexity.worstReport(dk))),
       ("dsir_select", () => noop(dsirShape(d1)), () => noop(dsirShape(dk))),
       ("priority_sample", () => noop(prioShape(d1)), () => noop(prioShape(dk))),
       ("k_anonymity", () => noop(kanonShape(c1, o1)), () => noop(kanonShape(cK, oCk))),

@@ -49,7 +49,8 @@ object Registry {
     graft.operators.RecordLinkage.all,
     graft.operators.BradleyTerry.all,
     graft.operators.TriangleCount.all,
-    graft.operators.CountMinSketch.all
+    graft.operators.CountMinSketch.all,
+    graft.operators.LmPerplexity.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
