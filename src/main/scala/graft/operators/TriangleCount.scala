@@ -10,10 +10,15 @@ import graft.registry.GQuery
 /** Distributed triangle counting by the degree-ordered node-iterator
   * (Cohen 2009, "Graph twiddling in a MapReduce world"; the
   * Schank-Wagner 2005 forward algorithm — public literature; the same
-  * orientation trick behind GraphX's TriangleCount). The missing classic
-  * of the graph family (CC, PageRank, label propagation, MIS, k-core,
-  * BFS, HITS all exist): local clustering structure over a co-purchase
-  * graph — parts are linked when they appear in the same order.
+  * orientation trick behind GraphX's TriangleCount). Complements q117
+  * (SimilarityQueries), which ENUMERATES triangle triples by id-ordered
+  * joins on the small sampled near-dup graph: id-ordering is fine there
+  * but its wedge count is Σ deg² — on a skewed or dense graph the hub
+  * nodes blow it up, which is exactly what this operator's
+  * degree-ordering prevents. Here the workload is the DENSE co-purchase
+  * graph (1.2M edges at sf0.1, avg degree 120) and the output is
+  * counting-grade: per-node participation, local clustering
+  * coefficients, global transitivity.
   *
   * The scale argument IS the orientation: directing every edge from its
   * (degree, id)-smaller endpoint bounds out-degree by O(√m), so the
