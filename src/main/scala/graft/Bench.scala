@@ -73,6 +73,7 @@ object Bench {
     "q246_cms_heavy_hitters" -> 4.5,
     "q247_streaming_cms" -> 6.0,
     "q248_lm_perplexity" -> 3.0,
+    "q249_tws_sessions" -> 2.5,
     "q107_ann_pq" -> 3.6,
     "q100_stream_neardup" -> 3.0,
     "q215_stream_minhash_index" -> 4.0,

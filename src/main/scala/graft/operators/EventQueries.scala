@@ -527,6 +527,24 @@ object EventQueries {
       FROM fin WHERE sess_id <> last_id
       ORDER BY user_id, session_start"""))
 
+  /** q129's sessionization re-expressed on Spark 4's transformWithState
+    * (StatefulProcessor + named typed state handles — the successor API
+    * to flatMapGroupsWithState, run on the RocksDB state store it
+    * requires). Identical semantics by construction, so this entry
+    * reuses q129's oracle VERBATIM; StreamingSpec additionally pins the
+    * two APIs' outputs row-for-row equal.
+    */
+  val q249 = GQuery(
+    "q249_tws_sessions",
+    (s, dir) => graft.streaming.EventStreams
+      .sessionizeTws(s, dir, queryName = "stream_sessions_q249")
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start"),
+    q129.oracle)
+
   /** Sessionization with GroupStateTimeout EVICTION (streaming.
     * EventStreams.sessionizeEvictAll): event-time timeouts emit an idle
     * user's open session once the watermark passes end + gap — the state-
@@ -1460,5 +1478,5 @@ object EventQueries {
 
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158, q162,
-    q163, q166, q171, q196, q197, q199, q200, q203, q216, q222, q224)
+    q163, q166, q171, q196, q197, q199, q200, q203, q216, q222, q224, q249)
 }

@@ -271,6 +271,81 @@ object EventStreams extends Serializable {
     spark.table(queryName).orderBy("user_id", "session_start")
   }
 
+  /** Sessionization via Spark 4's transformWithState — the NEW arbitrary
+    * stateful-processing API (StatefulProcessor + typed state handles,
+    * SPARK-46815), which is the successor surface to
+    * flatMapGroupsWithState: state is declared as named, individually
+    * typed handles (here one ValueState[SessionState]) instead of a
+    * single state object, and the processor can mix value/list/map state
+    * and timers. Semantics here are IDENTICAL to [[sessionizeStream]] —
+    * same per-user open-session fold, same closed-session emission — so
+    * the registry twin (q249) reuses q129's oracle VERBATIM, and the
+    * spec pins the two APIs' outputs row-for-row equal.
+    *
+    * transformWithState requires the RocksDB state store provider; the
+    * conf is set for the harness run and restored after (local default
+    * is HDFSBackedStateStoreProvider).
+    */
+  def sessionizeTws(spark: SparkSession, dir: String, gapMinutes: Int = 30,
+                    queryName: String = "stream_sessions_tws"): DataFrame = withStreamShufflePartitions(spark) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val gapUs = gapMinutes * 60 * 1000000L
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = eventsStream(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      class SessionProcessor extends StatefulProcessor[Long, Event, SessionOut] {
+        @transient private var open: ValueState[SessionState] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          open = getHandle.getValueState[SessionState](
+            "open", org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+        override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                     tv: TimerValues): Iterator[SessionOut] = {
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+          var out = List.empty[SessionOut]
+          var cur: Option[SessionState] = if (open.exists()) Some(open.get()) else None
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            cur match {
+              case Some(ss) if t - ss.end > gapUs =>
+                out ::= SessionOut(userId, fromMicros(ss.start), fromMicros(ss.end), ss.n)
+                cur = Some(SessionState(t, t, 1))
+              case Some(ss) =>
+                cur = Some(SessionState(ss.start, math.max(ss.end, t), ss.n + 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(open.update)
+          out.reverseIterator
+        }
+      }
+      val sessions = events
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Append())
+      val q = sessions.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // the memory sink holds its rows on the driver, so restoring the
+      // provider conf below cannot affect the returned frame
+      spark.table(queryName).orderBy("user_id", "session_start")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Sessionization with EVENT-TIME TIMEOUT eviction — the piece q129's
     * NoTimeout variant can't show: an idle user's open session is emitted
     * (and its state REMOVED) once the watermark passes session_end + gap,

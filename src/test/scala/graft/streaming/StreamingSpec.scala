@@ -236,6 +236,14 @@ class StreamingSpec extends SparkSpec {
     assert(missingPerUser.values.forall(_ == 1), "more than one unemitted session for some user")
   }
 
+  test("transformWithState sessionization equals the flatMapGroupsWithState output row-for-row") {
+    val tws = EventStreams.sessionizeTws(spark, sf001, queryName = "spec_tws_sessions")
+      .collect().toSeq
+    val fmg = EventStreams.sessionizeStream(spark, sf001, queryName = "spec_fmg_sessions")
+      .collect().toSeq
+    assert(tws == fmg, "the two stateful APIs must produce identical sessions")
+  }
+
   test("event-time-timeout eviction emits exactly the open sessions the NoTimeout variant withholds") {
     import org.apache.spark.sql.functions.col
     def sessSet(df: org.apache.spark.sql.DataFrame) = df
