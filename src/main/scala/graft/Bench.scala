@@ -74,6 +74,7 @@ object Bench {
     "q247_streaming_cms" -> 6.0,
     "q248_lm_perplexity" -> 3.0,
     "q249_tws_sessions" -> 2.5,
+    "q250_tws_session_evict" -> 5.0,
     "q107_ann_pq" -> 3.6,
     "q100_stream_neardup" -> 3.0,
     "q215_stream_minhash_index" -> 4.0,

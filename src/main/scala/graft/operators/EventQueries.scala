@@ -573,6 +573,23 @@ object EventQueries {
       FROM s GROUP BY user_id, sess_id
       ORDER BY user_id, session_start"""))
 
+  /** q134's eviction on transformWithState TIMERS (TimeMode.EventTime +
+    * registerTimer/handleExpiredTimer — the API half q249 doesn't
+    * cover). Same heartbeat harness, same evicted ∪ gap-closed = batch
+    * identity ⇒ q134's oracle VERBATIM; StreamingSpec pins the TWS and
+    * GroupStateTimeout eviction outputs row-for-row equal.
+    */
+  val q250 = GQuery(
+    "q250_tws_session_evict",
+    (s, dir) => graft.streaming.EventStreams
+      .sessionizeTwsEvict(s, dir, queryName = "stream_sessions_tws_evict_q250")
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start"),
+    q134.oracle)
+
   /** The q68 attribution window computed by the STREAM-STREAM interval
     * join (EventStreams.attributionStreamAgg): both sides watermarked, so
     * the join state is bounded — a buffered click drops once the purchase
@@ -1478,5 +1495,6 @@ object EventQueries {
 
   def all: Seq[GQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q68, q76, q77, q94, q100, q118, q129, q134, q138, q154, q155, q158, q162,
-    q163, q166, q171, q196, q197, q199, q200, q203, q216, q222, q224, q249)
+    q163, q166, q171, q196, q197, q199, q200, q203, q216, q222, q224, q249,
+    q250)
 }

@@ -417,9 +417,22 @@ object EventStreams extends Serializable {
       .queryName(queryName)
       .start()
     q.processAllAvailable()
-    // two staged heartbeats carry the watermark 10+ days past the fixture;
-    // each is a data batch, so eviction never depends on the engine's
-    // optional no-data microbatch
+    driveHeartbeats(spark, dir, stage, q)
+    q.stop()
+    spark.table(queryName)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Two staged heartbeats carry the watermark 10+ days past the
+    * fixture; each is a data batch, so eviction never depends on the
+    * engine's optional no-data microbatch. Shared by the
+    * GroupStateTimeout (q134) and transformWithState-timer (q250)
+    * eviction harnesses.
+    */
+  private def driveHeartbeats(spark: SparkSession, dir: String,
+                              stage: java.nio.file.Path,
+                              q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val dayNs = 86400L * 1000000000L
     val shift: Long => org.apache.spark.sql.Column =
@@ -437,9 +450,92 @@ object EventStreams extends Serializable {
       java.nio.file.Files.createSymbolicLink(stage.resolve(s"$name.parquet"), part.toPath)
       q.processAllAvailable()
     }
-    q.stop()
-    spark.table(queryName)
-      .filter(col("user_id") >= 0)
-      .orderBy("user_id", "session_start")
+  }
+
+  /** q134's eviction semantics on transformWithState TIMERS — the half
+    * of the new API q249 doesn't exercise: TimeMode.EventTime plus
+    * registerTimer/handleExpiredTimer replaces GroupStateTimeout. The
+    * session's eviction horizon MOVES as events extend it, so the stale
+    * timer is deleted before the new one registers (a stale timer would
+    * evict a still-live session — with GroupState the single timeout
+    * timestamp got overwritten implicitly; TWS timers are a SET and the
+    * discipline is explicit). Same heartbeat harness, same evicted ∪
+    * gap-closed = batch-sessionization identity, so q250 reuses q134's
+    * oracle VERBATIM.
+    */
+  def sessionizeTwsEvict(spark: SparkSession, dir: String, gapMinutes: Int = 30,
+                         queryName: String = "stream_sessions_tws_evict"): DataFrame = withStreamShufflePartitions(spark) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val gapUs = gapMinutes * 60 * 1000000L
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (stream, stage) = eventsStreamStaged(spark, dir)
+      val events = stream
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      class EvictingProcessor extends StatefulProcessor[Long, Event, SessionOut] {
+        @transient private var open: ValueState[SessionState] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          open = getHandle.getValueState[SessionState](
+            "open", org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+        override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                     tv: TimerValues): Iterator[SessionOut] = {
+          val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+          var out = List.empty[SessionOut]
+          var cur: Option[SessionState] = if (open.exists()) Some(open.get()) else None
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            cur match {
+              case Some(ss) if t - ss.end > gapUs =>
+                out ::= SessionOut(userId, fromMicros(ss.start), fromMicros(ss.end), ss.n)
+                cur = Some(SessionState(t, t, 1))
+              case Some(ss) =>
+                cur = Some(SessionState(ss.start, math.max(ss.end, t), ss.n + 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach { ss =>
+            open.update(ss)
+            // the horizon moved: clear stale timers, register end + gap
+            getHandle.listTimers().foreach(getHandle.deleteTimer)
+            getHandle.registerTimer(math.floorDiv(ss.end + gapUs, 1000L))
+          }
+          out.reverseIterator
+        }
+        override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+          if (open.exists()) {
+            val ss = open.get()
+            open.clear()
+            Iterator.single(SessionOut(userId, fromMicros(ss.start), fromMicros(ss.end), ss.n))
+          } else Iterator.empty
+        }
+      }
+      val sessions = events
+        .groupByKey(_.user_id)
+        .transformWithState(new EvictingProcessor, TimeMode.EventTime(), OutputMode.Append())
+      val q = sessions.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      driveHeartbeats(spark, dir, stage, q)
+      q.stop()
+      spark.table(queryName)
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 }

@@ -244,6 +244,14 @@ class StreamingSpec extends SparkSpec {
     assert(tws == fmg, "the two stateful APIs must produce identical sessions")
   }
 
+  test("transformWithState TIMER eviction equals the GroupStateTimeout eviction row-for-row") {
+    val tws = EventStreams.sessionizeTwsEvict(spark, sf001,
+      queryName = "spec_tws_evict").collect().toSeq
+    val gst = EventStreams.sessionizeEvictAll(spark, sf001,
+      queryName = "spec_gst_evict").collect().toSeq
+    assert(tws == gst, "timer eviction must match the timeout eviction")
+  }
+
   test("event-time-timeout eviction emits exactly the open sessions the NoTimeout variant withholds") {
     import org.apache.spark.sql.functions.col
     def sessSet(df: org.apache.spark.sql.DataFrame) = df
