@@ -23,6 +23,12 @@ object Metrics {
     * `avg(smapeTerm(y, yhat))` including null semantics, so swapping it
     * in here changed no oracle. Double casts make integral inputs take
     * the same widening avg's implicit casts produced.
+    *
+    * REQUIRES GraftExtensions on the session (graft.Session installs it;
+    * otherwise `spark.sql.extensions=graft.plans.GraftExtensions`):
+    * `graft_smape` resolves at analysis time, so a session built without
+    * the extension fails with UNRESOLVED_ROUTINE. On such a session use
+    * `avg(Metrics.smapeTerm(y, yhat))` — bitwise the same result.
     */
   def smape(y: Column, yhat: Column): Column =
     call_function("graft_smape", y.cast("double"), yhat.cast("double"))

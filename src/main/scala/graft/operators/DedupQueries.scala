@@ -873,19 +873,21 @@ object DedupQueries {
       // the self-join, bounding the join at Σ min(df, 64)² instead of
       // Σ df² — the difference between linear-ish and quadratic blowup
       // when one boilerplate bigram appears in half a real corpus.
-      // Collision note: the cap keys on xxhash64(shingle) while the
-      // oracle keys on the raw string, so a 64-bit collision (~1e-9 at
-      // fixture scale, the pre-existing acknowledged risk) would now
-      // merge two shingles' dfs and could drop BOTH wholesale on the
-      // Spark side only — a bigger blast radius than the old one-pair
-      // count inflation. The oracle hash gate at 3 SFs is precisely
-      // what would surface it.
+      // Collision note: the cap keys on the RAW shingle string — exactly
+      // what the oracle caps on — so a 64-bit hash collision can no
+      // longer merge two shingles' dfs and drop both wholesale on the
+      // Spark side only. The hash is applied AFTER the cap, narrowing
+      // the residual collision risk back to the pre-existing one-pair
+      // intersection inflation (~1e-9 at fixture scale, acknowledged;
+      // the oracle hash gate at 3 SFs would surface it). The df window
+      // shuffles strings instead of 8-byte hashes — a few extra bytes
+      // per row, bounded by the same cap.
       val shAll = docs.select(col("doc_id"), col("lang"),
           explode(array_distinct(TextQueries.bigrams(TextQueries.tokens(col("text"))))).as("shs"))
-        .select(col("doc_id"), col("lang"), xxhash64(col("shs")).as("s"))
-      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("lang", "s")
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("lang", "shs")
       val sh = shAll.withColumn("df", count(lit(1)).over(wDf))
-        .filter(col("df") <= 64).drop("df")
+        .filter(col("df") <= 64)
+        .select(col("doc_id"), col("lang"), xxhash64(col("shs")).as("s"))
         .cache()
       sh.count()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -36,7 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                       ex: Expression): Int = ex match {
     case f if f.foldable => f.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      // a BIGINT literal is accepted only when it fits INT — silent
+      // l.toInt truncation wrapped 5000000000 to a negative (surfacing
+      // as a baffling "k must be positive") or worse a WRONG positive k
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
       case _ => throw new org.apache.spark.sql.AnalysisException(
         errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
         messageParameters = Map(

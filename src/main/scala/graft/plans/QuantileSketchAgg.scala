@@ -5,11 +5,13 @@ import java.nio.ByteBuffer
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{
-  ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+  ArrayType, ByteType, DataType, DoubleType, IntegerType, LongType,
+  NumericType, ShortType, StructField, StructType}
 
 /** Mergeable quantile sketch — the percentile member of the sketch family
   * (HLL q27/q98 for distinct, Bloom q86 for membership, CMS q124 for
@@ -111,17 +113,36 @@ case class QuantileSketchAgg(
 
   override def children: Seq[Expression] = Seq(hashChild, valueChild)
 
+  // misuse fails at ANALYSIS, not as a runtime MatchError inside a task:
+  // the hash must be integral (the 64-bit sampling key), the value any
+  // numeric — exactly the set update() converts.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (hashChild.dataType, valueChild.dataType) match {
+      case (ByteType | ShortType | IntegerType | LongType, _: NumericType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (h, v) => TypeCheckResult.TypeCheckFailure(
+        s"graft_qsketch requires (integral hash, numeric value), got " +
+          s"(${h.catalogString}, ${v.catalogString})")
+    }
+
   override def update(buf: mutable.TreeSet[(Long, Double)], input: InternalRow)
       : mutable.TreeSet[(Long, Double)] = {
     val h = hashChild.eval(input)
     val v = valueChild.eval(input)
     if (h != null && v != null) {
-      val hv = h match { case l: Long => l; case i: Int => i.toLong }
+      val hv = h match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+      }
       val vv = v match {
         case d: Double => d
         case f: Float => f.toDouble
         case l: Long => l.toDouble
         case i: Int => i.toDouble
+        case s: Short => s.toDouble
+        case b: Byte => b.toDouble
         case d: org.apache.spark.sql.types.Decimal => d.toDouble
       }
       insert(buf, (hv, vv))
@@ -152,6 +173,18 @@ case class QuantileSketchMergeAgg(
   require(k > 0, "graft_qsketch_merge: k must be positive")
 
   override def children: Seq[Expression] = Seq(sketchChild)
+
+  // only a sketch built by graft_qsketch (array<struct<h:bigint,v:double>>)
+  // merges; anything else is an analysis-time error.
+  override def checkInputDataTypes(): TypeCheckResult =
+    sketchChild.dataType match {
+      case ArrayType(StructType(Array(
+          StructField("h", LongType, _, _), StructField("v", DoubleType, _, _))), _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_qsketch_merge requires array<struct<h:bigint,v:double>> " +
+          s"(a graft_qsketch result), got ${other.catalogString}")
+    }
 
   override def update(buf: mutable.TreeSet[(Long, Double)], input: InternalRow)
       : mutable.TreeSet[(Long, Double)] = {

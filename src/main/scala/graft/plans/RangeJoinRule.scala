@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   LessThanOrEqual, Literal, Pmod, Sequence, Subtract, UnixMicros}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Generate, Join, LogicalPlan, Project}
+  Filter, Generate, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{
   ArrayType, LongType, TimestampNTZType, TimestampType}
@@ -55,9 +55,24 @@ import org.apache.spark.sql.types.{
   * double-binned after filter-pushdown folds its exact re-filter back
   * into the join condition.
   *
+  * Wide-interval cap: the explode is one row per covered bin, so an
+  * open-ended or sentinel-dated interval (SCD2 valid_to = 9999-12-31)
+  * would span ~70M bins at the default width — blowing up the Generate,
+  * and Sequence errors outright past 2^31 elements. The interval side is
+  * therefore SPLIT at plan time on the per-row bin span: intervals
+  * covering ≤ maxBinsPerInterval bins take the binned equi-join path;
+  * wider ones keep the ORIGINAL join (with all original conjuncts — an
+  * equi-keyed SCD2 probe stays a plain equi join with a range residual),
+  * and the two branches union. NULL-bounded rows drop from both filters,
+  * matching the inner join they could never satisfy. The fallback branch
+  * trips the re-fire guard via a constant marker column so the fixpoint
+  * does not re-bin it.
+  *
   * Config: spark.graft.rangeJoin.enabled (default true),
   * spark.graft.rangeJoin.binSeconds (default 3600 — pick ≳ the typical
-  * interval span so most intervals replicate into ≤ 2 bins).
+  * interval span so most intervals replicate into ≤ 2 bins),
+  * spark.graft.rangeJoin.maxBinsPerInterval (default 256; ≤ 0 disables
+  * the split and bins every interval unconditionally).
   */
 object RangeJoinRewrite extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
@@ -70,6 +85,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan]
     conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
   private def binSeconds: Long =
     conf.getConfString("spark.graft.rangeJoin.binSeconds", "3600").toLong
+  private def maxBinsPerInterval: Long =
+    conf.getConfString("spark.graft.rangeJoin.maxBinsPerInterval", "256").toLong
 
   private def isTs(e: Expression): Boolean =
     e.dataType == TimestampType || e.dataType == TimestampNTZType
@@ -137,13 +154,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan]
       val pointOnLeft = refsOnly(p, left)
       val (pointSide, intervalSide) = if (pointOnLeft) (left, right) else (right, left)
       val binMicros = binSeconds * 1000000L
+      val maxBins = maxBinsPerInterval
       // point side: one bin column
       val pBinAlias = Alias(binOf(p, binMicros), PointBin)()
       val pointProj = Project(pointSide.output :+ pBinAlias, pointSide)
       // interval side: explode the covered bin range (empty on inverted
-      // or NULL-bounded intervals — inner-join-equivalent)
+      // or NULL-bounded intervals — inner-join-equivalent). With the cap
+      // on, only intervals whose span fits maxBins are binned; NULL spans
+      // drop here AND from the fallback filter, which is exact because a
+      // NULL bound satisfies no range conjunct of the inner join.
       val binLo = binOf(lo, binMicros)
       val binHi = binOf(hi, binMicros)
+      val span = Subtract(binHi, binLo)
+      val narrowSide =
+        if (maxBins > 0)
+          Filter(LessThanOrEqual(span, Literal(maxBins)), intervalSide)
+        else intervalSide
       val seqExpr = If(LessThanOrEqual(binLo, binHi),
         // explicit timeZoneId: Sequence is TimeZoneAwareExpression and
         // stays UNRESOLVED without one — a rule-generated plan must not
@@ -153,14 +179,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan]
       val iBinAttr = AttributeReference(IntervalBin, LongType, nullable = false)()
       val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(iBinAttr),
-        child = intervalSide)
+        child = narrowSide)
       // rebuilt condition: bin equality + every original conjunct
       // (bounds included — they are the exact re-filter)
       val newCond = (EqualTo(pBinAlias.toAttribute, iBinAttr) +: conjuncts)
         .reduce(And)
       val (newLeft, newRight) =
         if (pointOnLeft) (pointProj, gen) else (gen, pointProj)
-      Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+      val binned =
+        Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+      if (maxBins <= 0) binned
+      else {
+        // fallback branch: wide intervals keep the ORIGINAL join shape —
+        // any equi conjuncts still drive it, so an SCD2-style probe with
+        // sentinel end dates runs as a plain equi join with the range
+        // residual instead of a 70M-row explode. The constant marker
+        // column trips the re-fire guard (markerNames) so the optimizer
+        // fixpoint leaves this branch un-binned; the final Project strips
+        // it back to j.output.
+        val wideMark = Alias(Literal(0L), IntervalBin)()
+        val wideSide = Project(
+          intervalSide.output :+ wideMark,
+          Filter(GreaterThan(span, Literal(maxBins)), intervalSide))
+        val (wLeft, wRight) =
+          if (pointOnLeft) (pointSide, wideSide) else (wideSide, pointSide)
+        val wide = Project(j.output, Join(wLeft, wRight, Inner, Some(cond), hint))
+        Union(Seq(binned, wide))
+      }
     }
   }
 }

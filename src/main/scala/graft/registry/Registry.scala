@@ -50,7 +50,8 @@ object Registry {
     graft.operators.BradleyTerry.all,
     graft.operators.TriangleCount.all,
     graft.operators.CountMinSketch.all,
-    graft.operators.LmPerplexity.all
+    graft.operators.LmPerplexity.all,
+    graft.ml.HistGbm.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten

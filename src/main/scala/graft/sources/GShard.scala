@@ -91,10 +91,18 @@ object GShard {
   def write(docs: DataFrame, outDir: String, nShards: Int): Unit = {
     val b = docs.agg(org.apache.spark.sql.functions.min("doc_id"),
       org.apache.spark.sql.functions.max("doc_id")).head
+    require(!b.isNullAt(0), s"GShard.write: input has no rows (outDir=$outDir)")
     val lo = b.getLong(0)
     val step = math.max(1L, (b.getLong(1) - lo + nShards) / nShards)
+    // EXACT long division for the shard key — the writer's rangeOf uses
+    // integer division, and a double-rounded ((x-lo)/step).cast("int")
+    // can disagree past 2^53, breaking within-partition range contiguity
+    // (two temp files rolling to the same final shard name fails the
+    // driver commit's no-clobber guard). `div` is Catalyst's integral
+    // divide: bit-identical to the writer's (doc_id - lo) / step.
     docs.select("doc_id", "lang", "source", "n_chars", "text")
-      .withColumn("__shard", ((col("doc_id") - lo) / step).cast("int"))
+      .withColumn("__shard",
+        org.apache.spark.sql.functions.expr(s"int((doc_id - ${lo}L) div ${step}L)"))
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions("__shard", "doc_id")
       .drop("__shard")

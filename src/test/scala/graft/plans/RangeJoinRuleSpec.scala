@@ -32,15 +32,24 @@ class RangeJoinRuleSpec extends SparkSpec {
     // without the rule this is a BroadcastNestedLoopJoin — the fatal
     // large×large shape. No user filter: the fixture's events are sparse
     // in time (26 cross-user pairs land inside a 30-minute window at
-    // sf0.001), so the full frames keep the pair set non-empty.
+    // sf0.001), so the full frames keep the pair set non-empty. The plan
+    // is a Union: the binned equi branch carries every narrow interval
+    // (here: all of them — 30-minute spans), and the wide-interval
+    // fallback branch (runtime-empty here) keeps the original join shape
+    // for intervals past the maxBinsPerInterval cap — keyless, that
+    // branch IS a nested loop, so the assertion pins the binned branch
+    // specifically: a hash/sort equi join on the bin column.
     val p = clicks
     val i = purchases
     val naive = p.join(i,
       col("click_ts") >= col("lo") && col("click_ts") <= col("p_ts"))
     val plan = planString(naive)
     assert(plan.contains("__graft_rj_bin"), plan.take(800))
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      plan.take(800))
+    assert(plan.contains("Union"), plan.take(800))
+    // the bin attr appears as an equi-join KEY of a hash/merge join
+    assert(plan.matches(
+      "(?s).*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[__graft_rj_bin.*"),
+      plan.take(1200))
     // exactness: identical pair set to the uncapped nested-loop semantics,
     // via the proven helper (keyless: join on bin only)
     val viaHelper = RangeJoin.pointInInterval(
@@ -101,6 +110,55 @@ class RangeJoinRuleSpec extends SparkSpec {
     val helper = RangeJoin.pointInInterval(
       clicks, purchases, "click_ts", "lo", "p_ts", Seq.empty, 3600L)
     assert(!planString(helper).contains("__graft_rj_bin"))
+  }
+
+  test("sentinel-dated (SCD2) intervals take the fallback branch, not a 70M-bin explode") {
+    import spark.implicits._
+    // valid_to = 9999-12-31 spans ~70M hourly bins — pre-cap, Generate
+    // explodes each such row into one row per bin (and Sequence errors
+    // outright past 2^31). With the cap the wide rows route through the
+    // original-join branch and the query completes instantly and exactly.
+    // one NARROW interval (24 hourly bins — binned branch) and two
+    // sentinel rows (wide branch); both Union branches stay non-empty,
+    // so neither is constant-folded away (an all-wide dim collapses the
+    // Union to just the fallback via PropagateEmptyRelation — also fine)
+    val dim = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2020-03-15 00:00:00"),
+        java.sql.Timestamp.valueOf("2020-03-16 00:00:00"), "v1"),
+      ("u1", java.sql.Timestamp.valueOf("2020-03-16 00:00:01"),
+        java.sql.Timestamp.valueOf("9999-12-31 00:00:00"), "v2"), // current row
+      ("u2", java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("9999-12-31 00:00:00"), "v1"))
+      .toDF("uid", "valid_from", "valid_to", "ver")
+    val facts = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2020-03-15 12:00:00")),
+      ("u1", java.sql.Timestamp.valueOf("2021-07-04 09:00:00")),
+      ("u2", java.sql.Timestamp.valueOf("2023-01-01 00:00:00")))
+      .toDF("f_uid", "f_ts")
+    val joined = facts.join(dim,
+      col("f_uid") === col("uid") &&
+        col("f_ts") >= col("valid_from") && col("f_ts") <= col("valid_to"))
+    val plan = planString(joined)
+    assert(plan.contains("__graft_rj_bin"), plan.take(800)) // binned branch present
+    assert(plan.contains("Union"), plan.take(800))          // fallback branch present
+    val got = joined.select("f_uid", "f_ts", "ver").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getString(2))).toSet
+    assert(got === Set(
+      ("u1", "2020-03-15 12:00:00.0", "v1"),
+      ("u1", "2021-07-04 09:00:00.0", "v2"),
+      ("u2", "2023-01-01 00:00:00.0", "v1")))
+    // every interval wide: cap=1 bin — still exact, all rows via fallback
+    spark.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "1")
+    try {
+      assert(joined.count() === 3)
+    } finally spark.conf.unset("spark.graft.rangeJoin.maxBinsPerInterval")
+    // cap off (≤ 0): single binned branch, no Union — the pre-cap shape
+    spark.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "0")
+    try {
+      val narrowOnly = facts.join(dim.filter(col("ver") === "zzz"),
+        col("f_ts") >= col("valid_from") && col("f_ts") <= col("valid_to"))
+      assert(!planString(narrowOnly).contains("Union"))
+    } finally spark.conf.unset("spark.graft.rangeJoin.maxBinsPerInterval")
   }
 
   test("inverted and NULL intervals yield zero rows without errors") {
