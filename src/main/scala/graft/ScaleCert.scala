@@ -89,8 +89,23 @@ object ScaleCert {
     val marker = Paths.get(dest, "_GRAFT_REPLICA_OK")
     if (Files.exists(marker)) return dest
     def load(t: String): DataFrame = spark.read.parquet(s"$sfDir/$t.parquet")
-    def save(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    // each table lands as ONE FILE named <t>.parquet, exactly the fixture
+    // layout: the streaming harnesses symlink `<dir>/events.parquet` into
+    // their staging dir and a parquet DIRECTORY there streams zero rows.
+    // Single-file writes stay read-parallel — parquet splits on row
+    // groups, so the K× scan still fans out across cores.
+    def save(df: DataFrame, t: String): Unit = {
+      val tmp = s"$dest/.build_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      require(part.length == 1, s"expected 1 part file for $t, got ${part.length}")
+      Files.move(Paths.get(part.head), Paths.get(s"$dest/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // best-effort cleanup of the build dir
+      val it = Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      try it.forEach(f => { val _ = f.toFile.delete() }) finally it.close()
+    }
     val rep = explode(sequence(lit(0L), lit(k - 1L)))
     def replicate(df: DataFrame, strides: Seq[(String, Long)]): DataFrame = {
       strides.foreach { case (c, s) =>
@@ -196,6 +211,11 @@ object ScaleCert {
     try { timedSide("q01_pricing_summary", sfDir); () } catch { case _: Throwable => () } // warmup
 
     names.foreach { name =>
+      // untimed 1× warm pass: the first execution of a query pays its
+      // codegen/compile cost; folding that into t1 deflates every ratio
+      // (tk reuses the same generated classes — the plans differ only in
+      // input paths). One warm run makes both sides steady-state.
+      timedSide(name, sfDir)
       val (t1, la1) = timedSide(name, sfDir)
       val (tk, lak) = timedSide(name, repDir)
       val ratio = if (t1 > 0 && tk > 0) tk / math.max(t1, 1e-9) else -1.0

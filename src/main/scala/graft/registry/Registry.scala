@@ -51,7 +51,8 @@ object Registry {
     graft.operators.TriangleCount.all,
     graft.operators.CountMinSketch.all,
     graft.operators.LmPerplexity.all,
-    graft.ml.HistGbm.all
+    graft.ml.HistGbm.all,
+    graft.streaming.RestartStreams.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten

@@ -215,9 +215,9 @@ object EventStreams extends Serializable {
     * which would silently shift session boundaries and break the q129
     * oracle's hash compare.
     */
-  private def toMicros(t: Timestamp): Long =
+  private[streaming] def toMicros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
-  private def fromMicros(us: Long): Timestamp = {
+  private[streaming] def fromMicros(us: Long): Timestamp = {
     val ts = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
     ts.setNanos(((us - math.floorDiv(us, 1000000L) * 1000000L) * 1000L).toInt)
     ts

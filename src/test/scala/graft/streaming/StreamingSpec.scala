@@ -244,6 +244,40 @@ class StreamingSpec extends SparkSpec {
     assert(tws == fmg, "the two stateful APIs must produce identical sessions")
   }
 
+  test("checkpoint RESTART: tws sessionization recovers RocksDB state across a real stop/resume") {
+    // stop after batch 1 of 3, resume as a NEW query from the same
+    // checkpoint; sessions spanning the restart boundary only come out
+    // right if every open-session ValueState survived in RocksDB
+    val run = RestartStreams.twsRestart(spark, sf001)
+    assert(run.runId1 !== run.runId2, "must be two distinct query incarnations")
+    assert(run.batches1 === 1, s"first incarnation must stop after batch 1, saw ${run.batches1}")
+    assert(run.batches2 === 2, s"second incarnation must process the 2 remaining batches, saw ${run.batches2}")
+    // row-for-row ≡ the single-query batch-mode sessionization (q129 path)
+    val restart = run.result.collect().toSeq
+    val single = EventStreams.sessionizeStream(spark, sf001, queryName = "spec_restart_ref")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("session_start").cast("timestamp_ntz"),
+        org.apache.spark.sql.functions.col("session_end").cast("timestamp_ntz"),
+        org.apache.spark.sql.functions.col("n_events"))
+      .collect().toSeq
+    assert(restart == single, "restarted output must equal the single-run sessionization")
+    assert(restart.nonEmpty)
+  }
+
+  test("checkpoint RESTART: upsert sink recovers source log + state-table commit log") {
+    val run = RestartStreams.upsertRestart(spark, sf001)
+    assert(run.runId1 !== run.runId2)
+    assert(run.batches1 === 1 && run.batches2 === 2,
+      s"batch split must be 1+2, saw ${run.batches1}+${run.batches2}")
+    // final state ≡ the no-restart upsert (q203 path): batch 0 applied
+    // exactly once despite the restart
+    val restart = run.result.collect().toSeq
+    val single = UpsertStreams.streamingUpsert(spark, sf001, queryName = "spec_restart_upsert")
+      .collect().toSeq
+    assert(restart == single, "restarted upsert state must equal the single-run state")
+    assert(restart.nonEmpty)
+  }
+
   test("transformWithState TIMER eviction equals the GroupStateTimeout eviction row-for-row") {
     val tws = EventStreams.sessionizeTwsEvict(spark, sf001,
       queryName = "spec_tws_evict").collect().toSeq
