@@ -21,6 +21,14 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // GSH storage-partitioned joins: the catalog resolves the
+      // shard_<lo>_<step> clustering transform, and v2 bucketing lets a
+      // key-grouped scan's layout reach the planner (off by default
+      // upstream out of conservatism; only GShard reports one here).
+      // allowJoinKeysSubsetOfPartitionKeys stays OFF (upstream default) —
+      // the single-key shard transform needs no subset matching.
+      .config("spark.sql.catalog.gshard", "graft.sources.GShardCatalog")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // Some fixture generations ship events.ts as INT64 TIMESTAMP(NANOS);
       // Spark's TimestampType is micros-only, so read nanos as Long and let
       // Tables.events normalize (it also handles the TIMESTAMP_NTZ shape).

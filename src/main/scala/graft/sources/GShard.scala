@@ -111,7 +111,27 @@ object GShard {
       .option("shard.step", step.toString)
       .mode("overwrite")
       .save(outDir)
+    // sharding metadata sidecar: lets the SCAN report its key-grouped
+    // layout (SupportsReportPartitioning / storage-partitioned join).
+    // Written AFTER the commit so a failed job leaves no meta; absent
+    // meta just means the scan reports unknown partitioning.
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, MetaFile),
+      s"$lo,$step\n".getBytes("UTF-8"))
   }
+
+  private[sources] val MetaFile = "_gshard_meta"
+
+  /** (lo, step) of a directory written by [[write]], if recorded. */
+  def readMeta(path: String): Option[(Long, Long)] =
+    try {
+      val p = java.nio.file.Paths.get(path, MetaFile)
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val parts = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .trim.split(",")
+        Some((parts(0).toLong, parts(1).toLong))
+      }
+    } catch { case _: Throwable => None }
 
   /** Footer of one shard file: (rowCount, minDocId, maxDocId). */
   def readFooter(f: File): (Int, Long, Long) = {
@@ -273,14 +293,22 @@ class GShardScanBuilder(path: String, options: CaseInsensitiveStringMap)
     options.getBoolean("columnar", true))
 }
 
-case class GShardPartition(file: String, rows: Int) extends InputPartition
+/** One shard file. `key` is the shard index ((minDocId − lo) / step)
+  * when the directory carries sharding metadata — the partition key the
+  * storage-partitioned join groups on (HasPartitionKey).
+  */
+case class GShardPartition(file: String, rows: Int, key: Long = 0L)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](key))
+}
 
 class GShardScan(path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerTrigger: Int = Int.MaxValue,
     aggFns: Option[Seq[String]] = None, limit: Int = Int.MaxValue,
     columnar: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // shard partitions read vectorized, the synthetic aggregate partition
   // row-based — the factory decides per partition
@@ -334,6 +362,8 @@ class GShardScan(path: String, required: StructType, pushed: Array[Filter],
   // may have forced planning, so each planning call re-reads the (cheap,
   // 24-byte) footers against the current filter state; a cluster
   // deployment would cache the footer listing per snapshot
+  private lazy val meta: Option[(Long, Long)] = GShard.readMeta(path)
+
   private def planned: Array[GShardPartition] = {
     val (lo, hi) = GShard.docIdBounds(pushed)
     val files = Option(new File(path).listFiles())
@@ -344,11 +374,42 @@ class GShardScan(path: String, required: StructType, pushed: Array[Filter],
       // zone-map overlap test: skip shards wholly outside the static
       // bounds OR holding none of the runtime join keys
       if (mx < lo || mn > hi || n == 0 || !idsOverlap(mn, mx)) None
-      else Some(GShardPartition(f.getAbsolutePath, n))
+      else {
+        // shard index from the metadata sidecar — the writer guarantees
+        // one file per shard, so the index is a valid partition KEY
+        val key = meta.map { case (mlo, step) => (mn - mlo) / step }.getOrElse(0L)
+        Some(GShardPartition(f.getAbsolutePath, n, key))
+      }
     }
     GShardSource.lastPlanned = (files.length, kept.length)
     kept
   }
+
+  /** Storage-partitioned-join surface: shards are doc_id-range-DISJOINT
+    * (the writer's contract), so every doc_id lives in exactly one
+    * partition — the key-grouped guarantee. The clustering transform is
+    * `shard_<lo>_<step>(doc_id)`, resolved by [[GShardCatalog]]; baking
+    * the layout parameters into the FUNCTION NAME makes two directories
+    * with different sharding report INCOMPATIBLE transforms (Spark then
+    * falls back to a shuffle) while same-layout directories plan the
+    * join partition-wise with no Exchange on either GShard side.
+    * Engages only for catalog-loaded tables (spark.table("gshard.`dir`"))
+    * with spark.sql.sources.v2.bucketing.enabled — the reader-path
+    * `.format(...).load` has no function catalog and keeps its plans.
+    */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    meta match {
+      case Some((lo, step)) if aggFns.isEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.apply(
+            s"shard_${lo}_$step",
+            org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))),
+          planned.length)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          planInputPartitions().length)
+    }
 
   override def planInputPartitions(): Array[InputPartition] = aggFns match {
     case Some(fns) =>

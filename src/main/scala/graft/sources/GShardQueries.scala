@@ -134,5 +134,48 @@ object GShardQueries {
           AS kept_tokens
       FROM d GROUP BY source ORDER BY source"""))
 
-  val all: Seq[GQuery] = Seq(q232, q236, q237, q240)
+  /** Storage-partitioned join (q254): two GSH corpora over the SAME
+    * doc_id universe — the full documents and a 40-char summary twin —
+    * share the writer's (lo, step) layout, load through the `gshard`
+    * catalog (which resolves the shard_<lo>_<step> clustering
+    * transform), and equi-join on doc_id with ZERO Exchange on either
+    * side: partition i of A merges with partition i of B directly
+    * (GShardScan.outputPartitioning + GShardCatalog). The merge hint
+    * pins the sort-merge shape so the co-partitioning is what the plan
+    * exercises — at fixture scale the summary side would broadcast and
+    * hide it. GShardSpec asserts the shuffle-free plan and the
+    * different-layout fallback; the oracle replays the join from
+    * parquet.
+    */
+  val q254 = GQuery(
+    "q254_gshard_spj",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stageA = graft.streaming.TempDirs.create("gshard-q254a-").toString
+      val stageB = graft.streaming.TempDirs.create("gshard-q254b-").toString
+      GShard.write(docs, stageA, nShards = 8)
+      GShard.write(
+        docs.withColumn("text", substring(col("text"), 1, 40))
+          .withColumn("n_chars", length(col("text")).cast("long")),
+        stageB, nShards = 8)
+      val full = s.table(s"gshard.`$stageA`")
+      val short = s.table(s"gshard.`$stageB`")
+        .select(col("doc_id"), col("n_chars").as("short_chars"))
+      full.hint("merge").join(short, "doc_id")
+        .groupBy(full("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("short_chars").as("sum_short"))
+        .orderBy("lang")
+    },
+    Some("""WITH b AS (
+        SELECT doc_id, CAST(length(substring(text, 1, 40)) AS BIGINT) AS short_chars
+        FROM documents)
+      SELECT d.lang, count(*) AS n_docs,
+        CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+        CAST(sum(b.short_chars) AS BIGINT) AS sum_short
+      FROM documents d JOIN b USING (doc_id)
+      GROUP BY d.lang ORDER BY d.lang"""))
+
+  val all: Seq[GQuery] = Seq(q232, q236, q237, q240, q254)
 }

@@ -76,9 +76,10 @@ class GShardSpec extends SparkSpec {
     assert(files.length < first, "truncate must drop the old shard set")
     val n = spark.read.format("graft.sources.GShardSource").load(dir).count()
     assert(n == docs.filter(col("doc_id") < 100).count())
-    // the two-phase protocol leaves no temp files behind
+    // the two-phase protocol leaves no temp files behind (the
+    // _gshard_meta layout sidecar is the one intentional non-shard file)
     assert(new java.io.File(dir).listFiles().forall(f =>
-      f.getName.endsWith(".gsh")))
+      f.getName.endsWith(".gsh") || f.getName == "_gshard_meta"))
   }
 
   test("filterless count/min/max is served from footers alone") {
@@ -187,5 +188,51 @@ class GShardSpec extends SparkSpec {
     narrow.count()
     val (_, kept) = GShardSource.lastPlanned
     assert(kept == 1, "equality predicate must plan exactly one shard")
+  }
+
+  test("storage-partitioned join: co-sharded GShard tables join with no Exchange on either side") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // same doc universe -> GShard.write derives the same (lo, step) ->
+    // compatible shard_<lo>_<step> clustering via the gshard catalog
+    val docs = Tables.documents(spark, sf001)
+    val dirA = graft.streaming.TempDirs.create("gshard-spj-a-").toString
+    val dirB = graft.streaming.TempDirs.create("gshard-spj-b-").toString
+    GShard.write(docs, dirA, nShards = 8)
+    GShard.write(docs.select(col("doc_id"), col("lang"), col("source"),
+      (col("n_chars") * 2).as("n_chars"), col("text")), dirB, nShards = 8)
+    val joined = spark.table(s"gshard.`$dirA`").hint("merge")
+      .join(spark.table(s"gshard.`$dirB`").select(col("doc_id"),
+        col("n_chars").as("n2")), "doc_id")
+    // force planning; the query is join-only, so the WHOLE final plan
+    // must be exchange-free (string assertion — AQE query stages don't
+    // traverse via collect)
+    joined.collect()
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other => other.toString
+      }
+    val plan = finalPlan(joined)
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"co-sharded join must be shuffle-free:\n$plan")
+    // and it is CORRECT: every doc matched exactly once, n2 = 2*n_chars
+    assert(joined.count() === docs.count())
+    assert(joined.filter(col("n2") =!= col("n_chars") * 2).count() === 0)
+
+    // safety fallback: a DIFFERENT layout (other shard count -> other
+    // step) resolves a different canonical transform; Spark must NOT
+    // align the partitions and instead shuffles (correctness over speed)
+    val dirC = graft.streaming.TempDirs.create("gshard-spj-c-").toString
+    GShard.write(docs, dirC, nShards = 3)
+    val mixed = spark.table(s"gshard.`$dirA`").hint("merge")
+      .join(spark.table(s"gshard.`$dirC`").select(col("doc_id"),
+        col("n_chars").as("n3")), "doc_id")
+    mixed.collect()
+    val mixedPlan = finalPlan(mixed)
+    assert(mixedPlan.contains("SortMergeJoin"))
+    assert(mixedPlan.contains("Exchange"),
+      s"incompatible layouts must fall back to a shuffled join:\n$mixedPlan")
+    assert(mixed.count() === docs.count())
   }
 }
