@@ -19,137 +19,42 @@ package graft
   */
 object Bench {
 
-  /** Best observed cold times (sec) for the heavy tail, re-measured
-    * isolated on the 2026-08-14 08:43 fixture regeneration (which made
-    * several documents/embeddings workloads LIGHTER again — q107
-    * 5.5->3.5, q83 2.9->2.1 — and the round's minimal-PNG-writer change
-    * cut the image family ~2x: q191 4.1->1.8, q81 2.3->1.1). Entries
-    * sit at or a touch above the honest isolated median so the 3x
-    * threshold fires on real (5x+) contention only. Values are a
-    * reference SCALE, not a regression gate -- re-measure when a
-    * query's plan genuinely changes or fixtures regenerate.
+  /** Per-query retry reference times, computed from the PREVIOUS sweep's
+    * committed evidence (BENCH_DETAIL.json) instead of a hand-maintained
+    * table — the r12 verdict's item 7: at ~250 queries a hand table
+    * under-covers the tail, and the artifact already records every
+    * attempt. The reference for a query is its MINIMUM recorded attempt
+    * time (min is robust to contention — a hot box only ever inflates),
+    * floored at 0.3s so micro-queries don't retry on scheduler jitter.
+    * Queries absent from the detail file (new this round, or a fresh
+    * checkout with no artifact) fall back to DefaultMedianSec — exactly
+    * the old behavior for unknown queries. A deliberately slower new
+    * implementation will over-retry for ONE sweep and then re-baseline
+    * itself from that sweep's artifact.
     */
-  private[graft] val refMedianSec: Map[String, Double] = Map(
-    // r11 re-baselines: q64 trimmed to the trial stack, q100 to a 1-in-3
-    // sample (both r10-verdict levers); q211 +~0.5s for the df-cap
-    // window (Scratch A/B: capped cache 1.79s vs uncapped 1.35s, truth
-    // join unchanged). New entries measured on a box with sustained
-    // external load 2-5 — values sit at the optimistic end so the 3x
-    // retry threshold still reflects an idle-box honest time.
-    // r12: +~3s for the third (mlp_gbt4) trial-grid combo — 20
-    // treeAggregate epochs × 2 fits of launch-latency-bound jobs
-    "q64_stacking" -> 7.0,
-    // r12-first-session queries, measured isolated at sf0.1 under
-    // sustained external load 2-7 (optimistic end per the convention).
-    // q227's original 17-28s readings were NOT honest cost: every
-    // multi-part slice dir fed maxFilesPerTrigger=1 one PART FILE per
-    // micro-batch, turning 3 intended slices into 24 engine rounds;
-    // with coalesce(1) slice staging (all streaming harnesses) q227
-    // reads 5.8s warm in-sweep / ~12s JVM-cold solo.
-    "q224_range_join_rule" -> 1.5,
-    "q225_quantile_sketch_rollup" -> 2.0,
-    "q226_stream_quantile_sketch" -> 4.0,
-    "q227_stream_components" -> 6.0,
-    "q228_quality_gate_twin" -> 1.2,
-    // r12 additions, measured isolated at sf0.1 (load ~2)
-    "q229_priority_sample" -> 1.8,
-    "q230_dsir_select" -> 2.3,
-    "q231_k_anonymity" -> 1.8,
-    "q232_gshard_scan" -> 1.1,
-    "q233_streaming_priority_sample" -> 3.0,
-    "q234_fleiss_kappa" -> 1.5,
-    "q235_gate_calibration" -> 2.0,
-    "q236_gshard_stream" -> 1.9,
-    "q238_sequence_packing" -> 1.5,
-    "q239_streaming_dsir" -> 4.0,
-    "q240_gshard_corpus" -> 2.0,
-    "q241_record_linkage" -> 2.5,
-    "q242_bradley_terry" -> 2.0,
-    // compute-bound O(m^1.5): 41M oriented wedges over the 1.2M-edge
-    // co-purchase graph at sf0.1 — honest work, not a plan defect
-    "q243_triangle_count" -> 7.0,
-    "q244_em_linkage" -> 2.2,
-    "q245_streaming_bradley_terry" -> 3.0,
-    "q246_cms_heavy_hitters" -> 4.5,
-    "q247_streaming_cms" -> 6.0,
-    "q248_lm_perplexity" -> 3.0,
-    "q249_tws_sessions" -> 2.5,
-    "q250_tws_session_evict" -> 5.0,
-    "q107_ann_pq" -> 3.6,
-    "q100_stream_neardup" -> 3.0,
-    "q215_stream_minhash_index" -> 4.0,
-    "q217_quantile_regression" -> 3.0,
-    "q214_simhash_twin" -> 2.0,
-    "q213_hybrid_twin" -> 1.3,
-    "q216_holt_winters" -> 1.3,
-    "q218_doc_chunking" -> 0.8,
-    "q219_kmv_overlap" -> 2.0,
-    "q220_consistent_shards" -> 1.2,
-    "q221_stream_kmv" -> 4.0,
-    "q222_stream_cusum" -> 2.2,
-    "q223_curation_pipeline" -> 2.2,
-    "q63_boosted_hybrid" -> 4.0,
-    "q119_span_dedup" -> 3.0,
-    "q191_image_resize" -> 2.0,
-    "q87_setsim_join" -> 2.5,
-    "q99_dedup_rate" -> 3.3,
-    "q134_stream_session_evict" -> 3.2,
-    "q106_corpus_filter" -> 1.5,
-    "q83_dedup_clusters" -> 2.1,
-    "q96_iqr_outliers" -> 2.9,
-    "q211_lsh_recall" -> 3.5,
-    "q212_hybrid_rrf" -> 2.0,
-    "q202_exact_kth" -> 1.7,
-    "q203_stream_upsert" -> 2.7,
-    "q205_conformal_interval" -> 2.6,
-    "q85_fuzzy_match" -> 2.6,
-    "q49_rolling_fingerprint" -> 2.6,
-    "q137_luby_mis" -> 2.5,
-    "q146_stream_windowed_dedup" -> 2.5,
-    "q138_stream_attribution" -> 2.5,
-    "q168_item_cf" -> 2.5,
-    "q105_incremental_neardup" -> 2.5,
-    "q204_chain_resolve" -> 2.2,
-    "q62_blend_round" -> 2.4,
-    "q114_stream_contamination" -> 2.3,
-    "q81_multimodal_features" -> 1.5,
-    "q184_bootstrap_ci" -> 2.2,
-    "q46_ngram_jaccard" -> 2.2,
-    "q161_containment_pairs" -> 2.2,
-    "q135_pq_adc" -> 2.2,
-    "q102_ann_recall" -> 2.1,
-    "q132_pit_enrich" -> 2.0,
-    "q86_bloom_novelty" -> 2.0,
-    "q169_dbscan" -> 1.9,
-    "q84_rank_suite" -> 1.9,
-    "q109_contamination" -> 1.9,
-    "q131_bpe_apply" -> 1.9,
-    "q126_bpe_merges" -> 1.8,
-    "q142_split_leakage" -> 1.8,
-    "q53_ann_ivf" -> 1.8,
-    "q151_kcore" -> 1.7,
-    "q69_quantiles" -> 1.7,
-    "q139_histogram_quantile" -> 1.7,
-    "q127_kmeans_lloyd" -> 1.6,
-    "q206_power_iteration" -> 1.5,
-    "q209_hierarchy_rollup" -> 1.7,
-    "q195_phash_dedup" -> 1.2,
-    "q176_hits_scores" -> 1.6,
-    "q61_weight_grid" -> 1.6,
-    "q27_approx_distinct" -> 1.6,
-    "q47_minhash_dedup" -> 1.6,
-    "q194_image_phash" -> 1.7,
-    "q133_label_propagation" -> 1.6,
-    "q90_tfidf_terms" -> 1.5,
-    "q129_stream_sessions" -> 1.4,
-    "q121_semantic_dedup" -> 1.4,
-    "q177_mmr_rerank" -> 1.4,
-    "q192_url_canonical" -> 1.3,
-    "q108_repetition_filter" -> 1.3,
-    "q175_bfs_distance" -> 1.3,
-    "q60_smape" -> 1.2,
-    "q160_integrity_audit" -> 1.2,
-    "q19_star_join" -> 1.2)
+  private[graft] def refSecFromDetail(path: String = "BENCH_DETAIL.json"): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(txt) \ "attempts" match {
+        case JObject(fields) =>
+          fields.flatMap { case (name, arr) =>
+            val times = arr match {
+              case JArray(attempts) => attempts.collect {
+                case JArray(JDouble(t) :: _) if t > 0 => t
+                case JArray(JInt(t) :: _) if t > 0 => t.toDouble
+              }
+              case _ => Nil
+            }
+            if (times.isEmpty) None else Some(name -> math.max(times.min, 0.3))
+          }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  private[graft] lazy val refSec: Map[String, Double] = refSecFromDetail()
 
   /** Queries without a recorded median are treated as ~this fast; most of
     * the registry runs in 0.3-1.5s at sf0.1.
@@ -197,7 +102,7 @@ object Bench {
       t
     }
     def threshold(name: String): Double =
-      RetryFactor * refMedianSec.getOrElse(name, DefaultMedianSec)
+      RetryFactor * refSec.getOrElse(name, DefaultMedianSec)
     val firstPass = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
       .map(name => name -> timedRun(name))

@@ -211,6 +211,15 @@ object ScaleCert {
     try { timedSide("q01_pricing_summary", sfDir); () } catch { case _: Throwable => () } // warmup
 
     names.foreach { name =>
+      // crash sentinel FIRST: a query that kills the JVM outright (an
+      // OOM under SparkUncaughtExceptionHandler exits the process) must
+      // not be retried forever on resume — the sentinel row (-3) stands
+      // as its result unless the query completes and overwrites it
+      // (consolidation keeps the LAST row per name)
+      Files.write(journal,
+        (s"""{"name":"$name","t1":-3,"tk":-3,"ratio":-1.0,"load":[-1,-1]}""" + "\n")
+          .getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       // untimed 1× warm pass: the first execution of a query pays its
       // codegen/compile cost; folding that into t1 deflates every ratio
       // (tk reuses the same generated classes — the plans differ only in
