@@ -52,7 +52,8 @@ object Registry {
     graft.operators.CountMinSketch.all,
     graft.operators.LmPerplexity.all,
     graft.ml.HistGbm.all,
-    graft.streaming.RestartStreams.all
+    graft.streaming.RestartStreams.all,
+    graft.streaming.ProfileStreams.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten

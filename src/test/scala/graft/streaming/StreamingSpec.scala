@@ -244,6 +244,40 @@ class StreamingSpec extends SparkSpec {
     assert(tws == fmg, "the two stateful APIs must produce identical sessions")
   }
 
+  test("tws multi-handle profile (ValueState+ListState+MapState+timer) equals the batch profile") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = ProfileStreams.userProfileTws(spark, sf001,
+      queryName = "spec_tws_profile").collect().toSeq
+    // batch twin of the same profile, straight Spark: per-(user, type)
+    // counts + exact micros sums, session count via the lag-window idiom
+    val e = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+    val lagW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = e.withColumn("prev_ts", lag("ts", 1).over(lagW))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .groupBy("user_id").agg(sum("new_sess").as("n_sessions"))
+    val batch = e.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Metrics.canonRound(
+          sum(floor(col("value") * 1e4 + 0.5).cast("long")).cast("double") / 1e4, 4)
+          .as("sum_value"))
+      .join(sess, "user_id")
+      .select("user_id", "event_type", "n_events", "sum_value", "n_sessions")
+      .orderBy("user_id", "event_type")
+      .collect().toSeq
+    assert(streamed == batch,
+      "multi-handle streamed profile must equal the batch profile row-for-row")
+    assert(streamed.nonEmpty)
+    // the timer CLEARED every user's state: a second heartbeat-only pass
+    // is implicit in the harness (hb2); each user appears exactly once
+    // per event_type
+    val keys = streamed.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.size == keys.size, "a user flushed more than once")
+  }
+
   test("checkpoint RESTART: tws sessionization recovers RocksDB state across a real stop/resume") {
     // stop after batch 1 of 3, resume as a NEW query from the same
     // checkpoint; sessions spanning the restart boundary only come out
