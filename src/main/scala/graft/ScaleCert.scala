@@ -201,6 +201,20 @@ object ScaleCert {
           case _: Throwable => -1.0
         }
       spark.sharedState.cacheManager.clearCache()
+      // unload loaded state-store providers: local-mode providers stay
+      // cached per (query, operator, partition) after a streaming query
+      // stops, so a 250-query serial sweep accumulates hundreds of live
+      // RocksDB instances and exhausts the fd limit (observed: q138's
+      // 10x stream-stream join tipped the 20k ulimit and every
+      // subsequent query failed on file opens). Internal API, harness
+      // scope only — a cluster never runs 250 streaming queries in one
+      // executor JVM.
+      // (reflective: StateStore is private[sql]; its bytecode is public)
+      try {
+        val cls = Class.forName(
+          "org.apache.spark.sql.execution.streaming.state.StateStore$")
+        cls.getMethod("unloadAll").invoke(cls.getField("MODULE$").get(null))
+      } catch { case _: Throwable => () }
       (t, la)
     }
 
@@ -210,7 +224,27 @@ object ScaleCert {
     println(s"[scale] ${names.size} queries to run (${done.size} already journaled)")
     try { timedSide("q01_pricing_summary", sfDir); () } catch { case _: Throwable => () } // warmup
 
+    // hard watchdog: a query whose sides exceed 3× the per-side timeout
+    // has wedged the harness past what cooperative cancellation can fix
+    // (observed: a stopped 10× stream-stream join kept planning
+    // micro-batches) — exit the JVM; the crash sentinel stands as the
+    // query's result and the journal resume skips it on relaunch.
+    val queryStartedAt = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    val watchdog = new Thread(() => {
+      while (true) {
+        Thread.sleep(60000)
+        val elapsed = (System.nanoTime() - queryStartedAt.get()) / 1e9
+        if (elapsed > 3 * timeoutSec + 180) {
+          println(s"[scale] WATCHDOG: query wedged ${elapsed.toInt}s; exiting (sentinel stands)")
+          Runtime.getRuntime.halt(3)
+        }
+      }
+    }, "scale-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
+
     names.foreach { name =>
+      queryStartedAt.set(System.nanoTime())
       // crash sentinel FIRST: a query that kills the JVM outright (an
       // OOM under SparkUncaughtExceptionHandler exits the process) must
       // not be retried forever on resume — the sentinel row (-3) stands

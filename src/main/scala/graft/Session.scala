@@ -29,6 +29,15 @@ object Session {
       // the single-key shard transform needs no subset matching.
       .config("spark.sql.catalog.gshard", "graft.sources.GShardCatalog")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // Recursive CTEs (q209's hierarchy rollup) unroll n·depth rows; the
+      // upstream 1M-row seatbelt trips at ~200k nodes × 20 levels (the 10×
+      // scale run found it — depth-bounded recursion is linear in data, so
+      // the ROW limit is the wrong guard for it). Raise rows to 1e9 and
+      // keep the LEVEL limit at its default 100: for depth-bounded
+      // hierarchy walks, runaway recursion means runaway DEPTH, and the
+      // level limit catches that regardless of data size. A cluster
+      // deployment sets the same pair.
+      .config("spark.sql.cteRecursionRowLimit", (1000000000).toString)
       // Some fixture generations ship events.ts as INT64 TIMESTAMP(NANOS);
       // Spark's TimestampType is micros-only, so read nanos as Long and let
       // Tables.events normalize (it also handles the TIMESTAMP_NTZ shape).

@@ -375,7 +375,17 @@ object TextQueries {
     * like an LSH bucket blowup, handled the same way: cap or sub-block.
     * The edit distance uses Spark's thresholded levenshtein(l, r, k) —
     * banded DP that abandons a pair once the distance exceeds k, so cost
-    * per pair is O(k·len) not O(len²).
+    * per pair is O(k·len) not O(len²). A LENGTH filter rides the join
+    * condition (Ed-Join's first filter, Xiao et al. 2008): dist ≤ 3
+    * implies |len(a) − len(b)| ≤ 3, so the band drops a candidate before
+    * the DP ever runs — semantically invisible (zero false negatives, the
+    * oracle is unchanged) but it cuts the hot-block candidate quadratic
+    * to same-length-band pairs. The 10× scale run motivated it: replicas
+    * reuse the fixture's ~150-value brand×type vocabulary, so block
+    * membership grows linearly with data and candidate pairs
+    * quadratically (SCALE_r13's q85 row) — the length band is the
+    * cheapest sub-block, and at 100 TB the band would move INTO the join
+    * key (join on (block, len_bucket) × 3 adjacent buckets).
     */
   val q85 = GQuery(
     "q85_fuzzy_match",
@@ -388,6 +398,7 @@ object TextQueries {
         col("p_partkey").as("id_b"), col("p_name").as("name_b"))
       a.join(b, Seq("p_brand", "p_type"))
         .filter(col("id_a") < col("id_b"))
+        .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 3)
         .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
         .filter(col("dist") >= 0) // thresholded form returns -1 past k
         .select(col("id_a"), col("id_b"), col("p_brand"), col("dist"))

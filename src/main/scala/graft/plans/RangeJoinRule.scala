@@ -154,7 +154,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan]
       val pointOnLeft = refsOnly(p, left)
       val (pointSide, intervalSide) = if (pointOnLeft) (left, right) else (right, left)
       val binMicros = binSeconds * 1000000L
-      val maxBins = maxBinsPerInterval
+      // STREAMING joins take the single binned branch unconditionally
+      // (the pre-cap shape): a Union of two stateful stream-stream joins
+      // doubles state stores and wedges micro-batch planning (found by
+      // the 10× scale cert — q146 went 3.5s → >300s when the fallback
+      // union landed). The wide-interval hazard the cap guards against
+      // cannot arise here: a stream-stream interval join's bounds are a
+      // query-constant watermark-bounded offset, never a data-driven
+      // SCD2 sentinel, so the bin span is a compile-time-small constant.
+      val maxBins = if (j.isStreaming) 0 else maxBinsPerInterval
       // point side: one bin column
       val pBinAlias = Alias(binOf(p, binMicros), PointBin)()
       val pointProj = Project(pointSide.output :+ pBinAlias, pointSide)

@@ -161,6 +161,56 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.maxBinsPerInterval")
   }
 
+  test("STREAMING interval joins take the single binned branch, never the Union") {
+    // The fallback union is a batch-only shape: a Union of two stateful
+    // stream-stream joins doubles state stores and wedges micro-batch
+    // planning (the 10× scale cert measured q146 3.5s → >300s when the
+    // union landed — the regression this test pins closed). Streaming
+    // interval bounds are query-constant watermark offsets, so the wide-
+    // interval hazard the cap defends against cannot arise there.
+    val stage = java.nio.file.Files.createTempDirectory("graft_rjstream_")
+    stage.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf001/events.parquet"))
+    val schema = spark.read.parquet(s"$sf001/events.parquet").schema
+    // fixture ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP (UTC
+    // session, so the cast is a relabel — Tables.events does the same)
+    val s = spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val a = s.select(col("event_id").as("a_id"), col("user_id").as("a_uid"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "2 hours")
+    val b = s.select(col("event_id").as("b_id"), col("user_id").as("b_uid"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "2 hours")
+    val joined = a.join(b,
+      col("a_uid") === col("b_uid") &&
+        col("a_ts") >= col("b_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("a_ts") <= col("b_ts"))
+    // apply the rule directly to the analyzed plan: materializing
+    // optimizedPlan on a streaming Dataset trips the batch-execution
+    // check (and the full optimizer is exercised end-to-end by q138/
+    // q146's oracle gates anyway — this pins the RULE's branch choice)
+    val opt = RangeJoinRewrite(joined.queryExecution.analyzed)
+    assert(opt.isStreaming, "precondition: plan must be streaming")
+    val unions = opt.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+    assert(unions.isEmpty, s"streaming join must not take the fallback union:\n$opt")
+    // the rule still FIRES (binned branch, not held back entirely)
+    assert(opt.toString.contains("__graft_rj_bin"), opt.toString.take(800))
+    // identical batch spelling keeps the union (the cap's batch shape)
+    val ab = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_uid"), col("ts").as("a_ts"))
+    val bb = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_uid"), col("ts").as("b_ts"))
+    val batch = ab.join(bb,
+      col("a_uid") === col("b_uid") &&
+        col("a_ts") >= col("b_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("a_ts") <= col("b_ts"))
+    assert(planString(batch).contains("Union"))
+  }
+
   test("inverted and NULL intervals yield zero rows without errors") {
     import spark.implicits._
     val p = Seq(("p1", java.sql.Timestamp.valueOf("2020-01-01 12:00:00")))
