@@ -40,6 +40,7 @@ object Registry {
     graft.operators.KmvSketch.all,
     graft.operators.QuantileSketchQueries.all,
     graft.operators.HierarchyRollup.all,
+    graft.operators.VariantShred.all,
     graft.operators.WeightedSample.all,
     graft.operators.DsirSelect.all,
     graft.operators.KAnonymity.all,
