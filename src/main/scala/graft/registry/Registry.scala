@@ -41,6 +41,7 @@ object Registry {
     graft.operators.QuantileSketchQueries.all,
     graft.operators.HierarchyRollup.all,
     graft.operators.VariantShred.all,
+    graft.operators.CollatedDedup.all,
     graft.operators.WeightedSample.all,
     graft.operators.DsirSelect.all,
     graft.operators.KAnonymity.all,
