@@ -1082,9 +1082,15 @@ object SimilarityQueries {
     * swaps for the bounded-heap TopK aggregator (q79), same as q147's
     * documented witness-vs-production split.
     */
-  val q212 = GQuery(
-    "q212_hybrid_rrf",
-    (s, dir) => {
+  /** The q212 pipeline parameterized by probe-panel size: probes are the
+    * FIXED prefix `id < nProbes` on both the lexical (documents) and
+    * dense (embeddings) sides — fixed panels are the linear-at-scale
+    * eval shape (PLANS.md's q198 note), and a prefix panel exists at
+    * every fixture SF. Returns (probe_id, doc_id, r_bm25, r_cos, rrf,
+    * rank) for rank ≤ 10.
+    */
+  private def rrfRanked(s: org.apache.spark.sql.SparkSession, dir: String,
+                        nProbes: Int): DataFrame = {
       val k1 = 1.2; val b = 0.75; val rrfK = 60
       val docs = Tables.documents(s, dir)
       val embs = Tables.embeddings(s, dir)
@@ -1096,7 +1102,7 @@ object SimilarityQueries {
       tok.count()
       val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
       val stats = len.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
-      val pterms = tok.filter(col("doc_id") < 3)
+      val pterms = tok.filter(col("doc_id") < nProbes)
         .select(col("doc_id").as("probe_id"), col("term")).distinct()
       val qterms = pterms.select("term").distinct()
       val dfreq = tok.select("doc_id", "term").distinct()
@@ -1119,7 +1125,7 @@ object SimilarityQueries {
       val topB = scored.withColumn("r_bm25", row_number().over(wB))
         .filter(col("r_bm25") <= 20)
         .select(col("probe_id"), col("doc_id"), col("r_bm25"))
-      val probes = embs.filter(col("vec_id") < 3)
+      val probes = embs.filter(col("vec_id") < nProbes)
         .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec"))
       val sims = embs.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("doc_id"),
@@ -1136,12 +1142,15 @@ object SimilarityQueries {
       fused.withColumn("rank", row_number().over(wF)).filter(col("rank") <= 10)
         .select(col("probe_id"), col("doc_id"), col("r_bm25"), col("r_cos"),
           Metrics.canonRound(col("rrf"), 6).as("rrf"), col("rank"))
-        .orderBy("probe_id", "rank")
-    },
-    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+  }
+
+  /** The q212 oracle's CTE chain, parameterized the same way; ends with
+    * `ranked` (rank ≤ 10 already applied). */
+  private def rrfCtes(n: Int): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
       len AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
       st AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM len),
-      pt AS (SELECT DISTINCT doc_id AS probe_id, term FROM tok WHERE doc_id < 3),
+      pt AS (SELECT DISTINCT doc_id AS probe_id, term FROM tok WHERE doc_id < $n),
       qt AS (SELECT DISTINCT term FROM pt),
       dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
                 WHERE term IN (SELECT term FROM qt) GROUP BY 1),
@@ -1160,7 +1169,7 @@ object SimilarityQueries {
       tb AS (SELECT probe_id, doc_id, r_bm25 FROM (
           SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY bm25 DESC, doc_id) AS r_bm25
           FROM sc) WHERE r_bm25 <= 20),
-      pr AS (SELECT vec_id AS probe_id, embedding AS q FROM embeddings WHERE vec_id < 3),
+      pr AS (SELECT vec_id AS probe_id, embedding AS q FROM embeddings WHERE vec_id < $n),
       sims AS (SELECT pr.probe_id, e.vec_id AS doc_id,
           floor(list_cosine_similarity(CAST(pr.q AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))*1e6 + 0.5)/1e6 AS cos
         FROM embeddings e CROSS JOIN pr WHERE e.vec_id <> pr.probe_id),
@@ -1170,14 +1179,104 @@ object SimilarityQueries {
       f AS (SELECT coalesce(tb.probe_id, tc.probe_id) AS probe_id,
           coalesce(tb.doc_id, tc.doc_id) AS doc_id, tb.r_bm25, tc.r_cos,
           coalesce(1.0/(60 + tb.r_bm25), 0.0) + coalesce(1.0/(60 + tc.r_cos), 0.0) AS rrf
-        FROM tb FULL OUTER JOIN tc ON tb.probe_id = tc.probe_id AND tb.doc_id = tc.doc_id)
+        FROM tb FULL OUTER JOIN tc ON tb.probe_id = tc.probe_id AND tb.doc_id = tc.doc_id),
+      ranked AS (
+        SELECT probe_id, doc_id, r_bm25, r_cos, rrf, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
+              FROM f)
+        WHERE rank <= 10)"""
+
+  val q212 = GQuery(
+    "q212_hybrid_rrf",
+    (s, dir) => rrfRanked(s, dir, 3).orderBy("probe_id", "rank"),
+    Some(s"""WITH ${rrfCtes(3)}
       SELECT probe_id, doc_id, CAST(r_bm25 AS INT) AS r_bm25, CAST(r_cos AS INT) AS r_cos,
         floor(rrf*1e6 + 0.5)/1e6 AS rrf, CAST(rank AS INT) AS rank
-      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank
-            FROM f)
-      WHERE rank <= 10 ORDER BY probe_id, rank"""))
+      FROM ranked ORDER BY probe_id, rank"""))
+
+  /** Retrieval-quality evaluation of the HYBRID ranker (NOTES' r13
+    * candidate b): q198's metric harness pointed at q212's RRF output
+    * instead of the dense-only brute force. The probe panel is a FIXED
+    * prefix (vec_id < 8) rather than q198's corpus-proportional
+    * `% 25 = 0` — the production eval shape (PLANS.md's q198 scale
+    * note): a fixed panel makes the whole evaluation linear in corpus
+    * size, because only the candidate-generation side grows. Relevance
+    * is the fixture label (doc relevant ⟺ shares the probe's label,
+    * q198's convention); metrics per probe: precision@10, MRR, and
+    * binary-gain nDCG@10 with ideal DCG truncated at the available
+    * relevant count — the exact integer-microunit DCG weight scheme
+    * q198 shares with its oracle.
+    *
+    * Reading it: the lexical and dense signals are INDEPENDENT by
+    * construction in the fixtures (document tokens and embedding labels
+    * are unrelated), so hybrid nDCG ≈ dense-only nDCG diluted by the
+    * lexical list — the eval measures that honestly; on a real corpus
+    * the two signals correlate and RRF's fusion gain appears in these
+    * same columns. The query's value is the harness: rank → grade →
+    * aggregate, all oracle-verified.
+    */
+  val q257 = GQuery(
+    "q257_hybrid_eval",
+    (s, dir) => {
+      val k = 10
+      val e = Tables.embeddings(s, dir)
+      val ranked = rrfRanked(s, dir, 8)
+      val probeLabels = e.select(col("vec_id").as("probe_id"), col("label").as("q_label"))
+      val docLabels = e.select(col("vec_id").as("doc_id"), col("label").as("d_label"))
+      val labelCounts = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+      val graded = ranked
+        .join(broadcast(probeLabels), "probe_id")
+        .join(docLabels, "doc_id")
+        .withColumn("rel", (col("d_label") === col("q_label")).cast("int"))
+      val wArr = array(DcgMicro.map(lit): _*)
+      val idcgArr = array(IdcgPrefix.map(lit): _*)
+      graded.groupBy("probe_id", "q_label")
+        .agg(
+          sum(col("rel")).cast("int").as("n_rel_at_k"),
+          sum(when(col("rel") === 1, element_at(wArr, col("rank")))
+            .otherwise(lit(0L))).as("dcg_micro"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+        .join(broadcast(labelCounts), col("q_label") === col("label"))
+        .withColumn("n_rel_total", (col("n_label") - 1).cast("int"))
+        .withColumn("idcg_micro", element_at(idcgArr, least(lit(k), col("n_rel_total")) + 1))
+        .select(col("probe_id"), col("q_label").as("label"),
+          col("n_rel_at_k"), col("n_rel_total"),
+          Metrics.canonRound(col("n_rel_at_k").cast("double") / k.toDouble, 4).as("precision_at_k"),
+          when(col("first_rel").isNull, lit(0.0))
+            .otherwise(Metrics.canonRound(lit(1.0) / col("first_rel"), 4)).as("mrr"),
+          when(col("idcg_micro") === 0, lit(0.0))
+            .otherwise(Metrics.canonRound(
+              col("dcg_micro").cast("double") / col("idcg_micro").cast("double"), 4)).as("ndcg"))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH ${rrfCtes(8)},
+      lc AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+      graded AS (
+        SELECT r.probe_id, r.rank, ep.label AS q_label,
+          CASE WHEN ed.label = ep.label THEN 1 ELSE 0 END AS rel
+        FROM ranked r
+        JOIN embeddings ep ON ep.vec_id = r.probe_id
+        JOIN embeddings ed ON ed.vec_id = r.doc_id),
+      perq AS (
+        SELECT probe_id, q_label,
+          CAST(sum(rel) AS INTEGER) AS n_rel_at_k,
+          CAST(sum(CASE WHEN rel = 1 THEN (${DcgMicro.mkString("[", ", ", "]")})[rank] ELSE 0 END) AS BIGINT) AS dcg_micro,
+          min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+        FROM graded GROUP BY 1, 2),
+      fin AS (
+        SELECT p.probe_id, p.q_label, p.n_rel_at_k, p.dcg_micro, p.first_rel,
+          CAST(lc.n_label - 1 AS INTEGER) AS n_rel_total,
+          (${IdcgPrefix.mkString("[", ", ", "]")})[least(10, CAST(lc.n_label - 1 AS INTEGER)) + 1] AS idcg_micro
+        FROM perq p JOIN lc ON p.q_label = lc.label)
+      SELECT probe_id, q_label AS label, n_rel_at_k, n_rel_total,
+        floor(CAST(n_rel_at_k AS DOUBLE) / 10.0 * 1e4 + 0.5)/1e4 AS precision_at_k,
+        CASE WHEN first_rel IS NULL THEN 0.0
+             ELSE floor(1.0 / first_rel * 1e4 + 0.5)/1e4 END AS mrr,
+        CASE WHEN idcg_micro = 0 THEN 0.0
+             ELSE floor(CAST(dcg_micro AS DOUBLE) / idcg_micro * 1e4 + 0.5)/1e4 END AS ndcg
+      FROM fin ORDER BY probe_id"""))
 
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
     q127, q128, q133, q135, q137, q143, q145, q148, q151, q169, q175, q176, q177, q198,
-    q212)
+    q212, q257)
 }
