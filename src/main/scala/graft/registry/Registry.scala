@@ -55,6 +55,7 @@ object Registry {
     graft.operators.LmPerplexity.all,
     graft.ml.HistGbm.all,
     graft.streaming.RestartStreams.all,
+    graft.streaming.StateInspect.all,
     graft.streaming.ProfileStreams.all
   )
 
