@@ -42,6 +42,7 @@ object Registry {
     graft.operators.HierarchyRollup.all,
     graft.operators.VariantShred.all,
     graft.operators.CollatedDedup.all,
+    graft.operators.SqlScripting.all,
     graft.operators.WeightedSample.all,
     graft.operators.DsirSelect.all,
     graft.operators.KAnonymity.all,
