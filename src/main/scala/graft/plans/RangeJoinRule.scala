@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   LessThanOrEqual, Literal, Pmod, Sequence, Subtract, UnixMicros}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Filter, Generate, Join, LogicalPlan, Project, Union}
+  BROADCAST, Filter, Generate, HintInfo, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{
   ArrayType, LongType, TimestampNTZType, TimestampType}
@@ -81,6 +81,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan]
   private val IntervalBin = "__graft_rj_bin_i"
   private val markerNames = Set(PointBin, IntervalBin, "__bin")
 
+  /** Re-fire guard for the joins this rule GENERATES. The name-based
+    * markerNames guard alone is not optimizer-stable for the fallback
+    * branch: its marker column is load-bearing nowhere, so
+    * PushDownPredicate + ColumnPruning strip it between fixpoint
+    * iterations, the guard stops seeing it, and the rule re-rewrites
+    * the fallback join ONCE PER ITERATION until maxIterations — the
+    * 10× cert caught q224 at 0.8s → 23-33s executing a ~200-branch
+    * flattened Union (and the analyzer's "Max iterations (100)
+    * reached" warnings were the same bug). Tree tags survive rule
+    * rewrites (transformDown copies tags onto replacement nodes), so
+    * the generated joins carry this tag instead.
+    */
+  private val NoRewriteTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.rangeJoin.noRewrite")
+
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
   private def binSeconds: Long =
@@ -126,7 +141,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan]
     if (!enabled) plan
     else plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if !(left.output ++ right.output).exists(a => markerNames(a.name)) =>
+          if j.getTagValue(NoRewriteTag).isEmpty &&
+            !(left.output ++ right.output).exists(a => markerNames(a.name)) =>
         rewrite(j, left, right, cond, hint).getOrElse(j)
     }
 
@@ -194,24 +210,45 @@ object RangeJoinRewrite extends Rule[LogicalPlan]
         .reduce(And)
       val (newLeft, newRight) =
         if (pointOnLeft) (pointProj, gen) else (gen, pointProj)
-      val binned =
-        Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+      val binnedJoin = Join(newLeft, newRight, Inner, Some(newCond), hint)
+      binnedJoin.setTagValue(NoRewriteTag, true)
+      val binned = Project(j.output, binnedJoin)
       if (maxBins <= 0) binned
       else {
         // fallback branch: wide intervals keep the ORIGINAL join shape —
         // any equi conjuncts still drive it, so an SCD2-style probe with
         // sentinel end dates runs as a plain equi join with the range
-        // residual instead of a 70M-row explode. The constant marker
-        // column trips the re-fire guard (markerNames) so the optimizer
-        // fixpoint leaves this branch un-binned; the final Project strips
-        // it back to j.output.
+        // residual instead of a 70M-row explode. Re-fire protection is
+        // the NoRewriteTag on the generated join (see its scaladoc);
+        // the marker column additionally keeps the analyzed-plan shape
+        // self-describing for specs.
         val wideMark = Alias(Literal(0L), IntervalBin)()
         val wideSide = Project(
           intervalSide.output :+ wideMark,
           Filter(GreaterThan(span, Literal(maxBins)), intervalSide))
         val (wLeft, wRight) =
           if (pointOnLeft) (pointSide, wideSide) else (wideSide, pointSide)
-        val wide = Project(j.output, Join(wLeft, wRight, Inner, Some(cond), hint))
+        // With NO equi conjunct the fallback is a nested-loop join whose
+        // broadcast side Spark picks by size estimate — which can be the
+        // fact-scale POINT side. The wide subset is dimension-shaped by
+        // construction (rows past the cap are SCD2-sentinel-style), so
+        // hint it as the broadcast side; with equi conjuncts present the
+        // planner's keyed strategies are already right, hint untouched.
+        val hasEqui = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (refsOnly(a, left) && refsOnly(b, right)) ||
+              (refsOnly(a, right) && refsOnly(b, left))
+          case _ => false
+        }
+        val wideHint =
+          if (hasEqui) hint
+          else {
+            val bc = Some(HintInfo(strategy = Some(BROADCAST)))
+            if (pointOnLeft) hint.copy(rightHint = bc) else hint.copy(leftHint = bc)
+          }
+        val wideJoin = Join(wLeft, wRight, Inner, Some(cond), wideHint)
+        wideJoin.setTagValue(NoRewriteTag, true)
+        val wide = Project(j.output, wideJoin)
         Union(Seq(binned, wide))
       }
     }

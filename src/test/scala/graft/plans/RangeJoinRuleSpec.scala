@@ -141,6 +141,15 @@ class RangeJoinRuleSpec extends SparkSpec {
     val plan = planString(joined)
     assert(plan.contains("__graft_rj_bin"), plan.take(800)) // binned branch present
     assert(plan.contains("Union"), plan.take(800))          // fallback branch present
+    // re-fire pin: EXACTLY the two generated joins survive optimization.
+    // The fallback join's guard must hold across optimizer iterations
+    // (its marker column is prunable, so the rule guards generated joins
+    // with a tree tag) — a broken guard re-rewrites the fallback once
+    // per iteration until maxIterations and this count explodes to ~200
+    // (measured: q224 0.8s → 23-33s).
+    val nJoins = joined.queryExecution.optimizedPlan.collect {
+      case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn }.size
+    assert(nJoins === 2, s"expected exactly 2 joins (binned + fallback), got $nJoins")
     val got = joined.select("f_uid", "f_ts", "ver").collect()
       .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getString(2))).toSet
     assert(got === Set(
