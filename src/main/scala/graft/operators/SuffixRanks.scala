@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.registry.GQuery
+
+/** Distributed suffix-array construction by PREFIX DOUBLING
+  * (Manber-Myers 1990), the real machinery behind ExactSubstr dedup
+  * (Lee et al. 2022, arXiv:2107.06499) — where q119 approximates with
+  * fixed 8-gram masking, this builds the actual suffix ordering and
+  * reads MAXIMAL repeated substrings off it: rank all token suffixes of
+  * the corpus, then the longest duplicated span through any position is
+  * the LCP of rank-ADJACENT suffixes (the classic suffix-array/LCP
+  * identity), so one pass over neighbors finds every maximal cross-doc
+  * duplication with no pair enumeration.
+  *
+  * The algorithm, as dataflow: each doc's token array gets a unique
+  * sentinel token appended ('~'||doc_id — '~' sorts above the corpus
+  * alphabet, so no suffix is a prefix of another and all suffix ranks
+  * are distinct); round 0 ranks positions by their single token;
+  * round k+1 ranks by the pair (rank[i], rank[i + 2^k]) — the lookup is
+  * a windowed lead() over positions within the doc (suffixes never
+  * cross docs), null past the end → -1. After ⌈log2(maxLen)⌉ rounds the
+  * dense rank IS the suffix-array position. 7 rounds here (fixture docs
+  * ≤ 100 tokens + sentinel ≤ 128; a require guards the bound).
+  *
+  * Oracle equivalence: DuckDB sorts the suffixes as SPACE-JOINED
+  * strings — with every token char strictly between ' ' (the separator)
+  * and '~' (the sentinel head), joined-string binary order is EXACTLY
+  * token-sequence order, so both engines produce the same ranking; the
+  * oracle then computes the same capped neighbor LCP with slice
+  * equality. The output is the top-20 cross-doc duplications (lcp ≥ 8
+  * tokens, capped at 32 — the dedup-decision threshold; the cap keeps
+  * the LCP compare O(1) per neighbor) with the span's md5 as witness.
+  *
+  * Scale shape: each doubling round is one global RANK (spelled as an
+  * unpartitioned window here — local[32]'s version of the
+  * repartitionByRange + per-partition-offset ranking a cluster uses;
+  * same log(maxLen) round count either way) plus one per-doc windowed
+  * lead — O(n log L) total work, the textbook parallel suffix-array
+  * bound. The LCP pass touches each rank-adjacent pair exactly once:
+  * n-1 pairs, never n². At 100 TB the per-round sort is the same
+  * shuffle any global orderBy pays, and L (max doc length in tokens)
+  * bounds the round count at ~17 even for 100k-token docs.
+  */
+object SuffixRanks {
+
+  private val Rounds = 7 // 2^7 = 128 ≥ max doc tokens + sentinel
+  private val LcpCap = 32
+  private val MinLcp = 8
+
+  val q260 = GQuery(
+    "q260_suffix_ranks",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(TextQueries.tokens(col("text")),
+            array(concat(lit("~"), col("doc_id").cast("string")))).as("toks"))
+        .cache()
+      val maxLen = docs.agg(max(size(col("toks")))).head.getInt(0)
+      require(maxLen <= (1 << Rounds),
+        s"doc length $maxLen exceeds 2^$Rounds — raise Rounds")
+      val positions = docs
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      var ranked = positions
+        .withColumn("r", dense_rank().over(Window.orderBy("tok")).cast("long"))
+        .select("doc_id", "pos", "r")
+      for (k <- 0 until Rounds) {
+        val byPos = Window.partitionBy("doc_id").orderBy("pos")
+        ranked = ranked
+          .withColumn("rn", coalesce(lead(col("r"), 1 << k).over(byPos), lit(-1L)))
+          .withColumn("r2",
+            dense_rank().over(Window.orderBy("r", "rn")).cast("long"))
+          .select(col("doc_id"), col("pos"), col("r2").as("r"))
+          // per-round lineage truncation (NOTES invariant 14): 14 chained
+          // window stages otherwise accumulate a deep recompute tree
+          .localCheckpoint(true)
+      }
+      val a = ranked.select(col("r").as("rk"),
+        col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      val b = ranked.select((col("r") - 1).as("rk"),
+        col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+      val adj = a.join(b, "rk")
+        .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("toks").as("a_toks"))), "doc_a")
+        .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("toks").as("b_toks"))), "doc_b")
+      val sa = slice(col("a_toks"), col("pos_a").cast("int"), lit(LcpCap))
+      val sb = slice(col("b_toks"), col("pos_b").cast("int"), lit(LcpCap))
+      // leading-match count: zip (nulls pad the shorter → inequality),
+      // then a prefix-scan fold that stops counting at the first miss
+      val eqs = zip_with(sa, sb, (x, y) => coalesce(x === y, lit(false)))
+      val lcp = aggregate(eqs,
+        struct(lit(0).as("c"), lit(true).as("alive")),
+        (st, e) => struct(
+          (st.getField("c") + when(st.getField("alive") && e, 1).otherwise(0)).as("c"),
+          (st.getField("alive") && e).as("alive")),
+        st => st.getField("c"))
+      adj.withColumn("lcp", lcp)
+        .filter(col("lcp") >= MinLcp && col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+          col("lcp").cast("int").as("lcp"),
+          md5(array_join(slice(col("a_toks"), col("pos_a").cast("int"), col("lcp")), " "))
+            .as("span_md5"))
+        .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+        .limit(20)
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id,
+               string_split(text, ' ') || ['~' || CAST(doc_id AS VARCHAR)] AS toks
+        FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+        FROM d),
+      suf AS (
+        SELECT doc_id, pos, toks, array_to_string(toks[pos:], ' ') AS s
+        FROM pos),
+      r AS (SELECT doc_id, pos, toks, row_number() OVER (ORDER BY s) AS rk FROM suf),
+      adj AS (
+        SELECT a.doc_id AS doc_a, a.pos AS pos_a, a.toks AS a_toks,
+               b.doc_id AS doc_b, b.pos AS pos_b, b.toks AS b_toks
+        FROM r a JOIN r b ON b.rk = a.rk + 1),
+      lcps AS (
+        SELECT doc_a, pos_a, doc_b, pos_b, a_toks,
+          coalesce((SELECT max(k) FROM range(1, ${LcpCap + 1}) t(k)
+                    WHERE k <= least(len(a_toks) - pos_a + 1, len(b_toks) - pos_b + 1)
+                      AND a_toks[pos_a : pos_a + k - 1] = b_toks[pos_b : pos_b + k - 1]), 0) AS lcp
+        FROM adj)
+      SELECT doc_a, pos_a, doc_b, pos_b, CAST(lcp AS INTEGER) AS lcp,
+        md5(array_to_string(a_toks[pos_a : pos_a + lcp - 1], ' ')) AS span_md5
+      FROM lcps
+      WHERE lcp >= $MinLcp AND doc_a <> doc_b
+      ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
+      LIMIT 20"""))
+
+  def all: Seq[GQuery] = Seq(q260)
+}

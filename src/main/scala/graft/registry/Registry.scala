@@ -43,6 +43,7 @@ object Registry {
     graft.operators.VariantShred.all,
     graft.operators.CollatedDedup.all,
     graft.operators.SqlScripting.all,
+    graft.operators.SuffixRanks.all,
     graft.operators.WeightedSample.all,
     graft.operators.DsirSelect.all,
     graft.operators.KAnonymity.all,
