@@ -202,16 +202,13 @@ object ScaleSmoke {
     prPairs.count()
     val prPairsK = replicate(prPairs, Seq("id_a", "id_b"))
 
-    // q125's layout shape. The ntile windows are the oracle-witness form
-    // (single-partition global sorts); a production writer replaces them
-    // with broadcast quantile boundaries + repartitionByRange — this row
-    // measures how far the witness form itself carries before that swap
-    // becomes mandatory.
+    // q125's layout shape. The global ntiles route through
+    // DistributedRank (range repartition + partition-offset ranking) —
+    // no single-partition sort; this row measures the three range
+    // shuffles (x code, y code, file cut) against data growth.
     def zorder(o: DataFrame) = {
-      val coded = o.select(
-        sources.ZOrderLayout.rankCode(col("o_custkey"), col("o_orderkey"), 256).as("x"),
-        sources.ZOrderLayout.rankCode(to_date(col("o_orderdate")), col("o_orderkey"), 256).as("y"),
-        col("o_orderkey").as("tb"))
+      val coded = sources.ZOrderLayout.rankCoded(o,
+        col("o_custkey"), to_date(col("o_orderdate")), col("o_orderkey"), 256)
       sources.ZOrderLayout.layoutStats(coded, nFiles = 16)
     }
 

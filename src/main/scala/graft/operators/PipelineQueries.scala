@@ -413,10 +413,11 @@ object PipelineQueries {
     * footer stats a lakehouse writer persists, i.e. the numbers that
     * decide whether a predicate on EITHER column can skip the file.
     *
-    * The ntile windows are the oracle-friendly witness form; the actual
-    * 100 TB writer rank-codes via broadcast quantile boundaries and cuts
-    * files with `repartitionByRange(nFiles, z).sortWithinPartitions(z)` —
-    * see the ZOrderLayout scaladoc. PlansSpec additionally asserts the
+    * The global ntiles route through `DistributedRank.ntile` (range
+    * repartition + partition-offset ranking — no single-partition sort;
+    * see its scaladoc); a real lakehouse writer further collapses the
+    * file cut into `repartitionByRange(nFiles, z).sortWithinPartitions(z)`
+    * + write — see the ZOrderLayout scaladoc. PlansSpec asserts the
     * layout QUALITY: mean per-file extent is ~1/√16 of the domain in BOTH
     * dimensions, where a single-column sort leaves the other dimension's
     * extent at ~100% — which is the whole point of the curve.
@@ -425,10 +426,8 @@ object PipelineQueries {
     "q125_zorder_layout",
     (s, dir) => {
       import graft.sources.ZOrderLayout
-      val coded = Tables.orders(s, dir).select(
-        ZOrderLayout.rankCode(col("o_custkey"), col("o_orderkey"), 256).as("x"),
-        ZOrderLayout.rankCode(to_date(col("o_orderdate")), col("o_orderkey"), 256).as("y"),
-        col("o_orderkey").as("tb"))
+      val coded = ZOrderLayout.rankCoded(Tables.orders(s, dir),
+        col("o_custkey"), to_date(col("o_orderdate")), col("o_orderkey"), 256)
       ZOrderLayout.layoutStats(coded, nFiles = 16)
     },
     Some {
@@ -696,22 +695,22 @@ object PipelineQueries {
     * property of whatever order the scan produced. Output is the manifest
     * a loader consumes: (doc_id, quality, bucket, rank).
     *
-    * Scale note: the ntile/global-rank windows are the oracle-witness
-    * form (single-partition sort, like q125's layout witness); a
-    * production writer swaps them for broadcast quantile boundaries +
-    * repartitionByRange + partition-local rank — same manifest, no
-    * global sort.
+    * Scale note: the bucket ntile and the manifest rank both route
+    * through `DistributedRank` (range repartition + partition-offset
+    * ranking — see its scaladoc), so the manifest never funnels through
+    * a single-partition sort; the orders are total (doc_id tie-break),
+    * so the output is byte-identical to the old window form.
     */
   def curriculumManifest(docs: DataFrame, nBuckets: Int, seed: String): DataFrame = {
     val q = Metrics.canonRound(TextQueries.qualityExpr(TextQueries.tokens(col("text"))), 4)
-    val wB = Window.orderBy(col("quality").desc, col("doc_id").asc)
     val sh = md5(concat(lit(seed), col("doc_id").cast("string")))
-    val wR = Window.orderBy(col("bucket").asc, col("sh").asc, col("doc_id").asc)
-    docs.select(col("doc_id"), q.as("quality"))
-      .withColumn("bucket", ntile(nBuckets).over(wB))
+    val scored = docs.select(col("doc_id"), q.as("quality"))
+    val bucketed = DistributedRank.ntile(scored,
+      Seq(col("quality").desc, col("doc_id").asc), nBuckets, "bucket")
       .withColumn("sh", sh)
-      .withColumn("rank", row_number().over(wR))
-      .select(col("doc_id"), col("quality"), col("bucket"), col("rank"))
+    DistributedRank.rowNumber(bucketed,
+        Seq(col("bucket").asc, col("sh").asc, col("doc_id").asc), "rank")
+      .select(col("doc_id"), col("quality"), col("bucket"), col("rank").cast("int").as("rank"))
       .orderBy("rank")
   }
 

@@ -40,13 +40,20 @@ import graft.registry.GQuery
   * so the oracle replays generation, model estimation, scoring, and
   * classification end to end.
   *
-  * Scale shape: candidates come from a BLOCKED equi join on nation (the
-  * q85 rule — the block key is the scalability knob; a corrupted blocking
-  * field loses the pair, measured honestly by blocking_recall). The value
+  * Scale shape (r14): the nation block alone is a CLOSED-VOCABULARY
+  * block — 25 values forever — so its pair space grows quadratically
+  * with data (SCALE_r13 measured 46×/21× at 10× for q241/q244). Neither
+  * production path materializes it any more: q241's report blocks on
+  * passes DERIVED from the fitted weights ([[minimalQualifyingPatterns]]
+  * — only agreement patterns that can reach the report's 0-bit floor
+  * generate pairs, recall-lossless by construction), and q244's EM
+  * consumes the algebraic [[patternCounts]] (per-subset group-count
+  * products + Möbius inversion — no pair stream at all). The exhaustive
+  * [[candidatePairs]] remains as ground truth for the spec and as the
+  * fallback when the weights cannot support a lossless band. The value
   * -frequency tables, truth-pair counts, and the weight vector are tiny
-  * aggregate frames broadcast into the scoring join; nothing but the
-  * blocked pair stream is ever corpus-sized, and that stream reduces by
-  * map-side-combinable aggregation for the audit.
+  * aggregate frames; audit numbers (blocking_recall et al.) come from
+  * the 1:1 truth join, so they are identical under every path.
   */
 object RecordLinkage {
 
@@ -131,9 +138,13 @@ object RecordLinkage {
     * ~1s for the whole query with literal weights keeping the score
     * inside the blocked join's codegen stage.
     */
-  /** Blocked candidate pairs with their per-field agreement indicators
-    * and truth flag — shared by the supervised scorer (q241) and the
-    * unsupervised EM estimator (q244).
+  /** EXHAUSTIVE blocked candidate pairs with their per-field agreement
+    * indicators and truth flag — the reference pair space. Since r14 the
+    * production paths never materialize this stream (q241 goes through
+    * the derived blocking passes of [[bandedCandidates]], q244 through
+    * the algebraic [[patternCounts]]); it remains the ground truth the
+    * spec compares both against, and the fallback when the fitted
+    * weights cannot support a lossless band.
     *
     * The exchange below is load-bearing, not just co-location: codegen
     * defers stream-side vars that the join key doesn't need into the
@@ -153,6 +164,70 @@ object RecordLinkage {
         when(col("d_band") === col("band"), 1).otherwise(0).as("a_band"),
         when(col("src_key") === col("k"), 1).otherwise(0).as("is_true"))
 
+  /** Blocking-rule DERIVATION (r13 verdict item 3, the Splink recipe):
+    * the report only ever emits pairs scoring ≥ 0 bits, and a pair's
+    * score is a monotone-free function of its 2³ agreement pattern — so
+    * from the six fitted weights we can enumerate which patterns can
+    * reach the floor and block on exactly those. Returns the MINIMAL
+    * qualifying patterns (no qualifying pattern is a proper sub-pattern):
+    * every qualifying pattern is a superset of some minimal one, so an
+    * equi-join pass per minimal pattern (on nation + that pattern's
+    * agreeing fields) finds every reportable pair — recall-lossless BY
+    * CONSTRUCTION, with no monotonicity assumption (a qualifying pattern
+    * is covered at worst by itself). If the all-disagree pattern
+    * qualifies, the only lossless "band" is the full nation block and
+    * callers must fall back to [[candidatePairs]].
+    *
+    * On the fixtures this derives {name} and {seg, band}: the name pass
+    * is 1:~1 (names are near-unique) and the (seg, band) pass divides
+    * the nation block by the seg×band vocabulary — the closed-vocabulary
+    * candidate quadratic that SCALE_r13 measured at 46× shrinks by the
+    * product of the banded vocabularies while returning the identical
+    * report.
+    */
+  private[operators] def minimalQualifyingPatterns(wr: org.apache.spark.sql.Row): Seq[(Int, Int, Int)] = {
+    def wl(i: Int) = BigDecimal(wr.getDecimal(i))
+    def score(p: (Int, Int, Int)): BigDecimal =
+      (if (p._1 == 1) wl(0) else wl(1)) +
+        (if (p._2 == 1) wl(2) else wl(3)) +
+        (if (p._3 == 1) wl(4) else wl(5))
+    val pats = for { a <- 0 to 1; b <- 0 to 1; c <- 0 to 1 } yield (a, b, c)
+    val qual = pats.filter(score(_) >= 0)
+    def subsetOf(q: (Int, Int, Int), p: (Int, Int, Int)) =
+      q._1 <= p._1 && q._2 <= p._2 && q._3 <= p._3
+    qual.filter(p => !qual.exists(q => q != p && subsetOf(q, p)))
+  }
+
+  /** Candidate pairs via the derived blocking passes: one equi join per
+    * minimal qualifying pattern (project ONLY the pair keys — the
+    * md5-CASE dirty columns are join keys or unused, so nothing derived
+    * leaks into a match loop), distinct across passes, then one join
+    * back to each side to compute the indicators. Emits exactly the
+    * pairs whose score can reach 0 — the ones the report keeps.
+    */
+  private def bandedCandidates(master: DataFrame, dirty: DataFrame,
+      minimal: Seq[(Int, Int, Int)]): DataFrame = {
+    val passes = minimal.map { m =>
+      val conds = Seq(col("d_nation") === col("c_nationkey")) ++
+        (if (m._1 == 1) Seq(col("d_name") === col("c_name")) else Nil) ++
+        (if (m._2 == 1) Seq(col("d_seg") === col("c_mktsegment")) else Nil) ++
+        (if (m._3 == 1) Seq(col("d_band") === col("band")) else Nil)
+      dirty.join(master, conds.reduce(_ && _))
+        .select(col("rec_id"), col("k").as("master_key"))
+    }
+    val keys = passes.reduce(_ unionByName _).distinct()
+    // join-back on unique keys; repartition materializes the derived
+    // dirty columns once per record (NOTES invariant 15)
+    keys.join(dirty.repartition(col("rec_id")), "rec_id")
+      .join(master.withColumnRenamed("k", "master_key"), "master_key")
+      .select(
+        col("rec_id"), col("master_key"),
+        when(col("d_name") === col("c_name"), 1).otherwise(0).as("a_name"),
+        when(col("d_seg") === col("c_mktsegment"), 1).otherwise(0).as("a_seg"),
+        when(col("d_band") === col("band"), 1).otherwise(0).as("a_band"),
+        when(col("src_key") === col("master_key"), 1).otherwise(0).as("is_true"))
+  }
+
   def scoredPairs(master: DataFrame, dirty: DataFrame, w: DataFrame): DataFrame = {
     val wr = w.head()
     // the one-row weight frame folds in as decimal literals (the
@@ -160,27 +235,41 @@ object RecordLinkage {
     // whose output projection runs interpreted, measured ~2.5s per
     // referencing column over the sf0.1 candidates
     def wl(i: Int): Column = lit(wr.getDecimal(i))
-    candidatePairs(master, dirty)
-      .withColumn("score",
-        when(col("a_name") === 1, wl(0)).otherwise(wl(1)) +
-          when(col("a_seg") === 1, wl(2)).otherwise(wl(3)) +
-          when(col("a_band") === 1, wl(4)).otherwise(wl(5)))
+    val minimal = minimalQualifyingPatterns(wr)
+    val cand =
+      if (minimal.contains((0, 0, 0))) candidatePairs(master, dirty)
+      else bandedCandidates(master, dirty, minimal)
+    cand.withColumn("score",
+      when(col("a_name") === 1, wl(0)).otherwise(wl(1)) +
+        when(col("a_seg") === 1, wl(2)).otherwise(wl(3)) +
+        when(col("a_band") === 1, wl(4)).otherwise(wl(5)))
   }
 
   /** Full linkage report: pairs classified match/possible (non-matches
     * below 0 bits are dropped — the overwhelming majority), with the
     * global audit appended to every row.
+    *
+    * `n_true_cand` (the blocking-recall numerator) is computed from the
+    * 1:1 TRUTH join, not the candidate stream: a true pair survives the
+    * nation block iff the dirty record's nation survived corruption, so
+    * `truth ⋈ filter(d_nation = c_nationkey)` counts exactly the
+    * is_true=1 rows the exhaustive stream would — which lets the
+    * candidate stream itself be the derived-band one (score ≥ 0 pairs
+    * only) without touching any audit number.
     */
   def linkageReport(cust: DataFrame): DataFrame = {
     val master = masterRecords(cust)
     val dirty = dirtyRecords(cust)
     val scored = scoredPairs(master, dirty, weights(master, dirty))
     val nDirty = dirty.agg(count(lit(1)).as("n_dirty"))
-    // one map-side-combinable pass over ALL candidates for the audit
+    val trueCand = dirty.join(master, col("src_key") === col("k"))
+      .filter(col("d_nation") === col("c_nationkey"))
+      .agg(count(lit(1)).as("n_true_cand"))
+    // one map-side-combinable pass over the reportable candidates
     val audit = scored.agg(
-        sum(col("is_true").cast("long")).as("n_true_cand"),
-        sum(when(col("score") >= 8 && col("is_true") === 1, 1L).otherwise(0L)).as("n_match_true"),
-        sum(when(col("score") >= 8, 1L).otherwise(0L)).as("n_match"))
+        coalesce(sum(when(col("score") >= 8 && col("is_true") === 1, 1L).otherwise(0L)), lit(0L)).as("n_match_true"),
+        coalesce(sum(when(col("score") >= 8, 1L).otherwise(0L)), lit(0L)).as("n_match"))
+      .crossJoin(trueCand)
       .crossJoin(nDirty)
       .select(
         col("n_match"),
@@ -342,6 +431,53 @@ object RecordLinkage {
     (lam, m, u)
   }
 
+  /** Exact 2³ agreement-pattern table over the nation-blocked pair space
+    * WITHOUT materializing a single pair (r13 verdict item 3): for every
+    * field subset S, the number of in-block pairs agreeing on at least S
+    * is Σ_v dirtyCount(v)·masterCount(v) over joint (nation, S-fields)
+    * values — one tiny map-side-combinable groupBy per side and one
+    * group-level join, all LINEAR in the data no matter how hot the
+    * blocks get; exact-pattern counts then follow by Möbius inversion
+    * over the 8-subset lattice (N(P) = Σ_{S⊇P} (−1)^{|S\P|}·A(S)). Truth
+    * counts per pattern come from the 1:1 truth join (n_dirty rows).
+    * Integer-exact and identical to a pair-stream groupBy —
+    * RecordLinkageSpec pins the equality against [[candidatePairs]] —
+    * which is how Splink-style EM estimation actually runs at 100 TB:
+    * the estimator needs pattern COUNTS, never the pairs.
+    *
+    * Returns (a_name, a_seg, a_band, n, n_true) for observed patterns.
+    */
+  private[operators] def patternCounts(master: DataFrame, dirty: DataFrame): Seq[(Int, Int, Int, Long, Long)] = {
+    val fields = Seq(("d_name", "c_name"), ("d_seg", "c_mktsegment"), ("d_band", "band"))
+    def atLeast(mask: Int): Long = {
+      val s = (0 until 3).filter(i => (mask & (1 << i)) != 0)
+      val dKeys = col("d_nation") +: s.map(i => col(fields(i)._1))
+      val mKeys = col("c_nationkey") +: s.map(i => col(fields(i)._2))
+      val dg = dirty.groupBy(dKeys: _*).agg(count(lit(1)).as("nd"))
+      val mg = master.groupBy(mKeys: _*).agg(count(lit(1)).as("nm"))
+      val cond = dKeys.zip(mKeys).map { case (a, b) => a === b }.reduce(_ && _)
+      val r = dg.join(mg, cond).agg(coalesce(sum(col("nd") * col("nm")), lit(0L))).head()
+      r.getLong(0)
+    }
+    val a = (0 until 8).map(atLeast)
+    def exact(p: Int): Long =
+      (0 until 8).filter(s => (s & p) == p)
+        .map(s => (if (Integer.bitCount(s ^ p) % 2 == 0) 1L else -1L) * a(s)).sum
+    val truth = dirty.join(master, col("src_key") === col("k"))
+      .filter(col("d_nation") === col("c_nationkey"))
+      .groupBy(
+        when(col("d_name") === col("c_name"), 1).otherwise(0).as("a_name"),
+        when(col("d_seg") === col("c_mktsegment"), 1).otherwise(0).as("a_seg"),
+        when(col("d_band") === col("band"), 1).otherwise(0).as("a_band"))
+      .agg(count(lit(1)).as("nt"))
+      .collect()
+      .map(r => (r.getInt(0) | (r.getInt(1) << 1) | (r.getInt(2) << 2)) -> r.getLong(3))
+      .toMap
+    (0 until 8).map { p =>
+      (p & 1, (p >> 1) & 1, (p >> 2) & 1, exact(p), truth.getOrElse(p, 0L))
+    }.filter(_._4 > 0)
+  }
+
   /** Agreement-pattern EM report: one row per observed pattern with its
     * count, truth-fraction audit, EM posterior match probability and
     * classification, and the fitted parameters appended.
@@ -349,12 +485,7 @@ object RecordLinkage {
   def emReport(cust: DataFrame): DataFrame = {
     val spark = cust.sparkSession
     import spark.implicits._
-    val pat = candidatePairs(masterRecords(cust), dirtyRecords(cust))
-      .groupBy("a_name", "a_seg", "a_band")
-      .agg(count(lit(1)).as("n"), sum(col("is_true").cast("long")).as("nt"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
-      .toSeq
+    val pat = patternCounts(masterRecords(cust), dirtyRecords(cust))
     val (lam, m, u) = emFit(pat.map(p => (p._1, p._2, p._3, p._4)), EmRounds)
     def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val rows = pat.map { case (a1, a2, a3, n, nt) =>

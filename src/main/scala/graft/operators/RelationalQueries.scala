@@ -906,13 +906,12 @@ object RelationalQueries {
     * classic churn/value feature block, one map-side-combined groupBy +
     * three rankings over the per-customer aggregate.
     *
-    * Scale note: a global (unpartitioned) ntile is a single-task sort —
-    * fine while the customer aggregate fits one task, which it does at
-    * the fixture scales and far beyond, but a 100 TB deployment with
-    * hundreds of millions of customers swaps each ntile for
-    * percentile_approx quartile thresholds + a CASE lookup (one pass, no
-    * global sort, approximate boundaries); kept exact-ntile here because
-    * the segment boundaries are the oracle-checked output.
+    * Scale note: each segment ntile routes through
+    * `DistributedRank.ntile` (range repartition + partition-local rank +
+    * broadcast offsets — see its scaladoc), so even hundreds of millions
+    * of customers never funnel through a single-task sort; the segment
+    * boundaries stay EXACT (oracle-checked), where the usual
+    * percentile_approx + CASE alternative would be approximate.
     */
   val q95 = GQuery(
     "q95_rfm_features",
@@ -925,12 +924,14 @@ object RelationalQueries {
           Metrics.canonRound(Metrics.exactSum(col("o_totalprice")), 2).as("monetary"))
         .crossJoin(broadcast(anchor))
         .withColumn("recency_days", datediff(col("anchor"), col("last_order")).cast("int"))
-      def seg(c: String, asc: Boolean) = ntile(4).over(
-        Window.orderBy(if (asc) col(c).asc else col(c).desc, col("o_custkey")))
-      rfm.select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
-          seg("recency_days", asc = true).as("r_seg"),
-          seg("frequency", asc = false).as("f_seg"),
-          seg("monetary", asc = false).as("m_seg"))
+      def seg(df: org.apache.spark.sql.DataFrame, c: String, asc: Boolean, out: String) =
+        DistributedRank.ntile(df,
+          Seq(if (asc) col(c).asc else col(c).desc, col("o_custkey")), 4, out)
+      seg(seg(seg(rfm, "recency_days", asc = true, "r_seg"),
+          "frequency", asc = false, "f_seg"),
+          "monetary", asc = false, "m_seg")
+        .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+          col("r_seg"), col("f_seg"), col("m_seg"))
         .orderBy("o_custkey")
     },
     Some("""WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS a FROM orders),

@@ -35,15 +35,24 @@ import graft.registry.GQuery
   * tokens, capped at 32 — the dedup-decision threshold; the cap keeps
   * the LCP compare O(1) per neighbor) with the span's md5 as witness.
   *
-  * Scale shape: each doubling round is one global RANK (spelled as an
-  * unpartitioned window here — local[32]'s version of the
-  * repartitionByRange + per-partition-offset ranking a cluster uses;
-  * same log(maxLen) round count either way) plus one per-doc windowed
-  * lead — O(n log L) total work, the textbook parallel suffix-array
-  * bound. The LCP pass touches each rank-adjacent pair exactly once:
-  * n-1 pairs, never n². At 100 TB the per-round sort is the same
-  * shuffle any global orderBy pays, and L (max doc length in tokens)
+  * Scale shape: each doubling round is one global RANK — routed through
+  * `DistributedRank.denseRank` (range repartition + partition-local rank
+  * + broadcast per-partition offsets; see its scaladoc), so no round
+  * plans an `Exchange SinglePartition` (PlansSpec captures a MID-round
+  * plan, before the per-round localCheckpoint truncates it, and pins
+  * this) — plus one per-doc windowed lead: O(n log L) total work, the
+  * textbook parallel suffix-array bound. The LCP pass touches each
+  * rank-adjacent pair exactly once: n-1 pairs, never n². At 100 TB each
+  * round pays one range shuffle (the same shuffle any global orderBy
+  * pays, spread over all executors), and L (max doc length in tokens)
   * bounds the round count at ~17 even for 100k-token docs.
+  *
+  * Alphabet guard: the oracle-equivalence argument requires every corpus
+  * token char to sit strictly between ' ' (the join separator) and '~'
+  * (the sentinel head), and no empty tokens (a double/leading/trailing
+  * space would split one). A cheap corpus scan `require`s both, so a
+  * fixture regeneration that breaks the assumption fails loudly instead
+  * of as an oracle hash mismatch.
   */
 object SuffixRanks {
 
@@ -51,10 +60,34 @@ object SuffixRanks {
   private val LcpCap = 32
   private val MinLcp = 8
 
+  /** One prefix-doubling round: pair each position's rank with the rank
+    * 2^k ahead (per-doc windowed lead, -1 past the end) and re-rank the
+    * pairs globally through `DistributedRank.denseRank` — which is where
+    * the round's range shuffle, partition-local sort, and eager
+    * checkpoint all live. Exposed so DistributedRankSpec can audit a
+    * real mid-round frame (the r13 blind spot was the checkpoint hiding
+    * the round's sorts from end-of-query plan audits; the helper's
+    * `localRankedForAudit` exposes the pre-checkpoint plan itself).
+    */
+  def rankRound(ranked: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val paired = ranked
+      .withColumn("rn", coalesce(lead(col("r"), 1 << k).over(byPos), lit(-1L)))
+    DistributedRank.denseRank(paired, Seq(col("r"), col("rn")), "r2")
+      .select(col("doc_id"), col("pos"), col("r2").as("r"))
+  }
+
   val q260 = GQuery(
     "q260_suffix_ranks",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val raw = Tables.documents(s, dir)
+      // alphabet guard (see scaladoc): chars must stay in (' ', '~'),
+      // no empty tokens from doubled/leading/trailing spaces
+      val bad = raw.filter(col("text").rlike("(^ )|(  )|( $)|[^ -}]")).limit(1).count()
+      require(bad == 0,
+        "documents.text violates the suffix-rank alphabet contract " +
+          "(char outside (' ','~') or an empty token) — oracle ordering identity breaks")
+      val docs = raw
         .select(col("doc_id"),
           concat(TextQueries.tokens(col("text")),
             array(concat(lit("~"), col("doc_id").cast("string")))).as("toks"))
@@ -65,19 +98,13 @@ object SuffixRanks {
       val positions = docs
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-      var ranked = positions
-        .withColumn("r", dense_rank().over(Window.orderBy("tok")).cast("long"))
+      var ranked = DistributedRank.denseRank(positions, Seq(col("tok")), "r")
         .select("doc_id", "pos", "r")
       for (k <- 0 until Rounds) {
-        val byPos = Window.partitionBy("doc_id").orderBy("pos")
-        ranked = ranked
-          .withColumn("rn", coalesce(lead(col("r"), 1 << k).over(byPos), lit(-1L)))
-          .withColumn("r2",
-            dense_rank().over(Window.orderBy("r", "rn")).cast("long"))
-          .select(col("doc_id"), col("pos"), col("r2").as("r"))
-          // per-round lineage truncation (NOTES invariant 14): 14 chained
-          // window stages otherwise accumulate a deep recompute tree
-          .localCheckpoint(true)
+        // per-round lineage truncation (NOTES invariant 14) happens
+        // INSIDE DistributedRank.denseRank (its eager checkpoint), so no
+        // outer checkpoint is needed — each round's tail is shallow
+        ranked = rankRound(ranked, k)
       }
       val a = ranked.select(col("r").as("rk"),
         col("doc_id").as("doc_a"), col("pos").as("pos_a"))

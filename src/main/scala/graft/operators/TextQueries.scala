@@ -375,32 +375,65 @@ object TextQueries {
     * like an LSH bucket blowup, handled the same way: cap or sub-block.
     * The edit distance uses Spark's thresholded levenshtein(l, r, k) —
     * banded DP that abandons a pair once the distance exceeds k, so cost
-    * per pair is O(k·len) not O(len²). A LENGTH filter rides the join
-    * condition (Ed-Join's first filter, Xiao et al. 2008): dist ≤ 3
-    * implies |len(a) − len(b)| ≤ 3, so the band drops a candidate before
-    * the DP ever runs — semantically invisible (zero false negatives, the
-    * oracle is unchanged) but it cuts the hot-block candidate quadratic
-    * to same-length-band pairs. The 10× scale run motivated it: replicas
-    * reuse the fixture's ~150-value brand×type vocabulary, so block
-    * membership grows linearly with data and candidate pairs
-    * quadratically (SCALE_r13's q85 row) — the length band is the
-    * cheapest sub-block, and at 100 TB the band would move INTO the join
-    * key (join on (block, len_bucket) × 3 adjacent buckets).
+    * per pair is O(k·len) not O(len²).
+    *
+    * Two sub-quadratic upgrades ride on top of the block (r13 verdict
+    * item 3), both recall-lossless:
+    *
+    *  1. '''Comparison deduplication''' (the Splink term-frequency
+    *     trick): dist(a, b) depends only on the name STRINGS, so the
+    *     expensive compare runs once per DISTINCT in-block value pair —
+    *     a self-join of the (block, name) vocabulary frame — and the
+    *     qualifying value pairs then join back to enumerate id pairs.
+    *     The r13 scale run measured why this matters: the fixture (like
+    *     any saturated entity domain) has a CLOSED name vocabulary (64
+    *     values at sf0.1×10 over 200k rows), so record-pair candidates
+    *     grow quadratically (268M at 10×, 72× wall) while value-pair
+    *     candidates stay at vocabulary² (≤4k) and the join-back does
+    *     output-proportional work — the only quadratic left is the
+    *     answer itself (replica clones really are mutual matches).
+    *  2. '''Length band IN THE VALUE-JOIN KEY''': dist ≤ 3 forces
+    *     |len(a) − len(b)| ≤ 3, so with width-4 length buckets a
+    *     qualifying pair's buckets differ by ≤ 1; side a emits its own
+    *     bucket, side b {lb−1, lb, lb+1} — each qualifying value pair
+    *     meets on exactly one key (no distinct pass needed). On an OPEN
+    *     vocabulary (distinct values ≈ rows, where dedup buys nothing)
+    *     this bounds the value self-join exactly the way Ed-Join's
+    *     first filter intends; the post-join |len diff| ≤ 3 stays as
+    *     the in-band refinement.
+    *
+    * Pair-emission correctness: same-name value rows (a = b) enumerate
+    * each id pair once via id_a < id_b; distinct-name value rows appear
+    * in both orientations but only the orientation with id_a < id_b
+    * survives — so the output is byte-identical to the exhaustive
+    * blocked join (the oracle is exactly that).
     */
   val q85 = GQuery(
     "q85_fuzzy_match",
     (s, dir) => {
       val p = Tables.part(s, dir).select(
         col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
-      val a = p.select(col("p_brand"), col("p_type"),
-        col("p_partkey").as("id_a"), col("p_name").as("name_a"))
-      val b = p.select(col("p_brand"), col("p_type"),
-        col("p_partkey").as("id_b"), col("p_name").as("name_b"))
-      a.join(b, Seq("p_brand", "p_type"))
-        .filter(col("id_a") < col("id_b"))
+      def lbOf(c: org.apache.spark.sql.Column) = floor(length(c) / 4).cast("int")
+      // in-block name vocabulary: the compare runs on THIS, never on rows
+      val v = p.select(col("p_brand"), col("p_type"), col("p_name")).distinct()
+      val va = v.select(col("p_brand"), col("p_type"),
+        lbOf(col("p_name")).as("lb"), col("p_name").as("name_a"))
+      val vb = v.select(col("p_brand"), col("p_type"),
+        explode(array(lbOf(col("p_name")) - 1, lbOf(col("p_name")),
+          lbOf(col("p_name")) + 1)).as("lb"),
+        col("p_name").as("name_b"))
+      val vq = va.join(vb, Seq("p_brand", "p_type", "lb"))
         .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 3)
         .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
         .filter(col("dist") >= 0) // thresholded form returns -1 past k
+        .select(col("p_brand"), col("p_type"), col("name_a"), col("name_b"), col("dist"))
+      val ia = p.select(col("p_brand"), col("p_type"),
+        col("p_name").as("name_a"), col("p_partkey").as("id_a"))
+      val ib = p.select(col("p_brand"), col("p_type"),
+        col("p_name").as("name_b"), col("p_partkey").as("id_b"))
+      vq.join(ia, Seq("p_brand", "p_type", "name_a"))
+        .join(ib, Seq("p_brand", "p_type", "name_b"))
+        .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("p_brand"), col("dist"))
         .orderBy("id_a", "id_b")
     },

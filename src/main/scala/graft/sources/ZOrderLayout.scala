@@ -29,12 +29,17 @@ import graft.functions.Metrics
   *     codes: exactly the footer stats a lakehouse writer persists, i.e.
   *     the numbers that decide file skipping.
   *
-  * The window-function form here is the oracle-friendly witness; at scale
-  * the same three steps are shuffle-shaped, not window-shaped: rank coding
-  * = quantile boundaries from one `approxQuantile`-style pass, broadcast
-  * and applied map-side; file assignment = `repartitionByRange(nFiles, z)`
-  * + `sortWithinPartitions(z)` + write (one range shuffle, no global
-  * window); the witness comes free in the parquet footers.
+  * Every global ntile here routes through
+  * `operators.DistributedRank.ntile` (range repartition +
+  * partition-local rank + broadcast offsets — see its scaladoc), so
+  * neither rank coding nor file assignment ever plans an
+  * `Exchange SinglePartition`; the range exchange per coded dimension is
+  * the same shuffle a quantile-boundary pass would pay, and the cuts
+  * stay EXACT (the bounding boxes are the oracle-checked output, where
+  * approxQuantile boundaries would drift cross-engine). A real lakehouse
+  * writer replaces step 2-3 with `repartitionByRange(nFiles, z)` +
+  * `sortWithinPartitions(z)` + write and reads the witness from the
+  * parquet footers — PlansSpec measures that exact path too.
   */
 object ZOrderLayout {
 
@@ -42,20 +47,29 @@ object ZOrderLayout {
   def zvalue(a: Column, b: Column): Column =
     call_function("graft_zvalue", a.cast("int"), b.cast("int"))
 
-  /** ntile rank of `v` in [0, levels), tie-broken to a total order so the
-    * code is deterministic cross-engine.
+  /** Rank-code dimensions `a` and `b` of `df` to `x`/`y` in
+    * [0, levels) (distributed ntile, minus 1), carrying `tieBreak` as
+    * `tb`; `tieBreak` must make each order total so codes are
+    * deterministic cross-engine.
     */
-  def rankCode(v: Column, tieBreak: Column, levels: Int): Column =
-    (ntile(levels).over(Window.orderBy(v, tieBreak)) - 1).cast("int")
+  def rankCoded(df: DataFrame, a: Column, b: Column, tieBreak: Column, levels: Int): DataFrame = {
+    val base = df.select(a.as("__zx_v"), b.as("__zy_v"), tieBreak.as("tb"))
+    val xed = graft.operators.DistributedRank.ntile(
+      base, Seq(col("__zx_v"), col("tb")), levels, "__zx_t")
+    val yed = graft.operators.DistributedRank.ntile(
+      xed, Seq(col("__zy_v"), col("tb")), levels, "__zy_t")
+    yed.select((col("__zx_t") - 1).cast("int").as("x"),
+      (col("__zy_t") - 1).cast("int").as("y"), col("tb"))
+  }
 
   /** Assign `nFiles` z-contiguous files over the (x, y) code space and
-    * report each file's row count and bounding box. `tieBreak` must make
+    * report each file's row count and bounding box. `tb` must make
     * the total order unique or ntile frontiers are nondeterministic.
     */
   def layoutStats(coded: DataFrame, nFiles: Int): DataFrame = {
-    val withFile = coded
-      .withColumn("z", zvalue(col("x"), col("y")))
-      .withColumn("file_id", ntile(nFiles).over(Window.orderBy(col("z"), col("tb"))))
+    val withFile = graft.operators.DistributedRank.ntile(
+      coded.withColumn("z", zvalue(col("x"), col("y"))),
+      Seq(col("z"), col("tb")), nFiles, "file_id")
     withFile.groupBy("file_id")
       .agg(count(lit(1)).as("n"),
         min("x").as("x_min"), max("x").as("x_max"),

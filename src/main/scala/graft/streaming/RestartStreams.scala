@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -8,18 +8,36 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.registry.GQuery
 
-/** Checkpoint RESTART/RECOVERY certification (the r12 verdict's item 3):
-  * every other streaming harness in this library runs one query start to
-  * finish; these two stop a CHECKPOINTED query mid-stream — after batch
-  * 1 of 3 — then create a NEW query object over the SAME checkpoint dir
-  * and finish. What must survive the restart:
+/** Checkpoint RESTART/RECOVERY certification (r12 verdict item 3, hard
+  * kills added per r13 item 2): every other streaming harness in this
+  * library runs one query start to finish; these two interrupt a
+  * CHECKPOINTED query mid-stream — a graceful stop after batch 1 of 3
+  * for [[twsRestart]], a graceful stop PLUS two injected mid-batch
+  * crashes for [[upsertRestart]] — then create NEW query objects over
+  * the SAME checkpoint dir and finish. What must survive:
   *
   *  - [[upsertRestart]] (q203's foreachBatch + idempotent-MERGE sink):
   *    the SOURCE file log and batch-id ledger — query 2 must resume at
   *    batch 1, not redeliver batch 0 — plus the sink's own recovery: the
   *    merge state version and last-applied batch id are re-read from the
   *    state table's naming (`v<version>_b<batchId>`), exactly how a
-  *    production MERGE INTO sink recovers from its commit log.
+  *    production MERGE INTO sink recovers from its commit log. Beyond
+  *    the graceful stop, this harness certifies the HARD-KILL cases a
+  *    production sink actually fears (r13 verdict item 2), by injecting
+  *    two real mid-batch failures and recovering through the same
+  *    checkpoint:
+  *      (a) crash BEFORE commit: the sink writes its full output to a
+  *          `tmp_b<id>` staging dir (a partial sink write — data on
+  *          disk, commit never happened) and the query dies. Replay
+  *          must apply the batch exactly once; the janitor discards the
+  *          orphaned staging dir. Commit = atomic directory rename, so
+  *          there is no state in which a half-written table is visible
+  *          under a committed name.
+  *      (b) crash AFTER commit, BEFORE the streaming checkpoint records
+  *          the batch: the classic at-least-once window. The restarted
+  *          query REDELIVERS the same batch id; the
+  *          `id != lastApplied` ledger guard must skip it — no
+  *          duplicate, no loss.
   *  - [[twsRestart]] (q249's transformWithState sessionization): the
   *    RocksDB STATE STORE — every user's open-session ValueState from
   *    batch 1 must be restored into the new query's processor, or
@@ -45,6 +63,17 @@ object RestartStreams {
     */
   final case class RestartRun(result: DataFrame, runId1: String, runId2: String,
                               batches1: Long, batches2: Long)
+
+  /** Evidence for the crash-recovery cert: one incarnation per element of
+    * `runIds`; `crashMsgs` are the injected failures the harness really
+    * saw propagate out of the dying queries; `committedLedger` is the
+    * final (version, batchId) commit log — exactly-once means exactly
+    * one entry per batch; `orphanTmps` counts uncommitted partial-write
+    * staging dirs found (and discarded) during recovery.
+    */
+  final case class CrashRun(result: DataFrame, runIds: Seq[String], batches: Seq[Long],
+                            crashMsgs: Seq[String], committedLedger: Seq[(Long, Long)],
+                            orphanTmps: Int)
 
   private def listBatchDirs(out: java.nio.file.Path): Seq[String] = {
     if (!Files.exists(out)) Seq.empty
@@ -158,11 +187,16 @@ object RestartStreams {
       }
     }
 
-  /** q203's upsert, stopped after batch 1 of 3 and resumed from the same
-    * checkpoint; the sink recovers (version, lastApplied) from the state
-    * table's `v<version>_b<batchId>` naming — its commit log.
+  /** q203's upsert, driven through FOUR incarnations over one checkpoint:
+    * graceful stop after batch 0; HARD KILL mid-batch 1 (crash before
+    * commit — the staged output is a real partial sink write); HARD KILL
+    * after batch 2's commit but before its checkpoint (forces a
+    * redelivery); a final incarnation that must SKIP the redelivered
+    * batch and drain. The sink recovers (version, lastApplied) from the
+    * state table's `v<version>_b<batchId>` naming — its commit log — and
+    * commits by atomic rename from a `tmp_b<id>` staging dir.
     */
-  def upsertRestart(spark: SparkSession, dir: String): RestartRun =
+  def upsertRestart(spark: SparkSession, dir: String): CrashRun =
     EventStreams.withStreamShufflePartitions(spark) {
       val events = graft.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
@@ -185,8 +219,28 @@ object RestartStreams {
           }.toSeq.sortBy(_._1)
         finally it.close()
       }
+      def orphanTmps(): Seq[Path] = {
+        val it = Files.list(stateBase)
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(it.iterator()).asScala
+          .filter(_.getFileName.toString.startsWith("tmp_b")).toSeq
+        finally it.close()
+      }
+      def deleteRecursively(p: Path): Unit = {
+        val walk = Files.walk(p)
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator()).asScala
+          .toSeq.sortBy(-_.getNameCount).foreach(Files.delete)
+        finally walk.close()
+      }
 
-      def runOnce(): (String, Long) = {
+      var orphansSeen = 0
+      // crashMode: 0 = none, 1 = throw before commit (partial write left
+      // staged), 2 = throw after commit but before the checkpoint commits
+      def runOnce(crashOnBatch: Long, crashMode: Int): (String, Long, Option[String]) = {
+        // recovery janitor: uncommitted partial writes from a crashed
+        // incarnation are garbage by definition (their batch will replay)
+        val orphans = orphanTmps()
+        orphansSeen += orphans.size
+        orphans.foreach(deleteRecursively)
         var (version, lastApplied) = committed().lastOption.getOrElse((-1L, -1L))
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$stage/slice_*")
@@ -194,25 +248,44 @@ object RestartStreams {
           if (id != lastApplied) { // idempotent replay guard, recovered
             val prev = if (version < 0) None
               else Some(spark.read.parquet(s"$stateBase/v${version}_b$lastApplied"))
+            val tmp = s"$stateBase/tmp_b$id"
             UpsertStreams.mergeStep(prev, UpsertStreams.deltaAgg(batch.toDF()))
-              .write.mode("overwrite").parquet(s"$stateBase/v${version + 1}_b$id")
+              .write.mode("overwrite").parquet(tmp)
+            if (id == crashOnBatch && crashMode == 1)
+              throw new RuntimeException(
+                s"injected crash BEFORE commit of batch $id (partial sink write staged)")
+            // commit point: atomic rename — a half-written table can never
+            // be visible under a committed name
+            Files.move(Paths.get(tmp), Paths.get(s"$stateBase/v${version + 1}_b$id"),
+              StandardCopyOption.ATOMIC_MOVE)
             version += 1
             lastApplied = id
+            if (id == crashOnBatch && crashMode == 2)
+              throw new RuntimeException(
+                s"injected crash AFTER commit of batch $id, before its checkpoint")
           }
         }
         val q = stream.writeStream
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch(applyBatch)
           .start()
-        q.processAllAvailable()
+        val err = try { q.processAllAvailable(); None } catch {
+          case e: Throwable =>
+            Some(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .map(_.getMessage).find(m => m != null && m.contains("injected crash"))
+              .getOrElse(e.getMessage))
+        }
         val n = q.recentProgress.count(_.numInputRows > 0)
         val rid = q.runId.toString
-        q.stop()
-        (rid, n.toLong)
+        try q.stop() catch { case _: Throwable => () }
+        (rid, n.toLong, err)
       }
-      val (rid1, b1) = runOnce()
+
+      val r1 = runOnce(-1, 0) // batch 0, graceful stop
       writeSlice(1); writeSlice(2)
-      val (rid2, b2) = runOnce()
+      val r2 = runOnce(1, 1) // dies mid-batch 1: staged write, no commit
+      val r3 = runOnce(2, 2) // replays b1 (applies), commits b2, dies pre-checkpoint
+      val r4 = runOnce(-1, 0) // b2 redelivered -> ledger guard skips; drains
       val (v, b) = committed().last
       val result = spark.read.parquet(s"$stateBase/v${v}_b$b")
         .select(col("user_id"), col("n_events"),
@@ -221,7 +294,9 @@ object RestartStreams {
           col("last_ts").cast("timestamp_ntz").as("last_ts"))
         .orderBy("user_id")
         .localCheckpoint(true)
-      RestartRun(result, rid1, rid2, b1, b2)
+      CrashRun(result,
+        Seq(r1, r2, r3, r4).map(_._1), Seq(r1, r2, r3, r4).map(_._2),
+        Seq(r2, r3).flatMap(_._3), committed(), orphansSeen)
     }
 
   /** Registry entries — both reuse the non-restart originals' oracles

@@ -76,6 +76,43 @@ class RecordLinkageSpec extends SparkSpec {
     assert(a._1 == b._1 && a._2.sameElements(b._2) && a._3.sameElements(b._3))
   }
 
+  test("algebraic patternCounts equals the exhaustive pair-stream groupBy") {
+    val m = RecordLinkage.masterRecords(cust)
+    val d = RecordLinkage.dirtyRecords(cust)
+    val algebraic = RecordLinkage.patternCounts(m, d).sorted
+    val exhaustive = RecordLinkage.candidatePairs(m, d)
+      .groupBy("a_name", "a_seg", "a_band")
+      .agg(count(lit(1)).as("n"), sum(col("is_true").cast("long")).as("nt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    assert(algebraic == exhaustive,
+      s"Möbius-inverted pattern table must equal the pair-stream one:\n$algebraic\nvs\n$exhaustive")
+  }
+
+  test("derived blocking passes find exactly the exhaustive report-eligible pairs") {
+    val m = RecordLinkage.masterRecords(cust)
+    val d = RecordLinkage.dirtyRecords(cust)
+    val w = RecordLinkage.weights(m, d)
+    val wr = w.head()
+    // the fixtures must actually exercise the banded path
+    val minimal = RecordLinkage.minimalQualifyingPatterns(wr)
+    assert(!minimal.contains((0, 0, 0)), s"expected a real band, got $minimal")
+    assert(minimal.nonEmpty)
+    // banded scored stream ≥ 0 == exhaustive scored stream ≥ 0, row for row
+    def wl(i: Int) = lit(wr.getDecimal(i))
+    val score =
+      when(col("a_name") === 1, wl(0)).otherwise(wl(1)) +
+        when(col("a_seg") === 1, wl(2)).otherwise(wl(3)) +
+        when(col("a_band") === 1, wl(4)).otherwise(wl(5))
+    val banded = RecordLinkage.scoredPairs(m, d, w)
+      .filter(col("score") >= 0).drop("score")
+    val exhaustive = RecordLinkage.candidatePairs(m, d)
+      .withColumn("score", score).filter(col("score") >= 0).drop("score")
+    assert(banded.exceptAll(exhaustive).isEmpty && exhaustive.exceptAll(banded).isEmpty,
+      "banded candidates must equal the exhaustive report-eligible set")
+  }
+
   test("matches are precise: no false positive crosses the 8-bit bar") {
     val fp = report.filter(col("verdict") === "match" && col("is_true") === 0).count()
     assert(fp == 0, "fixture corruption rates leave clear margin above 8 bits")

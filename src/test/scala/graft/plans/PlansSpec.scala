@@ -285,10 +285,8 @@ class PlansSpec extends SparkSpec {
   test("z-order layout bounds BOTH dimensions where a single-column sort bounds one") {
     import graft.sources.ZOrderLayout
     val o = Tables.orders(spark, sf001)
-    val coded = o.select(
-      ZOrderLayout.rankCode(col("o_custkey"), col("o_orderkey"), 256).as("x"),
-      ZOrderLayout.rankCode(to_date(col("o_orderdate")), col("o_orderkey"), 256).as("y"),
-      col("o_orderkey").as("tb"))
+    val coded = ZOrderLayout.rankCoded(o,
+      col("o_custkey"), to_date(col("o_orderdate")), col("o_orderkey"), 256)
     val (zx, zy) = ZOrderLayout.meanExtentFractions(
       ZOrderLayout.layoutStats(coded, nFiles = 16))
     // same file count, files cut along an x-only sort: y extent ~ full domain
@@ -315,10 +313,8 @@ class PlansSpec extends SparkSpec {
     // same coding as q125, but files cut the way a real writer cuts them:
     // repartitionByRange on z (sampled boundaries, one range shuffle) —
     // no single-partition window anywhere
-    val coded = Tables.orders(spark, sf001).select(
-      ZOrderLayout.rankCode(col("o_custkey"), col("o_orderkey"), 256).as("x"),
-      ZOrderLayout.rankCode(to_date(col("o_orderdate")), col("o_orderkey"), 256).as("y"),
-      col("o_orderkey").as("tb"))
+    val coded = ZOrderLayout.rankCoded(Tables.orders(spark, sf001),
+      col("o_custkey"), to_date(col("o_orderdate")), col("o_orderkey"), 256)
     val ranged = coded
       .withColumn("z", ZOrderLayout.zvalue(col("x"), col("y")))
       .repartitionByRange(16, col("z"), col("tb"))

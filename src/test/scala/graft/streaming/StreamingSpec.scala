@@ -298,17 +298,26 @@ class StreamingSpec extends SparkSpec {
     assert(restart.nonEmpty)
   }
 
-  test("checkpoint RESTART: upsert sink recovers source log + state-table commit log") {
+  test("HARD-KILL recovery: upsert sink survives crash-before-commit and crash-after-commit exactly once") {
     val run = RestartStreams.upsertRestart(spark, sf001)
-    assert(run.runId1 !== run.runId2)
-    assert(run.batches1 === 1 && run.batches2 === 2,
-      s"batch split must be 1+2, saw ${run.batches1}+${run.batches2}")
-    // final state ≡ the no-restart upsert (q203 path): batch 0 applied
-    // exactly once despite the restart
+    // four distinct incarnations over one checkpoint
+    assert(run.runIds.distinct.size === 4, s"expected 4 incarnations, saw ${run.runIds}")
+    // both injected failures really propagated out of a dying query
+    assert(run.crashMsgs.size === 2 &&
+      run.crashMsgs.forall(_.contains("injected crash")),
+      s"expected 2 injected crashes, saw ${run.crashMsgs}")
+    // the crash-before-commit left a REAL partial sink write for the
+    // janitor to find on the next recovery
+    assert(run.orphanTmps >= 1, "the mid-batch kill must leave a staged partial write")
+    // exactly-once ledger: each batch committed once, versions contiguous
+    assert(run.committedLedger === Seq((0L, 0L), (1L, 1L), (2L, 2L)),
+      s"commit log must be one version per batch, saw ${run.committedLedger}")
+    // final state ≡ the no-restart upsert (q203 path): every batch applied
+    // exactly once despite two hard kills and one redelivery
     val restart = run.result.collect().toSeq
     val single = UpsertStreams.streamingUpsert(spark, sf001, queryName = "spec_restart_upsert")
       .collect().toSeq
-    assert(restart == single, "restarted upsert state must equal the single-run state")
+    assert(restart == single, "crash-recovered upsert state must equal the single-run state")
     assert(restart.nonEmpty)
   }
 
