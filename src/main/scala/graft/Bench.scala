@@ -23,9 +23,12 @@ object Bench {
     * committed evidence (BENCH_DETAIL.json) instead of a hand-maintained
     * table — the r12 verdict's item 7: at ~250 queries a hand table
     * under-covers the tail, and the artifact already records every
-    * attempt. The reference for a query is its MINIMUM recorded attempt
-    * time (min is robust to contention — a hot box only ever inflates),
-    * floored at 0.3s so micro-queries don't retry on scheduler jitter.
+    * attempt. The reference for a query is the MEDIAN of its recorded
+    * attempts (r13 ADVICE: a minimum can only ratchet downward — one
+    * lucky idle-box attempt would permanently tighten the 3× threshold
+    * and cause systematic over-retry on a loaded box; the median of a
+    * retried query's attempts sits at its steady repeat time), floored
+    * at 0.3s so micro-queries don't retry on scheduler jitter.
     * Queries absent from the detail file (new this round, or a fresh
     * checkout with no artifact) fall back to DefaultMedianSec — exactly
     * the old behavior for unknown queries. A deliberately slower new
@@ -48,7 +51,8 @@ object Bench {
               }
               case _ => Nil
             }
-            if (times.isEmpty) None else Some(name -> math.max(times.min, 0.3))
+            if (times.isEmpty) None
+            else Some(name -> math.max(times.sorted.apply(times.size / 2), 0.3))
           }.toMap
         case _ => Map.empty
       }
@@ -62,6 +66,13 @@ object Bench {
   private val DefaultMedianSec = 1.0
   private val RetryFactor = 3.0
   private val MaxDeferredAttempts = 2
+
+  /** 1-min loadavg above which an attempt is stamped `contended` in the
+    * artifact (~2 ≈ something else substantial is running on the box —
+    * the r13 sweep's five sub-threshold "regressions" all carried 3.2-4.4
+    * here and needed a human to adjudicate them).
+    */
+  private val ContendedLoad = 2.0
 
   /** 1-minute /proc/loadavg sample — the contention evidence. Three
     * rounds running, the driver's serial sweep captured tail queries
@@ -133,10 +144,16 @@ object Bench {
     // printed. The compact line below carries the small slice that needs
     // to survive capture: sweep-level loadavg plus attempts for the
     // RETRIED queries only.
+    // Each attempt is [time, loadavg, contended]: the explicit flag marks
+    // attempts that started past ContendedLoad, so a sub-retry-threshold
+    // noisy row reads as contention straight off the artifact instead of
+    // needing a human to cross-reference loadavg (r13 verdict item 7).
     def attemptsJson(entries: Iterable[(String, Vector[(Double, Double)])]): String =
       entries.map { case (n, as) =>
         "\"" + n + "\":[" +
-          as.map { case (t, la) => f"[$t%.2f,$la%.1f]" }.mkString(",") + "]"
+          as.map { case (t, la) =>
+            f"[$t%.2f,$la%.1f,${la > ContendedLoad}%b]"
+          }.mkString(",") + "]"
       }.mkString("{", ",", "}")
     val detail =
       f"""{"sf":"$sfDir","load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,""" +

@@ -1224,10 +1224,17 @@ object SimilarityQueries {
       val probeLabels = e.select(col("vec_id").as("probe_id"), col("label").as("q_label"))
       val docLabels = e.select(col("vec_id").as("doc_id"), col("label").as("d_label"))
       val labelCounts = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+      // LEFT join the doc labels (r13 ADVICE): the BM25 arm ranks
+      // doc_ids from `documents`, which can have no embeddings row — an
+      // inner join would silently drop those from rel/DCG while
+      // precision@10 keeps its fixed denominator. A ranked doc with no
+      // label grades rel=0: non-relevant AT ITS RANK, so every ranked
+      // position contributes to every metric.
       val graded = ranked
         .join(broadcast(probeLabels), "probe_id")
-        .join(docLabels, "doc_id")
-        .withColumn("rel", (col("d_label") === col("q_label")).cast("int"))
+        .join(docLabels, Seq("doc_id"), "left")
+        .withColumn("rel",
+          coalesce((col("d_label") === col("q_label")).cast("int"), lit(0)))
       val wArr = array(DcgMicro.map(lit): _*)
       val idcgArr = array(IdcgPrefix.map(lit): _*)
       graded.groupBy("probe_id", "q_label")
@@ -1256,7 +1263,7 @@ object SimilarityQueries {
           CASE WHEN ed.label = ep.label THEN 1 ELSE 0 END AS rel
         FROM ranked r
         JOIN embeddings ep ON ep.vec_id = r.probe_id
-        JOIN embeddings ed ON ed.vec_id = r.doc_id),
+        LEFT JOIN embeddings ed ON ed.vec_id = r.doc_id),
       perq AS (
         SELECT probe_id, q_label,
           CAST(sum(rel) AS INTEGER) AS n_rel_at_k,

@@ -166,19 +166,32 @@ object RangeJoinRewrite extends Rule[LogicalPlan]
       if (refsOnly(p, left) && refsOnly(lo, right) && refsOnly(hi, right)) ||
         (refsOnly(p, right) && refsOnly(lo, left) && refsOnly(hi, left))
     } yield (p, lo, hi)).nextOption()
-    matched.map { case (p, lo, hi) =>
+    matched.flatMap { case (p, lo, hi) =>
       val pointOnLeft = refsOnly(p, left)
       val (pointSide, intervalSide) = if (pointOnLeft) (left, right) else (right, left)
       val binMicros = binSeconds * 1000000L
-      // STREAMING joins take the single binned branch unconditionally
+      // STREAM-STREAM joins take the single binned branch unconditionally
       // (the pre-cap shape): a Union of two stateful stream-stream joins
       // doubles state stores and wedges micro-batch planning (found by
       // the 10× scale cert — q146 went 3.5s → >300s when the fallback
       // union landed). The wide-interval hazard the cap guards against
-      // cannot arise here: a stream-stream interval join's bounds are a
+      // cannot arise THERE: a stream-stream interval join's bounds are a
       // query-constant watermark-bounded offset, never a data-driven
       // SCD2 sentinel, so the bin span is a compile-time-small constant.
-      val maxBins = if (j.isStreaming) 0 else maxBinsPerInterval
+      // That argument does NOT extend to stream-batch joins (j.isStreaming
+      // is true for those too): a BATCH interval side can hold sentinel
+      // valid_to rows, and binning it unconditionally reintroduces the
+      // unbounded explode — Sequence errors outright past 2^31 elements.
+      // So: both sides streaming → bypass the cap; streaming point ×
+      // batch intervals → apply the cap normally (both union branches
+      // are stateless stream-batch inner joins); streaming INTERVAL side
+      // × batch points → decline the rewrite entirely (unconditional
+      // binning risks the explode, and splitting the stream across a
+      // Union branch pair is the exact q146 wedge shape).
+      val bothStreaming = left.isStreaming && right.isStreaming
+      if (intervalSide.isStreaming && !bothStreaming) None
+      else Some {
+      val maxBins = if (bothStreaming) 0 else maxBinsPerInterval
       // point side: one bin column
       val pBinAlias = Alias(binOf(p, binMicros), PointBin)()
       val pointProj = Project(pointSide.output :+ pBinAlias, pointSide)
@@ -230,18 +243,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan]
           if (pointOnLeft) (pointSide, wideSide) else (wideSide, pointSide)
         // With NO equi conjunct the fallback is a nested-loop join whose
         // broadcast side Spark picks by size estimate — which can be the
-        // fact-scale POINT side. The wide subset is dimension-shaped by
-        // construction (rows past the cap are SCD2-sentinel-style), so
-        // hint it as the broadcast side; with equi conjuncts present the
-        // planner's keyed strategies are already right, hint untouched.
+        // fact-scale POINT side. The wide subset is USUALLY
+        // dimension-shaped (rows past the cap are SCD2-sentinel-style),
+        // but that is a data property, not a guarantee — a corpus where
+        // most intervals are open-ended makes the wide subset fact-scale,
+        // and a BROADCAST hint is honored regardless of size. So the hint
+        // is attached only when the wide side's size ESTIMATE fits the
+        // broadcast threshold; past it, join-strategy selection is left
+        // to the planner (the estimate is the unfiltered interval side's
+        // — no CBO filter selectivity — so the gate errs conservative).
+        // With equi conjuncts present the planner's keyed strategies are
+        // already right, hint untouched.
         val hasEqui = conjuncts.exists {
           case EqualTo(a, b) =>
             (refsOnly(a, left) && refsOnly(b, right)) ||
               (refsOnly(a, right) && refsOnly(b, left))
           case _ => false
         }
+        val wideFits =
+          try wideSide.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold
+          catch { case _: Throwable => false }
         val wideHint =
-          if (hasEqui) hint
+          if (hasEqui || !wideFits) hint
           else {
             val bc = Some(HintInfo(strategy = Some(BROADCAST)))
             if (pointOnLeft) hint.copy(rightHint = bc) else hint.copy(leftHint = bc)
@@ -250,6 +273,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan]
         wideJoin.setTagValue(NoRewriteTag, true)
         val wide = Project(j.output, wideJoin)
         Union(Seq(binned, wide))
+      }
       }
     }
   }

@@ -220,6 +220,83 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(planString(batch).contains("Union"))
   }
 
+  test("stream-batch: streaming points keep the cap over batch intervals; streaming intervals decline") {
+    import spark.implicits._
+    // A streaming POINT side joined to a BATCH interval side holding
+    // data-driven sentinel rows: j.isStreaming is true here too, so the
+    // old stream bypass (bin everything) would re-open the unbounded
+    // explode the cap guards against. The cap must stay ON — both Union
+    // branches are stateless stream-batch inner joins.
+    val stage = java.nio.file.Files.createTempDirectory("graft_rjsb_")
+    stage.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf001/events.parquet"))
+    val schema = spark.read.parquet(s"$sf001/events.parquet").schema
+    val pts = spark.readStream.schema(schema).parquet(stage.toString)
+      .select(col("user_id").as("f_uid"), col("ts").cast("timestamp").as("f_ts"))
+    val dim = Seq(
+      ("2020-03-15 00:00:00", "2020-03-16 00:00:00", "v1"),
+      ("2020-03-16 00:00:01", "9999-12-31 00:00:00", "v2"))
+      .toDF("vf", "vt", "ver")
+      .select(col("vf").cast("timestamp").as("valid_from"),
+        col("vt").cast("timestamp").as("valid_to"), col("ver"))
+    val joined = pts.join(dim,
+      col("f_ts") >= col("valid_from") && col("f_ts") <= col("valid_to"))
+    val opt = RangeJoinRewrite(joined.queryExecution.analyzed)
+    assert(opt.isStreaming, "precondition: stream-batch plan is streaming")
+    assert(opt.toString.contains("__graft_rj_bin"), "rule must still fire")
+    assert(opt.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.nonEmpty,
+      s"a batch interval side must keep the wide-interval cap:\n${opt.toString.take(800)}")
+    // streaming INTERVAL side over batch points: no safe shape — binning
+    // unconditionally risks the explode, the Union is the stream-split
+    // wedge — so the rule declines and leaves the original join
+    val ivs = spark.readStream.schema(schema).parquet(stage.toString)
+      .select(col("user_id").as("s_uid"),
+        col("ts").cast("timestamp").as("valid_from"),
+        (col("ts").cast("timestamp") + expr("INTERVAL 1 HOUR")).as("valid_to"))
+    val bpts = Seq("2020-03-15 12:00:00").toDF("t")
+      .select(col("t").cast("timestamp").as("f_ts"))
+    val joined2 = bpts.join(ivs,
+      col("f_ts") >= col("valid_from") && col("f_ts") <= col("valid_to"))
+    val opt2 = RangeJoinRewrite(joined2.queryExecution.analyzed)
+    assert(!opt2.toString.contains("__graft_rj_bin"),
+      s"streaming interval side must decline the rewrite:\n${opt2.toString.take(800)}")
+  }
+
+  test("fallback broadcast hint is gated on the wide side's size estimate") {
+    import spark.implicits._
+    // no-equi join, all-wide dim (every interval past the cap): with the
+    // default threshold the tiny dim gets the BROADCAST hint; with
+    // autoBroadcastJoinThreshold=-1 (estimate can never fit) the hint
+    // must NOT be forced — strategy selection goes back to the planner
+    val dim = Seq(
+      ("2020-01-01 00:00:00", "9999-12-31 00:00:00", "v1"))
+      .toDF("vf", "vt", "ver")
+      .select(col("vf").cast("timestamp").as("valid_from"),
+        col("vt").cast("timestamp").as("valid_to"), col("ver"))
+    val facts = Seq("2023-01-01 00:00:00").toDF("t")
+      .select(col("t").cast("timestamp").as("f_ts"))
+    def hints(threshold: String): Seq[org.apache.spark.sql.catalyst.plans.logical.JoinHint] = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try {
+        val j = facts.join(dim,
+          col("f_ts") >= col("valid_from") && col("f_ts") <= col("valid_to"))
+        assert(j.count() === 1) // exactness regardless of the hint
+        j.queryExecution.optimizedPlan.collect {
+          case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn.hint }
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    def hasBroadcast(hs: Seq[org.apache.spark.sql.catalyst.plans.logical.JoinHint]) =
+      hs.exists(h => (h.leftHint ++ h.rightHint).exists(
+        _.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)))
+    assert(hasBroadcast(hints("10485760")),
+      "under the threshold the dimension-shaped wide side should carry the hint")
+    assert(!hasBroadcast(hints("-1")),
+      "past the threshold the rule must not force a broadcast")
+  }
+
   test("inverted and NULL intervals yield zero rows without errors") {
     import spark.implicits._
     val p = Seq(("p1", java.sql.Timestamp.valueOf("2020-01-01 12:00:00")))
