@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.registry.GQuery
+
+/** Graph analytics over the BOUNDED near-dup edge source (r13 verdict
+  * item 4): the r13 graph family (q117/q122/q133/q151/q175/q176) builds
+  * its edges from threshold-0.25 all-pairs cosine — Θ(n²) by semantics,
+  * kept because those queries certify the graph OPERATORS against
+  * oracles on a small sample. Their scaladocs all name the LSH-banded
+  * pair stream as the 100 TB edge source; these two queries REGISTER
+  * that composition instead of merely documenting it: PageRank and
+  * label propagation consuming `DedupQueries.dedupEdges` — the
+  * md5-MinHash → 4×2 banding → bucket-cap → signature-agreement pair
+  * pipeline that q83/q227 cluster over.
+  *
+  * Why this scales where the cosine family can't: banding generates
+  * candidates per bucket (capped at 50), and the scale replicas' vocab
+  * universes are disjoint, so edges grow LINEARLY with the corpus —
+  * ScaleCert pins both rows ≤ ~3× at 10× data, versus the cosine
+  * family's measured ~100× edge growth (adjudicated quadratic-by-
+  * construction in PLANS.md). Everything is md5-anchored integers, so
+  * the DuckDB oracle replays signatures, banding, the cap, the
+  * agreement filter, and every graph round exactly (the q83 + q122/q133
+  * oracle recipes composed).
+  */
+object GraphOnDedup {
+
+  /** Shared oracle prefix: q83's pair pipeline (shingles → md5/K-M
+    * signatures → 4×2 bands → 50-cap → agreement ≥ 4) down to the
+    * symmetric `edges` CTE, MATERIALIZED because the graph rounds
+    * reference it once per round.
+    */
+  private def edgeCtes: String = {
+    val nH = 8
+    val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
+    val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+    val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
+      "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
+      "ELSE concat_ws('-', m6, m7) END"
+    s"""toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+        FROM toks),
+      md AS (
+        SELECT doc_id, md5(s) AS md FROM sh),
+      halves AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md, 1, 15)) AS BIGINT) AS h1,
+          CAST(('0x' || substr(md, 17, 15)) AS BIGINT) AS h2
+        FROM md),
+      sig AS MATERIALIZED (
+        SELECT doc_id,
+          $mins
+        FROM halves GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b, $bandCase AS bh
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      capped AS (
+        SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, bh) <= 50),
+      prs AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM capped a JOIN capped c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+      good AS (
+        SELECT p.id_a, p.id_b
+        FROM prs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+        WHERE ($eqSum) >= ${nH / 2}),
+      edges AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM good
+        UNION ALL SELECT id_b, id_a FROM good)"""
+  }
+
+  /** Near-dup centrality: which documents sit at the center of the
+    * duplication structure (template hubs, boilerplate attractors) — the
+    * ranking a curation pipeline uses to pick cluster survivors or to
+    * audit template contamination. 10 PageRank rounds over the banded
+    * edge set, nodes = documents with ≥ 1 near-dup edge.
+    */
+  val q261 = GQuery(
+    "q261_pagerank_dedup",
+    (s, dir) => {
+      // dedupEdges leaves multi-band repeats in (CC dedups internally);
+      // PageRank degrees and label-prop votes are multiplicity-sensitive,
+      // so the pair set is distinct-ed here — one tiny shuffle of the
+      // (bounded) edge list
+      val pairs = DedupQueries.dedupEdges(s, dir).distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("v").as("u"), col("u").as("v")))
+      PageRankOp.ranks(edges, rounds = 10)
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.Metrics.canonRound(col("pr"), 6).as("pagerank"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val iters = (1 to 10).map { i =>
+        s"""pr$i AS MATERIALIZED (
+        SELECT e.v AS doc_id, 0.15/(SELECT nn FROM n) + 0.85*sum(p.pr/dg.deg) AS pr
+        FROM edges e JOIN pr${i - 1} p ON p.doc_id = e.u JOIN deg dg ON dg.u = e.u
+        GROUP BY e.v)"""
+      }.mkString(",\n      ")
+      s"""WITH $edgeCtes,
+      deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+      n AS (SELECT count(*) AS nn FROM deg),
+      pr0 AS (SELECT u AS doc_id, 1.0/(SELECT nn FROM n) AS pr FROM deg),
+      $iters
+      SELECT doc_id, floor(pr*1e6 + 0.5)/1e6 AS pagerank FROM pr10 ORDER BY doc_id"""
+    })
+
+  /** Sparse-label extension across the near-dup graph: every 4th doc is
+    * "human-labeled" with its source; 3 majority-vote rounds push those
+    * labels across near-dup edges (a doc sharing a template with a
+    * labeled doc inherits its label) — how a curation pipeline names
+    * dedup clusters from a handful of human labels. 'none' marks docs
+    * propagation never reached.
+    */
+  val q262 = GQuery(
+    "q262_labelprop_dedup",
+    (s, dir) => {
+      // distinct for the same multiplicity reason as q261
+      val pairs = DedupQueries.dedupEdges(s, dir).distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("v").as("u"), col("u").as("v")))
+      val nodes = Tables.documents(s, dir).select(
+        col("doc_id").as("vec_id"),
+        when(col("doc_id") % 4 === 0, col("source")).as("seed_lbl"))
+      LabelPropagation.propagate(nodes, edges, rounds = 3)
+        .select(col("vec_id").as("doc_id"),
+          coalesce(col("lbl"), lit("none")).as("label"),
+          (col("vec_id") % 4 === 0).cast("int").as("is_seed"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val rs = (1 to 3).map { r =>
+        s"""nb$r AS (SELECT e.v AS nid, l.lbl, count(*) AS cnt
+        FROM edges e JOIN l${r - 1} l ON l.doc_id = e.u
+        WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+      pp$r AS (SELECT nid, lbl FROM (
+        SELECT *, row_number() OVER (PARTITION BY nid ORDER BY cnt DESC, lbl) AS rk FROM nb$r)
+        WHERE rk = 1),
+      l$r AS MATERIALIZED (SELECT s.doc_id, coalesce(s.seed_lbl, p.lbl) AS lbl
+        FROM seeds s LEFT JOIN pp$r p ON p.nid = s.doc_id)"""
+      }.mkString(",\n      ")
+      s"""WITH $edgeCtes,
+      seeds AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN source END AS seed_lbl
+        FROM documents),
+      l0 AS (SELECT doc_id, seed_lbl AS lbl FROM seeds),
+      $rs
+      SELECT doc_id, coalesce(lbl, 'none') AS label,
+        CAST(doc_id % 4 = 0 AS INT) AS is_seed
+      FROM l3 ORDER BY doc_id"""
+    })
+
+  def all: Seq[GQuery] = Seq(q261, q262)
+}

@@ -58,7 +58,8 @@ object Registry {
     graft.ml.HistGbm.all,
     graft.streaming.RestartStreams.all,
     graft.streaming.StateInspect.all,
-    graft.streaming.ProfileStreams.all
+    graft.streaming.ProfileStreams.all,
+    graft.operators.GraphOnDedup.all
   )
 
   lazy val all: Seq[GQuery] = groups.flatten
