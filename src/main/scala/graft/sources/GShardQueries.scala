@@ -177,5 +177,55 @@ object GShardQueries {
       FROM documents d JOIN b USING (doc_id)
       GROUP BY d.lang ORDER BY d.lang"""))
 
-  val all: Seq[GQuery] = Seq(q232, q236, q237, q240, q254)
+  /** CROSS-FORMAT physical-layout join (q263): the GSH V2 source against
+    * a V1 Hive-bucketed parquet table, both laid out on doc_id. ZERO
+    * exchanges is impossible here by API construction — Spark's
+    * storage-partitioned join aligns two V2 `KeyGroupedPartitioning`s
+    * (same transform on both sides), while V1 bucketing reports
+    * murmur3 `HashPartitioning`; a `KeyGroupedShuffleSpec` is never
+    * compatible with a `HashShuffleSpec`, and the V2 reader API cannot
+    * report a hash layout (Partitioning is KeyGrouped or Unknown). See
+    * PLANS.md "Cross-format SPJ" for the full note. The ACHIEVABLE
+    * minimum is therefore one exchange: the bucketed side's layout is
+    * honored as-is (no shuffle, 8 bucket files = 8 partitions) and only
+    * the GSH side reshuffles into that layout — GShardSpec pins exactly
+    * one Exchange, on the GSH side. At 100 TB this halves the join's
+    * shuffle bill; co-formatting both sides (q254) removes it entirely.
+    */
+  val q263 = GQuery(
+    "q263_gshard_bucket_join",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stage = graft.streaming.TempDirs.create("gshard-q263-").toString
+      GShard.write(docs, stage, nShards = 8)
+      // unique table name: the warehouse dir is shared across concurrent
+      // Verify JVMs; stale same-session tables are dropped eagerly
+      s.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_q263_meta_"))
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      val tbl = "graft_q263_meta_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      Bucketing.writeBucketed(
+        docs.select(col("doc_id"), (col("doc_id") % 7).as("fold"),
+          (col("n_chars") * 3L).as("tri_chars")),
+        tbl, "doc_id", nBuckets = 8, sortCol = Some("doc_id"))
+      val gsh = s.table(s"gshard.`$stage`")
+      val meta = s.table(tbl)
+      gsh.hint("merge").join(meta, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tri_chars").as("sum_tri"),
+          sum(when(col("fold") === 0, 1L).otherwise(0L)).as("n_fold0"))
+        .orderBy("source")
+    },
+    Some("""WITH m AS (
+        SELECT doc_id, doc_id % 7 AS fold, n_chars * 3 AS tri_chars
+        FROM documents)
+      SELECT d.source, count(*) AS n_docs,
+        CAST(sum(m.tri_chars) AS BIGINT) AS sum_tri,
+        CAST(sum(CASE WHEN m.fold = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fold0
+      FROM documents d JOIN m USING (doc_id)
+      GROUP BY d.source ORDER BY d.source"""))
+
+  val all: Seq[GQuery] = Seq(q232, q236, q237, q240, q254, q263)
 }

@@ -235,4 +235,54 @@ class GShardSpec extends SparkSpec {
       s"incompatible layouts must fall back to a shuffled join:\n$mixedPlan")
     assert(mixed.count() === docs.count())
   }
+
+  test("cross-format join: V1 bucketed side stays in place, only the GSH side shuffles") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // zero-exchange cross-format SPJ is impossible by API construction
+    // (KeyGroupedShuffleSpec never matches HashShuffleSpec; V2 readers
+    // cannot report HashPartitioning) -- see PLANS.md "Cross-format SPJ".
+    // The achievable minimum is pinned here: the bucketed layout is
+    // honored (no exchange above its scan), exactly ONE exchange total,
+    // and it sits on the GSH side.
+    val docs = Tables.documents(spark, sf001)
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_spec_bkt_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    val tbl = "graft_spec_bkt_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    Bucketing.writeBucketed(
+      docs.select(col("doc_id"), (col("n_chars") * 3L).as("tri_chars")),
+      tbl, "doc_id", nBuckets = 8, sortCol = Some("doc_id"))
+    val joined = spark.table(s"gshard.`$stage`").hint("merge")
+      .join(spark.table(tbl), "doc_id")
+    joined.collect()
+    // walk the final adaptive plan INCLUDING query-stage bodies: exactly
+    // one shuffle, whose subtree is the GSH scan (a v2 BatchScanExec) --
+    // never the bucketed FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def flatten(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => pl +: flatten(a.executedPlan)
+      case q: QueryStageExec => pl +: flatten(q.plan)
+      case _ => pl +: pl.children.flatMap(flatten)
+    }
+    val nodes = flatten(joined.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      s"expected a sort-merge join:\n${nodes.map(_.nodeName).mkString(", ")}")
+    val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1,
+      s"cross-format join must shuffle exactly one side, saw ${shuffles.size}")
+    val sub = flatten(shuffles.head)
+    assert(sub.exists(_.isInstanceOf[BatchScanExec]),
+      "the single exchange must sit over the GSH v2 scan")
+    assert(!sub.exists(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      "the bucketed parquet side must not be shuffled")
+    assert(nodes.exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.bucketedScan
+      case _ => false
+    }, "the parquet side must be read as a bucketed scan")
+    // correctness
+    assert(joined.count() === docs.count())
+    assert(joined.filter(col("tri_chars") =!= col("n_chars") * 3).count() === 0)
+  }
 }
