@@ -82,6 +82,42 @@ object ScaleCert {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Adjudicated per-query ratio CEILINGS (r13 verdict item 8): every
+    * query whose 10× ratio was analyzed past the default bar carries its
+    * adjudicated reading × ~1.5 headroom here, so a silent regression
+    * past the analyzed regime fails the sweep loudly instead of hiding
+    * inside an already-big number. The analyses live in PLANS.md ("the
+    * >10× tail"): each is quadratic WORK by construction under the
+    * replica corpus (threshold-at-chance edge lists, brute-force
+    * verification baselines, fixed-vocabulary hot blocks, or — q85 after
+    * the r14 value-dedup fix — a genuinely quadratic ANSWER), with a
+    * bounded production path named. r14 re-based: q85 72→11.3 (value-pair
+    * comparison dedup), q241 46→3.1 (derived blocking passes), q244
+    * 21→2.1 (algebraic pattern counts) — their ceilings tightened to
+    * match. Everything else must stay under DefaultRatioCeiling (the
+    * adjudication boundary itself: a query crossing it needs a PLANS.md
+    * analysis and an entry here, not silence).
+    */
+  private val DefaultRatioCeiling = 10.0
+  private val RatioCeilings: Map[String, Double] = Map(
+    "q198_retrieval_metrics" -> 130, // corpus-proportional probe panel (q257 is the fixed-panel form)
+    "q52_embedding_neardup" -> 95, // threshold-cosine all-pairs on the sample
+    "q161_containment_pairs" -> 75, // closed-vocabulary containment blocks
+    "q46_ngram_jaccard" -> 72, // brute-force verification baseline
+    "q117_triangle_count" -> 52, // cosine edge list grows ~104x
+    "q121_semantic_dedup" -> 48, // all-pairs semantic compare on the sample
+    "q175_bfs_distance" -> 34, // cosine edge list
+    "q122_pagerank_centrality" -> 30, // cosine edge list (q261 is the banded form)
+    "q128_contrastive_pairs" -> 28, // in-class hardest-positive search
+    "q49_rolling_fingerprint" -> 24, // char-bound linear, chars grow 13.6x
+    "q176_hits_scores" -> 24, // cosine edge list
+    "q85_fuzzy_match" -> 20, // output itself quadratic under replicas (r14: 11.3)
+    "q133_label_propagation" -> 19, // cosine edge list (q262 is the banded form)
+    "q186_pii_scan" -> 18, // regex scan, chars grow 13.6x
+    "q151_kcore" -> 18, // cosine edge list
+    "q241_record_linkage" -> 6, // r14 derived blocking passes (3.1 measured)
+    "q244_em_linkage" -> 5) // r14 algebraic pattern counts (2.1 measured)
+
   /** Build (once) the K×-replicated fixture dir; returns its path. */
   def replicaDir(spark: SparkSession, sfDir: String, k: Int): String = {
     val name = new java.io.File(sfDir).getName
@@ -281,6 +317,21 @@ object ScaleCert {
     val out = s"""{"k":$k,"sf":"$sfDir","timeout_sec":$timeoutSec,"queries":{\n  $body\n}}\n"""
     Files.write(Paths.get(outPath), out.getBytes("UTF-8"))
     println(s"[scale] wrote $outPath (${rows.size} queries)")
+    // ceiling enforcement: a ratio past its adjudicated ceiling (or past
+    // the default adjudication boundary) fails the sweep loudly
+    val violations = rows.flatMap { l =>
+      val n = "\"name\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
+      val r = "\"ratio\":(-?[0-9.]+)".r.findFirstMatchIn(l).map(_.group(1).toDouble).getOrElse(-1.0)
+      val ceil = RatioCeilings.getOrElse(n, DefaultRatioCeiling)
+      if (r > ceil) Some(f"$n ratio $r%.2f > ceiling $ceil%.1f") else None
+    }
+    if (violations.nonEmpty) {
+      println(s"[scale] CEILING VIOLATIONS (${violations.size}):")
+      violations.foreach(v => println(s"[scale]   $v"))
+      spark.stop()
+      sys.exit(2)
+    }
+    println("[scale] all ratios within adjudicated ceilings")
     spark.stop()
   }
 }
