@@ -459,20 +459,31 @@ object RecordLinkage {
       val r = dg.join(mg, cond).agg(coalesce(sum(col("nd") * col("nm")), lit(0L))).head()
       r.getLong(0)
     }
-    val a = (0 until 8).map(atLeast)
+    // the 9 aggregates are independent sketch-sized jobs; submit them
+    // concurrently (Spark schedules parallel driver-side actions fine) —
+    // serial submission measured ~3.4s at sf0.1 from job-launch latency
+    // alone, ~1.3s concurrent. Results assemble by index: deterministic.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val aF = (0 until 8).map(m => Future(atLeast(m)))
+    val truthF = Future {
+      dirty.join(master, col("src_key") === col("k"))
+        .filter(col("d_nation") === col("c_nationkey"))
+        .groupBy(
+          when(col("d_name") === col("c_name"), 1).otherwise(0).as("a_name"),
+          when(col("d_seg") === col("c_mktsegment"), 1).otherwise(0).as("a_seg"),
+          when(col("d_band") === col("band"), 1).otherwise(0).as("a_band"))
+        .agg(count(lit(1)).as("nt"))
+        .collect()
+        .map(r => (r.getInt(0) | (r.getInt(1) << 1) | (r.getInt(2) << 2)) -> r.getLong(3))
+        .toMap
+    }
+    val a = aF.map(Await.result(_, 10.minutes))
     def exact(p: Int): Long =
       (0 until 8).filter(s => (s & p) == p)
         .map(s => (if (Integer.bitCount(s ^ p) % 2 == 0) 1L else -1L) * a(s)).sum
-    val truth = dirty.join(master, col("src_key") === col("k"))
-      .filter(col("d_nation") === col("c_nationkey"))
-      .groupBy(
-        when(col("d_name") === col("c_name"), 1).otherwise(0).as("a_name"),
-        when(col("d_seg") === col("c_mktsegment"), 1).otherwise(0).as("a_seg"),
-        when(col("d_band") === col("band"), 1).otherwise(0).as("a_band"))
-      .agg(count(lit(1)).as("nt"))
-      .collect()
-      .map(r => (r.getInt(0) | (r.getInt(1) << 1) | (r.getInt(2) << 2)) -> r.getLong(3))
-      .toMap
+    val truth = Await.result(truthF, 10.minutes)
     (0 until 8).map { p =>
       (p & 1, (p >> 1) & 1, (p >> 2) & 1, exact(p), truth.getOrElse(p, 0L))
     }.filter(_._4 > 0)
