@@ -333,9 +333,17 @@ object ScaleCert {
     // the default adjudication boundary) fails the sweep loudly
     val violations = rows.flatMap { l =>
       val n = "\"name\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
-      val r = "\"ratio\":(-?[0-9.]+)".r.findFirstMatchIn(l).map(_.group(1).toDouble).getOrElse(-1.0)
+      def num(k: String) =
+        s""""$k":(-?[0-9.]+)""".r.findFirstMatchIn(l).map(_.group(1).toDouble).getOrElse(-1.0)
+      val (t1, tk, r) = (num("t1"), num("tk"), num("ratio"))
       val ceil = RatioCeilings.getOrElse(n, DefaultRatioCeiling)
-      if (r > ceil) Some(f"$n ratio $r%.2f > ceiling $ceil%.1f") else None
+      // an errored (-1), timed-out (-2), or crashed (-3 sentinel) side is
+      // a WORSE scale finding than any ratio — it must fail the gate, not
+      // slip past it as ratio -1
+      if (t1 <= 0 || tk <= 0)
+        Some(f"$n did not complete both sides (t1=$t1%.2f, tk=$tk%.2f)")
+      else if (r > ceil) Some(f"$n ratio $r%.2f > ceiling $ceil%.1f")
+      else None
     }
     if (violations.nonEmpty) {
       println(s"[scale] CEILING VIOLATIONS (${violations.size}):")

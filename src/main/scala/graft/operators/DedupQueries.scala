@@ -395,18 +395,21 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val q83 = GQuery(
-    "q83_dedup_clusters",
-    (s, dir) => clusterReport(s, dir,
-      ConnectedComponents.components(dedupEdges(s, dir))),
-    Some {
-      val nH = 8
-      val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
-      val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
-      val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
-        "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
-        "ELSE concat_ws('-', m6, m7) END"
-      s"""WITH RECURSIVE toks AS (
+  /** Shared DuckDB oracle prefix for [[dedupEdges]]' pipeline — shingles
+    * → md5/K-M signatures → 4×2 banding → 50-cap → agreement ≥ nH/2 —
+    * ending at the `good` (id_a, id_b) CTE. ONE generator feeds q83's
+    * oracle and GraphOnDedup's (q261/q262), so a change to the Spark
+    * pipeline cannot silently desynchronize one oracle copy from the
+    * other (they would both break, loudly).
+    */
+  private[operators] def edgePipelineOracleCtes: String = {
+    val nH = 8
+    val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
+    val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+    val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
+      "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
+      "ELSE concat_ws('-', m6, m7) END"
+    s"""toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (
         SELECT doc_id,
@@ -419,7 +422,7 @@ object DedupQueries {
           CAST(('0x' || substr(md, 1, 15)) AS BIGINT) AS h1,
           CAST(('0x' || substr(md, 17, 15)) AS BIGINT) AS h2
         FROM md),
-      sig AS (
+      sig AS MATERIALIZED (
         SELECT doc_id,
           $mins
         FROM halves GROUP BY doc_id),
@@ -434,7 +437,15 @@ object DedupQueries {
       good AS (
         SELECT p.id_a, p.id_b
         FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
-        WHERE ($eqSum) >= ${nH / 2}),
+        WHERE ($eqSum) >= ${nH / 2})"""
+  }
+
+  val q83 = GQuery(
+    "q83_dedup_clusters",
+    (s, dir) => clusterReport(s, dir,
+      ConnectedComponents.components(dedupEdges(s, dir))),
+    Some {
+      s"""WITH RECURSIVE $edgePipelineOracleCtes,
       edges AS (
         SELECT id_a AS u, id_b AS v FROM good
         UNION ALL SELECT id_b, id_a FROM good),

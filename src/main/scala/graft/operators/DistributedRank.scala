@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed GLOBAL ranking — dense_rank / row_number / ntile over the
@@ -10,53 +9,69 @@ import org.apache.spark.sql.functions._
   * production-form helper the q95/q125/q147/q260 scaladocs used to only
   * describe; they now all route through it (r13 verdict item 1).
   *
-  * Shape (one range shuffle, everything else bounded by config):
+  * Shape for row_number / ntile — ONE full-data exchange, total:
   *
   *  1. `repartitionByRange(parts, order)` — the same shuffle any global
   *     orderBy pays; equal keys land in ONE partition (RangePartitioner
   *     resolves a key against the sampled bounds by binary search, so
   *     placement is a pure function of the key).
-  *  2. partition-LOCAL window ranks within each range slice (sort is
-  *     per-partition, parallel across all `parts` tasks).
-  *  3. the locally-ranked frame is materialized ONCE with an eager
-  *     `localCheckpoint` — this is load-bearing for correctness, not
-  *     just lineage hygiene: the partition-id column and the offset
-  *     table both derive from it, and each un-materialized instance of
-  *     a range exchange samples its bounds with a seed derived from its
-  *     own RDD id, so two instances of the same repartitionByRange in
-  *     one plan can place boundary keys DIFFERENTLY (measured: offsets
-  *     drift by a few ranks; exchange reuse sometimes hides it, but
-  *     reuse is an optimization, never a guarantee). Checkpointing
-  *     freezes one placement that every consumer shares.
-  *  4. per-partition rank counts — ≤ `parts` rows, bounded by CONFIG,
-  *     not data — are cross-joined into exclusive prefix offsets plus
-  *     the global total, then broadcast back and added to the local
-  *     rank. The offsets come from a tiny broadcast nested-loop
-  *     self-join rather than an unpartitioned window precisely so that
-  *     NO `Exchange SinglePartition` appears anywhere (PlansSpec pins
-  *     this on the pre-checkpoint frame via `localRankedForAudit` — the
-  *     r13 audit blind spot was exactly a checkpoint hiding the sort).
+  *  2. `sortWithinPartitions(order)` — per-partition parallel sort, no
+  *     movement.
+  *  3. `monotonically_increasing_id()` — (partitionId << 33) + row
+  *     offset in physical (= sorted) order, a pure projection. The
+  *     partition index and the 1-based LOCAL row number are recovered
+  *     by bit-splitting it; no window function runs at all. This
+  *     matters: a `Window.partitionBy(pid)` here would NOT reuse the
+  *     range layout — RangePartitioning never satisfies the window's
+  *     ClusteredDistribution(pid), so Catalyst inserts a SECOND
+  *     full-data hash exchange on pid (at most `parts` distinct keys
+  *     spread by hash: collision skew on top of the extra shuffle).
+  *     Found by plan audit; DistributedRankSpec now pins "exactly one
+  *     exchange, and it is the range one" on the pre-checkpoint frame.
+  *  4. the numbered frame is materialized ONCE with an eager
+  *     `localCheckpoint` — load-bearing for correctness, not just
+  *     lineage hygiene: the id column is partition-dependent, and each
+  *     un-materialized instance of a range exchange samples its bounds
+  *     with a seed derived from its own RDD id, so two instances of the
+  *     same repartitionByRange in one plan can place boundary keys
+  *     DIFFERENTLY (measured: offsets drift by a few ranks; exchange
+  *     reuse sometimes hides it, but reuse is an optimization, never a
+  *     guarantee). Checkpointing freezes one placement every consumer
+  *     shares (NOTES invariant 16).
+  *  5. per-partition row counts — ≤ `parts` rows AFTER map-side partial
+  *     aggregation, bounded by CONFIG, not data — are cross-joined into
+  *     exclusive prefix offsets plus the global total (a tiny broadcast
+  *     nested-loop self-join rather than an unpartitioned window,
+  *     precisely so no `Exchange SinglePartition` appears anywhere),
+  *     then broadcast back and added to the local number.
   *
-  * Correctness: equal-key co-location makes
-  * `local dense_rank + (distinct keys in earlier partitions)` exactly
-  * the global dense_rank, and `local row_number + (rows in earlier
-  * partitions)` a global row_number consistent with `order` — unique
-  * (hence deterministic) iff `order` is a total order, the same
-  * contract the single-partition form had. `ntile` derives the bucket
-  * from (global row_number, total N) with the standard first-(N mod n)
-  * -buckets-get-one-extra split, matching Spark's and DuckDB's NTile
-  * semantics exactly, so every oracle that hash-verified against the
-  * window form stays green unchanged.
+  * dense_rank is computed on the KEY DOMAIN instead: rank the DISTINCT
+  * key frame (row_number ≡ dense_rank there) and hash-join it back —
+  * dense rank is a property of the key, so the expensive ranking runs
+  * on distinct keys only (the q85 comparison-dedup insight). When keys
+  * repeat heavily (the dedup-pipeline case) the ranked side is tiny and
+  * broadcasts; worst case (unique keys) it costs the distinct + the
+  * join-back — still skew-free, still never single-partition.
+  *
+  * Correctness: equal-key co-location + in-partition sort make
+  * `local row number + (rows in earlier partitions)` a global
+  * row_number consistent with `order` — unique (hence deterministic)
+  * iff `order` is a total order, the same contract the
+  * single-partition form had. `ntile` derives the bucket from (global
+  * row_number, total N) with the standard first-(N mod n)-buckets-get-
+  * one-extra split, matching Spark's and DuckDB's NTile semantics
+  * exactly, so every oracle that hash-verified against the window form
+  * stays green unchanged. Row offsets fit 33 bits (8.6B rows per
+  * partition) — size `parts` so partitions stay far under that.
   *
   * 100 TB shape: the range exchange distributes the sort across every
   * executor; the checkpoint persists partition-local (MEMORY_AND_DISK)
   * with no driver funnel; the counts frame is `parts` rows regardless
-  * of data size; the two auxiliary joins are broadcasts of ≤ `parts`
-  * rows. One range shuffle + one materialization per call — the same
-  * bill a global `orderBy.write` pays.
+  * of data size; the auxiliary joins are broadcasts of ≤ `parts` rows.
   */
 object DistributedRank {
 
+  private val Mid = "__dr9_mid"
   private val Pid = "__dr9_pid"
   private val Lr = "__dr9_lr"
   private val Cnt = "__dr9_cnt"
@@ -69,51 +84,61 @@ object DistributedRank {
   private def defaultParts(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-  /** The pre-checkpoint ranked frame: range exchange + partition-local
-    * window. Exposed (test-only) so PlansSpec can assert the plan that
-    * the eager checkpoint in [[globalRank]] would otherwise hide.
+  /** The pre-checkpoint numbered frame: range exchange + in-partition
+    * sort + id projection. Exposed (test-only) so DistributedRankSpec
+    * can assert the plan that the eager checkpoint in [[globalRowNumber]]
+    * would otherwise hide: exactly ONE exchange, the range one.
     */
   private[graft] def localRankedForAudit(df: DataFrame, order: Seq[Column],
       parts: Int = -1): DataFrame =
-    localRanked(df, order, if (parts > 0) parts else defaultParts(df),
-      w => dense_rank().over(w))
+    localNumbered(df, order, if (parts > 0) parts else defaultParts(df))
 
-  private def localRanked(df: DataFrame, order: Seq[Column], parts: Int,
-      rank: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame =
+  private def localNumbered(df: DataFrame, order: Seq[Column], parts: Int): DataFrame =
     df.repartitionByRange(parts, order: _*)
-      .withColumn(Pid, spark_partition_id())
-      .withColumn(Lr, rank(Window.partitionBy(col(Pid)).orderBy(order: _*)).cast("long"))
+      .sortWithinPartitions(order: _*)
+      .withColumn(Mid, monotonically_increasing_id())
 
-  /** df + `Gr` (1-based global rank, long) + `Tot` (global rank total). */
-  private def globalRank(df: DataFrame, order: Seq[Column], parts: Int,
-      rank: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
+  /** df + `Gr` (1-based global row number, long) + `Tot` (row total). */
+  private def globalRowNumber(df: DataFrame, order: Seq[Column], parts: Int): DataFrame = {
     // eager: every consumer below must see ONE frozen partition placement
-    // (scaladoc item 3); also truncates lineage for iterative callers
-    val snap = localRanked(df, order, parts, rank).localCheckpoint(true)
-    val counts = snap.groupBy(col(Pid)).agg(max(col(Lr)).as(Cnt))
+    // (scaladoc item 4); also truncates lineage for iterative callers
+    val snap = localNumbered(df, order, parts).localCheckpoint(true)
+    val withPid = snap
+      .withColumn(Pid, shiftrightunsigned(col(Mid), 33))
+      .withColumn(Lr, col(Mid).bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .drop(Mid)
+    val counts = withPid.groupBy(col(Pid)).agg(count(lit(1)).as(Cnt))
     val mirror = counts.select(col(Pid).as(BPid), col(Cnt).as(BCnt))
     val offs = counts.join(broadcast(mirror), lit(true), "left")
       .groupBy(col(Pid))
       .agg(
         coalesce(sum(when(col(BPid) < col(Pid), col(BCnt)).otherwise(lit(0L))), lit(0L)).as(Off),
         coalesce(sum(col(BCnt)), lit(0L)).as(Tot))
-    snap.join(broadcast(offs), Pid)
+    withPid.join(broadcast(offs), Pid)
       .withColumn(Gr, col(Lr) + col(Off))
       .drop(Pid, Lr, Off)
   }
-
-  /** Global dense_rank over `order`, as a LongType column `out`. */
-  def denseRank(df: DataFrame, order: Seq[Column], out: String, parts: Int = -1): DataFrame =
-    globalRank(df, order, if (parts > 0) parts else defaultParts(df), w => dense_rank().over(w))
-      .withColumnRenamed(Gr, out).drop(Tot)
 
   /** Global row_number over `order` (must be total for a deterministic
     * result — ties within a partition are broken arbitrarily, exactly as
     * in the window form), as a LongType column `out`.
     */
   def rowNumber(df: DataFrame, order: Seq[Column], out: String, parts: Int = -1): DataFrame =
-    globalRank(df, order, if (parts > 0) parts else defaultParts(df), w => row_number().over(w))
+    globalRowNumber(df, order, if (parts > 0) parts else defaultParts(df))
       .withColumnRenamed(Gr, out).drop(Tot)
+
+  /** Global dense_rank over the named key columns, ASCENDING, as a
+    * LongType column `out`. Keys must be column NAMES (not expressions):
+    * the rank is computed on the distinct key frame and joined back on
+    * exactly these columns. For a descending key, negate it into a
+    * named column first.
+    */
+  def denseRank(df: DataFrame, keys: Seq[String], out: String, parts: Int = -1): DataFrame = {
+    val kc = keys.map(col)
+    val distinctKeys = df.select(kc: _*).distinct()
+    val ranked = rowNumber(distinctKeys, kc, out, parts)
+    df.join(ranked, keys)
+  }
 
   /** Global ntile(buckets) over `order` (total order required, as for
     * rowNumber), as an IntegerType column `out` — first (N mod buckets)
@@ -123,8 +148,7 @@ object DistributedRank {
   def ntile(df: DataFrame, order: Seq[Column], buckets: Int, out: String,
       parts: Int = -1): DataFrame = {
     require(buckets >= 1, s"ntile buckets must be >= 1, got $buckets")
-    val g = globalRank(df, order, if (parts > 0) parts else defaultParts(df),
-      w => row_number().over(w))
+    val g = globalRowNumber(df, order, if (parts > 0) parts else defaultParts(df))
     // q = N div n, r = N mod n; rank <= (q+1)*r -> one of the r padded
     // buckets, else offset into the floor-sized tail. `div` (exact
     // integer division) keeps this lossless past 2^53 rows; greatest(q,1)

@@ -28,51 +28,15 @@ import graft.registry.GQuery
   */
 object GraphOnDedup {
 
-  /** Shared oracle prefix: q83's pair pipeline (shingles → md5/K-M
-    * signatures → 4×2 bands → 50-cap → agreement ≥ 4) down to the
-    * symmetric `edges` CTE, MATERIALIZED because the graph rounds
-    * reference it once per round.
+  /** Shared oracle prefix: `DedupQueries.edgePipelineOracleCtes` (q83's
+    * pair pipeline down to `good`) plus the symmetric `edges` CTE,
+    * MATERIALIZED because the graph rounds reference it once per round.
     */
-  private def edgeCtes: String = {
-    val nH = 8
-    val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
-    val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
-    val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
-      "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
-      "ELSE concat_ws('-', m6, m7) END"
-    s"""toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      sh AS (
-        SELECT doc_id,
-          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
-        FROM toks),
-      md AS (
-        SELECT doc_id, md5(s) AS md FROM sh),
-      halves AS (
-        SELECT doc_id,
-          CAST(('0x' || substr(md, 1, 15)) AS BIGINT) AS h1,
-          CAST(('0x' || substr(md, 17, 15)) AS BIGINT) AS h2
-        FROM md),
-      sig AS MATERIALIZED (
-        SELECT doc_id,
-          $mins
-        FROM halves GROUP BY doc_id),
-      bands AS (
-        SELECT doc_id, b, $bandCase AS bh
-        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
-      capped AS (
-        SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, bh) <= 50),
-      prs AS (
-        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        FROM capped a JOIN capped c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
-      good AS (
-        SELECT p.id_a, p.id_b
-        FROM prs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
-        WHERE ($eqSum) >= ${nH / 2}),
+  private def edgeCtes: String =
+    s"""${DedupQueries.edgePipelineOracleCtes},
       edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM good
         UNION ALL SELECT id_b, id_a FROM good)"""
-  }
 
   /** Near-dup centrality: which documents sit at the center of the
     * duplication structure (template hubs, boilerplate attractors) — the

@@ -236,8 +236,12 @@ object RecordLinkage {
     // referencing column over the sf0.1 candidates
     def wl(i: Int): Column = lit(wr.getDecimal(i))
     val minimal = minimalQualifyingPatterns(wr)
+    // empty minimal = NO pattern reaches the floor: the report is empty,
+    // which the exhaustive path computes correctly (and bandedCandidates'
+    // passes.reduce would throw on); all-disagree qualifying = the only
+    // lossless band is the full block
     val cand =
-      if (minimal.contains((0, 0, 0))) candidatePairs(master, dirty)
+      if (minimal.isEmpty || minimal.contains((0, 0, 0))) candidatePairs(master, dirty)
       else bandedCandidates(master, dirty, minimal)
     cand.withColumn("score",
       when(col("a_name") === 1, wl(0)).otherwise(wl(1)) +
@@ -463,11 +467,21 @@ object RecordLinkage {
     // concurrently (Spark schedules parallel driver-side actions fine) —
     // serial submission measured ~3.4s at sf0.1 from job-launch latency
     // alone, ~1.3s concurrent. Results assemble by index: deterministic.
+    // Job group / description are THREAD-LOCAL Spark properties: copy the
+    // caller's onto each worker thread, or a harness's cancel-by-group
+    // timeout (ScaleCert.timedSide) cannot reach these jobs.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.DurationInt
     import scala.concurrent.ExecutionContext.Implicits.global
-    val aF = (0 until 8).map(m => Future(atLeast(m)))
-    val truthF = Future {
+    val sc = master.sparkSession.sparkContext
+    val callerProps = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel").map(k => k -> sc.getLocalProperty(k))
+    def inCallerGroup[T](body: => T): T = {
+      callerProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+      body
+    }
+    val aF = (0 until 8).map(m => Future(inCallerGroup(atLeast(m))))
+    val truthF = Future(inCallerGroup {
       dirty.join(master, col("src_key") === col("k"))
         .filter(col("d_nation") === col("c_nationkey"))
         .groupBy(
@@ -478,7 +492,7 @@ object RecordLinkage {
         .collect()
         .map(r => (r.getInt(0) | (r.getInt(1) << 1) | (r.getInt(2) << 2)) -> r.getLong(3))
         .toMap
-    }
+    })
     val a = aF.map(Await.result(_, 10.minutes))
     def exact(p: Int): Long =
       (0 until 8).filter(s => (s & p) == p)

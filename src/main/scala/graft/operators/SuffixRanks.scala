@@ -36,16 +36,17 @@ import graft.registry.GQuery
   * the LCP compare O(1) per neighbor) with the span's md5 as witness.
   *
   * Scale shape: each doubling round is one global RANK — routed through
-  * `DistributedRank.denseRank` (range repartition + partition-local rank
-  * + broadcast per-partition offsets; see its scaladoc), so no round
-  * plans an `Exchange SinglePartition` (PlansSpec captures a MID-round
+  * `DistributedRank.denseRank` (rank the DISTINCT (r, rn) key frame via
+  * range repartition + in-partition numbering + broadcast offsets, then
+  * hash-join it back; see its scaladoc), so no round plans an
+  * `Exchange SinglePartition` (DistributedRankSpec captures a MID-round
   * plan, before the per-round localCheckpoint truncates it, and pins
   * this) — plus one per-doc windowed lead: O(n log L) total work, the
   * textbook parallel suffix-array bound. The LCP pass touches each
   * rank-adjacent pair exactly once: n-1 pairs, never n². At 100 TB each
-  * round pays one range shuffle (the same shuffle any global orderBy
-  * pays, spread over all executors), and L (max doc length in tokens)
-  * bounds the round count at ~17 even for 100k-token docs.
+  * round pays the distinct + range + join-back shuffles (all spread
+  * over every executor, none single-partition), and L (max doc length
+  * in tokens) bounds the round count at ~17 even for 100k-token docs.
   *
   * Alphabet guard: the oracle-equivalence argument requires every corpus
   * token char to sit strictly between ' ' (the join separator) and '~'
@@ -73,7 +74,7 @@ object SuffixRanks {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val paired = ranked
       .withColumn("rn", coalesce(lead(col("r"), 1 << k).over(byPos), lit(-1L)))
-    DistributedRank.denseRank(paired, Seq(col("r"), col("rn")), "r2")
+    DistributedRank.denseRank(paired, Seq("r", "rn"), "r2")
       .select(col("doc_id"), col("pos"), col("r2").as("r"))
   }
 
@@ -98,13 +99,14 @@ object SuffixRanks {
       val positions = docs
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-      var ranked = DistributedRank.denseRank(positions, Seq(col("tok")), "r")
+      var ranked = DistributedRank.denseRank(positions, Seq("tok"), "r")
         .select("doc_id", "pos", "r")
       for (k <- 0 until Rounds) {
-        // per-round lineage truncation (NOTES invariant 14) happens
-        // INSIDE DistributedRank.denseRank (its eager checkpoint), so no
-        // outer checkpoint is needed — each round's tail is shallow
-        ranked = rankRound(ranked, k)
+        // per-round lineage truncation (NOTES invariant 14): denseRank
+        // checkpoints only its distinct-KEY frame; the join-back output
+        // must be cut here or each round's actions re-evaluate every
+        // earlier round's lead/join chain (quadratic recompute)
+        ranked = rankRound(ranked, k).localCheckpoint(true)
       }
       val a = ranked.select(col("r").as("rk"),
         col("doc_id").as("doc_a"), col("pos").as("pos_a"))

@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.{SparkSpec, Tables}
 
 /** DistributedRank — the shared production global-rank path (range
-  * repartition + partition-local rank + broadcast per-partition offsets)
-  * that q95/q125/q147/q260 route through. Pins (a) bitwise equality with
-  * the single-partition window form for dense_rank / row_number / ntile,
-  * including tie and N<buckets edge cases, and (b) the PLAN property the
-  * helper exists for: no `Exchange SinglePartition` anywhere — asserted
-  * on a real mid-round q260 frame, captured BEFORE the per-round
-  * localCheckpoint that hid the r13 single-partition sorts from
-  * end-of-query audits.
+  * repartition + in-partition numbering via the monotonic-id bit split +
+  * broadcast per-partition offsets; dense_rank on the distinct key
+  * domain) that q95/q125/q147/q260 route through. Pins (a) bitwise
+  * equality with the single-partition window form for dense_rank /
+  * row_number / ntile, including tie and N<buckets edge cases, and (b)
+  * the PLAN properties the helper exists for: no `Exchange
+  * SinglePartition` anywhere, and — on the pre-checkpoint frame, where
+  * the r13 audit blind spot lived — exactly ONE exchange, the range one
+  * (a window partitioned by spark_partition_id would silently add a
+  * second full-data hash exchange; caught by plan audit in r14).
   */
 class DistributedRankSpec extends SparkSpec {
 
@@ -28,8 +30,8 @@ class DistributedRankSpec extends SparkSpec {
   test("denseRank matches the global-window form (with duplicate keys) and plans no single-partition exchange") {
     val li = Tables.lineitem(spark, sf001)
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-    // l_quantity has heavy duplication -> exercises equal-key co-location
-    val got = DistributedRank.denseRank(li, Seq(col("l_quantity"), col("l_partkey")), "dr")
+    // l_quantity has heavy duplication -> exercises the distinct-key path
+    val got = DistributedRank.denseRank(li, Seq("l_quantity", "l_partkey"), "dr")
     val want = li.withColumn("dr",
       dense_rank().over(Window.orderBy(col("l_quantity"), col("l_partkey"))).cast("long"))
     assert(got.select("l_orderkey", "l_partkey", "dr").exceptAll(
@@ -63,12 +65,35 @@ class DistributedRankSpec extends SparkSpec {
     assert(DistributedRank.ntile(tiny.filter(col("k") < 0), Seq(col("k")), 4, "b").isEmpty)
   }
 
-  test("q260 mid-round plan has no Exchange SinglePartition, pre-checkpoint plan included") {
+  test("pre-checkpoint rank plan has exactly ONE exchange, and it is the range one") {
+    // the r14 plan-audit finding: a Window.partitionBy(spark_partition_id)
+    // adds a second full-data hash exchange on top of the range shuffle
+    // (RangePartitioning never satisfies the window's distribution
+    // requirement). The monotonic-id bit split must keep the plan at ONE
+    // exchange — this is the claim "same shuffle any orderBy pays".
+    val o = Tables.orders(spark, sf001).select(col("o_orderkey"), col("o_totalprice"))
+    val pre = DistributedRank.localRankedForAudit(o, Seq(col("o_totalprice"), col("o_orderkey")))
+    pre.collect()
+    // the FINAL adaptive plan only — AdaptiveSparkPlanExec.toString
+    // prints the initial plan too, double-counting every exchange
+    val plan = pre.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1,
+      s"pre-checkpoint frame must pay exactly one exchange, saw ${exchanges.size}:\n" +
+        exchanges.mkString("\n"))
+    assert(exchanges.head.contains("rangepartitioning"),
+      s"the one exchange must be the range shuffle:\n${exchanges.head}")
+    assert(!plan.contains("Window"), "no window function may run on the data frame")
+  }
+
+  test("q260 mid-round plan has no Exchange SinglePartition") {
     // rebuild the round-0 input exactly as q260 does, then run ONE real
-    // doubling round and audit BOTH visible layers: the round's own plan
-    // (lead window + offset joins) and the pre-checkpoint ranked frame
-    // (range exchange + partition-local sort) that the helper's eager
-    // checkpoint would otherwise hide — the r13 audit blind spot
+    // doubling round and audit its plan (the per-round localCheckpoint
+    // in q260's loop would hide it from end-of-query audits)
     val docs = Tables.documents(spark, sf001)
       .select(col("doc_id"),
         concat(TextQueries.tokens(col("text")),
@@ -76,17 +101,10 @@ class DistributedRankSpec extends SparkSpec {
     val positions = docs
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-    val seed = DistributedRank.denseRank(positions, Seq(col("tok")), "r")
+    val seed = DistributedRank.denseRank(positions, Seq("tok"), "r")
       .select("doc_id", "pos", "r")
     val mid = SuffixRanks.rankRound(seed, 0)
     noSinglePartition(mid, "q260 mid-round rank")
-    val pre = DistributedRank.localRankedForAudit(positions, Seq(col("tok")))
-    pre.collect()
-    val prePlan = pre.queryExecution.executedPlan.toString
-    assert(!prePlan.contains("Exchange SinglePartition"),
-      s"pre-checkpoint rank plan has a single-partition exchange:\n$prePlan")
-    assert(prePlan.contains("rangepartitioning"),
-      s"pre-checkpoint rank plan should range-partition:\n$prePlan")
     // and the seed rank itself agrees with the window form
     val want = positions.withColumn("r",
         dense_rank().over(Window.orderBy("tok")).cast("long"))
