@@ -502,6 +502,82 @@ object SimilarityQueries {
       Tables.embeddings(s, dir), col("vec_id") % 4 === 0),
     Some(ContrastivePairs.oracleSql(modFilter = 4, nBuckets = 8)))
 
+  /** Contrastive positive mining, BANDED (r14 — q128's scale note made
+    * real, the q261/q262 recipe applied to the last fixed-vocabulary
+    * quadratic): q128 mines each anchor's hardest in-class positive by
+    * a label-blocked global argmax — |class|² candidates once classes
+    * saturate (measured 15-32× at 10×). Here the candidate set is
+    * same-label vectors sharing an LSH band (q103's literal
+    * hyperplanes), so a giant class stops generating quadratic
+    * candidates: high-cosine positives collide in a band with high
+    * probability, which is exactly the pairs hardest-positive mining
+    * wants (the production SupCon/FaceNet ANN-mining form). Semantics
+    * therefore differ from q128 BY DESIGN: the argmax runs over banded
+    * candidates (anchors whose class never collides in any band emit no
+    * pair), and `n_cand` reports each anchor's candidate count — the
+    * boundedness witness, in the output itself. Multi-band duplicate
+    * candidate rows are harmless to the argmax (equal cos, equal
+    * tie-break id → the rank-1 winner is unchanged), so no distinct
+    * pass is spent on them; n_cand counts DISTINCT candidates.
+    */
+  val q265 = GQuery(
+    "q265_contrastive_banded",
+    (s, dir) => {
+      val nBands = NPlanes / BandBits
+      val banded = Tables.embeddings(s, dir)
+        .withColumn("sig", simhashSignature(col("embedding"), NPlanes, Dim))
+        .withColumn("bb", explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * BandBits).bitwiseAND((1L << BandBits) - 1).as("bh"))
+        }: _*)))
+        .select(col("vec_id"), col("embedding"), col("label"),
+          col("bb.band"), col("bb.bh"))
+      val anchors = banded.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+          col("label").as("a_label"), col("band"), col("bh"))
+      val cand = anchors.join(banded, Seq("band", "bh"))
+        .filter(col("a_label") === col("label") && col("anchor_id") =!= col("vec_id"))
+        .select(col("anchor_id"), col("a_emb"), col("vec_id"), col("embedding"))
+      val scored = cand.withColumn("cos",
+        graft.functions.Metrics.canonRound(VectorOps.cosine(col("a_emb"), col("embedding")), 6))
+      val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("vec_id").asc)
+      val pos = scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("anchor_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+      val nc = cand.groupBy("anchor_id")
+        .agg(countDistinct(col("vec_id")).as("n_cand"))
+      pos.join(nc, "anchor_id")
+        .select(col("anchor_id"), col("pos_id"), col("pos_cos"), col("n_cand"))
+        .orderBy("anchor_id")
+    },
+    Some(s"""WITH signs(p, s) AS (VALUES $signsValues),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      sigt AS (
+        SELECT e.vec_id,
+          sum(CASE WHEN list_dot_product(e.v, signs.s) >= 0 THEN (1::BIGINT << signs.p) ELSE 0 END) AS sig
+        FROM e CROSS JOIN signs GROUP BY e.vec_id),
+      bandedq AS (
+        SELECT vec_id, b, (sig >> (b*$BandBits)) & ${(1 << BandBits) - 1} AS bh
+        FROM sigt, (SELECT unnest([0, 1]) AS b)),
+      cand AS (
+        SELECT ab.vec_id AS anchor_id, cb.vec_id, ea.v AS a_emb, ec.v AS c_emb
+        FROM bandedq ab
+        JOIN bandedq cb ON ab.b = cb.b AND ab.bh = cb.bh AND ab.vec_id <> cb.vec_id
+        JOIN e ea ON ea.vec_id = ab.vec_id
+        JOIN e ec ON ec.vec_id = cb.vec_id
+        WHERE ab.vec_id % 4 = 0 AND ea.label = ec.label),
+      scored AS (
+        SELECT anchor_id, vec_id,
+          floor(list_cosine_similarity(a_emb, c_emb)*1e6 + 0.5)/1e6 AS cos
+        FROM cand),
+      pos AS (
+        SELECT anchor_id, vec_id AS pos_id, cos AS pos_cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rk
+          FROM scored) WHERE rk = 1),
+      nc AS (SELECT anchor_id, count(DISTINCT vec_id) AS n_cand FROM cand GROUP BY anchor_id)
+      SELECT p.anchor_id, p.pos_id, p.pos_cos, nc.n_cand
+      FROM pos p JOIN nc USING (anchor_id)
+      ORDER BY p.anchor_id"""))
+
   /** Label propagation (operators.LabelPropagation) over the q52/q122
     * near-dup graph: seeds = every 4th sampled vector keeps its true
     * label, 3 synchronous majority-vote rounds extend them hop by hop;
@@ -1285,5 +1361,5 @@ object SimilarityQueries {
 
   def all: Seq[GQuery] = Seq(q50, q51, q52, q53, q102, q103, q107, q117, q121, q122,
     q127, q128, q133, q135, q137, q143, q145, q148, q151, q169, q175, q176, q177, q198,
-    q212, q257)
+    q212, q257, q265)
 }
