@@ -27,7 +27,13 @@ object Bench {
     * attempts (r13 ADVICE: a minimum can only ratchet downward — one
     * lucky idle-box attempt would permanently tighten the 3× threshold
     * and cause systematic over-retry on a loaded box; the median of a
-    * retried query's attempts sits at its steady repeat time), floored
+    * retried query's attempts sits at its steady repeat time). The LOWER
+    * median, specifically: the deferred pass stops at the first
+    * sub-threshold attempt, so a retried query's dominant shape is
+    * exactly 2 attempts [contended-first, steady-retry] — the upper
+    * median would pick the contended one, the very value the median was
+    * adopted to exclude, and next sweep's 3× threshold would let a real
+    * regression pass unretried. Floored
     * at 0.3s so micro-queries don't retry on scheduler jitter.
     * Queries absent from the detail file (new this round, or a fresh
     * checkout with no artifact) fall back to DefaultMedianSec — exactly
@@ -52,7 +58,7 @@ object Bench {
               case _ => Nil
             }
             if (times.isEmpty) None
-            else Some(name -> math.max(times.sorted.apply(times.size / 2), 0.3))
+            else Some(name -> math.max(times.sorted.apply((times.size - 1) / 2), 0.3))
           }.toMap
         case _ => Map.empty
       }

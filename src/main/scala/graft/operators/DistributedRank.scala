@@ -131,13 +131,24 @@ object DistributedRank {
     * LongType column `out`. Keys must be column NAMES (not expressions):
     * the rank is computed on the distinct key frame and joined back on
     * exactly these columns. For a descending key, negate it into a
-    * named column first.
+    * named column first. The join-back uses NULL-SAFE equality (`<=>`):
+    * `distinct()` keeps one row per null-key combination and
+    * `repartitionByRange` orders nulls FIRST ascending, so null keys
+    * rank exactly as `dense_rank().over(Window.orderBy(keys))` would —
+    * a plain using-columns join would silently DROP every null-key row
+    * instead (review finding, r14; spec-pinned against the window form).
     */
   def denseRank(df: DataFrame, keys: Seq[String], out: String, parts: Int = -1): DataFrame = {
     val kc = keys.map(col)
     val distinctKeys = df.select(kc: _*).distinct()
     val ranked = rowNumber(distinctKeys, kc, out, parts)
-    df.join(ranked, keys)
+    // null-safe join-back: rename the ranked side's keys, match with <=>,
+    // then drop the mirrors — semantically a USING join that also pairs
+    // null keys (join keys are identical values by construction, so
+    // either side's copy is the same column)
+    val mirrored = keys.foldLeft(ranked)((r, k) => r.withColumnRenamed(k, s"__dr9_k_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"__dr9_k_$k")).reduce(_ && _)
+    keys.foldLeft(df.join(mirrored, cond))((r, k) => r.drop(s"__dr9_k_$k"))
   }
 
   /** Global ntile(buckets) over `order` (total order required, as for

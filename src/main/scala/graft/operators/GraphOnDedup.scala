@@ -60,17 +60,10 @@ object GraphOnDedup {
         .orderBy("doc_id")
     },
     Some {
-      val iters = (1 to 10).map { i =>
-        s"""pr$i AS MATERIALIZED (
-        SELECT e.v AS doc_id, 0.15/(SELECT nn FROM n) + 0.85*sum(p.pr/dg.deg) AS pr
-        FROM edges e JOIN pr${i - 1} p ON p.doc_id = e.u JOIN deg dg ON dg.u = e.u
-        GROUP BY e.v)"""
-      }.mkString(",\n      ")
+      // rounds spliced from PageRankOp.oracleRoundCtes — the same
+      // generator q122 uses, so the two oracles cannot drift apart
       s"""WITH $edgeCtes,
-      deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM edges GROUP BY u),
-      n AS (SELECT count(*) AS nn FROM deg),
-      pr0 AS (SELECT u AS doc_id, 1.0/(SELECT nn FROM n) AS pr FROM deg),
-      $iters
+      ${PageRankOp.oracleRoundCtes(rounds = 10, idCol = "doc_id")}
       SELECT doc_id, floor(pr*1e6 + 0.5)/1e6 AS pagerank FROM pr10 ORDER BY doc_id"""
     })
 
@@ -98,22 +91,13 @@ object GraphOnDedup {
         .orderBy("doc_id")
     },
     Some {
-      val rs = (1 to 3).map { r =>
-        s"""nb$r AS (SELECT e.v AS nid, l.lbl, count(*) AS cnt
-        FROM edges e JOIN l${r - 1} l ON l.doc_id = e.u
-        WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
-      pp$r AS (SELECT nid, lbl FROM (
-        SELECT *, row_number() OVER (PARTITION BY nid ORDER BY cnt DESC, lbl) AS rk FROM nb$r)
-        WHERE rk = 1),
-      l$r AS MATERIALIZED (SELECT s.doc_id, coalesce(s.seed_lbl, p.lbl) AS lbl
-        FROM seeds s LEFT JOIN pp$r p ON p.nid = s.doc_id)"""
-      }.mkString(",\n      ")
+      // rounds spliced from LabelPropagation.oracleRoundCtes — the same
+      // generator q133's oracle uses, so the two cannot drift apart
       s"""WITH $edgeCtes,
       seeds AS MATERIALIZED (
         SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN source END AS seed_lbl
         FROM documents),
-      l0 AS (SELECT doc_id, seed_lbl AS lbl FROM seeds),
-      $rs
+      ${LabelPropagation.oracleRoundCtes(rounds = 3, idCol = "doc_id")}
       SELECT doc_id, coalesce(lbl, 'none') AS label,
         CAST(doc_id % 4 = 0 AS INT) AS is_seed
       FROM l3 ORDER BY doc_id"""

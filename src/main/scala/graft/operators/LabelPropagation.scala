@@ -55,22 +55,34 @@ object LabelPropagation {
     out
   }
 
+  /** The DuckDB twin of [[propagate]]'s round structure: `l0` plus
+    * `rounds` unrolled majority-vote CTEs (nb/pp/l per round) over
+    * PRECEDING `edges`(u, v) and `seeds`($idCol, seed_lbl) CTEs; the
+    * final CTE is `l<rounds>`($idCol, lbl). The single generator q133
+    * and q262 both splice in (same single-source discipline as
+    * PageRankOp.oracleRoundCtes; review finding, r14).
+    */
+  def oracleRoundCtes(rounds: Int, idCol: String): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""nb$r AS (SELECT e.v AS nid, l.lbl, count(*) AS cnt
+        FROM edges e JOIN l${r - 1} l ON l.$idCol = e.u
+        WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+      pp$r AS (SELECT nid, lbl FROM (
+        SELECT *, row_number() OVER (PARTITION BY nid ORDER BY cnt DESC, lbl) AS rk FROM nb$r)
+        WHERE rk = 1),
+      l$r AS MATERIALIZED (SELECT s.$idCol, coalesce(s.seed_lbl, p.lbl) AS lbl
+        FROM seeds s LEFT JOIN pp$r p ON p.nid = s.$idCol)"""
+    }.mkString(",\n      ")
+    s"""l0 AS (SELECT $idCol, seed_lbl AS lbl FROM seeds),
+      $rs"""
+  }
+
   /** DuckDB twin over the q52 near-dup graph (embeddings sample
     * vec_id % 5 = 0, rounded cosine > 0.25) with seeds vec_id % `seedMod`
     * = 0: the same `rounds` majority-vote rounds unrolled as MATERIALIZED
     * CTEs.
     */
   def oracleSql(rounds: Int, seedMod: Int): String = {
-    val rs = (1 to rounds).map { r =>
-      s"""nb$r AS (SELECT e.v AS nid, l.lbl, count(*) AS cnt
-        FROM edges e JOIN l${r - 1} l ON l.vec_id = e.u
-        WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
-      pp$r AS (SELECT nid, lbl FROM (
-        SELECT *, row_number() OVER (PARTITION BY nid ORDER BY cnt DESC, lbl) AS rk FROM nb$r)
-        WHERE rk = 1),
-      l$r AS MATERIALIZED (SELECT s.vec_id, coalesce(s.seed_lbl, p.lbl) AS lbl
-        FROM seeds s LEFT JOIN pp$r p ON p.nid = s.vec_id)"""
-    }.mkString(",\n      ")
     s"""WITH d AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
         FROM embeddings WHERE vec_id % 5 = 0),
@@ -81,8 +93,7 @@ object LabelPropagation {
         UNION ALL SELECT id_b, id_a FROM pairs),
       seeds AS MATERIALIZED (SELECT vec_id,
         CASE WHEN vec_id % $seedMod = 0 THEN label END AS seed_lbl FROM d),
-      l0 AS (SELECT vec_id, seed_lbl AS lbl FROM seeds),
-      $rs
+      ${oracleRoundCtes(rounds, "vec_id")}
       SELECT vec_id, CAST(coalesce(lbl, -1) AS INTEGER) AS label,
         CAST(CASE WHEN vec_id % $seedMod = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_seed
       FROM l$rounds ORDER BY vec_id"""

@@ -21,6 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object PageRankOp {
 
+  /** The DuckDB twin of [[ranks]]'s round structure: `deg`/`n`/`pr0` plus
+    * `rounds` unrolled power-iteration CTEs over a PRECEDING `edges`(u, v)
+    * CTE; the final CTE is `pr<rounds>`($idCol, pr). This is the single
+    * generator both q122 and q261 splice into their oracles — the same
+    * discipline as DedupQueries.edgePipelineOracleCtes, so a numerics or
+    * tie-break change can never desynchronize one hand-kept copy from the
+    * other (review finding, r14). d=0.85 is fixed: it is the only damping
+    * any registry oracle uses, and emitting the literals keeps the SQL
+    * free of float-formatting drift. Round CTEs are MATERIALIZED — DuckDB
+    * re-evaluates multiply-referenced plain CTEs (NOTES invariant 12).
+    */
+  def oracleRoundCtes(rounds: Int, idCol: String): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""pr$i AS MATERIALIZED (
+        SELECT e.v AS $idCol, 0.15/(SELECT nn FROM n) + 0.85*sum(p.pr/dg.deg) AS pr
+        FROM edges e JOIN pr${i - 1} p ON p.$idCol = e.u JOIN deg dg ON dg.u = e.u
+        GROUP BY e.v)"""
+    }.mkString(",\n      ")
+    s"""deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+      n AS (SELECT count(*) AS nn FROM deg),
+      pr0 AS (SELECT u AS $idCol, 1.0/(SELECT nn FROM n) AS pr FROM deg),
+      $iters"""
+  }
+
   /** Returns (vec_id, pr) — RAW ranks; callers round for output. */
   def ranks(edges: DataFrame, rounds: Int, damping: Double = 0.85,
             smallGraphThreshold: Long = 1L << 20): DataFrame = {

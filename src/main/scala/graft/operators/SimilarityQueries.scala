@@ -460,23 +460,16 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
     Some {
-      val iters = (1 to 10).map { i =>
-        s"""pr$i AS (
-        SELECT e.v AS vec_id, 0.15/(SELECT nn FROM n) + 0.85*sum(p.pr/dg.deg) AS pr
-        FROM edges e JOIN pr${i - 1} p ON p.vec_id = e.u JOIN deg dg ON dg.u = e.u
-        GROUP BY e.v)"""
-      }.mkString(",\n      ")
+      // the power-iteration rounds come from PageRankOp.oracleRoundCtes —
+      // ONE generator feeds this oracle and q261's (review finding, r14)
       s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
           FROM embeddings WHERE vec_id % 5 = 0),
       pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM d a JOIN d b ON a.vec_id < b.vec_id
         WHERE floor(list_cosine_similarity(a.emb, b.emb)*1e6 + 0.5)/1e6 > 0.25),
-      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
                 UNION ALL SELECT id_b, id_a FROM pairs),
-      deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
-      n AS (SELECT count(*) AS nn FROM deg),
-      pr0 AS (SELECT u AS vec_id, 1.0/(SELECT nn FROM n) AS pr FROM deg),
-      $iters
+      ${PageRankOp.oracleRoundCtes(rounds = 10, idCol = "vec_id")}
       SELECT vec_id, floor(pr*1e6 + 0.5)/1e6 AS pagerank FROM pr10 ORDER BY vec_id"""
     })
 

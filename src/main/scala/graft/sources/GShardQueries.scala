@@ -203,6 +203,28 @@ object GShardQueries {
       s.catalog.listTables().collect()
         .filter(_.name.startsWith("graft_q263_meta_"))
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      // cross-JVM orphans: the in-memory catalog only sees THIS session's
+      // tables, so each harness JVM would leak its last table's warehouse
+      // directory forever (review finding, r14). Sweep the warehouse by
+      // path for our prefix, but only dirs past a stale margin — a
+      // CONCURRENT Bench/Verify/ScaleCert JVM's live table is at most
+      // minutes old while its join runs, so an hour-old dir is orphaned
+      // by construction.
+      try {
+        val wh = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val staleMs = 60L * 60 * 1000
+        val now = System.currentTimeMillis()
+        Option(wh.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("graft_q263_meta_")
+            && now - f.lastModified() > staleMs)
+          .foreach { dir =>
+            val it = java.nio.file.Files.walk(dir.toPath)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            try it.forEach(p => { val _ = p.toFile.delete() })
+            finally it.close()
+          }
+      } catch { case _: Throwable => () } // cleanup must never fail the query
       val tbl = "graft_q263_meta_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       Bucketing.writeBucketed(

@@ -41,6 +41,23 @@ class RegistrySpec extends SparkSpec {
     assert(Bench.refSecFromDetail("/nonexistent/detail.json").isEmpty)
   }
 
+  test("Bench retry reference is the LOWER median of recorded attempts") {
+    // the deferred pass stops at the first sub-threshold attempt, so the
+    // dominant retried shape is exactly 2 attempts [contended, steady] —
+    // the upper median would re-select the contended time the median was
+    // adopted to exclude (review finding, r14)
+    val f = java.nio.file.Files.createTempFile("bench_detail", ".json")
+    java.nio.file.Files.write(f,
+      """{"attempts":{"q_two":[[6.1,3.2,true],[2.0,0.4,false]],
+        |"q_three":[[9.0,3.0,true],[2.0,0.5,false],[4.0,0.6,false]],
+        |"q_floor":[[0.1,0.2,false]]}}""".stripMargin.getBytes("UTF-8"))
+    val refs = Bench.refSecFromDetail(f.toString)
+    assert(refs("q_two") == 2.0)   // lower median, not the contended 6.1
+    assert(refs("q_three") == 4.0) // odd count: the true median
+    assert(refs("q_floor") == 0.3) // jitter floor
+    java.nio.file.Files.delete(f)
+  }
+
   Registry.all.filterNot(q => skipHere(q.name)).foreach { q =>
     test(s"${q.name} runs at sf0.001") {
       val n = rows(q.name)

@@ -39,6 +39,19 @@ class DistributedRankSpec extends SparkSpec {
     noSinglePartition(got, "denseRank")
   }
 
+  test("denseRank keeps NULL-key rows and ranks them first, like the window form") {
+    // review finding (r14): a using-columns join-back is null-UNSAFE —
+    // every null-key row would silently vanish. The <=> join-back must
+    // reproduce dense_rank's nulls-first ascending semantics instead.
+    import spark.implicits._
+    val df = Seq((1, Some(10L)), (2, None), (3, Some(10L)), (4, None), (5, Some(3L)))
+      .toDF("id", "k")
+    val got = DistributedRank.denseRank(df, Seq("k"), "dr")
+    assert(got.count() == 5, "null-key rows must survive the join-back")
+    val want = df.withColumn("dr", dense_rank().over(Window.orderBy("k")).cast("long"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("rowNumber over a total order matches the global-window form") {
     val o = Tables.orders(spark, sf001).select(col("o_orderkey"), col("o_totalprice"))
     val got = DistributedRank.rowNumber(o, Seq(col("o_totalprice").desc, col("o_orderkey")), "rn")
