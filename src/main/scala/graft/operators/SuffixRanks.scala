@@ -129,8 +129,12 @@ object SuffixRanks {
         // over (r, rn) with unique r re-assigns exactly r — so the loop
         // exits with the identical final frame. Real text individuates
         // suffixes after ~2-3 rounds; the 7-round cap is the worst case.
-        // The check is one max() over the just-checkpointed blocks.
-        distinct = ranked.agg(max(col("r"))).head.getLong(0) == total
+        // The check is one max() over the just-checkpointed blocks —
+        // skipped on the last permitted round, where its result cannot
+        // affect control flow (a corpus that needs all rounds would
+        // otherwise pay one dead full-frame scan per run).
+        if (k + 1 < Rounds)
+          distinct = ranked.agg(max(col("r"))).head.getLong(0) == total
         k += 1
       }
       val a = ranked.select(col("r").as("rk"),

@@ -284,5 +284,10 @@ class GShardSpec extends SparkSpec {
     // correctness
     assert(joined.count() === docs.count())
     assert(joined.filter(col("tri_chars") =!= col("n_chars") * 3).count() === 0)
+    // every assertion above has materialized the join, so the managed
+    // table can be dropped here — without this, each test-suite JVM
+    // leaked its table's warehouse directory (the start-of-test catalog
+    // sweep only sees the CURRENT session's tables)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }
