@@ -397,17 +397,25 @@ object EventQueries {
     * user-partitioned by the shuffle); the transition matrix is tiny
     * (|event_type|²) however large the log is.
     */
+  /** Per-user event-type transition counts over the (ts, event_id)
+    * total order — the lag/filter/count stage q94 and q154 both start
+    * from, factored so the ordering key and null handling cannot
+    * diverge between them (review finding, r14). `nextCol` names the
+    * destination-type column (q94 reports cur_type, q154 next_type).
+    */
+  private def transitionCounts(events: DataFrame, nextCol: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as(nextCol))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val q94 = GQuery(
     "q94_event_transitions",
-    (s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, dir)
-        .withColumn("prev_type", lag("event_type", 1).over(w))
-        .filter(col("prev_type").isNotNull)
-        .groupBy(col("prev_type"), col("event_type").as("cur_type"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("prev_type", "cur_type")
-    },
+    (s, dir) => transitionCounts(Tables.events(s, dir), nextCol = "cur_type")
+      .orderBy("prev_type", "cur_type"),
     Some("""WITH e AS (
         SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
       t AS (
@@ -440,8 +448,11 @@ object EventQueries {
   val q100 = GQuery(
     "q100_stream_neardup",
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_neardup_q100_")
-      stage.toFile.deleteOnExit()
+      // TempDirs, not deleteOnExit: File.deleteOnExit silently skips
+      // non-empty dirs, and this one always holds the symlink — every
+      // run would leak a /tmp dir for the life of the machine (review
+      // finding, r14; the exact pattern TempDirs exists to replace)
+      val stage = graft.streaming.TempDirs.create("graft_neardup_q100_")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("documents.parquet"),
         java.nio.file.Paths.get(s"$dir/documents.parquet"))
@@ -616,12 +627,7 @@ object EventQueries {
     * agg; the matrix itself is |types|² — broadcast-scale output.
     */
   def markovTransitions(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val seq = events
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_type").isNotNull)
-    val counts = seq.groupBy(col("prev_type"), col("event_type").as("next_type"))
-      .agg(count(lit(1)).as("n"))
+    val counts = transitionCounts(events, nextCol = "next_type")
     val tot = counts.groupBy("prev_type").agg(sum("n").as("n_prev"))
     counts.join(broadcast(tot), "prev_type")
       .select(col("prev_type"), col("next_type"), col("n"),
@@ -929,7 +935,11 @@ object EventQueries {
         graft.functions.Metrics.canonRound(p1, 6).as("rate_a"),
         graft.functions.Metrics.canonRound(p2, 6).as("rate_b"),
         z.as("z"),
-        (abs(z) >= 1.96).cast("int").as("significant"))
+        // NULL z (empty arm or zero pooled variance → division yields
+        // null/NaN) must grade NOT-significant, matching the oracle's
+        // CASE, whose ELSE returns 0 on a null comparison — a bare
+        // cast("int") would emit NULL here instead (review finding, r14)
+        when(abs(z) >= 1.96, 1).otherwise(0).cast("int").as("significant"))
       .orderBy("event_type")
   }
 
@@ -1067,7 +1077,17 @@ object EventQueries {
     * by the calendar, not the corpus; the distributed work is the daily
     * pre-aggregation.
     */
-  def mannKendall(events: DataFrame): DataFrame = {
+  /** The dense per-(event_type, day) count series — calendar axis ×
+    * type cross join, zeros filled: the frame q197 and q199 both
+    * analyze, factored so the two trend tests cannot drift apart (it
+    * was previously built inline in each). Returned eagerly CACHED:
+    * q197 alone consumes it through four branches (both pair-join
+    * sides, nDays, ties), and an uncached lineage re-scans the event
+    * table once per branch (review finding, r14 — the racing-consumers
+    * rule). No unpersist needed: the frame is bounded by
+    * calendar × |types|, and the bench clears cache between queries.
+    */
+  private def denseDaily(events: DataFrame): DataFrame = {
     val e = events.select(to_date(col("ts")).as("d"), col("event_type"))
     val axis = e.agg(min("d").as("d0"), max("d").as("d1"))
       .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
@@ -1076,6 +1096,13 @@ object EventQueries {
       .join(e.groupBy(col("d").as("day"), col("event_type")).agg(count(lit(1)).as("n")),
         Seq("day", "event_type"), "left")
       .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .cache()
+    daily.count()
+    daily
+  }
+
+  def mannKendall(events: DataFrame): DataFrame = {
+    val daily = denseDaily(events)
     val a = daily.select(col("event_type"), col("day").as("di"), col("n").as("xi"))
     val b = daily.select(col("event_type"), col("day").as("dj"), col("n").as("xj"))
     val sStat = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
@@ -1158,14 +1185,7 @@ object EventQueries {
     * per-type series (no HOFs, no self-join).
     */
   def ewmaAnomalies(events: DataFrame): DataFrame = {
-    val e = events.select(to_date(col("ts")).as("d"), col("event_type"))
-    val axis = e.agg(min("d").as("d0"), max("d").as("d1"))
-      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-    val types = e.select("event_type").distinct()
-    val daily = axis.crossJoin(broadcast(types))
-      .join(e.groupBy(col("d").as("day"), col("event_type")).agg(count(lit(1)).as("n")),
-        Seq("day", "event_type"), "left")
-      .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    val daily = denseDaily(events) // shared with q197, cached there too
     val run = Window.partitionBy("event_type").orderBy("day")
     val lagsNum = (0 until 8).map(k => lit(math.pow(0.5, k)) * coalesce(lag(col("n"), k).over(run), lit(0L)).cast("double"))
     val lagsNorm = (0 until 8).map(k => when(lag(col("n"), k).over(run).isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)))

@@ -231,6 +231,30 @@ object TextQueries {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
 
+  /** The q46/q161 sampled hashed-shingle pair frame: every same-lang
+    * pair (id_a < id_b) of the doc_id % 10 sample, with the hashed
+    * distinct-bigram shingle arrays of both sides as sh_a/sh_b. ONE
+    * constructor for both similarity baselines so the sampling rate and
+    * hashing scheme cannot drift between them (review finding, r14).
+    *
+    * Shingles are compared as xxhash64 LONGs: array_intersect on a
+    * primitive type takes the OpenHashSet fast path and each array is
+    * 8 bytes/element instead of a ~15-char string — the per-pair
+    * intersection is what the O(n²) join pays for. (A 64-bit collision
+    * between two shingles of one compared pair would perturb one count;
+    * at ~10⁵ shingle pairs per corpus the chance is ~1e-9 and the
+    * oracle gate would surface it.)
+    */
+  private def sampledShinglePairs(docs: DataFrame): DataFrame = {
+    val d = docs
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"),
+        transform(array_distinct(bigrams(tokens(col("text")))), sh => xxhash64(sh)).as("sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+    a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+  }
+
   /** Brute-force n-gram Jaccard near-dup on a deterministic sample (the
     * exact-verification baseline; the scale path is MinHash/LSH in
     * DedupQueries — brute force is O(n²) and only run on samples).
@@ -238,22 +262,9 @@ object TextQueries {
   val q46 = GQuery(
     "q46_ngram_jaccard",
     (s, dir) => {
-      // shingles are compared as xxhash64 LONGs: array_intersect on a
-      // primitive type takes the OpenHashSet fast path and each array is
-      // 8 bytes/element instead of a ~15-char string — the per-pair
-      // intersection is what the O(n²) join pays for. (A 64-bit collision
-      // between two shingles of one compared pair would perturb one count;
-      // at ~10⁵ shingle pairs per corpus the chance is ~1e-9 and the
-      // oracle gate would surface it.)
-      val d = Tables.documents(s, dir)
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("lang"),
-          transform(array_distinct(bigrams(tokens(col("text")))), sh => xxhash64(sh)).as("sh"))
-      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("sh").as("sh_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-      a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+      sampledShinglePairs(Tables.documents(s, dir))
         .select(col("id_a"), col("id_b"), graft.functions.Metrics.canonRound(inter / uni, 4).as("jaccard"))
         .filter(col("jaccard") > 0.03)
         .orderBy("id_a", "id_b")
@@ -267,8 +278,12 @@ object TextQueries {
         floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1e4 + 0.5)/1e4 AS jaccard
       FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0.03
+      -- filter the ROUNDED value, matching the Spark side (and q161's
+      -- convention): filtering the raw ratio here would diverge on pairs
+      -- whose raw jaccard sits in (0.03, 0.03005) — rounded to 0.0300,
+      -- kept by raw>0.03, dropped by rounded>0.03 (review finding, r14)
+      WHERE floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 1e4 + 0.5)/1e4 > 0.03
       ORDER BY id_a, id_b"""))
 
   /** Rolling-hash document fingerprint (winnowing/CDC style): hash every
@@ -571,8 +586,13 @@ object TextQueries {
     (s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      // tf, len, and dfreq all aggregate the same exploded frame: cache
+      // it eagerly (racing-consumers rule) or the corpus is scanned and
+      // tokenized three times per run (review finding, r14)
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .cache()
+      tok.count()
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
       val dfreq = tok.select("doc_id", "term").distinct()
@@ -758,11 +778,10 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       val t = tokens(col("text"))
       val nTok = size(t).cast("double")
-      val nStop = size(filter(t, x => array_contains(stopArray, x))).cast("double")
-      val ttr = size(array_distinct(t)).cast("double") / nTok
-      val stopRatio = nStop / nTok
-      val quality = graft.functions.Metrics.canonRound(
-        least(nTok / 100.0, lit(1.0)) * (lit(1.0) - stopRatio) * ttr, 4)
+      // score through qualityExpr — the single factored formula q42/q112
+      // share; re-inlining it here recreated exactly the scorer/gate
+      // drift risk its docstring warns about (review finding, r14)
+      val quality = graft.functions.Metrics.canonRound(qualityExpr(t), 4)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
       val staged = docs
         .withColumn("is_exact", col("doc_id") === min("doc_id").over(w))
@@ -823,8 +842,12 @@ object TextQueries {
       val terms = Seq("spark", "query", "join")
       val k1 = 1.2
       val bb = 0.75
+      // len, tf, and dfreq all aggregate the same exploded frame — cache
+      // eagerly, same racing-consumers rationale as q90
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .cache()
+      tok.count()
       val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
       val stats = len.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avg_len"))
       val tf = tok.filter(col("term").isin(terms: _*))
@@ -837,9 +860,16 @@ object TextQueries {
           log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df").cast("double") + 0.5) + 1.0))
         .withColumn("s", col("idf") * (col("tf").cast("double") * lit(k1 + 1)) /
           (col("tf").cast("double") + lit(k1) * (lit(1) - lit(bb) + lit(bb) * col("len").cast("double") / col("avg_len"))))
-        .groupBy("doc_id").agg(sum("s").as("s_sum"), count(lit(1)).as("n_terms_hit"))
+        // snap each per-term score to the 1e-6 integer grid BEFORE the
+        // sum: double addition is non-associative and partial-agg order
+        // differs between engines (and across Spark reruns), so summing
+        // raw doubles and rounding after could flip the last digit on a
+        // grid boundary — the Metrics.exactSum rule every other float
+        // aggregate in this file follows (review finding, r14)
+        .withColumn("s_micro", floor(col("s") * 1e6 + 0.5).cast("long"))
+        .groupBy("doc_id").agg(sum("s_micro").as("s_sum"), count(lit(1)).as("n_terms_hit"))
         .select(col("doc_id"), col("n_terms_hit"),
-          graft.functions.Metrics.canonRound(col("s_sum"), 6).as("bm25"))
+          (col("s_sum").cast("double") / 1e6).as("bm25"))
         .orderBy("doc_id")
     },
     Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
@@ -850,11 +880,16 @@ object TextQueries {
       dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
                 WHERE term IN ('spark','query','join') GROUP BY 1),
       sc AS (SELECT t.doc_id,
-          ln((CAST(st.n_docs AS DOUBLE) - d.df + 0.5)/(CAST(d.df AS DOUBLE) + 0.5) + 1.0)
-          * (CAST(t.tf AS DOUBLE)*(1.2 + 1))
-          / (CAST(t.tf AS DOUBLE) + 1.2*(1 - 0.75 + 0.75*CAST(l.len AS DOUBLE)/st.avg_len)) AS s
+          -- per-term snap to integer micro-units before the sum (see the
+          -- Spark side: raw-double sums are addition-order-dependent)
+          CAST(floor((
+            ln((CAST(st.n_docs AS DOUBLE) - d.df + 0.5)/(CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+            * (CAST(t.tf AS DOUBLE)*(1.2 + 1))
+            / (CAST(t.tf AS DOUBLE) + 1.2*(1 - 0.75 + 0.75*CAST(l.len AS DOUBLE)/st.avg_len))
+          ) * 1e6 + 0.5) AS BIGINT) AS s_micro
         FROM tf t JOIN len l USING (doc_id) JOIN dfreq d USING (term), st)
-      SELECT doc_id, count(*) AS n_terms_hit, floor(sum(s)*1e6 + 0.5)/1e6 AS bm25
+      SELECT doc_id, count(*) AS n_terms_hit,
+        CAST(sum(s_micro) AS DOUBLE)/1e6 AS bm25
       FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Count-min sketch heavy-hitter estimation (Cormode-Muthukrishnan
@@ -1189,18 +1224,13 @@ object TextQueries {
     * the band-join verify stage).
     */
   def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val d = docs
-      .filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), col("lang"),
-        transform(array_distinct(bigrams(tokens(col("text")))), sh => xxhash64(sh)).as("sh"))
-    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val contA = graft.functions.Metrics.canonRound(inter / size(col("sh_a")), 4)
     val contB = graft.functions.Metrics.canonRound(inter / size(col("sh_b")), 4)
     val jac = graft.functions.Metrics.canonRound(
       inter / ((size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter), 4)
-    a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+    // pair frame shared with q46 — one constructor, no drift
+    sampledShinglePairs(docs)
       .select(col("id_a"), col("id_b"), jac.as("jaccard"),
         contA.as("cont_a_in_b"), contB.as("cont_b_in_a"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
