@@ -402,15 +402,26 @@ object DedupQueries {
     * pipeline cannot silently desynchronize one oracle copy from the
     * other (they would both break, loudly).
     */
-  private[operators] def edgePipelineOracleCtes: String = {
-    val nH = 8
+  /** SQL for the slot-agreement count between `sig` rows aliased sa/sb —
+    * the verify predicate every md5-minhash oracle shares.
+    */
+  private[operators] def sigAgreeSum(nH: Int = 8): String =
+    (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+
+  /** The md5-minhash SIGNATURE oracle chain — toks→sh→md→halves→sig→bands
+    * over `srcTable`(doc_id, text), the 4×2 band layout — shared by every
+    * md5-LSH oracle (q83/q261/q262 via [[edgePipelineOracleCtes]], and
+    * q99/q105/q142's custom candidate stages). Previously q99/q105/q142
+    * hand-copied this chain, recreating exactly the one-copy drift the
+    * pipeline generator was factored to prevent (review finding, r14).
+    */
+  private[operators] def sigOracleCtes(srcTable: String = "documents", nH: Int = 8): String = {
     val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
-    val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
     val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
       "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
       "ELSE concat_ws('-', m6, m7) END"
     s"""toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        SELECT doc_id, string_split(text, ' ') AS t FROM $srcTable),
       sh AS (
         SELECT doc_id,
           unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
@@ -428,7 +439,12 @@ object DedupQueries {
         FROM halves GROUP BY doc_id),
       bands AS (
         SELECT doc_id, b, $bandCase AS bh
-        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b))"""
+  }
+
+  private[operators] def edgePipelineOracleCtes(srcTable: String = "documents"): String = {
+    val nH = 8
+    s"""${sigOracleCtes(srcTable, nH)},
       capped AS (
         SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, bh) <= 50),
       pairs AS (
@@ -437,7 +453,7 @@ object DedupQueries {
       good AS (
         SELECT p.id_a, p.id_b
         FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
-        WHERE ($eqSum) >= ${nH / 2})"""
+        WHERE (${sigAgreeSum(nH)}) >= ${nH / 2})"""
   }
 
   val q83 = GQuery(
@@ -445,7 +461,7 @@ object DedupQueries {
     (s, dir) => clusterReport(s, dir,
       ConnectedComponents.components(dedupEdges(s, dir))),
     Some {
-      s"""WITH RECURSIVE $edgePipelineOracleCtes,
+      s"""WITH RECURSIVE ${edgePipelineOracleCtes()},
       edges AS (
         SELECT id_a AS u, id_b AS v FROM good
         UNION ALL SELECT id_b, id_a FROM good),
@@ -483,44 +499,10 @@ object DedupQueries {
         .orderBy("source")
     },
     Some {
-      val nH = 8
-      val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
-      val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
-      val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
-        "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
-        "ELSE concat_ws('-', m6, m7) END"
       s"""WITH RECURSIVE exact AS (
         SELECT doc_id, source, text FROM documents
         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
-      toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM exact),
-      sh AS (
-        SELECT doc_id,
-          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
-        FROM toks),
-      md AS (
-        SELECT doc_id, md5(s) AS md FROM sh),
-      halves AS (
-        SELECT doc_id,
-          CAST(('0x' || substr(md, 1, 15)) AS BIGINT) AS h1,
-          CAST(('0x' || substr(md, 17, 15)) AS BIGINT) AS h2
-        FROM md),
-      sig AS (
-        SELECT doc_id,
-          $mins
-        FROM halves GROUP BY doc_id),
-      bands AS (
-        SELECT doc_id, b, $bandCase AS bh
-        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
-      capped AS (
-        SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, bh) <= 50),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        FROM capped a JOIN capped c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
-      good AS (
-        SELECT p.id_a, p.id_b
-        FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
-        WHERE ($eqSum) >= ${nH / 2}),
+      ${edgePipelineOracleCtes(srcTable = "exact")},
       edges AS (
         SELECT id_a AS u, id_b AS v FROM good
         UNION ALL SELECT id_b, id_a FROM good),
@@ -564,7 +546,15 @@ object DedupQueries {
       val banded = bandedConcat(sig, bands = 4, rows = 2)
       val bIn = banded.filter(pmod(col("doc_id"), lit(5L)) === 0)
         .select(col("band"), col("bh"), col("doc_id"))
+      // reference side capped at the first 50 docs per bucket (the q142
+      // form): without it a boilerplate bucket of B refs × I incoming
+      // reproduces the |bucket|² blowup the file header's invariant
+      // forbids (review finding, r14); candidates per incoming doc stay
+      // bands × cap, a recall trade a taller signature would buy back
+      val wRef = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bh").orderBy("doc_id")
       val bRef = banded.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+        .withColumn("rn", row_number().over(wRef)).filter(col("rn") <= 50)
         .select(col("band"), col("bh"), col("doc_id").as("ref_id"))
       val pairs = bIn.join(bRef, Seq("band", "bh"))
         .select("doc_id", "ref_id").distinct()
@@ -584,35 +574,18 @@ object DedupQueries {
     },
     Some {
       val nH = 8
-      val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
-      val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
-      val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
-        "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
-        "ELSE concat_ws('-', m6, m7) END"
-      s"""WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      sh AS (
-        SELECT doc_id,
-          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
-        FROM toks),
-      md AS (
-        SELECT doc_id, md5(s) AS md FROM sh),
-      halves AS (
-        SELECT doc_id,
-          CAST(('0x' || substr(md, 1, 15)) AS BIGINT) AS h1,
-          CAST(('0x' || substr(md, 17, 15)) AS BIGINT) AS h2
-        FROM md),
-      sig AS (
-        SELECT doc_id,
-          $mins
-        FROM halves GROUP BY doc_id),
-      bands AS (
-        SELECT doc_id, b, $bandCase AS bh
-        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+      val eqSum = sigAgreeSum(nH)
+      s"""WITH ${sigOracleCtes("documents", nH)},
+      refb AS (
+        -- reference side capped at the first 50 per bucket, mirroring
+        -- the Spark row_number form (and q142's oracle)
+        SELECT doc_id, b, bh,
+          row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rn
+        FROM bands WHERE doc_id % 5 <> 0),
       pairs AS (
         SELECT DISTINCT i.doc_id, r.doc_id AS ref_id
-        FROM bands i JOIN bands r ON i.b = r.b AND i.bh = r.bh
-        WHERE i.doc_id % 5 = 0 AND r.doc_id % 5 <> 0),
+        FROM bands i JOIN refb r ON i.b = r.b AND i.bh = r.bh AND r.rn <= 50
+        WHERE i.doc_id % 5 = 0),
       matches AS (
         SELECT p.doc_id, count(*) AS n_near_dups, max($eqSum) AS max_eq
         FROM pairs p
@@ -728,33 +701,12 @@ object DedupQueries {
     (s, dir) => splitLeakage(Tables.documents(s, dir)),
     Some {
       val nH = 8
-      val mins = (0 until nH).map(i => s"min(xor(h1, h2 * $i)) AS m$i").mkString(",\n          ")
-      val eqSum = (0 until nH).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
-      val bandCase = "CASE b WHEN 0 THEN concat_ws('-', m0, m1) " +
-        "WHEN 1 THEN concat_ws('-', m2, m3) WHEN 2 THEN concat_ws('-', m4, m5) " +
-        "ELSE concat_ws('-', m6, m7) END"
-      s"""WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      sh AS (
-        SELECT doc_id,
-          unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
-        FROM toks),
-      halves AS (
-        SELECT doc_id,
-          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
-          CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2
-        FROM sh),
-      sig AS (
-        SELECT doc_id,
-          $mins
-        FROM halves GROUP BY doc_id),
+      val eqSum = sigAgreeSum(nH)
+      s"""WITH ${sigOracleCtes("documents", nH)},
       split AS (
         SELECT doc_id,
           substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 1) < 'c' AS is_train
         FROM documents),
-      bands AS (
-        SELECT doc_id, b, $bandCase AS bh
-        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)),
       tr AS (
         SELECT doc_id, b, bh,
           row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) AS rn
@@ -791,8 +743,9 @@ object DedupQueries {
   val q146 = GQuery(
     "q146_stream_windowed_dedup",
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_wdedup_q146_")
-      stage.toFile.deleteOnExit()
+      // TempDirs, not deleteOnExit: deleteOnExit silently skips non-empty
+      // dirs and this one always holds the symlink (review finding, r14)
+      val stage = graft.streaming.TempDirs.create("graft_wdedup_q146_")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("documents.parquet"),
         java.nio.file.Paths.get(s"$dir/documents.parquet"))
@@ -804,7 +757,13 @@ object DedupQueries {
         SELECT doc_id,
           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
           TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND AS ts,
-          CAST(substr(source, 4) AS INT) % 2 = 0 AS is_ref
+          -- mirror the stream's regexp_extract+coalesce form EXACTLY: a
+          -- source without trailing digits routes to the incoming feed
+          -- (false), where the old substr CAST would error or misroute
+          -- (review finding, r14 — the 'mirrored verbatim' claim in
+          -- DedupStreams was false until this line matched it)
+          coalesce(TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 2 = 0,
+                   false) AS is_ref
         FROM documents),
       a AS (SELECT doc_id AS a_id, fp, ts AS a_ts FROM d WHERE is_ref),
       b AS (SELECT doc_id AS b_id, fp, ts AS b_ts FROM d WHERE NOT is_ref),

@@ -33,7 +33,7 @@ object GraphOnDedup {
     * MATERIALIZED because the graph rounds reference it once per round.
     */
   private def edgeCtes: String =
-    s"""${DedupQueries.edgePipelineOracleCtes},
+    s"""${DedupQueries.edgePipelineOracleCtes()},
       edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM good
         UNION ALL SELECT id_b, id_a FROM good)"""

@@ -84,14 +84,7 @@ object KCore {
     val peelUnion = (1 to rounds)
       .map(r => s"SELECT vec_id, peel_round FROM peel$r")
       .mkString("\n        UNION ALL ")
-    s"""WITH d AS MATERIALIZED (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        FROM embeddings WHERE vec_id % 5 = 0),
-      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM d a JOIN d b ON a.vec_id < b.vec_id
-        WHERE floor(list_cosine_similarity(a.emb, b.emb)*1e6 + 0.5)/1e6 > 0.25),
-      edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
+    s"""WITH ${NearDupGraph.oracleCtes()},
       live0 AS MATERIALIZED (SELECT vec_id FROM d),
       $rs,
       pl AS ($peelUnion)

@@ -83,14 +83,7 @@ object LabelPropagation {
     * CTEs.
     */
   def oracleSql(rounds: Int, seedMod: Int): String = {
-    s"""WITH d AS MATERIALIZED (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
-        FROM embeddings WHERE vec_id % 5 = 0),
-      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM d a JOIN d b ON a.vec_id < b.vec_id
-        WHERE floor(list_cosine_similarity(a.emb, b.emb)*1e6 + 0.5)/1e6 > 0.25),
-      edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
+    s"""WITH ${NearDupGraph.oracleCtes(withLabel = true)},
       seeds AS MATERIALIZED (SELECT vec_id,
         CASE WHEN vec_id % $seedMod = 0 THEN label END AS seed_lbl FROM d),
       ${oracleRoundCtes(rounds, "vec_id")}

@@ -28,14 +28,25 @@ object PageRankOp {
     * discipline as DedupQueries.edgePipelineOracleCtes, so a numerics or
     * tie-break change can never desynchronize one hand-kept copy from the
     * other (review finding, r14). d=0.85 is fixed: it is the only damping
-    * any registry oracle uses, and emitting the literals keeps the SQL
-    * free of float-formatting drift. Round CTEs are MATERIALIZED — DuckDB
-    * re-evaluates multiply-referenced plain CTEs (NOTES invariant 12).
+    * any registry oracle uses. The base term is emitted as (1.0 - 0.85),
+    * NOT the literal 0.15: [[ranks]] computes (1.0 - damping) in IEEE,
+    * which is 0.15000000000000002 — one ulp ABOVE what the literal 0.15
+    * parses to — and emitting the same subtraction keeps both engines on
+    * the identical double (review finding, r14). Residual cross-engine
+    * risk, accepted and documented: the per-node Σ pr/deg contribution
+    * sums are raw double additions whose order differs per engine; at
+    * the 1e-6 canonical rounding a value would have to land within
+    * ~1e-15 of a grid boundary after 10 rounds to diverge — none of the
+    * fixture graphs does, and the alternative (integer-grid-snapping
+    * every round) would change every PageRank value for a hazard the
+    * gate would surface loudly if it ever fired. Round CTEs are
+    * MATERIALIZED — DuckDB re-evaluates multiply-referenced plain CTEs
+    * (NOTES invariant 12).
     */
   def oracleRoundCtes(rounds: Int, idCol: String): String = {
     val iters = (1 to rounds).map { i =>
       s"""pr$i AS MATERIALIZED (
-        SELECT e.v AS $idCol, 0.15/(SELECT nn FROM n) + 0.85*sum(p.pr/dg.deg) AS pr
+        SELECT e.v AS $idCol, (1.0 - 0.85)/(SELECT nn FROM n) + 0.85*sum(p.pr/dg.deg) AS pr
         FROM edges e JOIN pr${i - 1} p ON p.$idCol = e.u JOIN deg dg ON dg.u = e.u
         GROUP BY e.v)"""
     }.mkString(",\n      ")

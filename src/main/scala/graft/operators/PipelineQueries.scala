@@ -141,8 +141,9 @@ object PipelineQueries {
   val q114 = GQuery(
     "q114_stream_contamination",
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_contam_q114_")
-      stage.toFile.deleteOnExit()
+      // TempDirs, not deleteOnExit: deleteOnExit silently skips non-empty
+      // dirs and this one always holds the symlink (review finding, r14)
+      val stage = graft.streaming.TempDirs.create("graft_contam_q114_")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("documents.parquet"),
         java.nio.file.Paths.get(s"$dir/documents.parquet"))

@@ -87,15 +87,24 @@ object SimilarityQueries {
     * banded hyperplane signatures, candidates = equi join on (band, bh),
     * exact cosine rank within candidates. (q_id, vec_id, cos_sim, rank).
     */
-  def lshTopK(e0: DataFrame, k: Int): DataFrame = {
+  /** (vec_id [, keep...], band, bh): the banded simhash-signature frame —
+    * the LSH bucket layout q51/q103/q265 share, factored so the plane
+    * count / band split lives in ONE place on the Spark side (review
+    * finding, r14; [[bandedSigOracleCtes]] is the oracle twin). `keep`
+    * names extra input columns carried through.
+    */
+  private def bandedSimhash(e0: DataFrame, keep: Seq[String]): DataFrame = {
     val nBands = NPlanes / BandBits
-    val e = e0
-      .withColumn("sig", simhashSignature(col("embedding"), NPlanes, Dim))
+    e0.withColumn("sig", simhashSignature(col("embedding"), NPlanes, Dim))
       .withColumn("bb", explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * BandBits).bitwiseAND((1L << BandBits) - 1).as("bh"))
       }: _*)))
-      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bh"))
+      .select(col("vec_id") +: (keep.map(col) ++ Seq(col("bb.band"), col("bb.bh"))): _*)
+  }
+
+  def lshTopK(e0: DataFrame, k: Int): DataFrame = {
+    val e = bandedSimhash(e0, keep = Seq("embedding"))
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("band"), col("bh"))
     val cands = e.join(broadcast(probes), Seq("band", "bh"))
@@ -120,20 +129,33 @@ object SimilarityQueries {
       s"($p, [$arr])"
     }.mkString(",")
 
-  /** Shared oracle CTE prelude: ann candidates + brute-force truth, both
-    * ranked. Kept as ONE string so q51 and the recall audit q102 cannot
-    * drift apart.
+  /** signs/e/sigt/bandedq — the banded-signature oracle prelude (the
+    * DuckDB twin of [[bandedSimhash]]), with the band list DERIVED from
+    * NPlanes/BandBits: three hand-kept copies each hardcoded
+    * `unnest([0, 1])`, so changing the plane/band split would silently
+    * verify only half the bands in any copy missed (review finding,
+    * r14). Spliced by q51/q102 (via lshOracleCtes), q103, and q265.
     */
-  private def lshOracleCtes: String =
-    s"""WITH signs(p, s) AS (VALUES $signsValues),
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private def bandedSigOracleCtes(withLabel: Boolean = false): String = {
+    val bandList = (0 until NPlanes / BandBits).mkString(", ")
+    val lbl = if (withLabel) ", label" else ""
+    s"""signs(p, s) AS (VALUES $signsValues),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v$lbl FROM embeddings),
       sigt AS (
         SELECT e.vec_id,
           sum(CASE WHEN list_dot_product(e.v, signs.s) >= 0 THEN (1::BIGINT << signs.p) ELSE 0 END) AS sig
         FROM e CROSS JOIN signs GROUP BY e.vec_id),
       bandedq AS (
         SELECT vec_id, b, (sig >> (b*$BandBits)) & ${(1 << BandBits) - 1} AS bh
-        FROM sigt, (SELECT unnest([0, 1]) AS b)),
+        FROM sigt, (SELECT unnest([$bandList]) AS b))"""
+  }
+
+  /** Shared oracle CTE prelude: ann candidates + brute-force truth, both
+    * ranked. Kept as ONE string so q51 and the recall audit q102 cannot
+    * drift apart.
+    */
+  private def lshOracleCtes: String =
+    s"""WITH ${bandedSigOracleCtes()},
       probes AS (SELECT vec_id AS q_id, b, bh FROM bandedq WHERE vec_id < 5),
       cands AS (
         SELECT DISTINCT p.q_id, c.vec_id
@@ -260,14 +282,12 @@ object SimilarityQueries {
   val q103 = GQuery(
     "q103_embedding_neardup_lsh",
     (s, dir) => {
-      val nBands = NPlanes / BandBits
-      val e = Tables.embeddings(s, dir)
-        .withColumn("sig", simhashSignature(col("embedding"), NPlanes, Dim))
-        .withColumn("bb", explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * BandBits).bitwiseAND((1L << BandBits) - 1).as("bh"))
-        }: _*)))
-        .select(col("vec_id"), col("bb.band"), col("bb.bh"))
+      // cached + eager: the banded frame feeds BOTH sides of the
+      // candidate self-join, and an uncached lineage runs the full
+      // 16-plane signature scan once per side (the capBuckets rule;
+      // review finding, r14)
+      val e = bandedSimhash(Tables.embeddings(s, dir), keep = Nil).cache()
+      e.count()
       val cands = e.select(col("band"), col("bh"), col("vec_id").as("id_a"))
         .join(e.select(col("band"), col("bh"), col("vec_id").as("id_b")), Seq("band", "bh"))
         .filter(col("id_a") < col("id_b"))
@@ -281,15 +301,7 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
     Some(
-      s"""WITH signs(p, s) AS (VALUES $signsValues),
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      sigt AS (
-        SELECT e.vec_id,
-          sum(CASE WHEN list_dot_product(e.v, signs.s) >= 0 THEN (1::BIGINT << signs.p) ELSE 0 END) AS sig
-        FROM e CROSS JOIN signs GROUP BY e.vec_id),
-      bandedq AS (
-        SELECT vec_id, b, (sig >> (b*$BandBits)) & ${(1 << BandBits) - 1} AS bh
-        FROM sigt, (SELECT unnest([0, 1]) AS b)),
+      s"""WITH ${bandedSigOracleCtes()},
       cands AS (
         SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
         FROM bandedq a JOIN bandedq c ON a.b = c.b AND a.bh = c.bh AND a.vec_id < c.vec_id),
@@ -339,12 +351,8 @@ object SimilarityQueries {
   val q117 = GQuery(
     "q117_triangle_count",
     (s, dir) => {
-      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
-      val a = d.select(col("vec_id").as("ia"), col("embedding").as("va"))
-      val b = d.select(col("vec_id").as("ib"), col("embedding").as("vb"))
-      val e = a.join(b, col("ia") < col("ib"))
-        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
-        .select("ia", "ib")
+      val e = NearDupGraph.pairs(Tables.embeddings(s, dir))
+        .select(col("id_a").as("ia"), col("id_b").as("ib"))
         .cache()
       e.count()
       val e1 = e.select(col("ia").as("id_a"), col("ib").as("id_b"))
@@ -354,11 +362,8 @@ object SimilarityQueries {
         .select("id_a", "id_b", "id_c")
         .orderBy("id_a", "id_b", "id_c")
     },
-    Some("""WITH d AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
-      e AS (SELECT a.vec_id AS ia, b.vec_id AS ib
-            FROM d a JOIN d b ON a.vec_id < b.vec_id
-            WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                               CAST(b.embedding AS DOUBLE[]))) * 1e6 + 0.5)/1e6 > 0.25)
+    Some(s"""WITH ${NearDupGraph.oracleCtes()},
+      e AS (SELECT id_a AS ia, id_b AS ib FROM pairs)
       SELECT e1.ia AS id_a, e1.ib AS id_b, e2.ib AS id_c
       FROM e e1 JOIN e e2 ON e1.ib = e2.ia
                 JOIN e e3 ON e3.ia = e1.ia AND e3.ib = e2.ib
@@ -396,8 +401,14 @@ object SimilarityQueries {
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("embedding"),
           col("anchor_id").as("cluster"), col("cos_c").as("cos_centroid"))
+      // cached + eager: ranked feeds both self-join sides AND the final
+      // keep projection — uncached, the broadcast cross-join + dual
+      // window ranking re-runs once per consumer (the capBuckets rule;
+      // review finding, r14)
       val ranked = assigned.withColumn("pos", row_number().over(
         Window.partitionBy("cluster").orderBy(col("cos_centroid"), col("vec_id"))))
+        .cache()
+      ranked.count()
       val a = ranked.select(col("cluster"), col("vec_id").as("id_a"),
         col("embedding").as("va"), col("pos").as("pos_a"))
       val b = ranked.select(col("cluster").as("cluster_b"), col("vec_id").as("id_b"),
@@ -446,14 +457,7 @@ object SimilarityQueries {
   val q122 = GQuery(
     "q122_pagerank_centrality",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
-        .select("id_a", "id_b")
-      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val edges = NearDupGraph.edges(Tables.embeddings(s, dir))
       PageRankOp.ranks(edges, rounds = 10)
         .select(col("vec_id"),
           graft.functions.Metrics.canonRound(col("pr"), 6).as("pagerank"))
@@ -462,13 +466,7 @@ object SimilarityQueries {
     Some {
       // the power-iteration rounds come from PageRankOp.oracleRoundCtes —
       // ONE generator feeds this oracle and q261's (review finding, r14)
-      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-          FROM embeddings WHERE vec_id % 5 = 0),
-      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM d a JOIN d b ON a.vec_id < b.vec_id
-        WHERE floor(list_cosine_similarity(a.emb, b.emb)*1e6 + 0.5)/1e6 > 0.25),
-      edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
-                UNION ALL SELECT id_b, id_a FROM pairs),
+      s"""WITH ${NearDupGraph.oracleCtes()},
       ${PageRankOp.oracleRoundCtes(rounds = 10, idCol = "vec_id")}
       SELECT vec_id, floor(pr*1e6 + 0.5)/1e6 AS pagerank FROM pr10 ORDER BY vec_id"""
     })
@@ -516,21 +514,19 @@ object SimilarityQueries {
   val q265 = GQuery(
     "q265_contrastive_banded",
     (s, dir) => {
-      val nBands = NPlanes / BandBits
-      val banded = Tables.embeddings(s, dir)
-        .withColumn("sig", simhashSignature(col("embedding"), NPlanes, Dim))
-        .withColumn("bb", explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * BandBits).bitwiseAND((1L << BandBits) - 1).as("bh"))
-        }: _*)))
-        .select(col("vec_id"), col("embedding"), col("label"),
-          col("bb.band"), col("bb.bh"))
+      val banded = bandedSimhash(Tables.embeddings(s, dir),
+        keep = Seq("embedding", "label"))
       val anchors = banded.filter(col("vec_id") % 4 === 0)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
           col("label").as("a_label"), col("band"), col("bh"))
+      // cached + eager: cand feeds the argmax ranking AND the n_cand
+      // audit agg — uncached, the signature + band join runs once per
+      // consumer (the capBuckets rule; review finding, r14)
       val cand = anchors.join(banded, Seq("band", "bh"))
         .filter(col("a_label") === col("label") && col("anchor_id") =!= col("vec_id"))
         .select(col("anchor_id"), col("a_emb"), col("vec_id"), col("embedding"))
+        .cache()
+      cand.count()
       val scored = cand.withColumn("cos",
         graft.functions.Metrics.canonRound(VectorOps.cosine(col("a_emb"), col("embedding")), 6))
       val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("vec_id").asc)
@@ -542,15 +538,7 @@ object SimilarityQueries {
         .select(col("anchor_id"), col("pos_id"), col("pos_cos"), col("n_cand"))
         .orderBy("anchor_id")
     },
-    Some(s"""WITH signs(p, s) AS (VALUES $signsValues),
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
-      sigt AS (
-        SELECT e.vec_id,
-          sum(CASE WHEN list_dot_product(e.v, signs.s) >= 0 THEN (1::BIGINT << signs.p) ELSE 0 END) AS sig
-        FROM e CROSS JOIN signs GROUP BY e.vec_id),
-      bandedq AS (
-        SELECT vec_id, b, (sig >> (b*$BandBits)) & ${(1 << BandBits) - 1} AS bh
-        FROM sigt, (SELECT unnest([0, 1]) AS b)),
+    Some(s"""WITH ${bandedSigOracleCtes(withLabel = true)},
       cand AS (
         SELECT ab.vec_id AS anchor_id, cb.vec_id, ea.v AS a_emb, ec.v AS c_emb
         FROM bandedq ab
@@ -581,14 +569,8 @@ object SimilarityQueries {
   val q133 = GQuery(
     "q133_label_propagation",
     (s, dir) => {
-      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
-      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
-        .select("id_a", "id_b")
-      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val d = NearDupGraph.sample(Tables.embeddings(s, dir))
+      val edges = NearDupGraph.edges(Tables.embeddings(s, dir))
       val nodes = d.select(col("vec_id"),
         when(col("vec_id") % 4 === 0, col("label")).as("seed_lbl"))
       LabelPropagation.propagate(nodes, edges, rounds = 3)
@@ -622,14 +604,8 @@ object SimilarityQueries {
   val q137 = GQuery(
     "q137_luby_mis",
     (s, dir) => {
-      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
-      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
-        .select("id_a", "id_b")
-      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val d = NearDupGraph.sample(Tables.embeddings(s, dir))
+      val edges = NearDupGraph.edges(Tables.embeddings(s, dir))
       LubyMis.mis(d.select(col("vec_id")), edges, rounds = 3)
     },
     Some(LubyMis.oracleSql(rounds = 3)))
@@ -707,10 +683,18 @@ object SimilarityQueries {
       val truth = bruteForceTopK(e, 10).select(col("q_id"), col("vec_id"))
       val trunc = e.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
       val approx = bruteForceTopK(trunc, 10).select(col("q_id"), col("vec_id"))
-      truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      val hits = truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
         .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      // every probe reports, including recall 0: a probe whose truncated
+      // top-10 is disjoint from the truth is the WORST case this audit
+      // exists to surface — semi-join + groupBy alone would silently
+      // drop that row and overstate any average taken over the output
+      // (review finding, r14; the q102 base-LEFT-JOIN-hits pattern)
+      truth.select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
         .select(col("q_id"),
-          Metrics.canonRound(col("n_hit").cast("double") / 10.0, 4).as("recall_at_10"))
+          Metrics.canonRound(coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0, 4)
+            .as("recall_at_10"))
         .orderBy("q_id")
   }
 
@@ -737,8 +721,12 @@ object SimilarityQueries {
         FROM full_ranked t JOIN trunc_ranked a
           ON t.q_id = a.q_id AND t.vec_id = a.vec_id AND t.rank <= 10 AND a.rank <= 10
         GROUP BY t.q_id)
-      SELECT q_id, floor(CAST(n_hit AS DOUBLE)/10.0 * 1e4 + 0.5)/1e4 AS recall_at_10
-      FROM hits ORDER BY q_id"""))
+      -- LEFT JOIN from the probe set: a zero-recall probe must report
+      -- 0.0, not vanish (mirrors the Spark side; review finding, r14)
+      SELECT p.q_id,
+        floor(CAST(coalesce(h.n_hit, 0) AS DOUBLE)/10.0 * 1e4 + 0.5)/1e4 AS recall_at_10
+      FROM probes p LEFT JOIN hits h ON h.q_id = p.q_id
+      ORDER BY p.q_id"""))
 
   /** Embedding DRIFT audit between two corpus slices (vec_id parity
     * stands in for old/new snapshot): per-label centroid of each half,
@@ -810,14 +798,8 @@ object SimilarityQueries {
   val q151 = GQuery(
     "q151_kcore",
     (s, dir) => {
-      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
-      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
-        .select("id_a", "id_b")
-      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val d = NearDupGraph.sample(Tables.embeddings(s, dir))
+      val edges = NearDupGraph.edges(Tables.embeddings(s, dir))
       KCore.decompose(d.select(col("vec_id")), edges, k = 3, rounds = 4)
     },
     Some(KCore.oracleSql(k = 3, rounds = 4)))
@@ -839,14 +821,8 @@ object SimilarityQueries {
   val q169 = GQuery(
     "q169_dbscan",
     (s, dir) => {
-      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
-      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
-        .select("id_a", "id_b")
-      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val d = NearDupGraph.sample(Tables.embeddings(s, dir))
+      val edges = NearDupGraph.edges(Tables.embeddings(s, dir))
         .cache()
       val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
       val core = deg.filter(col("deg") >= 3).select(col("u").as("vec_id")).cache()
@@ -879,14 +855,7 @@ object SimilarityQueries {
       edges.unpersist(); core.unpersist()
       out
     },
-    Some("""WITH RECURSIVE d AS MATERIALIZED (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        FROM embeddings WHERE vec_id % 5 = 0),
-      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM d a JOIN d b ON a.vec_id < b.vec_id
-        WHERE floor(list_cosine_similarity(a.emb, b.emb)*1e6 + 0.5)/1e6 > 0.25),
-      edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
+    Some(s"""WITH RECURSIVE ${NearDupGraph.oracleCtes()},
       deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
       core AS MATERIALIZED (SELECT u AS vec_id FROM deg WHERE deg >= 3),
       ce AS MATERIALIZED (
@@ -923,14 +892,8 @@ object SimilarityQueries {
   val q175 = GQuery(
     "q175_bfs_distance",
     (s, dir) => {
-      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
-      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
-        .select("id_a", "id_b")
-      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      val d = NearDupGraph.sample(Tables.embeddings(s, dir))
+      val edges = NearDupGraph.edges(Tables.embeddings(s, dir))
       BfsDistance.distances(
         d.select(col("vec_id")), edges,
         d.filter(col("vec_id") % 20 === 0).select(col("vec_id")), rounds = 3)
@@ -949,6 +912,9 @@ object SimilarityQueries {
     * see q176. Factored so specs can drive constructed graphs.
     */
   def hitsScores(nodes: DataFrame, directedEdges: DataFrame, rounds: Int): DataFrame = {
+    // auth is only assigned inside the loop — zero rounds would NPE at
+    // the max-agg below instead of failing clearly (review finding, r14)
+    require(rounds >= 1, s"HITS needs at least one round, got $rounds")
     val edges = directedEdges.select(col("u"), col("v")).cache()
     var hub = nodes.select(col("vec_id"), lit(1L).as("h"))
     var auth: DataFrame = null
@@ -982,12 +948,9 @@ object SimilarityQueries {
   val q176 = GQuery(
     "q176_hits_scores",
     (s, dir) => {
-      val d = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
-      val a = d.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = d.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val d = NearDupGraph.sample(Tables.embeddings(s, dir))
       // directed: low id endorses high id (citation-style orientation)
-      val edges = a.join(b, col("id_a") < col("id_b"))
-        .filter(graft.functions.Metrics.canonRound(VectorOps.cosine(col("va"), col("vb")), 6) > 0.25)
+      val edges = NearDupGraph.pairs(Tables.embeddings(s, dir))
         .select(col("id_a").as("u"), col("id_b").as("v"))
       hitsScores(d.select(col("vec_id")), edges, rounds = 3)
     },
@@ -1000,13 +963,7 @@ object SimilarityQueries {
         SELECT e.u AS vec_id, sum(a.a) AS h
         FROM edges e JOIN a$r a ON a.vec_id = e.v GROUP BY e.u)"""
       }.mkString(",\n      ")
-      s"""WITH d AS MATERIALIZED (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        FROM embeddings WHERE vec_id % 5 = 0),
-      edges AS MATERIALIZED (
-        SELECT a.vec_id AS u, b.vec_id AS v
-        FROM d a JOIN d b ON a.vec_id < b.vec_id
-        WHERE floor(list_cosine_similarity(a.emb, b.emb)*1e6 + 0.5)/1e6 > 0.25),
+      s"""WITH ${NearDupGraph.oracleCtes(directed = true)},
       h0 AS MATERIALIZED (SELECT vec_id, 1 AS h FROM d),
       $rounds,
       mx AS (SELECT (SELECT max(a) FROM a3) AS ma, (SELECT max(h) FROM h3) AS mh)

@@ -202,8 +202,9 @@ object TableMaintenance {
   val q181 = GQuery(
     "q181_stream_rollup",
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_rollup_q181_")
-      stage.toFile.deleteOnExit()
+      // TempDirs, not deleteOnExit: deleteOnExit silently skips non-empty
+      // dirs and this one always holds the symlink (review finding, r14)
+      val stage = graft.streaming.TempDirs.create("graft_rollup_q181_")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("orders.parquet"),
         java.nio.file.Paths.get(s"$dir/orders.parquet"))
