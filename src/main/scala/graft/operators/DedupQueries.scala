@@ -748,7 +748,7 @@ object DedupQueries {
       val stage = graft.streaming.TempDirs.create("graft_wdedup_q146_")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+        java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       graft.streaming.DedupStreams.windowedCrossSourceDedup(
         s, stage.toString, schema, queryName = "stream_windowed_dedup_q146")

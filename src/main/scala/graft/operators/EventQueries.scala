@@ -455,7 +455,7 @@ object EventQueries {
       val stage = graft.streaming.TempDirs.create("graft_neardup_q100_")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+        java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       graft.streaming.DedupStreams.nearDupStreamMd5(
         s, stage.toString, schema, queryName = "stream_neardup_q100",

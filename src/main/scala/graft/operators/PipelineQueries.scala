@@ -146,7 +146,7 @@ object PipelineQueries {
       val stage = graft.streaming.TempDirs.create("graft_contam_q114_")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+        java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       graft.streaming.ContaminationStreams.contaminationStream(
         s, stage.toString, schema, dir, queryName = "stream_contamination_q114")
@@ -279,9 +279,17 @@ object PipelineQueries {
     "q113_packing_plan",
     (s, dir) => {
       val nTok = size(TextQueries.tokens(col("text")))
-      val bucket = when(nTok <= 16, 16).when(nTok <= 32, 32).when(nTok <= 64, 64).otherwise(128)
+      // open-ended tail: a doc LONGER than 128 tokens rounds up to the
+      // next multiple of 128 (integer arithmetic, engine-exact) instead
+      // of being forced into bucket 128 with NEGATIVE padding silently
+      // deflating pad_waste (review finding, r14 — the old .otherwise(128)
+      // was mirrored in the oracle, so the hash gate could never catch it)
       val per = Tables.documents(s, dir)
-        .select(bucket.as("seq_bucket"), nTok.as("n_tok"))
+        .select(nTok.as("n_tok"))
+        .withColumn("seq_bucket",
+          when(col("n_tok") <= 16, 16).when(col("n_tok") <= 32, 32)
+            .when(col("n_tok") <= 64, 64)
+            .otherwise(expr("((n_tok + 127) div 128) * 128").cast("int")))
         .groupBy("seq_bucket")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
           sum(col("seq_bucket") - col("n_tok")).as("n_pad"))
@@ -295,7 +303,8 @@ object PipelineQueries {
         .orderBy("seq_bucket")
     },
     Some("""WITH d AS (
-        SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64 ELSE 128 END AS seq_bucket,
+        SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+                    ELSE ((n + 127) // 128) * 128 END AS seq_bucket,
                n AS n_tok
         FROM (SELECT len(string_split(text,' ')) AS n FROM documents)),
       b AS (SELECT seq_bucket, count(*) AS n_docs, sum(n_tok) AS n_tokens,
@@ -331,12 +340,20 @@ object PipelineQueries {
     "q119_span_dedup",
     (s, dir) => {
       val k = 8
+      // docs feeds three consumers (occ, wp, the final n_words) and occ
+      // two (hot, cov) — cache both eagerly or the scan runs ~4× and the
+      // 8-gram explode twice per execution (the q109 cache contract;
+      // review finding, r14)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .cache()
+      docs.count()
       val occ = docs
         .select(col("doc_id"), posexplode(ngrams(col("ws"), k)))
         .toDF("doc_id", "p0", "g")
         .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+        .cache()
+      occ.count()
       val hot = occ.groupBy("g")
         .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("g")
       val cov = occ.join(hot, "g")
@@ -639,18 +656,29 @@ object PipelineQueries {
     * scan projection. One shuffle (the per-source count), then map-only.
     */
   /** q141 body over any (doc_id, source) frame — factored for spec use. */
+  /** The α=0.5 temperature-mixture rate table over a per-source count
+    * frame `perSrc`(source, <countCol>): (source, <countCol>, samp_rate)
+    * with samp_rate = min(1, 0.5·n_tot·sqrt(n)/Z/n) on the canonical
+    * grids. ONE implementation for q141 and q223's stage 4 — the
+    * capstone's doc promises it composes q141's rates, and the formula
+    * previously lived in two hand-kept copies (review finding, r14).
+    */
+  private def temperatureRates(perSrc: org.apache.spark.sql.DataFrame,
+      countCol: String): org.apache.spark.sql.DataFrame = {
+    val withW = perSrc.withColumn("w_raw",
+      Metrics.canonRound(sqrt(col(countCol).cast("double")), 4))
+    val tot = withW.agg(Metrics.exactSum(col("w_raw")).as("z"),
+      sum(countCol).as("n_tot"))
+    withW.crossJoin(broadcast(tot))
+      .select(col("source"), col(countCol),
+        Metrics.canonRound(
+          least(lit(1.0), lit(0.5) * col("n_tot").cast("double") * col("w_raw")
+            / col("z") / col(countCol).cast("double")), 6).as("samp_rate"))
+  }
+
   def temperatureSample(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val perSrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-        .select(col("source"), col("n_docs"),
-          Metrics.canonRound(sqrt(col("n_docs").cast("double")), 4).as("w_raw"))
-      val tot = perSrc.agg(
-        Metrics.exactSum(col("w_raw")).as("z"),
-        sum("n_docs").as("n_tot"))
-      val rates = perSrc.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"),
-          Metrics.canonRound(
-            least(lit(1.0), lit(0.5) * col("n_tot").cast("double") * col("w_raw")
-              / col("z") / col("n_docs").cast("double")), 6).as("samp_rate"))
+      val rates = temperatureRates(
+        docs.groupBy("source").agg(count(lit(1)).as("n_docs")), "n_docs")
       val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
       docs.select(col("source"), u.as("u"))
@@ -749,7 +777,21 @@ object PipelineQueries {
   def esWeightedSample(docs: DataFrame, perSource: Int): DataFrame = {
     val u = (conv(substring(md5(concat(lit("es1"), col("doc_id").cast("string"))), 1, 15), 16, 10)
       .cast("long") + 1L).cast("double") / lit(1152921504606846976.0) // 2^60
-    val keyg = floor(log(u) / col("n_chars").cast("double") * 1e8 + 0.5).cast("long")
+    val z = log(u) / col("n_chars").cast("double") * 1e8 + 0.5
+    val keyg = floor(z).cast("long")
+    // loud boundary guard (the SuffixRanks alphabet-guard pattern):
+    // ln() is NOT correctly rounded (JVM Math.log and DuckDB's libm may
+    // differ in the last ulp), so the 1e-8 snap could flip a key that
+    // lands exactly on a grid boundary — an intermittent oracle hash
+    // mismatch. The ulp error in z is ~1e-8 at these magnitudes; assert
+    // every key sits ≥ 1e-4 from its boundary (10⁴× margin) so a corpus
+    // that violates the assumption fails HERE, loudly, instead
+    // (review finding, r14).
+    val frac = z - floor(z)
+    val margin = docs.select(min(least(frac, lit(1.0) - frac))).head.getDouble(0)
+    require(margin > 1e-4,
+      f"a weighted-sample key sits $margin%.2e from its 1e-8 snap boundary — " +
+        "cross-engine ln() ulp could flip it; regenerate or widen the grid")
     val w = Window.partitionBy("source").orderBy(col("keyg").desc, col("doc_id").asc)
     docs.select(col("source"), col("doc_id"), col("n_chars"), keyg.as("keyg"))
       .withColumn("rank", row_number().over(w))
@@ -881,16 +923,10 @@ object PipelineQueries {
       // scan, the funnel count, the kept aggregation) read this frame
       val clean = dedup.join(contaminatedIds, Seq("doc_id"), "left_anti").cache()
       clean.count()
-      // stage 4: temperature mixture sampling on the cleaned counts
-      val perSrc = clean.groupBy("source").agg(count(lit(1)).as("n_clean"))
-        .withColumn("w_raw", Metrics.canonRound(sqrt(col("n_clean").cast("double")), 4))
-      val tot = perSrc.agg(Metrics.exactSum(col("w_raw")).as("z"),
-        sum("n_clean").as("n_tot"))
-      val rates = perSrc.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_clean"),
-          Metrics.canonRound(
-            least(lit(1.0), lit(0.5) * col("n_tot").cast("double") * col("w_raw")
-              / col("z") / col("n_clean").cast("double")), 6).as("samp_rate"))
+      // stage 4: temperature mixture sampling on the cleaned counts —
+      // the rate table is q141's temperatureRates, not a copy
+      val rates = temperatureRates(
+        clean.groupBy("source").agg(count(lit(1)).as("n_clean")), "n_clean")
       val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long").cast("double") / lit(1152921504606846976.0)
       val sampled = clean.withColumn("u", u)

@@ -452,7 +452,7 @@ object RelationalQueries {
         SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
       ON c_custkey = o_custkey ORDER BY c_custkey"""))
 
-  /** Scalar "subquery": orders above 2× the global average price. Spark
+  /** Scalar "subquery": orders above 1.5× the global average price. Spark
     * shape is a 1-row broadcast cross join, the distributed equivalent of a
     * correlated-free scalar subquery.
     */
@@ -971,7 +971,11 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           Metrics.canonRound(col("l_extendedprice"), 2).as("price"),
           (col("l_extendedprice") > col("hi")).as("is_high"))
-        .orderBy("l_orderkey", "l_linenumber", "price")
+        // sort EVERY output column: (l_orderkey, l_linenumber) is not
+        // unique in the fixtures (the q02 trap), and rows tied on the
+        // rounded price but differing in l_returnflag/is_high are not
+        // interchangeable under the hash gate (review finding, r14)
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "price", "is_high")
     },
     Some("""WITH q AS (
         SELECT l_returnflag,
@@ -988,7 +992,7 @@ object RelationalQueries {
         l_extendedprice > hi AS is_high
       FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
       WHERE l_extendedprice < lo OR l_extendedprice > hi
-      ORDER BY l_orderkey, l_linenumber, price"""))
+      ORDER BY l_orderkey, l_linenumber, l.l_returnflag, price, is_high"""))
 
   /** Mergeable-sketch rollup: per-month HLL sketches of distinct
     * customers, UNIONED to per-year estimates — the pattern that makes

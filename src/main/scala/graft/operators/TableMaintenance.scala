@@ -207,7 +207,7 @@ object TableMaintenance {
       val stage = graft.streaming.TempDirs.create("graft_rollup_q181_")
       java.nio.file.Files.createSymbolicLink(
         stage.resolve("orders.parquet"),
-        java.nio.file.Paths.get(s"$dir/orders.parquet"))
+        java.nio.file.Paths.get(s"$dir/orders.parquet").toAbsolutePath)
       val schema = s.read.parquet(s"$dir/orders.parquet").schema
       graft.streaming.RollupStreams.streamingRollup(
         s, stage.toString, schema, dir, queryName = "stream_rollup_q181")

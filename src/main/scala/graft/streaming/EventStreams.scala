@@ -31,7 +31,7 @@ object EventStreams extends Serializable {
     val stage = TempDirs.create("graft_stream_")
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val raw = spark.readStream.schema(batchSchema).parquet(stage.toString)
     // Same shape normalization as Tables.events: Long-nanos or TIMESTAMP_NTZ
     // → session-UTC TimestampType (the type withWatermark requires).
