@@ -137,6 +137,10 @@ object GShard {
   def readFooter(f: File): (Int, Long, Long) = {
     val raf = new RandomAccessFile(f, "r")
     try {
+      // a truncated/zero-byte file (an external producer's partial copy)
+      // would otherwise seek(-N) and kill planning with an IOException
+      // that never names the file (review finding, r14)
+      require(raf.length() >= FooterLen, s"not a GSH file (too short): $f")
       raf.seek(raf.length() - FooterLen)
       val n = raf.readInt(); val lo = raf.readLong(); val hi = raf.readLong()
       require(raf.readInt() == Magic, s"not a GSH file: $f")
@@ -668,9 +672,15 @@ class GShardMicroBatchStream(path: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GShardOffset].watermark
     val e = end.asInstanceOf[GShardOffset].watermark
-    files.filter(f => f.getName > s && f.getName <= e).map { f =>
-      val (n, _, _) = GShard.readFooter(f)
-      GShardPartition(f.getAbsolutePath, n): InputPartition
+    // zone-map prune with the footer min/max the batch path already
+    // applies: the footer is in hand anyway, and without the test a
+    // pushed doc_id range still row-decoded every admitted shard only
+    // to drop all rows (review finding, r14)
+    val (lo, hi) = GShard.docIdBounds(pushed)
+    files.filter(f => f.getName > s && f.getName <= e).flatMap { f =>
+      val (n, mn, mx) = GShard.readFooter(f)
+      if (mx < lo || mn > hi) None
+      else Some(GShardPartition(f.getAbsolutePath, n): InputPartition)
     }
   }
 
@@ -806,14 +816,26 @@ class GShardDataWriter(path: String, schema: StructType, namePrefix: String,
   }
 
   override def write(row: InternalRow): Unit = {
+    // the format cannot encode NULL in any field — fail with a clear
+    // message at the offending row instead of an opaque executor NPE
+    // (or, for doc_id, a silent 0) after partial work (review finding,
+    // r14). Length guards: lang/source lengths are u16 on disk; an
+    // oversized value used to TRUNCATE the stored length while writing
+    // all bytes, producing an undetectably corrupt shard every reader
+    // mis-decodes.
+    require(!row.isNullAt(iDoc) && !row.isNullAt(iChars) && !row.isNullAt(iLang)
+        && !row.isNullAt(iSrc) && !row.isNullAt(iText),
+      "GShard cannot encode NULL values (doc_id/n_chars/lang/source/text)")
     val id = row.getLong(iDoc)
     val r = rangeOf(id)
     if (out == null || r != range) roll(r)
     out.writeLong(id)
     out.writeLong(row.getLong(iChars))
     val lang = row.getUTF8String(iLang).getBytes
-    out.writeShort(lang.length); out.write(lang)
     val src = row.getUTF8String(iSrc).getBytes
+    require(lang.length <= 0xFFFF && src.length <= 0xFFFF,
+      s"lang/source exceed the u16 length field (${lang.length}/${src.length} bytes)")
+    out.writeShort(lang.length); out.write(lang)
     out.writeShort(src.length); out.write(src)
     val text = row.getUTF8String(iText).getBytes
     out.writeInt(text.length); out.write(text)

@@ -64,8 +64,15 @@ object ContaminationStreams {
     val hits = spark.table(queryName)
       .select(col("doc_id"), size(col("ngs")).cast("long").as("n_contaminated"))
 
-    // batch-side totals (row-local per doc — no stream state needed)
-    val totals = Tables.documents(spark, staticDir)
+    // batch-side totals (row-local per doc — no stream state needed),
+    // read from the LANDING dir, not staticDir: the denominators must
+    // describe the documents that actually streamed. Reading staticDir
+    // only worked while every caller fed a byte-identical mirror of it —
+    // a landing doc absent from staticDir silently vanished from the
+    // report (inner join) and a same-id/different-text doc got the wrong
+    // n_ngrams (review finding, r14). The stream is fully drained above,
+    // so this batch read sees every landed file.
+    val totals = spark.read.schema(schema).parquet(dir)
       .filter(col("doc_id") % mod =!= 0)
       .select(col("doc_id"), call_function("graft_ngrams", col("text"), lit(n)).as("ng_str"))
       .select(col("doc_id"), xxhash64(col("ng_str")).as("ng"))

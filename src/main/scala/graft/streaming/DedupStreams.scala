@@ -177,10 +177,16 @@ object DedupStreams {
       sorted.foreach { d =>
         if (!entries.exists(_._1 == d.doc_id)) {
           entries.foreach { case (id, sig) =>
-            if (id < d.doc_id) {
-              val nEq = sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
-              if (nEq >= minAgree) out ::= DupOut(d.doc_id, id, nEq)
-            }
+            // emit on ANY stored match, output normalized (larger id,
+            // smaller id): the old `stored < arriving` guard silently
+            // dropped the pair whenever the smaller-id document landed
+            // in a LATER micro-batch (review finding, r14 — ascending
+            // fixtures never exercised it). Normalized emission keeps
+            // the collapsed pair set equal to the batch LSH pair set
+            // for ANY micro-batching of the input.
+            val nEq = sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
+            if (nEq >= minAgree)
+              out ::= DupOut(math.max(id, d.doc_id), math.min(id, d.doc_id), nEq)
           }
           // cap like the batch bucket cap: an over-dense bucket stops
           // accumulating candidates instead of going quadratic

@@ -77,18 +77,26 @@ object EventStreams extends Serializable {
     }
 
   /** SLIDING 2h/1h trending-type ranking: every event lands in TWO
-    * window states (the sliding shape q31 runs in batch, here with real
-    * streaming state + watermark eviction), counts per (window, type);
-    * the top-3 rank per window is the batch finishing step on the sink —
-    * ranking is not incrementally maintainable, counting is, so the
-    * stream carries exactly the incrementally-maintainable half. This is
-    * the "trending topics" dataflow: at production scale the same query
-    * reads Kafka and the finisher runs on each emitted window.
+    * window states (the sliding shape q31 runs in batch), counts per
+    * (window, type); the top-3 rank per window is the batch finishing
+    * step on the sink — ranking is not incrementally maintainable,
+    * counting is, so the stream carries exactly the incrementally-
+    * maintainable half. OUTPUT-MODE HONESTY (review finding, r14): this
+    * harness runs Complete mode so the memory sink holds every window
+    * for the full-corpus oracle compare, and in Complete mode Spark
+    * retains all window state and IGNORES the watermark for eviction —
+    * the bounded-state production form of this query is Append mode
+    * (emit each window once it finalizes past the watermark), identical
+    * per-window numbers, and the repo's watermark-evicting state lives
+    * in the TWS family (q249/q250/q134). This is the "trending topics"
+    * dataflow: at production scale the same query reads Kafka and the
+    * finisher runs on each emitted window.
     */
   def slidingTrending(spark: SparkSession, dir: String,
       queryName: String = "stream_sliding_trend"): DataFrame = withStreamShufflePartitions(spark) {
     val agg = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
+      // no withWatermark: Complete mode ignores it for eviction, and an
+      // inert watermark would misstate the query's state story (doc above)
       .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val q = agg.writeStream
@@ -107,13 +115,16 @@ object EventStreams extends Serializable {
       .orderBy("win_start", "rank")
   }
 
-  /** Tumbling 1h × event_type counts with a 1h watermark. Returns the
-    * completed result as a batch DataFrame via an in-memory sink —
-    * numerically identical to the batch q30 (and to the DuckDB oracle).
+  /** Tumbling 1h × event_type counts. Returns the completed result as a
+    * batch DataFrame via an in-memory sink — numerically identical to
+    * the batch q30 (and to the DuckDB oracle). Same output-mode honesty
+    * note as [[slidingTrending]]: Complete mode here retains all window
+    * state (the watermark does not evict); Append is the bounded-state
+    * production form with identical per-window numbers.
     */
   def tumblingCounts(spark: SparkSession, dir: String, queryName: String = "stream_tumbling"): DataFrame = withStreamShufflePartitions(spark) {
     val agg = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
+      // no withWatermark: inert under Complete mode (see slidingTrending)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.functions.Metrics.canonRound(graft.functions.Metrics.exactSum(col("value")), 4).as("sum_value"))

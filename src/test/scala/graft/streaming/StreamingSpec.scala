@@ -217,6 +217,41 @@ class StreamingSpec extends SparkSpec {
       s"no cross-batch pair found in $stream")
   }
 
+  test("streaming near-dup emits the pair when the SMALLER id arrives a batch later") {
+    // review finding (r14): the old `stored < arriving` emission guard
+    // silently dropped any pair whose smaller-id member landed in a LATER
+    // micro-batch; ascending fixtures never exercised it. Feed the ids in
+    // DESCENDING order across batches and require batch parity.
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_neardup_rev_").toString
+    def feed(rows: Seq[(Long, String)], name: String): Unit = {
+      val staging = Files.createTempDirectory("graft_neardup_rev_stage_")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val listing = Files.list(staging)
+      try {
+        val part = listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      } finally listing.close()
+    }
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 47).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
+    feed(Seq(10L -> base, 12L -> "unrelated words only here"), "b1.parquet")
+    feed(Seq(4L -> near), "b2.parquet") // the SMALLER id arrives later
+    val schema = Seq(10L -> base).toDF("doc_id", "text").schema
+    val stream = graft.streaming.DedupStreams
+      .nearDupStream(spark, dir, schema, queryName = "spec_neardup_rev")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (smaller, larger)
+    val all = Seq(10L -> base, 12L -> "unrelated words only here", 4L -> near)
+      .toDF("doc_id", "text")
+    val batchPairs = graft.operators.DedupPipeline.nearDupPairs(
+        graft.operators.DedupQueries.minhashSignatures(all), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.contains((4L, 10L)), s"test setup: expected a (4,10) batch pair, got $batchPairs")
+    assert(stream == batchPairs, s"stream=$stream batch=$batchPairs")
+  }
+
   test("stateful streaming sessionization agrees with the batch window idiom") {
     import org.apache.spark.sql.functions.col
     val streamed = EventStreams.sessionizeStream(spark, sf001, queryName = "spec_stream_sessions")
