@@ -86,7 +86,10 @@ object Metrics {
     // Column `/` yields double; element_at needs int ordinals
     val mid = ((n + 1) / 2).cast("int") // 1-based
     val lo = (n / 2).cast("int")
-    when(n % 2 === 1, element_at(s, mid))
+    // empty array -> NULL (like min/max/avg), not the INVALID_INDEX_OF_ZERO
+    // error element_at(s, 0) would throw (review finding, r14)
+    when(n === 0, lit(null).cast("double"))
+      .when(n % 2 === 1, element_at(s, mid))
       .otherwise((element_at(s, lo) + element_at(s, lo + 1)) / 2.0)
   }
 

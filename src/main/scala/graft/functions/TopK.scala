@@ -24,13 +24,22 @@ object TopK {
   private val ord: Ordering[Rec] =
     Ordering.by((r: Rec) => (-r.value, r.key1, r.key2))
 
-  /** Top-k by descending value; buffer is a sorted Seq capped at k (k is
-    * small — insertion cost is k log k per merge, map-side).
+  /** Top-k by descending value; buffer is a sorted Seq capped at k.
+    * `reduce` rejects a non-improving record in O(1) — at a full buffer
+    * the overwhelmingly common case at scale is "new record worse than
+    * the current k-th", and re-sorting k+1 elements per input row made
+    * the map-side pass O(rows·k log k) for no reason (review finding,
+    * r14); only an improving record pays the O(k) insertion.
     */
   class TopKAgg(k: Int) extends Aggregator[Rec, Seq[Rec], Seq[Rec]] {
     override def zero: Seq[Rec] = Seq.empty
     override def reduce(b: Seq[Rec], a: Rec): Seq[Rec] =
-      ((a +: b).sorted(ord)).take(k)
+      if (b.size >= k && ord.lteq(b.last, a)) b // b.last is the current k-th
+      else {
+        val i = b.indexWhere(r => ord.gt(r, a)) // buffer is always sorted
+        val at = if (i < 0) b.size else i
+        ((b.take(at) :+ a) ++ b.drop(at)).take(k)
+      }
     override def merge(b1: Seq[Rec], b2: Seq[Rec]): Seq[Rec] =
       (b1 ++ b2).sorted(ord).take(k)
     override def finish(r: Seq[Rec]): Seq[Rec] = r.sorted(ord)

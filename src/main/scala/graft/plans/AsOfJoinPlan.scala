@@ -45,6 +45,18 @@ case class AsOfJoinNode(
     carried: Seq[Attribute],
     carriedOut: Seq[Attribute]) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
+  // TYPE-EQUALITY is load-bearing, not cosmetic: the physical operator
+  // compares raw internal values with orderings built from the LEFT
+  // side's types only (a TIMESTAMP left against a DATE right would read
+  // day counts as micros and silently "match" every row). The analyzer
+  // inserts implicit casts for ordinary joins; this custom node gets
+  // none, so mismatches must fail HERE, loudly (review finding, r14).
+  leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+    require(lk.dataType == rk.dataType,
+      s"as-of join key types differ: ${lk.dataType} vs ${rk.dataType} — cast explicitly")
+  }
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time types differ: ${leftTime.dataType} vs ${rightTime.dataType} — cast explicitly")
   override def output: Seq[Attribute] = left.output ++ carriedOut
   override def producedAttributes: AttributeSet = AttributeSet(carriedOut)
   override def maxRows: Option[Long] = left.maxRows

@@ -59,7 +59,7 @@ object JoinStrategyCost {
         joined.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (times(reps / 2), op)
+      (times((reps - 1) / 2), op) // lower median: reps/2 overstates for even reps
     }
 
     // warmup

@@ -57,7 +57,10 @@ case class LinesGenerator(docId: Expression, text: Expression)
       val nl = (toks.length + LineWords - 1) / LineWords
       val rows = Seq.newBuilder[InternalRow]
       rows.sizeHint(nl + 2)
-      rows += InternalRow(0, HeaderPool((id % HeaderPool.length).toInt))
+      // floorMod, not %: Scala % returns NEGATIVE remainders, so a
+      // negative doc_id indexed the pool at -1 and killed the task
+      // (review finding, r14)
+      rows += InternalRow(0, HeaderPool(math.floorMod(id, HeaderPool.length.toLong).toInt))
       var g = 0
       while (g < nl) {
         val from = g * LineWords
@@ -66,7 +69,7 @@ case class LinesGenerator(docId: Expression, text: Expression)
         rows += InternalRow(g + 1, UTF8String.concatWs(space, window.toIndexedSeq: _*))
         g += 1
       }
-      rows += InternalRow(nl + 1, FooterPool((id % FooterPool.length).toInt))
+      rows += InternalRow(nl + 1, FooterPool(math.floorMod(id, FooterPool.length.toLong).toInt))
       rows.result()
     }
   }
