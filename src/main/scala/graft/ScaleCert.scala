@@ -114,7 +114,7 @@ object ScaleCert {
     "q161_containment_pairs" -> 75, // closed-vocabulary containment blocks
     "q46_ngram_jaccard" -> 72, // brute-force verification baseline
     "q122_pagerank_centrality" -> 58, // cosine edge list, ~104x edges (q261 is the banded form); 23.9 solo, 38.6 sweep
-    "q117_triangle_count" -> 52, // cosine edge list grows ~104x
+    "q117_triangle_count" -> 52, // cosine edge list grows ~104x (q266 is the banded form)
     "q121_semantic_dedup" -> 48, // all-pairs semantic compare on the sample
     "q128_contrastive_pairs" -> 48, // in-class hardest-positive search; 15.0 solo, 31.6 sweep
     "q175_bfs_distance" -> 34, // cosine edge list
@@ -124,7 +124,7 @@ object ScaleCert {
     "q87_setsim_join" -> 20, // linear under disjoint vocab (5.5 solo) but small-t1 sweep-noisy (13.1 at loadavg 7)
     "q133_label_propagation" -> 19, // cosine edge list (q262 is the banded form)
     "q186_pii_scan" -> 18, // regex scan, chars grow 13.6x
-    "q151_kcore" -> 18, // cosine edge list
+    "q151_kcore" -> 18, // cosine edge list (q267 is the banded form)
     "q169_dbscan" -> 17, // cosine eps-neighborhood is all-pairs on the sample; 9.3 solo
     "q26_correlated_agg" -> 15, // linear (8.1 solo); t1 ~0.5s so fixed overhead distorts the quotient
     "q241_record_linkage" -> 7, // r14 derived blocking passes (3.1-4.3 measured)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed GLOBAL ranking — dense_rank / row_number / ntile over the
@@ -72,6 +73,7 @@ import org.apache.spark.sql.functions._
 object DistributedRank {
 
   private val Mid = "__dr9_mid"
+  private val Hd = "__dr9_hd"
   private val Pid = "__dr9_pid"
   private val Lr = "__dr9_lr"
   private val Cnt = "__dr9_cnt"
@@ -93,10 +95,39 @@ object DistributedRank {
       parts: Int = -1): DataFrame =
     localNumbered(df, order, if (parts > 0) parts else defaultParts(df))
 
+  /** [[rank]]'s pre-checkpoint frame — range exchange + sort + id
+    * projection + the key-partitioned head/tie window. Exposed
+    * (test-only) so DistributedRankSpec can pin the claim the method
+    * exists for: the window plans ON the range layout, adding NO second
+    * exchange and NO re-sort.
+    */
+  private[graft] def rankedHeadForAudit(df: DataFrame, keys: Seq[String],
+      parts: Int = -1): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*)
+    localNumbered(df, kc, if (parts > 0) parts else defaultParts(df))
+      .withColumn(Hd, min(col(Mid)).over(w))
+      .withColumn("__dr9_gc", count(lit(1)).over(w))
+  }
+
   private def localNumbered(df: DataFrame, order: Seq[Column], parts: Int): DataFrame =
     df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(Mid, monotonically_increasing_id())
+
+  /** (Pid, Off = exclusive prefix row count, Tot = global total) from a
+    * (Pid, Cnt) per-partition count frame — ≤ `parts` rows, built by a
+    * tiny broadcast cross self-join, precisely so no
+    * `Exchange SinglePartition` window appears anywhere.
+    */
+  private def prefixOffsets(counts: DataFrame): DataFrame = {
+    val mirror = counts.select(col(Pid).as(BPid), col(Cnt).as(BCnt))
+    counts.join(broadcast(mirror), lit(true), "left")
+      .groupBy(col(Pid))
+      .agg(
+        coalesce(sum(when(col(BPid) < col(Pid), col(BCnt)).otherwise(lit(0L))), lit(0L)).as(Off),
+        coalesce(sum(col(BCnt)), lit(0L)).as(Tot))
+  }
 
   /** df + `Gr` (1-based global row number, long) + `Tot` (row total). */
   private def globalRowNumber(df: DataFrame, order: Seq[Column], parts: Int): DataFrame = {
@@ -108,13 +139,7 @@ object DistributedRank {
       .withColumn(Lr, col(Mid).bitwiseAND(lit((1L << 33) - 1)) + 1L)
       .drop(Mid)
     val counts = withPid.groupBy(col(Pid)).agg(count(lit(1)).as(Cnt))
-    val mirror = counts.select(col(Pid).as(BPid), col(Cnt).as(BCnt))
-    val offs = counts.join(broadcast(mirror), lit(true), "left")
-      .groupBy(col(Pid))
-      .agg(
-        coalesce(sum(when(col(BPid) < col(Pid), col(BCnt)).otherwise(lit(0L))), lit(0L)).as(Off),
-        coalesce(sum(col(BCnt)), lit(0L)).as(Tot))
-    withPid.join(broadcast(offs), Pid)
+    withPid.join(broadcast(prefixOffsets(counts)), Pid)
       .withColumn(Gr, col(Lr) + col(Off))
       .drop(Pid, Lr, Off)
   }
@@ -127,6 +152,99 @@ object DistributedRank {
     globalRowNumber(df, order, if (parts > 0) parts else defaultParts(df))
       .withColumnRenamed(Gr, out).drop(Tot)
 
+  /** Global SQL RANK() over the named key columns, ASCENDING, as a
+    * LongType column `out`: ties share the rank of the group's FIRST row
+    * and gaps follow (1, 1, 3 — not dense_rank's 1, 1, 2). Keys must be
+    * column NAMES, ascending; negate into a named column for descending
+    * (the denseRank contract).
+    *
+    * Why it exists next to denseRank: rank() costs exactly ONE exchange
+    * — the range one — with NO distinct and NO join-back. On top of the
+    * range exchange + in-partition numbering, a window partitioned BY
+    * THE KEYS computes each group's head id: RangePartitioning(keys)
+    * satisfies the window's ClusteredDistribution(keys) (equal keys are
+    * co-located by construction — a tie group never spans partitions),
+    * so Catalyst plans the window WITHOUT a second exchange, directly on
+    * the range layout; spec-pinned (DistributedRankSpec "rank plan"
+    * via [[rankedHeadForAudit]]). The window must run BEFORE the eager
+    * checkpoint (LogicalRDD under AQE drops the range partitioning, and
+    * a post-checkpoint window would re-shuffle); the post-window
+    * checkpoint then freezes one placement for the offsets join
+    * (scaladoc item 4). The rank is the group head's global row number
+    * (head local offset + broadcast partition prefix). Memory is
+    * bounded by the largest tie group (WindowExec buffers one key group
+    * at a time).
+    *
+    * This is the right primitive for ITERATIVE ranking (prefix
+    * doubling, q260): each round only needs a tie-preserving
+    * order-embedding of the key order — dense-ness buys nothing there
+    * and costs denseRank's distinct + join-back. Bonus identity: when
+    * every key is unique, rank() ≡ row_number ≡ dense_rank, so a
+    * doubling ladder that terminates on uniqueness ends with DENSE
+    * consecutive ranks automatically.
+    *
+    * Keys must not be float/double (loud require): Catalyst normalizes
+    * NaN/-0.0 on window partition keys, and the wrapped clustering no
+    * longer matches the raw-key range layout — snap to a decimal/long
+    * grid first (the house canonicalization style).
+    */
+  def rank(df: DataFrame, keys: Seq[String], out: String, parts: Int = -1): DataFrame =
+    rankImpl(df, keys, out, None, parts)
+
+  /** [[rank]] plus `tieOut`: the size of each row's tie group (LongType)
+    * from the same window pass, at zero extra plan cost — an iterative
+    * caller's termination test (`max(tieOut) == 1` ⇔ keys unique ⇔ the
+    * ranking is total AND dense) without a separate count-distinct job.
+    */
+  private[graft] def rankWithTieCount(df: DataFrame, keys: Seq[String], out: String,
+      tieOut: String, parts: Int = -1): DataFrame =
+    rankImpl(df, keys, out, Some(tieOut), parts)
+
+  private def rankImpl(df: DataFrame, keys: Seq[String], out: String,
+      tieOut: Option[String], parts0: Int): DataFrame = {
+    // float/double keys: Catalyst wraps the window's partition keys in
+    // NormalizeNaNAndZero, and the wrapped clustering no longer matches
+    // the raw-key range layout — a second FULL-DATA hash exchange plans
+    // and the one-exchange contract silently breaks. Refuse loudly; the
+    // house style snaps floating quantities to decimal/long grids before
+    // ranking anyway (Metrics.canonRound).
+    val floatKeys = df.schema.fields
+      .filter(f => keys.contains(f.name))
+      .filter(f => f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.FloatType)
+    require(floatKeys.isEmpty,
+      s"rank() keys must not be floating-point (got ${floatKeys.map(_.name).mkString(", ")}): " +
+        "the float-normalization wrapper on window keys defeats the range-layout reuse — " +
+        "snap to decimal/long first, or use denseRank/rowNumber")
+    val parts = if (parts0 > 0) parts0 else defaultParts(df)
+    val kc = keys.map(col)
+    // The key window runs BEFORE the checkpoint, directly on the range
+    // exchange: the planner sees RangePartitioning(keys) satisfying the
+    // window's ClusteredDistribution(keys) (equal keys are co-located
+    // and contiguous by construction — a tie group never spans
+    // partitions) and the in-partition sort satisfying its ordering, so
+    // neither a second exchange nor a re-sort plans. Checkpointing
+    // FIRST would lose this: LogicalRDD under AQE does not carry the
+    // range partitioning forward, and the window would re-shuffle the
+    // full frame by key hash (measured, spec-pinned). The single
+    // post-window checkpoint still freezes ONE partition placement for
+    // both downstream consumers (scaladoc item 4 / NOTES invariant 16).
+    val w = Window.partitionBy(kc: _*)
+    val headed0 = localNumbered(df, kc, parts).withColumn(Hd, min(col(Mid)).over(w))
+    val headed = tieOut.fold(headed0)(c => headed0.withColumn(c, count(lit(1)).over(w)))
+      .localCheckpoint(true)
+    // per-partition counts off the checkpoint (the window is
+    // row-preserving, so these are the data counts)
+    val counts = headed.select(shiftrightunsigned(col(Mid), 33).as(Pid))
+      .groupBy(col(Pid)).agg(count(lit(1)).as(Cnt))
+    headed
+      .withColumn(Pid, shiftrightunsigned(col(Mid), 33))
+      .drop(Mid)
+      .join(broadcast(prefixOffsets(counts)), Pid)
+      .withColumn(out, col(Hd).bitwiseAND(lit((1L << 33) - 1)) + 1L + col(Off))
+      .drop(Pid, Hd, Off, Tot)
+  }
+
   /** Global dense_rank over the named key columns, ASCENDING, as a
     * LongType column `out`. Keys must be column NAMES (not expressions):
     * the rank is computed on the distinct key frame and joined back on
@@ -137,9 +255,35 @@ object DistributedRank {
     * rank exactly as `dense_rank().over(Window.orderBy(keys))` would —
     * a plain using-columns join would silently DROP every null-key row
     * instead (review finding, r14; spec-pinned against the window form).
+    *
+    * ADAPTIVE: when the key domain is exactly the frame (every key
+    * unique), dense_rank ≡ row_number and the whole distinct +
+    * join-back is skipped (r14 verdict item 1) — the uniqueness test is
+    * one combined count/count-distinct scan. Callers that only need a
+    * TIE-PRESERVING ORDER-EMBEDDING (not dense-ness) should use
+    * [[rank]] instead — one exchange, no distinct, no join-back at any
+    * domain size.
     */
   def denseRank(df: DataFrame, keys: Seq[String], out: String, parts: Int = -1): DataFrame = {
     val kc = keys.map(col)
+    // Adaptive unique-domain fast path (r14 verdict item 1): when the
+    // key domain IS the frame, dense_rank ≡ row_number over the keys
+    // (both are the position in key order; ties cannot exist), and the
+    // distinct + join-back below is pure waste — the join-back alone
+    // re-shuffles the FULL frame against a ranked side of the same
+    // size. The test is ONE extra scan (count + exact count-distinct in
+    // a single aggregation), cheap next to the join-back it can save —
+    // though a caller whose input has expensive lineage should
+    // materialize it first (this method evaluates `df` once more than
+    // the r14 form did). count_distinct over a struct of the keys
+    // matches distinct()'s row count exactly: the struct is never null,
+    // so no row is excluded, and struct grouping is null-safe per
+    // field — the same semantics the <=> join-back below encodes.
+    val (n, nd) = {
+      val r = df.agg(count(lit(1)), count_distinct(struct(kc: _*))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    if (nd == n) return rowNumber(df, kc, out, parts)
     val distinctKeys = df.select(kc: _*).distinct()
     val ranked = rowNumber(distinctKeys, kc, out, parts)
     // null-safe join-back: rename the ranked side's keys, match with <=>,

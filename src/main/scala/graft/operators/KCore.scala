@@ -66,7 +66,19 @@ object KCore {
     * rounded cosine > 0.25): the same peel rounds unrolled as MATERIALIZED
     * CTEs carrying the live node set.
     */
-  def oracleSql(k: Int, rounds: Int): String = {
+  def oracleSql(k: Int, rounds: Int): String =
+    oracleSqlFrom(
+      s"""${NearDupGraph.oracleCtes()},
+      live0 AS MATERIALIZED (SELECT vec_id FROM d)""",
+      k, rounds, idCol = "vec_id")
+
+  /** The peel-round twin parameterized over the WITH prefix, which must
+    * end having defined `edges(u, v)` (symmetric) and `live0(vec_id)`
+    * (the node set) — shared by q151 (cosine edges) and q267 (the banded
+    * near-dup edge stream) so the round unrolling is generated ONCE.
+    * `idCol` names the output id column.
+    */
+  def oracleSqlFrom(prefix: String, k: Int, rounds: Int, idCol: String): String = {
     val rs = (1 to rounds).map { r =>
       val prev = s"live${r - 1}"
       s"""deg$r AS (
@@ -84,11 +96,10 @@ object KCore {
     val peelUnion = (1 to rounds)
       .map(r => s"SELECT vec_id, peel_round FROM peel$r")
       .mkString("\n        UNION ALL ")
-    s"""WITH ${NearDupGraph.oracleCtes()},
-      live0 AS MATERIALIZED (SELECT vec_id FROM d),
+    s"""WITH $prefix,
       $rs,
       pl AS ($peelUnion)
-      SELECT n.vec_id,
+      SELECT n.vec_id AS $idCol,
         CAST(CASE WHEN pl.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS in_core,
         CAST(coalesce(pl.peel_round, -1) AS INTEGER) AS peel_round
       FROM live0 n LEFT JOIN pl ON pl.vec_id = n.vec_id

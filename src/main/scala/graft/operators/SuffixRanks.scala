@@ -28,6 +28,19 @@ import graft.registry.GQuery
   * further rounds are exact no-ops). At most 7 rounds here (fixture
   * docs ≤ 100 tokens + sentinel ≤ 128; a require guards the bound).
   *
+  * Rank representation (r15): rounds use `DistributedRank.rank` — SQL
+  * RANK(), tie-preserving but NOT dense — because prefix doubling only
+  * needs an order-embedding that gives equal prefixes equal ranks;
+  * dense-ness buys nothing mid-ladder and costs denseRank's distinct +
+  * join-back every round (the r14 verdict's q260 item). The final
+  * ranking is dense anyway, by identity: the ladder ends exactly when
+  * every suffix's rank is unique (sentinel-guaranteed within the round
+  * bound), and on unique keys RANK() degenerates to row_number — i.e.
+  * consecutive 1..n — so the rank-adjacency join (r, r−1) below needs
+  * no compaction pass. The tie-group size that `rankWithTieCount`
+  * emits from the same window pass doubles as the termination test:
+  * max(gc) == 1 ⇔ ranks total ⇔ this round's output is final.
+  *
   * Oracle equivalence: DuckDB sorts the suffixes as SPACE-JOINED
   * strings — with every token char strictly between ' ' (the separator)
   * and '~' (the sentinel head), joined-string binary order is EXACTLY
@@ -38,17 +51,17 @@ import graft.registry.GQuery
   * the LCP compare O(1) per neighbor) with the span's md5 as witness.
   *
   * Scale shape: each doubling round is one global RANK — routed through
-  * `DistributedRank.denseRank` (rank the DISTINCT (r, rn) key frame via
-  * range repartition + in-partition numbering + broadcast offsets, then
-  * hash-join it back; see its scaladoc), so no round plans an
-  * `Exchange SinglePartition` (DistributedRankSpec captures a MID-round
-  * plan, before the per-round localCheckpoint truncates it, and pins
-  * this) — plus one per-doc windowed lead: O(n log L) total work, the
+  * `DistributedRank.rank` (range repartition + in-partition numbering +
+  * a key-window head lookup planned ON the range layout + broadcast
+  * offsets; see its scaladoc), so a round pays exactly TWO full-data
+  * exchanges (the per-doc lead window's hash + the rank's range) and no
+  * round plans an `Exchange SinglePartition` (DistributedRankSpec
+  * captures a MID-round plan and pins this): O(n log L) total work, the
   * textbook parallel suffix-array bound. The LCP pass touches each
   * rank-adjacent pair exactly once: n-1 pairs, never n². At 100 TB each
-  * round pays the distinct + range + join-back shuffles (all spread
-  * over every executor, none single-partition), and L (max doc length
-  * in tokens) bounds the round count at ~17 even for 100k-token docs.
+  * round's shuffles spread over every executor, none single-partition,
+  * and L (max doc length in tokens) bounds the round count at ~17 even
+  * for 100k-token docs.
   *
   * Alphabet guard: the oracle-equivalence argument requires every corpus
   * token char to sit strictly between ' ' (the join separator) and '~'
@@ -65,19 +78,23 @@ object SuffixRanks {
 
   /** One prefix-doubling round: pair each position's rank with the rank
     * 2^k ahead (per-doc windowed lead, -1 past the end) and re-rank the
-    * pairs globally through `DistributedRank.denseRank` — which is where
-    * the round's range shuffle, partition-local sort, and eager
-    * checkpoint all live. Exposed so DistributedRankSpec can audit a
+    * pairs globally through `DistributedRank.rankWithTieCount` — which
+    * is where the round's range shuffle, partition-local sort, and
+    * eager checkpoint all live (ONE full-data exchange beyond the lead
+    * window's; the r14 denseRank form paid the distinct + join-back on
+    * top). Output adds `gc`, the tie-group size — `max(gc) == 1` is the
+    * Manber-Myers termination test, read off the checkpointed frame
+    * with no extra shuffle. Exposed so DistributedRankSpec can audit a
     * real mid-round frame (the r13 blind spot was the checkpoint hiding
     * the round's sorts from end-of-query plan audits; the helper's
     * `localRankedForAudit` exposes the pre-checkpoint plan itself).
     */
   def rankRound(ranked: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val paired = ranked
+    val paired = ranked.select("doc_id", "pos", "r")
       .withColumn("rn", coalesce(lead(col("r"), 1 << k).over(byPos), lit(-1L)))
-    DistributedRank.denseRank(paired, Seq("r", "rn"), "r2")
-      .select(col("doc_id"), col("pos"), col("r2").as("r"))
+    DistributedRank.rankWithTieCount(paired, Seq("r", "rn"), "r2", "gc")
+      .select(col("doc_id"), col("pos"), col("r2").as("r"), col("gc"))
   }
 
   val q260 = GQuery(
@@ -102,39 +119,42 @@ object SuffixRanks {
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
       // Seed at depth 1 — the textbook choice, and the SCALE-correct
-      // one: the seed rank's distinct-key domain is the token VOCABULARY
-      // (sublinear in the corpus), so its range shuffle is the cheapest
-      // of the whole ladder, and every doubling round after it ranks
-      // compact (long, long) pairs. A depth-4 seed (rank by the 4-token
-      // window) was tried to shave two rounds: neutral at sf0.1, but
-      // 1.6× SLOWER at 10× — a natural corpus has ~n distinct 4-grams,
-      // so the wide-string seed rank dwarfs the two long-pair rounds it
-      // saves. Measured, not guessed (ScaleCert solo re-runs).
-      var ranked = DistributedRank.denseRank(positions, Seq("tok"), "r")
+      // one: the seed rank's tie groups are the token VOCABULARY
+      // (sublinear in the corpus), and every doubling round after it
+      // ranks compact (long, long) pairs. A depth-4 seed (rank by the
+      // 4-token window) was tried to shave two rounds: neutral at
+      // sf0.1, but 1.6× SLOWER at 10× — a natural corpus has ~n
+      // distinct 4-grams, so the wide-string seed rank dwarfs the two
+      // long-pair rounds it saves. Measured, not guessed (ScaleCert
+      // solo re-runs). rank() (not denseRank — see the scaladoc): the
+      // ladder only needs tie-preserving order-embeddings.
+      var ranked = DistributedRank.rank(positions, Seq("tok"), "r")
         .select("doc_id", "pos", "r")
-      // total positions — the early-termination reference (one agg over
-      // the cached docs frame, sketch-sized input)
-      val total = docs.agg(sum(size(col("toks")))).head.getLong(0)
       var k = 0
       var distinct = false
       while (k < Rounds && !distinct) {
-        // per-round lineage truncation (NOTES invariant 14): denseRank
-        // checkpoints only its distinct-KEY frame; the join-back output
-        // must be cut here or each round's actions re-evaluate every
-        // earlier round's lead/join chain (quadratic recompute)
-        ranked = rankRound(ranked, k).localCheckpoint(true)
-        // Manber-Myers early termination: once every suffix has its own
-        // rank (max dense rank == row count), r is a total order and
-        // every further doubling round is an exact no-op — dense rank
-        // over (r, rn) with unique r re-assigns exactly r — so the loop
-        // exits with the identical final frame. Real text individuates
-        // suffixes after ~2-3 rounds; the 7-round cap is the worst case.
-        // The check is one max() over the just-checkpointed blocks —
-        // skipped on the last permitted round, where its result cannot
-        // affect control flow (a corpus that needs all rounds would
-        // otherwise pay one dead full-frame scan per run).
+        // No loop-level checkpoint (r15): rank() eagerly checkpoints its
+        // post-window frame INTERNALLY, which already truncates each
+        // round's lineage (NOTES invariant 14) — the only uncut suffix
+        // is the bit-split + broadcast-offsets join, cheap to re-run and
+        // deterministic off the frozen checkpoint (pid lives in the id
+        // VALUE, not the runtime layout, so re-evaluation cannot drift —
+        // invariant 16 does not bite). The denseRank-era loop checkpoint
+        // was a second full materialization per round for nothing.
+        ranked = rankRound(ranked, k)
+        // Manber-Myers early termination: once every tie group is a
+        // singleton (max gc == 1), r is a total order — AND, because
+        // RANK() on unique keys is row_number, a dense consecutive
+        // 1..n — so every further doubling round is an exact no-op and
+        // the loop exits with the identical final frame. Real text
+        // individuates suffixes after ~2-3 rounds; the 7-round cap is
+        // the worst case. The check is one max() over the
+        // just-checkpointed blocks — skipped on the last permitted
+        // round, where its result cannot affect control flow (a corpus
+        // that needs all rounds would otherwise pay one dead
+        // full-frame scan per run).
         if (k + 1 < Rounds)
-          distinct = ranked.agg(max(col("r"))).head.getLong(0) == total
+          distinct = ranked.agg(max(col("gc"))).head.getLong(0) == 1L
         k += 1
       }
       val a = ranked.select(col("r").as("rk"),

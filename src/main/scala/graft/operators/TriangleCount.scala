@@ -92,7 +92,14 @@ object TriangleCount {
     * coefficients and the global audit appended (the q241 audit-column
     * pattern).
     */
-  def triangleReport(lineitem: DataFrame): DataFrame = {
+  def triangleReport(lineitem: DataFrame): DataFrame =
+    reportFrom(coPurchaseEdges(lineitem))
+
+  /** [[triangleReport]] parameterized over the (u < v, distinct) edge
+    * frame — shared by q243 (co-purchase edges) and q266 (the banded
+    * near-dup edge stream), so the two cannot drift.
+    */
+  def reportFrom(edges0: DataFrame): DataFrame = {
     // Multi-pass graph algorithm, so the edge list persists (the
     // LubyMis/ConnectedComponents precedent — GraphX does the same):
     // without these caches the 5s distinct-edges subtree recomputes
@@ -100,7 +107,7 @@ object TriangleCount {
     // 13.5s vs 6.5s cached at sf0.1. The m-sized caches are released
     // below once the single triangle pass has run; only the two
     // node-sized frames stay cached for the top-100 join.
-    val edges = coPurchaseEdges(lineitem).cache()
+    val edges = edges0.cache()
     val deg = degrees(edges).cache()
     val o = oriented(edges, deg).cache()
     val tri = trianglesFrom(o)
@@ -144,13 +151,14 @@ object TriangleCount {
       .orderBy(col("n_tri").desc, col("node"))
   }
 
-  val q243 = GQuery(
-    "q243_triangle_count",
-    (s, dir) => triangleReport(Tables.lineitem(s, dir)),
-    Some("""WITH e AS MATERIALIZED (
-        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        WHERE a.l_partkey < b.l_partkey),
+  /** The report's DuckDB twin, parameterized over the WITH prefix that
+    * must end having defined `e(u, v)` — the distinct u < v edge set —
+    * so q243 and q266 replay the identical degree-ordered pipeline over
+    * their own edge sources (the edgePipelineOracleCtes single-source
+    * discipline).
+    */
+  def oracleSqlFrom(edgePrefix: String): String =
+    s"""WITH $edgePrefix,
       deg AS MATERIALIZED (
         SELECT node, count(*) AS deg FROM
           (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
@@ -194,7 +202,15 @@ object TriangleCount {
         CAST(a.n_nodes AS BIGINT) AS n_nodes,
         floor(a.n_triangles * 3.0 / a.n_wedges * 1e6 + 0.5) / 1e6 AS transitivity
       FROM top t CROSS JOIN audit a
-      ORDER BY t.n_tri DESC, t.node"""))
+      ORDER BY t.n_tri DESC, t.node"""
+
+  val q243 = GQuery(
+    "q243_triangle_count",
+    (s, dir) => triangleReport(Tables.lineitem(s, dir)),
+    Some(oracleSqlFrom("""e AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey)""")))
 
   val all: Seq[GQuery] = Seq(q243)
 }

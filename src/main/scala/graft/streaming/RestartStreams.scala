@@ -8,12 +8,12 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.registry.GQuery
 
-/** Checkpoint RESTART/RECOVERY certification (r12 verdict item 3, hard
-  * kills added per r13 item 2): every other streaming harness in this
-  * library runs one query start to finish; these two interrupt a
-  * CHECKPOINTED query mid-stream — a graceful stop after batch 1 of 3
-  * for [[twsRestart]], a graceful stop PLUS two injected mid-batch
-  * crashes for [[upsertRestart]] — then create NEW query objects over
+/** Checkpoint RESTART/RECOVERY certification (r12 verdict item 3; hard
+  * kills added per r13 item 2, extended to the TWS path per r14 item 2):
+  * every other streaming harness in this library runs one query start to
+  * finish; these two interrupt a CHECKPOINTED query mid-stream — each
+  * with a graceful stop PLUS two injected mid-batch crashes (before and
+  * after the sink's atomic commit) — then create NEW query objects over
   * the SAME checkpoint dir and finish. What must survive:
   *
   *  - [[upsertRestart]] (q203's foreachBatch + idempotent-MERGE sink):
@@ -42,7 +42,13 @@ import graft.registry.GQuery
   *    RocksDB STATE STORE — every user's open-session ValueState from
   *    batch 1 must be restored into the new query's processor, or
   *    sessions spanning the restart boundary split and the oracle
-  *    hash-mismatches.
+  *    hash-mismatches. Since r15 this path certifies the same two hard
+  *    kills as the upsert sink: a crash AFTER the stateful plan executed
+  *    (RocksDB version committed) but BEFORE the sink commit — recovery
+  *    must re-execute the batch against the state AS OF BATCH START,
+  *    superseding the torn version — and a crash after the sink commit
+  *    but before the checkpoint, whose redelivery the sink's ledger
+  *    guard must skip without re-executing the batch plan.
   *
   * Both reuse their originals' oracles VERBATIM: the upsert state is a
   * set property of the corpus (merge is associative/commutative), and
@@ -63,6 +69,17 @@ object RestartStreams {
     */
   final case class RestartRun(result: DataFrame, runId1: String, runId2: String,
                               batches1: Long, batches2: Long)
+
+  /** Evidence for the TWS hard-kill cert (r14 verdict item 2): one
+    * incarnation per element of `runIds`; `crashMsgs` the injected
+    * failures that really propagated; `committedBatches` the batch ids
+    * present in the sink's commit log (the atomically-renamed dirs) —
+    * exactly once each; `orphanTmps` uncommitted partial-write staging
+    * dirs found (and discarded) during recovery.
+    */
+  final case class TwsCrashRun(result: DataFrame, runIds: Seq[String], batches: Seq[Long],
+                               crashMsgs: Seq[String], committedBatches: Seq[Long],
+                               orphanTmps: Int)
 
   /** Evidence for the crash-recovery cert: one incarnation per element of
     * `runIds`; `crashMsgs` are the injected failures the harness really
@@ -85,11 +102,36 @@ object RestartStreams {
     }
   }
 
-  /** q249's transformWithState sessionization, stopped after batch 1 of 3
-    * and resumed as a new query from the same checkpoint (RocksDB state
-    * recovery under test).
+  /** q249's transformWithState sessionization driven through FOUR
+    * incarnations over one checkpoint — the upsert harness's crash
+    * schedule applied to the RocksDB state path (r14 verdict item 2;
+    * until r15 this side was graceful-stop-only):
+    *
+    *  1. graceful stop after batch 0 (slice 1 only);
+    *  2. HARD KILL mid-batch 1: the sink stages the batch's session
+    *     output to `tmp_b1` and the query dies BEFORE the atomic
+    *     rename-commit. Critically, the stateful plan has already
+    *     EXECUTED by then (the staging write is the batch's action), so
+    *     RocksDB has committed the post-batch-1 state version while the
+    *     batch itself is uncommitted — the exact torn state a production
+    *     sessionizer fears;
+    *  3. recovery replays batch 1: the state store must load the state
+    *     AS OF BATCH START (the pre-crash version 2 is superseded, not
+    *     corrupting), re-execute, and re-commit; the janitor discards
+    *     the orphaned staging dir. Then batch 2 commits (rename) and the
+    *     query dies AFTER commit, before the streaming checkpoint — the
+    *     at-least-once window;
+    *  4. batch 2 is REDELIVERED; the sink's ledger guard (a committed
+    *     `batch_2` dir exists) must skip it — no duplicate sessions, no
+    *     re-execution needed (its state version already committed in 3)
+    *     — then the query drains clean.
+    *
+    * Sessions spanning every boundary come out right only if each
+    * incarnation's ValueState is the exactly-once fold state — pinned by
+    * row-for-row equality with the single-run sessionization
+    * (StreamingSpec) and by q252's unchanged q129 oracle.
     */
-  def twsRestart(spark: SparkSession, dir: String): RestartRun =
+  def twsRestart(spark: SparkSession, dir: String): TwsCrashRun =
     EventStreams.withStreamShufflePartitions(spark) {
       import spark.implicits._
       import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
@@ -144,13 +186,55 @@ object RestartStreams {
           }
         }
 
-        // function VAL: the (Dataset, Long) => Unit overload of
-        // foreachBatch resolves unambiguously this way (the
-        // UpsertStreams convention)
-        val sinkBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
-          batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        def orphanTmps(): Seq[Path] = {
+          if (!Files.exists(outDir)) Seq.empty
+          else {
+            val it = Files.list(outDir)
+            try scala.jdk.CollectionConverters.IteratorHasAsScala(it.iterator()).asScala
+              .filter(_.getFileName.toString.startsWith("tmp_b")).toSeq
+            finally it.close()
+          }
         }
-        def runOnce(): (String, Long) = {
+        def deleteRecursively(p: Path): Unit = {
+          val walk = Files.walk(p)
+          try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator()).asScala
+            .toSeq.sortBy(-_.getNameCount).foreach(Files.delete)
+          finally walk.close()
+        }
+        var orphansSeen = 0
+        // crashMode: 0 = none, 1 = throw before the rename-commit (the
+        // staged write is a REAL partial sink write, and the stateful
+        // plan has already executed and committed its RocksDB version),
+        // 2 = throw after the commit, before the streaming checkpoint
+        def runOnce(crashOnBatch: Long, crashMode: Int): (String, Long, Option[String]) = {
+          // recovery janitor: uncommitted staging dirs from a crashed
+          // incarnation are garbage (their batch replays)
+          val orphans = orphanTmps()
+          orphansSeen += orphans.size
+          orphans.foreach(deleteRecursively)
+          // function VAL: the (Dataset, Long) => Unit overload of
+          // foreachBatch resolves unambiguously this way (the
+          // UpsertStreams convention)
+          val sinkBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
+            // ledger guard = the committed dir itself: a redelivered
+            // already-committed batch is skipped WITHOUT re-executing the
+            // batch plan (its state version committed with it)
+            if (!Files.exists(Paths.get(s"$outDir/batch_$id"))) {
+              val tmp = s"$outDir/tmp_b$id"
+              // the write IS the batch's action: state commits inside it
+              batch.write.mode("overwrite").parquet(tmp)
+              if (id == crashOnBatch && crashMode == 1)
+                throw new RuntimeException(
+                  s"injected crash BEFORE commit of batch $id (partial sink write staged)")
+              // commit point: atomic rename — a half-written batch can
+              // never be visible under a committed name
+              Files.move(Paths.get(tmp), Paths.get(s"$outDir/batch_$id"),
+                StandardCopyOption.ATOMIC_MOVE)
+              if (id == crashOnBatch && crashMode == 2)
+                throw new RuntimeException(
+                  s"injected crash AFTER commit of batch $id, before its checkpoint")
+            }
+          }
           val stream = spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(s"$stage/slice_*")
             .as[Event]
@@ -160,16 +244,24 @@ object RestartStreams {
             .option("checkpointLocation", ckpt.toString)
             .foreachBatch(sinkBatch)
             .outputMode(OutputMode.Append).start()
-          q.processAllAvailable()
+          val err = try { q.processAllAvailable(); None } catch {
+            case e: Throwable =>
+              Some(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+                .map(_.getMessage).find(m => m != null && m.contains("injected crash"))
+                .getOrElse(e.getMessage))
+          }
           val n = q.recentProgress.count(_.numInputRows > 0)
           val rid = q.runId.toString
-          q.stop()
-          (rid, n.toLong)
+          try q.stop() catch { case _: Throwable => () }
+          (rid, n.toLong, err)
         }
-        val (rid1, b1) = runOnce() // sees slice_1 only → exactly 1 batch
+        val r1 = runOnce(-1, 0) // batch 0 (slice 1), graceful stop
         writeSlice(2); writeSlice(3)
-        val (rid2, b2) = runOnce() // NEW query, same checkpoint → 2 more
-        val result = spark.read.parquet(listBatchDirs(outDir): _*)
+        val r2 = runOnce(1, 1) // dies mid-batch 1: state committed, sink staged only
+        val r3 = runOnce(2, 2) // replays b1 (state as of batch start), commits b2, dies pre-checkpoint
+        val r4 = runOnce(-1, 0) // b2 redelivered -> ledger guard skips; drains
+        val committed = listBatchDirs(outDir)
+        val result = spark.read.parquet(committed: _*)
           .select(col("user_id"),
             col("session_start").cast("timestamp_ntz").as("session_start"),
             col("session_end").cast("timestamp_ntz").as("session_end"),
@@ -178,7 +270,11 @@ object RestartStreams {
           // the result frame must outlive the temp dirs' JVM-exit cleanup
           // and the provider-conf restore below
           .localCheckpoint(true)
-        RestartRun(result, rid1, rid2, b1, b2)
+        TwsCrashRun(result,
+          Seq(r1, r2, r3, r4).map(_._1), Seq(r1, r2, r3, r4).map(_._2),
+          Seq(r2, r3).flatMap(_._3),
+          committed.map(p => p.substring(p.lastIndexOf("batch_") + 6).toLong).sorted,
+          orphansSeen)
       } finally {
         prevProvider match {
           case Some(p) => spark.conf.set(providerKey, p)

@@ -52,6 +52,87 @@ class DistributedRankSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("denseRank takes the unique-domain fast path: window parity, no join-back in the plan") {
+    // r14 verdict item 1: when every key is unique, dense_rank ≡
+    // row_number, so the distinct + <=> join-back must be skipped —
+    // pinned by the absence of the join-back's mirror columns from the
+    // executed plan (they exist ONLY on the slow path).
+    val o = Tables.orders(spark, sf001).select(col("o_orderkey"), col("o_totalprice"))
+    val got = DistributedRank.denseRank(o, Seq("o_orderkey"), "dr")
+    val want = o.withColumn("dr",
+      dense_rank().over(Window.orderBy(col("o_orderkey"))).cast("long"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("__dr9_k_"),
+      "unique key domain must skip the distinct + join-back (mirror columns found in plan)")
+  }
+
+  test("rank matches the global-window RANK() form with ties and nulls, and emits tie counts") {
+    import spark.implicits._
+    // l_partkey repeats across orders -> real multi-row tie groups
+    val li = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val got = DistributedRank.rankWithTieCount(li, Seq("l_partkey"), "rk", "gc")
+      .select("l_orderkey", "l_partkey", "rk", "gc")
+    val want = li
+      .withColumn("rk", rank().over(Window.orderBy(col("l_partkey"))).cast("long"))
+      .withColumn("gc", count(lit(1)).over(Window.partitionBy(col("l_partkey"))))
+      .select("l_orderkey", "l_partkey", "rk", "gc")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // nulls rank first, together, exactly as the window form
+    val nf = Seq((1, Some(10L)), (2, None), (3, Some(10L)), (4, None), (5, Some(3L)))
+      .toDF("id", "k")
+    val gotN = DistributedRank.rank(nf, Seq("k"), "rk")
+    val wantN = nf.withColumn("rk", rank().over(Window.orderBy("k")).cast("long"))
+    assert(gotN.count() == 5)
+    assert(gotN.exceptAll(wantN).isEmpty && wantN.exceptAll(gotN).isEmpty)
+    // empty input stays empty
+    assert(DistributedRank.rank(nf.filter(col("id") < 0), Seq("k"), "rk").isEmpty)
+    // float keys are refused loudly (the normalization wrapper would
+    // silently add a second full-data exchange instead)
+    val err = intercept[IllegalArgumentException] {
+      DistributedRank.rank(
+        Tables.lineitem(spark, sf001).select(col("l_orderkey"), col("l_quantity")),
+        Seq("l_quantity"), "rk")
+    }
+    assert(err.getMessage.contains("floating-point"))
+  }
+
+  test("rank plans the key window ON the range layout: one exchange, no re-sort, pre-checkpoint") {
+    // the whole point of rank(): RangePartitioning(keys) satisfies the
+    // key window's ClusteredDistribution and the in-partition sort its
+    // ordering, so the pre-checkpoint frame — range exchange + sort +
+    // id projection + head/tie window — must plan exactly ONE exchange
+    // (the range one) and exactly ONE sort. A second hash exchange on
+    // the keys here means the window stopped seeing the range layout
+    // (the bug the checkpoint-first form had: LogicalRDD under AQE
+    // drops the partitioning).
+    val li = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pre = DistributedRank.rankedHeadForAudit(li, Seq("l_partkey"))
+    pre.collect()
+    val plan = pre.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"rank's pre-checkpoint frame must pay exactly the range exchange:\n" +
+        exchanges.mkString("\n"))
+    val sorts = plan.linesIterator.filter(_.trim.matches(".*\\bSort \\[.*")).toSeq
+    assert(sorts.size == 1,
+      s"the window must reuse the in-partition sort, not add its own:\n${sorts.mkString("\n")}")
+    assert(plan.contains("Window"), "the key-group head must come from a window pass")
+    // and the full rank() result is identical whether or not the audit
+    // frame's extra columns are present — guard against drift between
+    // rankImpl and the audit hook
+    val got = DistributedRank.rank(li, Seq("l_partkey"), "rk")
+    val want = li.withColumn("rk", rank().over(Window.orderBy(col("l_partkey"))).cast("long"))
+    assert(got.exceptAll(want).isEmpty)
+  }
+
   test("rowNumber over a total order matches the global-window form") {
     val o = Tables.orders(spark, sf001).select(col("o_orderkey"), col("o_totalprice"))
     val got = DistributedRank.rowNumber(o, Seq(col("o_totalprice").desc, col("o_orderkey")), "rn")
@@ -114,14 +195,19 @@ class DistributedRankSpec extends SparkSpec {
     val positions = docs
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-    val seed = DistributedRank.denseRank(positions, Seq("tok"), "r")
+    val seed = DistributedRank.rank(positions, Seq("tok"), "r")
       .select("doc_id", "pos", "r")
     val mid = SuffixRanks.rankRound(seed, 0)
     noSinglePartition(mid, "q260 mid-round rank")
-    // and the seed rank itself agrees with the window form
+    // and the seed rank itself agrees with the window RANK() form (r15:
+    // the ladder runs on tie-preserving rank(), not denseRank — see the
+    // SuffixRanks scaladoc for why dense-ness is only needed, and
+    // automatically holds, at termination)
     val want = positions.withColumn("r",
-        dense_rank().over(Window.orderBy("tok")).cast("long"))
+        rank().over(Window.orderBy("tok")).cast("long"))
       .select("doc_id", "pos", "r")
     assert(seed.exceptAll(want).isEmpty)
+    // one real round on top: ties share ranks, gc counts the tie group
+    assert(mid.filter(col("gc") < 1).isEmpty)
   }
 }

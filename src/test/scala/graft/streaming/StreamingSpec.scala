@@ -313,15 +313,31 @@ class StreamingSpec extends SparkSpec {
     assert(keys.distinct.size == keys.size, "a user flushed more than once")
   }
 
-  test("checkpoint RESTART: tws sessionization recovers RocksDB state across a real stop/resume") {
-    // stop after batch 1 of 3, resume as a NEW query from the same
-    // checkpoint; sessions spanning the restart boundary only come out
-    // right if every open-session ValueState survived in RocksDB
+  test("HARD-KILL recovery: tws sessionization survives crash-before-commit and crash-after-commit exactly once") {
+    // four incarnations over one checkpoint (r14 verdict item 2): a
+    // graceful stop, a kill AFTER the stateful plan committed its
+    // RocksDB version but BEFORE the sink commit (recovery re-executes
+    // the batch against state as of batch start — the torn version is
+    // superseded, not corrupting), a kill after the sink commit but
+    // before the checkpoint (redelivery skipped by the ledger guard,
+    // batch plan NOT re-executed), and a clean drain
     val run = RestartStreams.twsRestart(spark, sf001)
-    assert(run.runId1 !== run.runId2, "must be two distinct query incarnations")
-    assert(run.batches1 === 1, s"first incarnation must stop after batch 1, saw ${run.batches1}")
-    assert(run.batches2 === 2, s"second incarnation must process the 2 remaining batches, saw ${run.batches2}")
-    // row-for-row ≡ the single-query batch-mode sessionization (q129 path)
+    assert(run.runIds.distinct.size === 4, s"expected 4 incarnations, saw ${run.runIds}")
+    assert(run.batches.head === 1,
+      s"first incarnation must stop after batch 1, saw ${run.batches}")
+    // both injected failures really propagated out of a dying query
+    assert(run.crashMsgs.size === 2 &&
+      run.crashMsgs.exists(_.contains("BEFORE commit")) &&
+      run.crashMsgs.exists(_.contains("AFTER commit")),
+      s"expected both crash modes, saw ${run.crashMsgs}")
+    // the crash-before-commit left a REAL partial sink write (with the
+    // batch's RocksDB version already committed) for the janitor
+    assert(run.orphanTmps >= 1, "the mid-batch kill must leave a staged partial write")
+    // exactly-once sink log: each batch committed exactly once
+    assert(run.committedBatches === Seq(0L, 1L, 2L),
+      s"each batch must commit exactly once, saw ${run.committedBatches}")
+    // row-for-row ≡ the single-query sessionization (q129 path): every
+    // open-session ValueState survived both kills and the redelivery
     val restart = run.result.collect().toSeq
     val single = EventStreams.sessionizeStream(spark, sf001, queryName = "spec_restart_ref")
       .select(org.apache.spark.sql.functions.col("user_id"),
@@ -329,7 +345,7 @@ class StreamingSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("session_end").cast("timestamp_ntz"),
         org.apache.spark.sql.functions.col("n_events"))
       .collect().toSeq
-    assert(restart == single, "restarted output must equal the single-run sessionization")
+    assert(restart == single, "crash-recovered output must equal the single-run sessionization")
     assert(restart.nonEmpty)
   }
 
