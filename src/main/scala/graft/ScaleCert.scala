@@ -98,6 +98,13 @@ object ScaleCert {
     * adjudication boundary itself: a query crossing it needs a PLANS.md
     * analysis and an entry here, not silence).
     *
+    * r15 re-base: the 2026-08-16 fixture regeneration shifted several
+    * data-dependent workloads with no code change (the r14 verdict's
+    * item 3), so the five noisiest ceilings were re-measured SOLO on the
+    * regenerated fixtures and re-based at ~1.5× the new honest reading
+    * (per-row citations below) — q122 58→30, q128 48→29, q87 20→16,
+    * q26 15→12, q169 kept at 17.
+    *
     * Calibration note (r14 full sweep): ceilings must absorb
     * SERIAL-SWEEP noise, not just the solo reading — a small-t1 query's
     * ratio swings 1.5-2.5× between a contended sweep slot and a solo
@@ -113,20 +120,20 @@ object ScaleCert {
     "q52_embedding_neardup" -> 95, // threshold-cosine all-pairs on the sample
     "q161_containment_pairs" -> 75, // closed-vocabulary containment blocks
     "q46_ngram_jaccard" -> 72, // brute-force verification baseline
-    "q122_pagerank_centrality" -> 58, // cosine edge list, ~104x edges (q261 is the banded form); 23.9 solo, 38.6 sweep
+    "q122_pagerank_centrality" -> 30, // cosine edge list, ~104x edges (q261 is the banded form); 19.8 solo post-regen r15 (was 23.9 solo / 38.6 contended-sweep pre-regen)
     "q117_triangle_count" -> 52, // cosine edge list grows ~104x (q266 is the banded form)
     "q121_semantic_dedup" -> 48, // all-pairs semantic compare on the sample
-    "q128_contrastive_pairs" -> 48, // in-class hardest-positive search; 15.0 solo, 31.6 sweep
+    "q128_contrastive_pairs" -> 29, // in-class hardest-positive search; 19.5 solo post-regen r15 (was 15.0 solo / 31.6 contended-sweep pre-regen)
     "q175_bfs_distance" -> 34, // cosine edge list
     "q49_rolling_fingerprint" -> 24, // char-bound linear, chars grow 13.6x
     "q176_hits_scores" -> 24, // cosine edge list
     "q85_fuzzy_match" -> 24, // output itself quadratic under replicas (r14: 11.3-15.6)
-    "q87_setsim_join" -> 20, // linear under disjoint vocab (5.5 solo) but small-t1 sweep-noisy (13.1 at loadavg 7)
+    "q87_setsim_join" -> 16, // linear under disjoint vocab but small-t1 noisy; 10.5 solo post-regen r15 (was 5.5 solo / 13.1 at loadavg 7 pre-regen)
     "q133_label_propagation" -> 19, // cosine edge list (q262 is the banded form)
     "q186_pii_scan" -> 18, // regex scan, chars grow 13.6x
     "q151_kcore" -> 18, // cosine edge list (q267 is the banded form)
-    "q169_dbscan" -> 17, // cosine eps-neighborhood is all-pairs on the sample; 9.3 solo
-    "q26_correlated_agg" -> 15, // linear (8.1 solo); t1 ~0.5s so fixed overhead distorts the quotient
+    "q169_dbscan" -> 17, // cosine eps-neighborhood is all-pairs on the sample; 11.3 solo post-regen r15 (9.3 pre-regen)
+    "q26_correlated_agg" -> 12, // linear (7.8 solo post-regen r15, 8.1 pre-regen); t1 ~0.5s so fixed overhead distorts the quotient
     "q241_record_linkage" -> 7, // r14 derived blocking passes (3.1-4.3 measured)
     "q244_em_linkage" -> 5) // r14 algebraic pattern counts (2.1 measured)
 
