@@ -100,10 +100,17 @@ object ScaleCert {
     *
     * r15 re-base: the 2026-08-16 fixture regeneration shifted several
     * data-dependent workloads with no code change (the r14 verdict's
-    * item 3), so the five noisiest ceilings were re-measured SOLO on the
-    * regenerated fixtures and re-based at ~1.5× the new honest reading
-    * (per-row citations below) — q122 58→30, q128 48→29, q87 20→16,
-    * q26 15→12, q169 kept at 17.
+    * item 3), so the noisiest ceilings were re-measured on the
+    * regenerated fixtures — SOLO first, then cross-checked by the full
+    * idle-box sweep. The sweep settled an open adjudication question:
+    * the 2× t1 swings on sub-second queries (q122 1.25-2.46s, q128
+    * 0.42-0.83s) reproduce on an IDLE box — they are serial-sweep
+    * cache/JIT position effects, not external contention — while the tk
+    * numerators stay stable, so the honest ratio for those rows is a
+    * BAND, and the ceiling sits at 1.5× the band top (q122 56, q128 57,
+    * q87 23, q26 16), not 1.5× one lucky solo quotient. q191/q243
+    * gained entries when the regen+code changes dropped their t1 and
+    * surfaced ratios the default ceiling had been masking.
     *
     * Calibration note (r14 full sweep): ceilings must absorb
     * SERIAL-SWEEP noise, not just the solo reading — a small-t1 query's
@@ -120,20 +127,22 @@ object ScaleCert {
     "q52_embedding_neardup" -> 95, // threshold-cosine all-pairs on the sample
     "q161_containment_pairs" -> 75, // closed-vocabulary containment blocks
     "q46_ngram_jaccard" -> 72, // brute-force verification baseline
-    "q122_pagerank_centrality" -> 30, // cosine edge list, ~104x edges (q261 is the banded form); 19.8 solo post-regen r15 (was 23.9 solo / 38.6 contended-sweep pre-regen)
+    "q122_pagerank_centrality" -> 56, // cosine edge list, ~104x edges (q261 is the banded form); tk stable ~47 but t1 swings 1.25 (idle sweep) - 2.46 (solo) -> honest ratio band 19.8-37.1 post-regen; ceiling 1.5x the band top
     "q117_triangle_count" -> 52, // cosine edge list grows ~104x (q266 is the banded form)
     "q121_semantic_dedup" -> 48, // all-pairs semantic compare on the sample
-    "q128_contrastive_pairs" -> 29, // in-class hardest-positive search; 19.5 solo post-regen r15 (was 15.0 solo / 31.6 contended-sweep pre-regen)
+    "q128_contrastive_pairs" -> 57, // in-class hardest-positive search (q265 is the banded form); tk stable ~16 but t1 swings 0.42-0.83 -> honest ratio band 19.5-37.8 post-regen; ceiling 1.5x the band top
     "q175_bfs_distance" -> 34, // cosine edge list
     "q49_rolling_fingerprint" -> 24, // char-bound linear, chars grow 13.6x
     "q176_hits_scores" -> 24, // cosine edge list
     "q85_fuzzy_match" -> 24, // output itself quadratic under replicas (r14: 11.3-15.6)
-    "q87_setsim_join" -> 16, // linear under disjoint vocab but small-t1 noisy; 10.5 solo post-regen r15 (was 5.5 solo / 13.1 at loadavg 7 pre-regen)
+    "q87_setsim_join" -> 23, // linear under disjoint vocab but small-t1 noisy; post-regen honest band 10.5 solo - 15.3 idle sweep (t1 swings ~1.3-2.0s); ceiling 1.5x the band top
     "q133_label_propagation" -> 19, // cosine edge list (q262 is the banded form)
     "q186_pii_scan" -> 18, // regex scan, chars grow 13.6x
+    "q191_image_resize" -> 17, // pixel-bound linear (decode + box filter + re-encode per doc); post-regen t1 fell 3.9->1.4-1.8 so the honest ratio surfaced at 11.1 (was masked under the default ceiling by a contended t1)
+    "q243_triangle_count" -> 15, // degree-ordered wedges are O(m^1.5) in the 10x-denser co-purchase graph; 5.5 solo / 10.3 sweep post-regen
     "q151_kcore" -> 18, // cosine edge list (q267 is the banded form)
     "q169_dbscan" -> 17, // cosine eps-neighborhood is all-pairs on the sample; 11.3 solo post-regen r15 (9.3 pre-regen)
-    "q26_correlated_agg" -> 12, // linear (7.8 solo post-regen r15, 8.1 pre-regen); t1 ~0.5s so fixed overhead distorts the quotient
+    "q26_correlated_agg" -> 16, // linear; t1 ~0.5s so fixed overhead distorts the quotient; post-regen honest band 7.8 solo - 11.0 idle sweep; ceiling 1.5x the band top
     "q241_record_linkage" -> 7, // r14 derived blocking passes (3.1-4.3 measured)
     "q244_em_linkage" -> 5) // r14 algebraic pattern counts (2.1 measured)
 

@@ -779,23 +779,34 @@ object PipelineQueries {
       .cast("long") + 1L).cast("double") / lit(1152921504606846976.0) // 2^60
     val z = log(u) / col("n_chars").cast("double") * 1e8 + 0.5
     val keyg = floor(z).cast("long")
-    // loud boundary guard (the SuffixRanks alphabet-guard pattern):
+    // Loud boundary guard (the SuffixRanks alphabet-guard pattern):
     // ln() is NOT correctly rounded (JVM Math.log and DuckDB's libm may
-    // differ in the last ulp), so the 1e-8 snap could flip a key that
-    // lands exactly on a grid boundary — an intermittent oracle hash
-    // mismatch. The ulp error in z is ~1e-8 at these magnitudes; assert
-    // every key sits ≥ 1e-4 from its boundary (10⁴× margin) so a corpus
-    // that violates the assumption fails HERE, loudly, instead
-    // (review finding, r14).
-    val frac = z - floor(z)
-    val margin = docs.select(min(least(frac, lit(1.0) - frac))).head.getDouble(0)
-    require(margin > 1e-4,
-      f"a weighted-sample key sits $margin%.2e from its 1e-8 snap boundary — " +
-        "cross-engine ln() ulp could flip it; regenerate or widen the grid")
+    // differ in the last ulp), so the 1e-8-unit snap could flip a key
+    // sitting within ~1e-8 grid units of its floor boundary — an
+    // intermittent oracle hash mismatch (review finding, r14). SCOPE
+    // (r15, caught by the full 10× cert): the min margin over ALL keys
+    // shrinks like 1/n with corpus size, so the original whole-corpus
+    // require was guaranteed to fire on any large corpus while guarding
+    // mostly keys that cannot change the answer. Only keys that can
+    // affect the per-source top-k are checked instead: a ±1 flip
+    // changes the output iff the key's keyg lands at or above
+    // (rank-k keyg − 1), so that set — O(k · |sources|), independent of
+    // corpus size — is exactly the guard's scope. Sources with fewer
+    // than `perSource` rows have every row output and every row checked.
+    val keyed = docs.select(col("source"), col("doc_id"), col("n_chars"),
+      keyg.as("keyg"), (z - floor(z)).as("frac"))
     val w = Window.partitionBy("source").orderBy(col("keyg").desc, col("doc_id").asc)
-    docs.select(col("source"), col("doc_id"), col("n_chars"), keyg.as("keyg"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= perSource)
+    val ranked = keyed.withColumn("rank", row_number().over(w))
+    val kgB = ranked.filter(col("rank") === perSource)
+      .select(col("source"), col("keyg").as("kg_b"))
+    val m = ranked.join(broadcast(kgB), Seq("source"), "left")
+      .filter(col("keyg") >= coalesce(col("kg_b"), lit(Long.MinValue + 1)) - 1)
+      .agg(min(least(col("frac"), lit(1.0) - col("frac")))).head
+    val margin = if (m.isNullAt(0)) 1.0 else m.getDouble(0)
+    require(margin > 1e-4,
+      f"a top-k-adjacent weighted-sample key sits $margin%.2e from its 1e-8 snap " +
+        "boundary — cross-engine ln() ulp could flip it; regenerate or widen the grid")
+    ranked.filter(col("rank") <= perSource)
       .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
       .orderBy("source", "rank")
   }
