@@ -21,9 +21,15 @@ class SmapeEvaluator(override val uid: String) extends Evaluator {
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
 
-  override def evaluate(ds: Dataset[_]): Double =
-    ds.select(Metrics.smape(col($(labelCol)), col($(predictionCol))).cast("double"))
-      .head().getDouble(0)
+  override def evaluate(ds: Dataset[_]): Double = {
+    val r = ds.select(Metrics.smape(col($(labelCol)), col($(predictionCol))).cast("double"))
+      .head()
+    // an empty validation slice aggregates to NULL — fail with a message
+    // instead of an opaque NPE deep inside a CV sweep (review finding, r15)
+    require(!r.isNullAt(0),
+      "SMAPE over zero rows — the evaluation dataset is empty (check the fold split)")
+    r.getDouble(0)
+  }
 
   override def isLargerBetter: Boolean = false
   override def copy(extra: ParamMap): SmapeEvaluator = defaultCopy(extra)

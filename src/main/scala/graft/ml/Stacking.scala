@@ -54,10 +54,20 @@ object Stacking {
     } yield (s"${l1name}_$l2name",
       bh0.copy(gbtMaxIter = iter, gbtMaxDepth = depth, gbtStepSize = step))
 
-  /** Equal-width date boundaries between lo/hi for k rolling-origin folds. */
+  /** Rolling-origin VALIDATION fold boundaries: the date span splits
+    * into k equal slices and every slice except the FIRST becomes a
+    * validation fold (k − 1 folds returned — the first slice exists
+    * only as training prefix; a fold with an empty training side would
+    * be unusable). Callers sizing OOF coverage should count on k − 1
+    * validation ranges (review finding, r15: the old doc promised "k
+    * folds" and k = 1 crashed downstream on an empty reduce).
+    */
   def timeFolds(df: DataFrame, dateCol: String, k: Int): Seq[(String, String)] = {
-    val Seq(lo, hi) = df.agg(min(to_date(col(dateCol))).cast("string"),
-      max(to_date(col(dateCol))).cast("string")).head().toSeq.map(_.toString)
+    require(k >= 2, s"rolling-origin folds need k >= 2 (k slices = k-1 validation folds), got $k")
+    val head = df.agg(min(to_date(col(dateCol))).cast("string"),
+      max(to_date(col(dateCol))).cast("string")).head()
+    require(!head.isNullAt(0), s"timeFolds over an empty frame (no $dateCol values)")
+    val Seq(lo, hi) = head.toSeq.map(_.toString)
     val (d0, d1) = (java.time.LocalDate.parse(lo), java.time.LocalDate.parse(hi))
     val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
     (1 until k).map { i =>

@@ -352,7 +352,12 @@ object Multimodal {
       var i = 0
       while (bb.remaining >= 4) {
         val len = bb.getInt
-        if (i % everyK == 0) out += ((i, len, bb.get(bb.position()) & 0xff))
+        // zero-length frames are legal in the container (encode() writes
+        // them); reading "the first byte" of one would either read the
+        // NEXT frame's length prefix mid-stream or run past the buffer
+        // on a final frame (review finding, r15) — report -1 instead
+        if (i % everyK == 0)
+          out += ((i, len, if (len == 0) -1 else bb.get(bb.position()) & 0xff))
         bb.position(bb.position() + len)
         i += 1
       }
@@ -440,7 +445,11 @@ object Multimodal {
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>
-        val sr = 8000 * (1 + (id % 3)).toInt
+        // sample rate varies over {8k, 16k, 24k} by id % 9 — the audio
+        // docs all have id % 3 == 1, so an id % 3 modulus was CONSTANT
+        // (16000 for every doc; review finding, r15 — dead variation).
+        // id % 9 ∈ {1, 4, 7} on this subset → three real rates.
+        val sr = 8000 * (1 + ((id % 9) / 3)).toInt
         val n = 64 + (nChars % 128).toInt
         val samples = Array.tabulate(n)(i => ((id * 37 + i * 17) % 2048 - 1024).toShort)
         (id, AudioCodec.encodeWav(sr, samples))

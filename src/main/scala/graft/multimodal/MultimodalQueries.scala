@@ -104,7 +104,7 @@ object MultimodalQueries {
         SELECT doc_id, unnest(range(0, 64 + n_chars % 128)) AS i
         FROM documents WHERE doc_id % 3 = 1)
       SELECT doc_id,
-        CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        CAST(8000 * (1 + (doc_id % 9) // 3) AS INT) AS sample_rate,
         CAST(count(*) AS INT) AS n_samples,
         floor(sqrt(CAST(sum(((doc_id * 37 + i * 17) % 2048 - 1024) * ((doc_id * 37 + i * 17) % 2048 - 1024)) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS rms
       FROM samp GROUP BY doc_id ORDER BY doc_id"""))

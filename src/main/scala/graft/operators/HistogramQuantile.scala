@@ -59,8 +59,18 @@ object HistogramQuantile {
   def quantiles(df: DataFrame, groupCol: String, valueCol: String,
                 nBins: Int, ps: Seq[Double]): DataFrame = {
     val v = col(valueCol).cast("double")
-    val bounds = df.agg(min(v).as("lo"), max(v).as("hi"))
-    val counts = binCounts(df, groupCol, valueCol, nBins, bounds)
+    // 1-row frame, but its subtree is a full corpus min/max scan and it
+    // is consumed by binCounts AND every per-p branch — cache it too
+    val bounds = df.agg(min(v).as("lo"), max(v).as("hi")).cache()
+    bounds.count()
+    // cache + eager: the per-p branches below each reference the cdf —
+    // uncached, EVERY requested percentile re-runs the corpus histogram
+    // aggregation (plus the bounds scan embedded via the crossJoin) for
+    // a frame of only |groups|×nBins rows (review finding, r15; the
+    // exact side below was already collapsed to one pass, the sketch
+    // side paid p passes). The ≤ sketch-sized cache needs no unpersist.
+    val counts = binCounts(df, groupCol, valueCol, nBins, bounds).cache()
+    counts.count()
     val wcum = Window.partitionBy("g").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, 0)
     val cdf = counts

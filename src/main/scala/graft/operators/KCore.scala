@@ -35,7 +35,18 @@ object KCore {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     require(rounds >= 1, s"k-core needs at least one round, got $rounds")
     var live = nodes.select(col("vec_id")).localCheckpoint(true)
-    var liveEdges = edges.select(col("u"), col("v")).localCheckpoint(true)
+    // restrict to edges with BOTH endpoints in the node set (review
+    // finding, r15): an edge frame drawn from a superset of `nodes`
+    // would otherwise inflate round-1 degrees with out-of-set
+    // neighbors — surviving a peel the documented semantics (and the
+    // oracle, which filters deg1 by live0 on both ends) say should
+    // happen. Two semi joins once at init; all current callers already
+    // pass in-set edges, so their outputs are unchanged.
+    var liveEdges = edges.select(col("u"), col("v"))
+      .join(live.select(col("vec_id").as("u")), "u")
+      .join(live.select(col("vec_id").as("v")), "v")
+      .select(col("u"), col("v"))
+      .localCheckpoint(true)
     var peeled: DataFrame = null
     for (r <- 1 to rounds) {
       val deg = liveEdges.groupBy("u").agg(count(lit(1)).as("deg"))

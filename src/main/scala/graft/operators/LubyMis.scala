@@ -49,11 +49,21 @@ object LubyMis {
     // the tieless-priority precondition (see the class doc): ids whose
     // spread reaches the modulus could collide in p_r. One tiny agg over
     // the node frame — negligible next to the rounds it protects.
+    // MAGNITUDE bound too (review finding, r15): 48271·(id+1) must stay
+    // inside Long — at |id| ≥ ~1.9e14 it overflows, which throws under
+    // ANSI mode and silently diverges from the oracle's INT128 without
+    // it. Snowflake-style 64-bit ids need remapping BEFORE this
+    // operator, and the guard says so loudly instead of wrapping.
+    val MaxAbsId = Long.MaxValue / 48271L - 2L
     val mm = nodes.agg(min("vec_id"), max("vec_id")).head()
-    if (!mm.isNullAt(0))
+    if (!mm.isNullAt(0)) {
       require(mm.getLong(1) - mm.getLong(0) < Mod,
         s"Luby MIS priorities need the node-id spread below $Mod " +
           s"(got [${mm.getLong(0)}, ${mm.getLong(1)}]); remap ids first")
+      require(math.abs(mm.getLong(0)) <= MaxAbsId && math.abs(mm.getLong(1)) <= MaxAbsId,
+        s"Luby MIS priorities overflow Long past |id| ≈ $MaxAbsId " +
+          s"(got [${mm.getLong(0)}, ${mm.getLong(1)}]); remap ids first")
+    }
     val e = edges.select(col("u"), col("v")).cache()
     var active = nodes.select(col("vec_id")).cache()
     var decided: DataFrame = null

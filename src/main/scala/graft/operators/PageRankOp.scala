@@ -42,6 +42,15 @@ object PageRankOp {
     * gate would surface loudly if it ever fired. Round CTEs are
     * MATERIALIZED — DuckDB re-evaluates multiply-referenced plain CTEs
     * (NOTES invariant 12).
+    *
+    * SYMMETRIC edge sets only (review finding, r15): on a directed
+    * graph this twin and `ranks` keep DIFFERENT node sets — `ranks`
+    * carries every out-degree node through each round (coalesce(c, 0)),
+    * while the pr_i CTE keeps only nodes reachable as e.v from the
+    * previous round, so a source-only node's contributions vanish from
+    * round 2 and sink-only nodes appear on one side only. Both current
+    * consumers (q122, q261) symmetrize; a future directed-graph query
+    * must NOT splice this generator without reworking both sides.
     */
   def oracleRoundCtes(rounds: Int, idCol: String): String = {
     val iters = (1 to rounds).map { i =>

@@ -11,12 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Up to n rows per group, chosen by rand(seed) with a deterministic
-    * tie-break.
+  /** Up to n rows per group, chosen by a seeded CONTENT hash with a
+    * deterministic tie-break. The hash is keyed on the row's columns —
+    * not `rand(seed)`, which Spark seeds per PARTITION INDEX, so the
+    * "reproducible" sample would silently change with partition layout
+    * (parallelism, upstream repartition — review finding, r15; the same
+    * instability hashSplit's doc calls out). Content hashing is stable
+    * under reruns, repartitioning, and engine versions; duplicate rows
+    * tie and fall to `tieBreak` (or an arbitrary-but-harmless pick —
+    * fully-equal rows are interchangeable).
     */
   def perGroup(df: DataFrame, groupCols: Seq[String], n: Int,
                seed: Long = 42L, tieBreak: Seq[String] = Nil): DataFrame = {
-    val order: Seq[Column] = rand(seed) +: tieBreak.map(col)
+    val h = xxhash64((lit(seed) +: df.columns.toSeq.map(col)): _*)
+    val order: Seq[Column] = h +: tieBreak.map(col)
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)

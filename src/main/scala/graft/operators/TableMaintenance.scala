@@ -551,22 +551,29 @@ object TableMaintenance {
           sum(CAST(w*c*c AS DECIMAL(38,0))) AS sc2
         FROM l GROUP BY 1, 2),
       stats AS (
+        -- m < 1 / m < 2 guards MIRROR the engine's degenerate-sample
+        -- policy (review finding, r15: unguarded, a 1-row sample read
+        -- NULL on the Spark side and 0/0 = NaN here — a latent
+        -- divergence the pinned q185 params never exercise)
         SELECT l_returnflag, l_linestatus, m,
-          floor(CAST(sc AS DOUBLE)/(CAST(m AS DOUBLE)*100.0)*1e4 + 0.5)/1e4 AS mean_est,
+          CASE WHEN m >= 1 THEN
+            floor(CAST(sc AS DOUBLE)/(CAST(m AS DOUBLE)*100.0)*1e4 + 0.5)/1e4 END AS mean_est,
           floor(CAST(s_true AS DOUBLE)/(CAST(m_true AS DOUBLE)*100.0)*1e4 + 0.5)/1e4 AS mean_true,
-          floor(1.96 * sqrt((CAST(sc2 AS DOUBLE)
-              - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/CAST(m AS DOUBLE))
-              / CAST(m - 1 AS DOUBLE))
-            / (100.0 * sqrt(CAST(m AS DOUBLE))) * 1e4 + 0.5)/1e4 AS hw
+          CASE WHEN m >= 2 THEN
+            floor(1.96 * sqrt((CAST(sc2 AS DOUBLE)
+                - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/CAST(m AS DOUBLE))
+                / CAST(m - 1 AS DOUBLE))
+              / (100.0 * sqrt(CAST(m AS DOUBLE))) * 1e4 + 0.5)/1e4 END AS hw
         FROM agg)
       SELECT l_returnflag, l_linestatus,
         CAST(m AS BIGINT) AS m_sample, mean_est, hw,
-        floor(hw/mean_est*1e6 + 0.5)/1e6 AS rel_hw,
-        CAST(CASE WHEN floor(hw/mean_est*1e6 + 0.5)/1e6 <= 0.01 THEN 1 ELSE 0 END AS INTEGER)
-          AS met_target,
+        CASE WHEN m >= 2 THEN floor(hw/mean_est*1e6 + 0.5)/1e6 END AS rel_hw,
+        CAST(CASE WHEN m >= 2 AND floor(hw/mean_est*1e6 + 0.5)/1e6 <= 0.01
+          THEN 1 ELSE 0 END AS INTEGER) AS met_target,
         mean_true,
-        floor(abs(mean_est - mean_true)/mean_true*1e6 + 0.5)/1e6 AS rel_err,
-        CAST(CASE WHEN mean_true >= mean_est - hw AND mean_true <= mean_est + hw
+        CASE WHEN m >= 1 THEN
+          floor(abs(mean_est - mean_true)/mean_true*1e6 + 0.5)/1e6 END AS rel_err,
+        CAST(CASE WHEN m >= 2 AND mean_true >= mean_est - hw AND mean_true <= mean_est + hw
           THEN 1 ELSE 0 END AS INTEGER) AS covered
       FROM stats
       ORDER BY l_returnflag, l_linestatus"""))

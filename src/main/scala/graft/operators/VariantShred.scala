@@ -51,8 +51,13 @@ object VariantShred {
       val lines = l.groupBy(col("l_orderkey")).agg(
         sort_array(collect_list(struct(
           col("l_linenumber").as("ln"),
-          col("l_quantity").cast("long").as("qty"),
-          round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"),
+          // floor(x + 0.5) / floor(x*100 + 0.5): the house cross-engine
+          // idiom — Spark round() (BigDecimal HALF_UP on the shortest
+          // repr) vs DuckDB round(), and truncating vs rounding casts,
+          // can disagree off the fixture's exact grids (review finding,
+          // r15); identical values on the current fixtures
+          floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_cents"),
           col("l_returnflag").as("rf")))).as("lines"))
       val o = Tables.orders(s, dir)
       val doc = o.join(lines, col("o_orderkey") === col("l_orderkey"))
@@ -89,12 +94,12 @@ object VariantShred {
     },
     Some("""WITH ln AS (
         SELECT l_orderkey,
-               CAST(l_quantity AS BIGINT) AS qty,
-               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
                row_number() OVER (PARTITION BY l_orderkey
                                   ORDER BY l_linenumber,
                                            CAST(l_quantity AS BIGINT),
-                                           CAST(round(l_extendedprice * 100, 0) AS BIGINT),
+                                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
                                            l_returnflag) AS rn,
                count(*) OVER (PARTITION BY l_orderkey) AS n_lines,
                CAST(sum(l_quantity) OVER (PARTITION BY l_orderkey) AS BIGINT)

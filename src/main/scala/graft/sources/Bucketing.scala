@@ -21,8 +21,12 @@ object Bucketing {
   }
 
   /** True if the physical plan of `df` contains no shuffle exchange —
-    * the property co-bucketed joins buy.
+    * the property co-bucketed joins buy. ANY non-broadcast Exchange
+    * counts (hash, range, single-partition): the original
+    * hash-only grep would have certified a plan with a range or
+    * singleton shuffle as "shuffle-free" (review finding, r15).
     */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    !df.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
 }

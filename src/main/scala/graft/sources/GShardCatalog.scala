@@ -71,7 +71,15 @@ class GShardCatalog extends TableCatalog
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array.empty
   override def functionExists(ident: Identifier): Boolean =
-    ShardFn.findFirstIn(ident.name()).isDefined
+    // anchored like loadFunction's pattern-match — findFirstIn accepted
+    // any name merely CONTAINING shard_<n>_<n> (e.g. shard_1_2_3),
+    // which loadFunction then rejected with a raw NoSuchElementException
+    // instead of the analyzer's clean unresolved-function path (review
+    // finding, r15)
+    ident.name() match {
+      case ShardFn(_, _) => true
+      case _ => false
+    }
 }
 
 object GShardCatalog {

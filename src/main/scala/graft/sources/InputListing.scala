@@ -36,7 +36,12 @@ object InputListing {
   }
 
   /** Recursive walk (the literal os.walk shape): every file under `dir`,
-    * depth-first, name-sorted.
+    * returned FULL-PATH-sorted — the final global sortBy(path) is what
+    * makes the listing deterministic (fs.listStatus order is
+    * filesystem-dependent); the depth-first traversal order does not
+    * survive it, and "name-sorted" would differ from path-sorted when
+    * sibling directory names interleave (review finding, r15: the doc
+    * used to promise name order).
     */
   def walk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -145,6 +145,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GVID zero-length frames sample as first_byte -1, mid-stream and final (review finding, r15)") {
+    // a zero-length frame used to read the NEXT frame's length prefix
+    // (mid-stream) or run past the buffer (final frame)
+    val frames = Seq(Array.empty[Byte], Array[Byte](7, 8), Array.empty[Byte])
+    val bytes = Multimodal.VideoCodec.encode(16, 12, frames)
+    val (_, _, nf, all) = Multimodal.VideoCodec.sampleFrames(bytes, everyK = 1)
+    assert(nf == 3)
+    assert(all == Seq((0, 0, -1), (1, 2, 7), (2, 0, -1)))
+  }
+
   test("frame sampling only emits video rows at the sampled grain") {
     val frames = Multimodal.sampleFrames(spark, media, everyK = 30)
     val perDoc = frames.groupBy("doc_id").count()
