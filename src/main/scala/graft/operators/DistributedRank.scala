@@ -208,8 +208,14 @@ object DistributedRank {
     // and the one-exchange contract silently breaks. Refuse loudly; the
     // house style snaps floating quantities to decimal/long grids before
     // ranking anyway (Metrics.canonRound).
+    // case-INSENSITIVE name match (follow-up review finding, r15): the
+    // analyzer resolves the keys case-insensitively by default, so a
+    // case-sensitive guard could be bypassed by "PRICE" vs "price" and
+    // the silent second exchange would plan after all. Under a
+    // case-sensitive session this over-matches — refusing too much is
+    // the safe direction here.
     val floatKeys = df.schema.fields
-      .filter(f => keys.contains(f.name))
+      .filter(f => keys.exists(_.equalsIgnoreCase(f.name)))
       .filter(f => f.dataType == org.apache.spark.sql.types.DoubleType ||
         f.dataType == org.apache.spark.sql.types.FloatType)
     require(floatKeys.isEmpty,

@@ -40,11 +40,14 @@ object KCore {
     // would otherwise inflate round-1 degrees with out-of-set
     // neighbors — surviving a peel the documented semantics (and the
     // oracle, which filters deg1 by live0 on both ends) say should
-    // happen. Two semi joins once at init; all current callers already
-    // pass in-set edges, so their outputs are unchanged.
+    // happen. LEFT SEMI joins specifically (follow-up review finding):
+    // an inner join against a node frame holding duplicate vec_ids
+    // would MULTIPLY the incident edges and inflate degrees the other
+    // way. All current callers pass in-set, duplicate-free inputs, so
+    // outputs are unchanged.
     var liveEdges = edges.select(col("u"), col("v"))
-      .join(live.select(col("vec_id").as("u")), "u")
-      .join(live.select(col("vec_id").as("v")), "v")
+      .join(live.select(col("vec_id").as("u")), Seq("u"), "left_semi")
+      .join(live.select(col("vec_id").as("v")), Seq("v"), "left_semi")
       .select(col("u"), col("v"))
       .localCheckpoint(true)
     var peeled: DataFrame = null
@@ -59,9 +62,12 @@ object KCore {
       peeled = if (peeled == null) peelR else peeled.unionByName(peelR)
       live = live.join(peelR.select("vec_id"), Seq("vec_id"), "left_anti")
         .localCheckpoint(true)
+      // left_semi for the same duplicate-proofing reason as the init
+      // filter above (and it is the cheaper plan: no output columns
+      // from the build side)
       liveEdges = liveEdges
-        .join(live.select(col("vec_id").as("u")), "u")
-        .join(live.select(col("vec_id").as("v")), "v")
+        .join(live.select(col("vec_id").as("u")), Seq("u"), "left_semi")
+        .join(live.select(col("vec_id").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint(true)
     }

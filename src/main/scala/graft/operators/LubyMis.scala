@@ -49,12 +49,15 @@ object LubyMis {
     // the tieless-priority precondition (see the class doc): ids whose
     // spread reaches the modulus could collide in p_r. One tiny agg over
     // the node frame — negligible next to the rounds it protects.
-    // MAGNITUDE bound too (review finding, r15): 48271·(id+1) must stay
-    // inside Long — at |id| ≥ ~1.9e14 it overflows, which throws under
-    // ANSI mode and silently diverges from the oracle's INT128 without
-    // it. Snowflake-style 64-bit ids need remapping BEFORE this
-    // operator, and the guard says so loudly instead of wrapping.
-    val MaxAbsId = Long.MaxValue / 48271L - 2L
+    // MAGNITUDE bound too (review finding, r15): 48271·(id+1) + 16807·r
+    // must stay inside Long — at |id| ≥ ~1.9e14 it overflows, which
+    // throws under ANSI mode and silently diverges from the oracle's
+    // INT128 without it. The bound subtracts the worst-round addend
+    // (a follow-up review computed that Long.MaxValue % 48271 leaves
+    // only 46461 of headroom — less than 16807·6 — so the addend is NOT
+    // absorbed by the division's slack). Snowflake-style 64-bit ids
+    // need remapping BEFORE this operator; the guard says so loudly.
+    val MaxAbsId = (Long.MaxValue - 16807L * rounds) / 48271L - 2L
     val mm = nodes.agg(min("vec_id"), max("vec_id")).head()
     if (!mm.isNullAt(0)) {
       require(mm.getLong(1) - mm.getLong(0) < Mod,

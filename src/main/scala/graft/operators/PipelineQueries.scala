@@ -796,7 +796,11 @@ object PipelineQueries {
     val keyed = docs.select(col("source"), col("doc_id"), col("n_chars"),
       keyg.as("keyg"), (z - floor(z)).as("frac"))
     val w = Window.partitionBy("source").orderBy(col("keyg").desc, col("doc_id").asc)
-    val ranked = keyed.withColumn("rank", row_number().over(w))
+    // cached: the windowed frame feeds THREE consumers (the kg_b
+    // broadcast build, the margin probe, and the returned sample) —
+    // uncached, each re-pays the full per-source shuffle + sort
+    // (follow-up review finding, r15; the capBuckets rule)
+    val ranked = keyed.withColumn("rank", row_number().over(w)).cache()
     val kgB = ranked.filter(col("rank") === perSource)
       .select(col("source"), col("keyg").as("kg_b"))
     val m = ranked.join(broadcast(kgB), Seq("source"), "left")

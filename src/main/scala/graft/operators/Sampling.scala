@@ -23,7 +23,20 @@ object Sampling {
     */
   def perGroup(df: DataFrame, groupCols: Seq[String], n: Int,
                seed: Long = 42L, tieBreak: Seq[String] = Nil): DataFrame = {
-    val h = xxhash64((lit(seed) +: df.columns.toSeq.map(col)): _*)
+    // MapType columns are not hashable in Spark (unordered) — leave them
+    // out of the draw key rather than failing analysis. Note the draw is
+    // keyed on row CONTENT: adding or dropping a (hashable) column
+    // changes which rows are sampled, by design — "same seed + same
+    // input" includes the schema (follow-up review finding, r15).
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType))
+      .map(f => col(f.name)).toSeq
+    val h = xxhash64((lit(seed) +: hashable): _*)
     val order: Seq[Column] = h +: tieBreak.map(col)
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))

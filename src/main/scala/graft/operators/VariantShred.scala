@@ -98,12 +98,12 @@ object VariantShred {
                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
                row_number() OVER (PARTITION BY l_orderkey
                                   ORDER BY l_linenumber,
-                                           CAST(l_quantity AS BIGINT),
+                                           CAST(floor(l_quantity + 0.5) AS BIGINT),
                                            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
                                            l_returnflag) AS rn,
                count(*) OVER (PARTITION BY l_orderkey) AS n_lines,
-               CAST(sum(l_quantity) OVER (PARTITION BY l_orderkey) AS BIGINT)
-                 AS order_qty
+               CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                 OVER (PARTITION BY l_orderkey) AS BIGINT) AS order_qty
         FROM lineitem),
       firsts AS (
         SELECT l_orderkey, qty AS first_qty, n_lines, order_qty
