@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object BaselineParity {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // decimal POINTS in every artifact (review finding, r15)
     val spark = Session.getOrCreate()
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -39,8 +40,11 @@ object BaselineParity {
       graft.ml.SalesFeatures.prepare(spark, sales))
     val train = prepared.filter(to_date(col("date")) <= lit("2018-06-30"))
       .coalesce(4).cache()
-    val valid = prepared.filter(to_date(col("date")) > lit("2018-06-30"))
-    train.count()
+    // cached like train: four smapeOf evaluations consume it, and each
+    // would otherwise re-run the synthetic generation + feature pipeline
+    // end to end (review finding, r15)
+    val valid = prepared.filter(to_date(col("date")) > lit("2018-06-30")).cache()
+    train.count(); valid.count()
     def smapeOf(scored: org.apache.spark.sql.DataFrame): Double =
       scored.select(graft.functions.Metrics.smape(col("num_sold"), col("prediction")).cast("double"))
         .head().getDouble(0)

@@ -41,12 +41,24 @@ object Bench {
     * implementation will over-retry for ONE sweep and then re-baseline
     * itself from that sweep's artifact.
     */
-  private[graft] def refSecFromDetail(path: String = "BENCH_DETAIL.json"): Map[String, Double] =
+  private[graft] def refSecFromDetail(path: String = "BENCH_DETAIL.json",
+      sfDir: String = ""): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
       import org.json4s._
       import org.json4s.jackson.JsonMethods
+      // a detail file from a DIFFERENT scale factor would feed ~10×-off
+      // medians into every retry threshold (review finding, r15): a
+      // quick sf0.01 local check would make the next sf0.1 sweep flag
+      // nearly the whole registry as suspects. Mismatch ⇒ no references
+      // (the DefaultMedianSec fallback, exactly like a fresh checkout).
+      val recordedSf = JsonMethods.parse(txt) \ "sf" match {
+        case JString(s) => s
+        case _ => ""
+      }
+      if (sfDir.nonEmpty && recordedSf.nonEmpty && recordedSf != sfDir)
+        return Map.empty
       JsonMethods.parse(txt) \ "attempts" match {
         case JObject(fields) =>
           fields.flatMap { case (name, arr) =>
@@ -64,7 +76,9 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
-  private[graft] lazy val refSec: Map[String, Double] = refSecFromDetail()
+  // bound late (main knows sfDir); kept as a def-through-var so
+  // RegistrySpec can still exercise refSecFromDetail directly
+  private[graft] var refSec: Map[String, Double] = Map.empty
 
   /** Queries without a recorded median are treated as ~this fast; most of
     * the registry runs in 0.3-1.5s at sf0.1.
@@ -92,7 +106,12 @@ object Bench {
     catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
+    // locale-sensitive f"" interpolation would emit decimal COMMAS on a
+    // non-English-locale JVM, corrupting every machine-parsed artifact
+    // (review finding, r15) — pin the root locale for all formatting
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    refSec = refSecFromDetail(sfDir = sfDir)
     // optional arg (local debugging only — the driver passes none):
     // comma-separated name substrings; only matching queries are timed.
     val only = args.lift(0).map(_.split(",").toSeq)

@@ -146,12 +146,30 @@ object ScaleCert {
     "q241_record_linkage" -> 7, // r14 derived blocking passes (3.1-4.3 measured)
     "q244_em_linkage" -> 5) // r14 algebraic pattern counts (2.1 measured)
 
-  /** Build (once) the K×-replicated fixture dir; returns its path. */
+  /** Build (once per fixture CONTENT) the K×-replicated fixture dir;
+    * returns its path. The reuse marker stores a fingerprint of the
+    * SOURCE fixture files (name:size:mtime per table) — a content-blind
+    * marker silently certified regenerated 1× fixtures against stale
+    * replicas of the OLD corpus, making every ratio cross-corpus
+    * garbage (review finding, r15; fixture regens between rounds are a
+    * known recurring event).
+    */
   def replicaDir(spark: SparkSession, sfDir: String, k: Int): String = {
     val name = new java.io.File(sfDir).getName
     val dest = s"/tmp/graft-scale-rep/$name-x$k"
     val marker = Paths.get(dest, "_GRAFT_REPLICA_OK")
-    if (Files.exists(marker)) return dest
+    val fingerprint = {
+      val files = new java.io.File(sfDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("\n")
+    }
+    if (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == fingerprint)
+      return dest
+    if (Files.exists(marker)) {
+      println(s"[scale] fixture fingerprint changed — rebuilding $dest")
+      Files.delete(marker) // a crash mid-rebuild must not leave a stale OK
+    }
     def load(t: String): DataFrame = spark.read.parquet(s"$sfDir/$t.parquet")
     // each table lands as ONE FILE named <t>.parquet, exactly the fixture
     // layout: the streaming harnesses symlink `<dir>/events.parquet` into
@@ -213,11 +231,12 @@ object ScaleCert {
         slice(col("embedding"), lit(1), col("__rep"))))
       .drop("__rep")
     save(em, "embeddings")
-    Files.createFile(marker)
+    Files.write(marker, fingerprint.getBytes("UTF-8"))
     dest
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // decimal POINTS in every artifact (review finding, r15)
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val outPath = args.lift(2).getOrElse("SCALE_r13.json")

@@ -19,6 +19,7 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // decimal POINTS in every artifact (review finding, r15)
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     // optional 3rd arg: comma-separated shape-name substrings — re-measure

@@ -7,6 +7,7 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // decimal POINTS in every artifact (review finding, r15)
     val sfDir = args(0)
     val outDir = args(1)
     // optional 3rd arg (local debugging only — the driver passes 2):

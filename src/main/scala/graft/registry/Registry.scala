@@ -62,7 +62,15 @@ object Registry {
     graft.operators.GraphOnDedup.all
   )
 
-  lazy val all: Seq[GQuery] = groups.flatten
+  lazy val all: Seq[GQuery] = {
+    val qs = groups.flatten
+    // a duplicate name would silently collapse in the toMap views below —
+    // one query vanishing from bench/verify/scale while every artifact
+    // claims coverage (review finding, r15); fail loudly instead
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate registry query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
