@@ -365,7 +365,16 @@ object ScaleCert {
     Files.write(Paths.get(outPath), out.getBytes("UTF-8"))
     println(s"[scale] wrote $outPath (${rows.size} queries)")
     // ceiling enforcement: a ratio past its adjudicated ceiling (or past
-    // the default adjudication boundary) fails the sweep loudly
+    // the default adjudication boundary) fails the sweep loudly.
+    // RATIO ceilings are calibrated at K=10 — every adjudication and
+    // every honest-band measurement behind RatioCeilings is a 10× reading
+    // — so at any other K (the K=30 spot-certs of r15 verdict item 3,
+    // which exist to MEASURE a second point on each curve, not to re-gate
+    // it) only the completed-both-sides gate applies and the ratios are
+    // recorded for the BENCH.md adjudication note.
+    val enforceRatios = k == 10
+    if (!enforceRatios)
+      println(s"[scale] k=$k != 10: ratio ceilings recorded, not enforced (completion still gates)")
     val violations = rows.flatMap { l =>
       val n = "\"name\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
       def num(k: String) =
@@ -377,7 +386,7 @@ object ScaleCert {
       // slip past it as ratio -1
       if (t1 <= 0 || tk <= 0)
         Some(f"$n did not complete both sides (t1=$t1%.2f, tk=$tk%.2f)")
-      else if (r > ceil) Some(f"$n ratio $r%.2f > ceiling $ceil%.1f")
+      else if (enforceRatios && r > ceil) Some(f"$n ratio $r%.2f > ceiling $ceil%.1f")
       else None
     }
     if (violations.nonEmpty) {

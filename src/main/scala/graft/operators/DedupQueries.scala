@@ -218,6 +218,35 @@ object DedupQueries {
       .select(col("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
+  /** The DuckDB CTEs replaying [[simhashSignaturesMd5]] verbatim —
+    * token explode, md5 60-bit hash, per-bit votes, bit assembly —
+    * generated ONCE and spliced into BOTH consumers (q214's banded pairs
+    * and q268's per-doc digest), the edgePipelineOracleCtes single-source
+    * discipline: twin oracles that cannot drift from each other.
+    */
+  private[operators] def simhashMd5OracleCtes: String = {
+    val votes = (0 until 60)
+      .map(j => s"sum(CASE WHEN (h1 >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n          ")
+    val bits = (0 until 60)
+      .map(j => s"CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+      .mkString(" +\n          ")
+    s"""toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+      h AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h1
+        FROM toks),
+      v AS (
+        SELECT doc_id,
+          $votes
+        FROM h GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id,
+          $bits AS sh
+        FROM v)"""
+  }
+
   /** SimHash near-dup twin (q48's banded pipeline on the md5-voted
     * signatures): 4 bands × 15 bits, bucket cap, Hamming ≤ 3 — by
     * pigeonhole any pair within Hamming 3 of a 60-bit signature agrees
@@ -247,26 +276,7 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
     Some {
-      val votes = (0 until 60)
-        .map(j => s"sum(CASE WHEN (h1 >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
-        .mkString(",\n          ")
-      val bits = (0 until 60)
-        .map(j => s"CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
-        .mkString(" +\n          ")
-      s"""WITH toks AS (
-        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-        FROM documents),
-      h AS (
-        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h1
-        FROM toks),
-      v AS (
-        SELECT doc_id,
-          $votes
-        FROM h GROUP BY doc_id),
-      sig AS (
-        SELECT doc_id,
-          $bits AS sh
-        FROM v),
+      s"""WITH $simhashMd5OracleCtes,
       bands AS (
         SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bh
         FROM sig, (SELECT unnest(range(0, 4)) AS b)),
@@ -282,6 +292,36 @@ object DedupQueries {
           ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)
       SELECT id_a, id_b, hamming FROM pairs
       WHERE hamming <= 3 ORDER BY id_a, id_b"""
+    })
+
+  /** Per-document SimHash DIGEST — the q56-vs-q47 relationship applied to
+    * the simhash family (r15 verdict item 6): q214 oracle-checks the
+    * PAIRS that survive banding, but a wrong signature that lands in no
+    * shared bucket could hide from a pair-level check; this query
+    * verifies EVERY document's md5-voted signature and its four 15-bit
+    * band keys row-for-row against DuckDB, so the full bit-vote →
+    * fingerprint → band-extraction pipeline is exact-replay-proven at
+    * the doc grain. q48 (the 64-bit xxhash64 production path) stays
+    * rows-only; this is its exact-replay sibling, and its oracle splices
+    * the SAME signature CTEs as q214's ([[simhashMd5OracleCtes]]) so the
+    * two can never drift. Scale shape: one row per document, one
+    * map-side-combined aggregation — strictly lighter than q214.
+    */
+  val q268 = GQuery(
+    "q268_simhash_digest",
+    (s, dir) => {
+      val sigs = simhashSignaturesMd5(Tables.documents(s, dir))
+      val bandCols = (0 until 4).map { b =>
+        shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL).as(s"bh$b")
+      }
+      sigs.select(Seq(col("doc_id"), col("sh")) ++ bandCols: _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val bands = (0 until 4).map(b => s"(sh >> ${b * 15}) & 32767 AS bh$b").mkString(", ")
+      s"""WITH $simhashMd5OracleCtes
+      SELECT doc_id, sh, $bands
+      FROM sig ORDER BY doc_id"""
     })
 
   /** Cross-engine-verifiable MinHash: ONE md5 per shingle split into two
@@ -1019,5 +1059,5 @@ object DedupQueries {
       s, dir, queryName = "stream_components_q227"),
     q83.oracle)
 
-  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142, q146, q211, q214, q215, q227)
+  def all: Seq[GQuery] = Seq(q47, q48, q56, q83, q99, q105, q140, q142, q146, q211, q214, q215, q227, q268)
 }

@@ -29,8 +29,16 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ChunksGenerator(child: Expression, winSize: Int, stride: Int)
     extends UnaryExpression with Generator with CodegenFallback {
 
-  require(winSize >= 1, s"graft_chunks needs size >= 1, got $winSize")
-  require(stride >= 1, s"graft_chunks needs stride >= 1, got $stride")
+  // classed AnalysisException for SQL-surface value errors, matching the
+  // arity/foldability/type errors GraftExtensions raises (r15 item 5)
+  private def outOfRange(name: String, v: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE",
+      messageParameters = Map(
+        "sqlExpr" -> "\"graft_chunks\"", "exprName" -> s"`$name`",
+        "valueRange" -> "[1, positive]", "currentValue" -> v.toString))
+  if (winSize < 1) outOfRange("size", winSize)
+  if (stride < 1) outOfRange("stride", stride)
 
   private val space = UTF8String.fromString(" ")
 

@@ -27,7 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShinglesGenerator(child: Expression, n: Int = 2)
     extends UnaryExpression with Generator with CodegenFallback {
 
-  require(n >= 2, s"graft_ngrams needs n >= 2, got $n")
+  // AnalysisException, not require (r15 verdict item 5): the n parameter
+  // arrives through the SQL surface (graft_ngrams(text, n)), and every
+  // sibling parameter error on that surface — arity, non-foldable,
+  // wrong-type (GraftExtensions) — raises a classed AnalysisException;
+  // an IllegalArgumentException here was the one inconsistent texture.
+  if (n < 2) throw new org.apache.spark.sql.AnalysisException(
+    errorClass = "DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE",
+    messageParameters = Map(
+      "sqlExpr" -> "\"graft_ngrams\"", "exprName" -> "`n`",
+      "valueRange" -> "[2, positive]", "currentValue" -> n.toString))
 
   private val space = UTF8String.fromString(" ")
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{ConnectedComponents, DedupQueries}
@@ -54,37 +54,13 @@ object GraphStreams {
       // write recomputes the banded join (racing-consumers rule)
       val edges = DedupQueries.dedupEdges(spark, dir).cache()
       edges.count()
-      val stage = TempDirs.create("graft_cc_stage_")
-      (0 until 3).foreach { i =>
-        edges.filter(pmod(xxhash64(col("u"), col("v")), lit(3)) === i)
-          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
-          // FILES, so a multi-part slice silently becomes many tiny
-          // micro-batches (q227 measured 24 batches / 23s of engine
-          // rounds for 3 intended slices before this)
-          .write.mode("overwrite").parquet(s"$stage/slice_$i")
-      }
+      val (stage, schema) = StreamHarness.stageSlices(
+        edges, pmod(xxhash64(col("u"), col("v")), lit(3)), 0 to 2, "graft_cc_stage_")
       edges.unpersist()
-      val stateBase = TempDirs.create("graft_cc_state_")
-      def statePath(v: Long) = s"$stateBase/v$v"
-      var version = -1L
-      var lastApplied = -1L
-      val schema = spark.read.parquet(s"$stage/slice_0").schema
-      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
-        if (id != lastApplied) {
-          val prev =
-            if (version < 0) None else Some(spark.read.parquet(statePath(version)))
-          mergeStep(prev, batch.toDF().select(col("u"), col("v")))
-            .write.mode("overwrite").parquet(statePath(version + 1))
-          version += 1
-          lastApplied = id
-        }
+      val state = StreamHarness.runVersionedMerge(spark, stage, schema,
+        "graft_cc_state_", queryName) { (prev, batch) =>
+        mergeStep(prev, batch.select(col("u"), col("v")))
       }
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$stage/slice_*")
-        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
-      try q.processAllAvailable() finally q.stop()
-      require(version >= 0, "stream produced no batches")
-      DedupQueries.clusterReport(spark, dir, spark.read.parquet(statePath(version)))
+      DedupQueries.clusterReport(spark, dir, state)
     }
 }

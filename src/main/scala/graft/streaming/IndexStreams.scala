@@ -95,16 +95,8 @@ object IndexStreams {
       baseBands.unpersist()
 
       // landing slices: two micro-batches of new documents
-      val stage = TempDirs.create("graft_mhidx_stage_")
-      Seq(1, 2).foreach { i =>
-        streamed.filter(col("doc_id") % 3 === i)
-          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
-          // FILES, so a multi-part slice silently becomes many tiny
-          // micro-batches (q227 measured 24 batches / 23s of engine
-          // rounds for 3 intended slices before this)
-          .write.mode("overwrite").parquet(s"$stage/slice_$i")
-      }
-      val schema = spark.read.parquet(s"$stage/slice_1").schema
+      val (stage, schema) = StreamHarness.stageSlices(
+        streamed, (col("doc_id") % 3).cast("int"), Seq(1, 2), "graft_mhidx_stage_")
 
       var version = 0L
       var lastApplied = -1L

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.BradleyTerry
@@ -29,39 +29,17 @@ object PreferenceStreams {
       // the judgment stream: generation happens batch-side (it needs
       // the adjacency window); what STREAMS is the per-event grain
       val comps = BradleyTerry.comparisonRows(docs)
-      val stage = TempDirs.create("graft_bt_stage_")
-      (0 until 3).foreach { i =>
-        comps.filter(pmod(col("doc_id"), lit(3)) === i)
-          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds
-          // part FILES, so a multi-part slice silently becomes many
-          // tiny micro-batches (the q227 lesson)
-          .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      val (stage, schema) = StreamHarness.stageSlices(
+        comps, pmod(col("doc_id"), lit(3)), 0 to 2, "graft_bt_stage_")
+      val state = StreamHarness.runVersionedMerge(spark, stage, schema,
+        "graft_bt_state_", queryName) { (prev, batch) =>
+        // delta reduced to its own matrix BEFORE the merge: the
+        // state write is always ≤ k² + k² rows, never event-sized
+        val delta = BradleyTerry.matrixFrom(batch)
+        prev.map(_.unionByName(delta)).getOrElse(delta)
+          .groupBy("lo", "hi")
+          .agg(sum("n").as("n"), sum("wlo").as("wlo"))
       }
-      val stateBase = TempDirs.create("graft_bt_state_")
-      def statePath(v: Long) = s"$stateBase/v$v"
-      var version = -1L
-      var lastApplied = -1L
-      val schema = spark.read.parquet(s"$stage/slice_0").schema
-      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
-        if (id != lastApplied) {
-          // delta reduced to its own matrix BEFORE the merge: the
-          // state write is always ≤ k² + k² rows, never event-sized
-          val delta = BradleyTerry.matrixFrom(batch.toDF())
-          val merged = (if (version < 0) delta
-            else spark.read.parquet(statePath(version)).unionByName(delta))
-            .groupBy("lo", "hi")
-            .agg(sum("n").as("n"), sum("wlo").as("wlo"))
-          merged.write.mode("overwrite").parquet(statePath(version + 1))
-          version += 1
-          lastApplied = id
-        }
-      }
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$stage/slice_*")
-        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
-      try q.processAllAvailable() finally q.stop()
-      require(version >= 0, "stream produced no batches")
-      BradleyTerry.rankingFromMatrix(spark, spark.read.parquet(statePath(version)))
+      BradleyTerry.rankingFromMatrix(spark, state)
     }
 }

@@ -64,15 +64,11 @@ object ProfileStreams {
         val horizonUs = spanUs + 86400L * 1000000L
         val hbDays = spanUs / (86400L * 1000000L) + 2
 
-        // time-ordered terciles (q252's slicing contract)
-        val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
-        val sliced = batchEvents.withColumn("slice", ntile(3).over(w))
-        val stage = TempDirs.create("graft_twsprofile_stage_")
-        (1 to 3).foreach { i =>
-          sliced.filter(col("slice") === i).drop("slice")
-            .coalesce(1).write.mode("overwrite").parquet(s"$stage/slice_$i")
-        }
-        val schema = spark.read.parquet(s"$stage/slice_1").schema
+        // time-ordered terciles (q252's slicing contract), via
+        // DistributedRank.ntile — one range exchange, never the
+        // single-partition window sort (r15 verdict item 1)
+        val (stage, schema) = StreamHarness.stageTimeOrderedSlices(
+          batchEvents, Seq(col("ts"), col("event_id")), 3, "graft_twsprofile_stage_")
 
         class ProfileProcessor extends StatefulProcessor[Long, EventStreams.Event, ProfileOut] {
           @transient private var last: ValueState[Long] = _

@@ -53,10 +53,11 @@ import graft.registry.GQuery
   * Both reuse their originals' oracles VERBATIM: the upsert state is a
   * set property of the corpus (merge is associative/commutative), and
   * the session fold is slicing-independent as long as batches partition
-  * TIME in order — so the slices here are ntile(3) over (ts, event_id),
-  * written in arrival order (FileStreamSource schedules new files by
-  * modification time, and the append-ordered naming matches — the GShard
-  * streaming contract).
+  * TIME in order — so the slices here are the (ts, event_id) terciles,
+  * computed by DistributedRank.ntile (one range exchange — never the
+  * single-partition window sort) and published in arrival order
+  * (FileStreamSource schedules new files by modification time, and the
+  * append-ordered naming matches — the GShard streaming contract).
   *
   * The memory sink can't be used under a real restart (it is not
   * fault-tolerant); output goes through foreachBatch into per-batch-id
@@ -145,18 +146,24 @@ object RestartStreams {
         // TIME-ordered terciles: batches must partition time in order for
         // the per-user fold to see non-decreasing timestamps across the
         // restart boundary (arbitrary slices would be wrong REGARDLESS of
-        // restart — this is the fold's delivery contract, not a test prop)
-        val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
-        val sliced = graft.Tables.events(spark, dir)
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-          .withColumn("slice", ntile(3).over(w))
+        // restart — this is the fold's delivery contract, not a test prop).
+        // Routed through DistributedRank.ntile (r15 verdict item 1): the
+        // bare ntile(3).over(Window.orderBy(...)) this used to plan was a
+        // full-data Exchange SinglePartition sort — the exact idiom the
+        // rest of the library eliminated. All three terciles land in a
+        // PENDING dir up front; the incarnation schedule publishes them
+        // into the live source dir one by one (atomic directory rename),
+        // exactly the arrival pattern the original staggered writes drove.
+        val (pending, schema) = StreamHarness.stageTimeOrderedSlices(
+          graft.Tables.events(spark, dir)
+            .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value")),
+          Seq(col("ts"), col("event_id")), 3, "graft_twsrestart_pending_")
         val stage = TempDirs.create("graft_twsrestart_stage_")
         val ckpt = TempDirs.create("graft_twsrestart_ckpt_")
         val outDir = TempDirs.create("graft_twsrestart_out_")
-        def writeSlice(i: Int): Unit = sliced.filter(col("slice") === i).drop("slice")
-          .coalesce(1).write.mode("overwrite").parquet(s"$stage/slice_$i")
-        writeSlice(1)
-        val schema = spark.read.parquet(s"$stage/slice_1").schema
+        def publishSlice(i: Int): Unit =
+          Files.move(pending.resolve(s"slice_$i"), stage.resolve(s"slice_$i"))
+        publishSlice(1)
 
         class SessionProcessor extends StatefulProcessor[Long, Event, SessionOut] {
           @transient private var open: ValueState[SessionState] = _
@@ -165,24 +172,10 @@ object RestartStreams {
               "open", org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
           override def handleInputRows(userId: Long, rows: Iterator[Event],
                                        tv: TimerValues): Iterator[SessionOut] = {
-            val sorted = rows.toSeq.sortBy(e => (EventStreams.toMicros(e.ts), e.event_id))
-            var out = List.empty[SessionOut]
-            var cur: Option[SessionState] = if (open.exists()) Some(open.get()) else None
-            sorted.foreach { e =>
-              val t = EventStreams.toMicros(e.ts)
-              cur match {
-                case Some(ss) if t - ss.end > gapUs =>
-                  out ::= SessionOut(userId, EventStreams.fromMicros(ss.start),
-                    EventStreams.fromMicros(ss.end), ss.n)
-                  cur = Some(SessionState(t, t, 1))
-                case Some(ss) =>
-                  cur = Some(SessionState(ss.start, math.max(ss.end, t), ss.n + 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
+            val prev: Option[SessionState] = if (open.exists()) Some(open.get()) else None
+            val (out, cur) = EventStreams.foldSessions(userId, gapUs, rows, prev)
             cur.foreach(open.update)
-            out.reverseIterator
+            out
           }
         }
 
@@ -256,7 +249,7 @@ object RestartStreams {
           (rid, n.toLong, err)
         }
         val r1 = runOnce(-1, 0) // batch 0 (slice 1), graceful stop
-        writeSlice(2); writeSlice(3)
+        publishSlice(2); publishSlice(3)
         val r2 = runOnce(1, 1) // dies mid-batch 1: state committed, sink staged only
         val r3 = runOnce(2, 2) // replays b1 (state as of batch start), commits b2, dies pre-checkpoint
         val r4 = runOnce(-1, 0) // b2 redelivered -> ledger guard skips; drains
@@ -294,16 +287,20 @@ object RestartStreams {
     */
   def upsertRestart(spark: SparkSession, dir: String): CrashRun =
     EventStreams.withStreamShufflePartitions(spark) {
-      val events = graft.Tables.events(spark, dir)
-        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      // pmod slices, NOT time-ordered: the merge is associative and
+      // commutative, so this path owes its batches no ordering contract
+      // at all (contrast with twsRestart's tercile staging). All three
+      // slices land in a pending dir; the schedule publishes them.
+      val (pending, schema) = StreamHarness.stageSlices(
+        graft.Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value")),
+        pmod(col("event_id"), lit(3)), 0 to 2, "graft_upres_pending_")
       val stage = TempDirs.create("graft_upres_stage_")
       val ckpt = TempDirs.create("graft_upres_ckpt_")
       val stateBase = TempDirs.create("graft_upres_state_")
-      def writeSlice(i: Int): Unit =
-        events.filter(pmod(col("event_id"), lit(3)) === i)
-          .coalesce(1).write.mode("overwrite").parquet(s"$stage/slice_$i")
-      writeSlice(0)
-      val schema = spark.read.parquet(s"$stage/slice_0").schema
+      def publishSlice(i: Int): Unit =
+        Files.move(pending.resolve(s"slice_$i"), stage.resolve(s"slice_$i"))
+      publishSlice(0)
 
       // commit log = the dir names; recovery scans them
       def committed(): Seq[(Long, Long)] = { // (version, batchId)
@@ -378,7 +375,7 @@ object RestartStreams {
       }
 
       val r1 = runOnce(-1, 0) // batch 0, graceful stop
-      writeSlice(1); writeSlice(2)
+      publishSlice(1); publishSlice(2)
       val r2 = runOnce(1, 1) // dies mid-batch 1: staged write, no commit
       val r3 = runOnce(2, 2) // replays b1 (applies), commits b2, dies pre-checkpoint
       val r4 = runOnce(-1, 0) // b2 redelivered -> ledger guard skips; drains

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.WeightedSample
@@ -26,43 +26,18 @@ object SampleStreams {
                               queryName: String = "stream_psample"): DataFrame =
     EventStreams.withStreamShufflePartitions(spark) {
       val docs = graft.Tables.documents(spark, dir)
-      val stage = TempDirs.create("graft_psample_stage_")
-      (0 until 3).foreach { i =>
-        docs.filter(pmod(col("doc_id"), lit(3)) === i)
-          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
-          // FILES, so a multi-part slice silently becomes many tiny
-          // micro-batches (q227 measured 24 batches / 23s of engine
-          // rounds for 3 intended slices before this)
-          .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      val (stage, schema) = StreamHarness.stageSlices(
+        docs, pmod(col("doc_id"), lit(3)), 0 to 2, "graft_psample_stage_")
+      val state = StreamHarness.runVersionedMerge(spark, stage, schema,
+        "graft_psample_state_", queryName) { (prev, batch) =>
+        // topState's partial aggregation reduces the raw batch
+        // priorities map-side, so the state write stays (k+1)·|langs|
+        // rows however large the batch; the replay guard (not a
+        // distinct) is what prevents duplicate doc delivery
+        val delta = WeightedSample.priorities(batch)
+        WeightedSample.topState(prev.map(_.unionByName(delta)).getOrElse(delta))
+          .select(col("lang"), col("prio"), col("doc_id"))
       }
-      val stateBase = TempDirs.create("graft_psample_state_")
-      def statePath(v: Long) = s"$stateBase/v$v"
-      var version = -1L
-      var lastApplied = -1L
-      val schema = spark.read.parquet(s"$stage/slice_0").schema
-      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
-        if (id != lastApplied) {
-          // topState's partial aggregation reduces the raw batch
-          // priorities map-side, so the state write stays (k+1)·|langs|
-          // rows however large the batch; the replay guard (not a
-          // distinct) is what prevents duplicate doc delivery
-          val delta = WeightedSample.priorities(batch.toDF())
-          val prev = if (version < 0) None else Some(spark.read.parquet(statePath(version)))
-          val merged = prev.map(_.unionByName(delta)).getOrElse(delta)
-          WeightedSample.topState(merged)
-            .select(col("lang"), col("prio"), col("doc_id"))
-            .write.mode("overwrite").parquet(statePath(version + 1))
-          version += 1
-          lastApplied = id
-        }
-      }
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$stage/slice_*")
-        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
-      try q.processAllAvailable() finally q.stop()
-      require(version >= 0, "stream produced no batches")
-      val state = spark.read.parquet(statePath(version))
       WeightedSample.report(WeightedSample.topState(state), docs)
     }
 
@@ -81,37 +56,14 @@ object SampleStreams {
       import graft.operators.DsirSelect
       val docs = graft.Tables.documents(spark, dir)
       val (_, raw) = DsirSelect.corpora(docs)
-      val stage = TempDirs.create("graft_dsir_stage_")
-      (0 until 3).foreach { i =>
-        raw.filter(pmod(col("doc_id"), lit(3)) === i)
-          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
-          // FILES, so a multi-part slice silently becomes many tiny
-          // micro-batches (q227 measured 24 batches / 23s of engine
-          // rounds for 3 intended slices before this)
-          .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      val (stage, schema) = StreamHarness.stageSlices(
+        raw, pmod(col("doc_id"), lit(3)), 0 to 2, "graft_dsir_stage_")
+      val state = StreamHarness.runVersionedMerge(spark, stage, schema,
+        "graft_dsir_state_", queryName) { (prev, batch) =>
+        val delta = DsirSelect.rawBuckets(batch)
+        prev.map(_.unionByName(delta)).getOrElse(delta)
+          .groupBy("b").agg(sum("cr").as("cr"))
       }
-      val stateBase = TempDirs.create("graft_dsir_state_")
-      def statePath(v: Long) = s"$stateBase/v$v"
-      var version = -1L
-      var lastApplied = -1L
-      val schema = spark.read.parquet(s"$stage/slice_0").schema
-      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
-        if (id != lastApplied) {
-          val delta = DsirSelect.rawBuckets(batch.toDF())
-          val merged = (if (version < 0) delta
-            else spark.read.parquet(statePath(version)).unionByName(delta))
-            .groupBy("b").agg(sum("cr").as("cr"))
-          merged.write.mode("overwrite").parquet(statePath(version + 1))
-          version += 1
-          lastApplied = id
-        }
-      }
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$stage/slice_*")
-        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
-      try q.processAllAvailable() finally q.stop()
-      require(version >= 0, "stream produced no batches")
-      DsirSelect.selectGiven(docs, spark.read.parquet(statePath(version)))
+      DsirSelect.selectGiven(docs, state)
     }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.KmvSketch
@@ -44,38 +44,14 @@ object SketchStreams {
                    queryName: String = "stream_kmv"): DataFrame =
     EventStreams.withStreamShufflePartitions(spark) {
       val docs = KmvSketch.augmentedDocs(spark, dir)
-      val stage = TempDirs.create("graft_kmv_stage_")
-      (0 until 3).foreach { i =>
-        docs.filter(pmod(col("doc_id"), lit(3)) === i)
-          .select(col("source"), col("text"))
-          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
-          // FILES, so a multi-part slice silently becomes many tiny
-          // micro-batches (q227 measured 24 batches / 23s of engine
-          // rounds for 3 intended slices before this)
-          .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      val (stage, schema) = StreamHarness.stageSlices(
+        docs.select(col("doc_id"), col("source"), col("text")),
+        pmod(col("doc_id"), lit(3)), 0 to 2, "graft_kmv_stage_")
+      val state = StreamHarness.runVersionedMerge(spark, stage, schema,
+        "graft_kmv_state_", queryName) { (prev, batch) =>
+        mergeStep(prev, KmvSketch.sketch(batch, k).select(col("source"), col("h")), k)
       }
-      val stateBase = TempDirs.create("graft_kmv_state_")
-      def statePath(v: Long) = s"$stateBase/v$v"
-      var version = -1L
-      var lastApplied = -1L
-      val schema = spark.read.parquet(s"$stage/slice_0").schema
-      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
-        if (id != lastApplied) {
-          val delta = KmvSketch.sketch(batch.toDF(), k).select(col("source"), col("h"))
-          val prev = if (version < 0) None else Some(spark.read.parquet(statePath(version)))
-          mergeStep(prev, delta, k)
-            .write.mode("overwrite").parquet(statePath(version + 1))
-          version += 1
-          lastApplied = id
-        }
-      }
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$stage/slice_*")
-        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
-      try q.processAllAvailable() finally q.stop()
-      require(version >= 0, "stream produced no batches")
-      KmvSketch.overlapReport(spark, dir, spark.read.parquet(statePath(version)))
+      KmvSketch.overlapReport(spark, dir, state)
     }
 
   /** Streaming-maintained QUANTILE sketch (q226, the q221 idiom pointed
@@ -95,40 +71,17 @@ object SketchStreams {
       val k = QuantileSketchQueries.K
       val rows = QuantileSketchQueries.base(spark, dir)
         .select(col("qkey"), col("h"), col("v"))
-      val stage = TempDirs.create("graft_qsk_stage_")
-      (0 until 3).foreach { i =>
-        rows.filter(pmod(col("h"), lit(3)) === i)
-          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
-          // FILES, so a multi-part slice silently becomes many tiny
-          // micro-batches (q227 measured 24 batches / 23s of engine
-          // rounds for 3 intended slices before this)
-          .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      val (stage, schema) = StreamHarness.stageSlices(
+        rows, pmod(col("h"), lit(3)), 0 to 2, "graft_qsk_stage_")
+      val state = StreamHarness.runVersionedMerge(spark, stage, schema,
+        "graft_qsk_state_", queryName) { (prev, batch) =>
+        val delta = batch.groupBy("qkey")
+          .agg(call_function("graft_qsketch", col("h"), col("v"), lit(k)).as("sk"))
+        prev.map(_.unionByName(delta)).getOrElse(delta)
+          .groupBy("qkey")
+          .agg(call_function("graft_qsketch_merge", col("sk"), lit(k)).as("sk"))
       }
-      val stateBase = TempDirs.create("graft_qsk_state_")
-      def statePath(v: Long) = s"$stateBase/v$v"
-      var version = -1L
-      var lastApplied = -1L
-      val schema = spark.read.parquet(s"$stage/slice_0").schema
-      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
-        if (id != lastApplied) {
-          val delta = batch.toDF().groupBy("qkey")
-            .agg(call_function("graft_qsketch", col("h"), col("v"), lit(k)).as("sk"))
-          val merged = (if (version < 0) delta
-            else spark.read.parquet(statePath(version)).unionByName(delta))
-            .groupBy("qkey")
-            .agg(call_function("graft_qsketch_merge", col("sk"), lit(k)).as("sk"))
-          merged.write.mode("overwrite").parquet(statePath(version + 1))
-          version += 1
-          lastApplied = id
-        }
-      }
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$stage/slice_*")
-        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
-      try q.processAllAvailable() finally q.stop()
-      require(version >= 0, "stream produced no batches")
-      QuantileSketchQueries.report(spark, dir, spark.read.parquet(statePath(version)))
+      QuantileSketchQueries.report(spark, dir, state)
     }
 
   /** Streaming-maintained count-min sketch (q247): per micro-batch the
@@ -144,35 +97,14 @@ object SketchStreams {
     EventStreams.withStreamShufflePartitions(spark) {
       import graft.operators.CountMinSketch
       val docs = graft.Tables.documents(spark, dir)
-      val stage = TempDirs.create("graft_cms_stage_")
-      (0 until 3).foreach { i =>
-        docs.filter(pmod(col("doc_id"), lit(3)) === i)
-          .coalesce(1) // ONE file per slice (the q227 lesson)
-          .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      val (stage, schema) = StreamHarness.stageSlices(
+        docs, pmod(col("doc_id"), lit(3)), 0 to 2, "graft_cms_stage_")
+      val state = StreamHarness.runVersionedMerge(spark, stage, schema,
+        "graft_cms_state_", queryName) { (prev, batch) =>
+        val delta = CountMinSketch.mergeMatrices(CountMinSketch.langMatrices(batch))
+        prev.map(_.unionByName(delta)).getOrElse(delta)
+          .groupBy("r", "b").agg(sum("c").as("c"))
       }
-      val stateBase = TempDirs.create("graft_cms_state_")
-      def statePath(v: Long) = s"$stateBase/v$v"
-      var version = -1L
-      var lastApplied = -1L
-      val schema = spark.read.parquet(s"$stage/slice_0").schema
-      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
-        if (id != lastApplied) {
-          val delta = CountMinSketch.mergeMatrices(
-            CountMinSketch.langMatrices(batch.toDF()))
-          val merged = (if (version < 0) delta
-            else spark.read.parquet(statePath(version)).unionByName(delta))
-            .groupBy("r", "b").agg(sum("c").as("c"))
-          merged.write.mode("overwrite").parquet(statePath(version + 1))
-          version += 1
-          lastApplied = id
-        }
-      }
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$stage/slice_*")
-        .writeStream.foreachBatch(applyBatch).queryName(queryName).start()
-      try q.processAllAvailable() finally q.stop()
-      require(version >= 0, "stream produced no batches")
-      CountMinSketch.heavyHitters(docs, spark.read.parquet(statePath(version)))
+      CountMinSketch.heavyHitters(docs, state)
     }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The `foreachBatch` + idempotent-MERGE sink pattern — the production
@@ -62,39 +62,12 @@ object UpsertStreams {
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       // local staging harness: slice by event_id so every slice carries
       // every user; a cluster deployment reads a real landing directory
-      val stage = TempDirs.create("graft_upsert_stage_")
-      (0 until 3).foreach { i =>
-        events.filter(pmod(col("event_id"), lit(3)) === i)
-          .coalesce(1) // ONE file per slice: maxFilesPerTrigger=1 feeds part
-          // FILES, so a multi-part slice silently becomes many tiny
-          // micro-batches (q227 measured 24 batches / 23s of engine
-          // rounds for 3 intended slices before this)
-          .write.mode("overwrite").parquet(s"$stage/slice_$i")
-      }
-      val stateBase = TempDirs.create("graft_upsert_state_")
-      var version = -1L
-      var lastApplied = -1L
-      def statePath(v: Long) = s"$stateBase/v$v"
-      val schema = spark.read.parquet(s"$stage/slice_0").schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$stage/slice_*")
-      val applyBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
-        // idempotent replay guard: a re-delivered batch id is a no-op —
-        // this is the exactly-once half the sink contributes
-        if (id != lastApplied) {
-          val prev = if (version < 0) None else Some(spark.read.parquet(statePath(version)))
-          mergeStep(prev, deltaAgg(batch.toDF()))
-            .write.mode("overwrite").parquet(statePath(version + 1))
-          version += 1
-          lastApplied = id
+      val (stage, schema) = StreamHarness.stageSlices(
+        events, pmod(col("event_id"), lit(3)), 0 to 2, "graft_upsert_stage_")
+      StreamHarness.runVersionedMerge(spark, stage, schema,
+          "graft_upsert_state_", queryName) { (prev, batch) =>
+          mergeStep(prev, deltaAgg(batch))
         }
-      }
-      val q = stream.writeStream.foreachBatch(applyBatch).queryName(queryName).start()
-      q.processAllAvailable()
-      q.stop()
-      require(version >= 0, "stream produced no batches")
-      spark.read.parquet(statePath(version))
         .select(col("user_id"),
           col("n_events"),
           graft.functions.Metrics.canonRound(col("sum_micros").cast("double") / 1e4, 4)

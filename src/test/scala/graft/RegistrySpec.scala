@@ -58,6 +58,30 @@ class RegistrySpec extends SparkSpec {
     java.nio.file.Files.delete(f)
   }
 
+  test("Bench self-adjudicating totals: contended slice and idle reference (r15 item 4)") {
+    // q_idle: idle evidence this sweep -> contributes nothing to the
+    //   contended slice; its idle reference is its best idle attempt.
+    // q_hot: every attempt contended -> its reported time IS the
+    //   contended slice; reference falls back to the prior sweep's median.
+    // q_new_hot: contended AND absent from the prior artifact -> no
+    //   correction available; the observation itself is the reference.
+    // q_err: failed (-1) -> excluded from every total (matches `value`).
+    val results = Seq("q_idle" -> 2.0, "q_hot" -> 9.0, "q_new_hot" -> 5.0, "q_err" -> -1.0)
+    val attempts = Map(
+      "q_idle" -> Vector((6.0, 4.0), (2.0, 0.5)),
+      "q_hot" -> Vector((9.0, 7.2)),
+      "q_new_hot" -> Vector((5.0, 6.0)),
+      "q_err" -> Vector((-1.0, 0.4)))
+    val refs = Map("q_hot" -> 3.0)
+    val (contended, idleRef) = Bench.idleAdjudicatedTotals(results, attempts, refs)
+    assert(contended == 9.0 + 5.0) // the unevidenced slice of value
+    assert(idleRef == 2.0 + 3.0 + 5.0) // best idle, prior median, raw observation
+    // fully idle sweep degenerates to (0, value) — the no-correction case
+    val (c2, i2) = Bench.idleAdjudicatedTotals(
+      Seq("q" -> 1.5), Map("q" -> Vector((1.5, 0.3))), Map.empty)
+    assert(c2 == 0.0 && i2 == 1.5)
+  }
+
   Registry.all.filterNot(q => skipHere(q.name)).foreach { q =>
     test(s"${q.name} runs at sf0.001") {
       val n = rows(q.name)

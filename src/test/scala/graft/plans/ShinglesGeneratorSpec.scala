@@ -91,4 +91,23 @@ class ShinglesGeneratorSpec extends SparkSpec {
       df.select(call_function("graft_ngrams", col("text"), col("n"))).collect()
     }
   }
+
+  test("out-of-range generator parameters raise classed AnalysisExceptions, not require()") {
+    // r15 verdict item 5: the SQL surface's value errors must carry the
+    // same texture as its arity/type errors — a classed AnalysisException
+    import spark.implicits._
+    val df = Seq(Tuple1("a b c")).toDF("text")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_ngrams", col("text"), lit(1))).collect()
+    }
+    assert(e1.getCondition == "DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE", e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_chunks", col("text"), lit(0), lit(1))).collect()
+    }
+    assert(e2.getCondition == "DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE", e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_chunks", col("text"), lit(2), lit(-1))).collect()
+    }
+    assert(e3.getCondition == "DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE", e3.getMessage)
+  }
 }

@@ -252,6 +252,31 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batchPairs, s"stream=$stream batch=$batchPairs")
   }
 
+  test("time-ordered tercile staging plans no Exchange SinglePartition and equals the window ntile") {
+    // r15 verdict item 1: the q252/q255 staging used to plan
+    // ntile(3).over(Window.orderBy(ts, event_id)) — a full-data
+    // single-partition sort. The shared staging now routes through
+    // DistributedRank.ntile; pin BOTH halves of the claim: the plan
+    // (no Exchange SinglePartition anywhere) and the semantics
+    // (identical tercile assignment to the window form).
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val staged = StreamHarness.timeOrderedSlicesForAudit(
+      events, Seq(col("ts"), col("event_id")), 3)
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"staging plan regressed to a single-partition sort:\n$plan")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val expect = events.withColumn("__slice", ntile(3).over(w))
+      .select("event_id", "__slice")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = staged.select("event_id", "__slice")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expect, "DistributedRank terciles must equal the window-ntile terciles")
+    assert(got.values.toSet == Set(1, 2, 3))
+  }
+
   test("stateful streaming sessionization agrees with the batch window idiom") {
     import org.apache.spark.sql.functions.col
     val streamed = EventStreams.sessionizeStream(spark, sf001, queryName = "spec_stream_sessions")
