@@ -77,15 +77,23 @@ object StreamHarness {
     */
   def stageTimeOrderedSlices(df: DataFrame, order: Seq[Column], n: Int,
       prefix: String): (Path, StructType) =
+    // eager checkpoint: ntile's internal checkpoint freezes the NUMBERED
+    // frame, but the offsets broadcast-join and bucket arithmetic above
+    // it would re-execute once per slice write (n jobs × the join) —
+    // materialize the finished assignment once, so the n writes are
+    // plain scans (racing-consumers rule, measured ~1s/write at sf0.1)
     stageSlices(
-      graft.operators.DistributedRank.ntile(df, order, n, "__slice"),
+      graft.operators.DistributedRank.ntile(df, order, n, "__slice")
+        .localCheckpoint(true),
       col("__slice"), 1 to n, prefix)
 
   /** Audit hook for StreamingSpec: the staging frame exactly as
-    * [[stageTimeOrderedSlices]] builds it, pre-write — so the spec can
-    * pin "no `Exchange SinglePartition` in the staging plan" (the r15
-    * verdict's named scale-killer) and tercile parity with the window
-    * form without writing files.
+    * [[stageTimeOrderedSlices]] builds it — pre-write and PRE-checkpoint
+    * (the eager checkpoint above would hide the very plan the pin
+    * inspects behind a LogicalRDD) — so the spec can pin "no
+    * `Exchange SinglePartition` in the staging plan" (the r15 verdict's
+    * named scale-killer) and tercile parity with the window form
+    * without writing files.
     */
   private[streaming] def timeOrderedSlicesForAudit(df: DataFrame,
       order: Seq[Column], n: Int): DataFrame =
