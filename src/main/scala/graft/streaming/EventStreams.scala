@@ -425,15 +425,21 @@ object EventStreams extends Serializable {
       .orderBy("user_id", "session_start")
   }
 
-  /** Two staged heartbeats carry the watermark 10+ days past the
-    * fixture; each is a data batch, so eviction never depends on the
-    * engine's optional no-data microbatch. Shared by the
-    * GroupStateTimeout (q134) and transformWithState-timer (q250)
-    * eviction harnesses.
+  /** Two staged heartbeats carry the watermark past every horizon;
+    * each is a data batch, so eviction/timer firing never depends on
+    * the engine's optional no-data microbatch. Shared by the
+    * GroupStateTimeout (q134), transformWithState-timer (q250), and
+    * multi-handle-profile (q255) harnesses — the q255 copy was the last
+    * near-duplicate of this scaffold (r16, closing the r15 item-2
+    * sweep): it differs only in the day offsets (span-derived, so no
+    * profile flushes mid-stream) and in a link-name prefix that sorts
+    * its heartbeats after the slice files.
     */
-  private def driveHeartbeats(spark: SparkSession, dir: String,
+  private[streaming] def driveHeartbeats(spark: SparkSession, dir: String,
                               stage: java.nio.file.Path,
-                              q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+                              q: org.apache.spark.sql.streaming.StreamingQuery,
+                              dayOffsets: Seq[Long] = Seq(10L, 11L),
+                              linkPrefix: String = ""): Unit = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val dayNs = 86400L * 1000000000L
     val shift: Long => org.apache.spark.sql.Column =
@@ -441,14 +447,16 @@ object EventStreams extends Serializable {
         days => (col("ts") + lit(days * dayNs)).as("ts")
       else
         days => (col("ts") + expr(s"INTERVAL $days DAYS")).as("ts")
-    Seq((10L, "hb1"), (11L, "hb2")).foreach { case (days, name) =>
+    dayOffsets.zipWithIndex.foreach { case (days, i) =>
+      val name = s"hb${i + 1}"
       val hbDir = TempDirs.create(s"graft_${name}_")
       raw.orderBy(col("ts").desc).limit(1)
         .select(lit(-1L).as("event_id"), shift(days), lit(-1L).as("user_id"),
           lit("heartbeat").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
         .write.mode("overwrite").parquet(hbDir.toString)
       val part = hbDir.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.createSymbolicLink(stage.resolve(s"$name.parquet"), part.toPath)
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve(s"$linkPrefix$name.parquet"), part.toPath)
       q.processAllAvailable()
     }
   }

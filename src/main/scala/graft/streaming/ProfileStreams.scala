@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -126,25 +124,12 @@ object ProfileStreams {
           .queryName(queryName)
           .start()
         q.processAllAvailable()
-        // heartbeat batches drive the watermark past every horizon
-        // (q250's driveHeartbeats, re-staged for the sliced layout)
-        val raw = spark.read.parquet(s"$dir/events.parquet")
-        val dayNs = 86400L * 1000000000L
-        val shift: Long => org.apache.spark.sql.Column =
-          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            days => (col("ts") + lit(days * dayNs)).as("ts")
-          else
-            days => (col("ts") + expr(s"INTERVAL $days DAYS")).as("ts")
-        Seq((hbDays, "hb1"), (hbDays + 1, "hb2")).foreach { case (days, name) =>
-          val hbDir = TempDirs.create(s"graft_${name}_")
-          raw.orderBy(col("ts").desc).limit(1)
-            .select(lit(-1L).as("event_id"), shift(days), lit(-1L).as("user_id"),
-              lit("heartbeat").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
-            .write.mode("overwrite").parquet(hbDir.toString)
-          val part = hbDir.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
-          Files.createSymbolicLink(stage.resolve(s"zz_$name.parquet"), part.toPath)
-          q.processAllAvailable()
-        }
+        // heartbeat batches drive the watermark past every horizon —
+        // the shared scaffold, with span-derived offsets (no profile
+        // may flush mid-stream) and a link prefix that sorts the
+        // heartbeats after the slice files
+        EventStreams.driveHeartbeats(spark, dir, stage, q,
+          dayOffsets = Seq(hbDays, hbDays + 1), linkPrefix = "zz_")
         q.stop()
         spark.table(queryName)
           .filter(col("user_id") >= 0)
