@@ -13,6 +13,24 @@ import graft.sources.Bucketing
   */
 class PlansSpec extends SparkSpec {
 
+  test("SinglePartitionAudit walker sees real funnels and their true record counts") {
+    // pin the audit's two failure modes (a walker that misses the final
+    // adaptive plan, or reads a dead metric, reports "zero funnels"
+    // forever): a deliberate repartition(1) of a 10k-row frame must
+    // surface as ONE single-partition exchange carrying exactly 10k
+    // records; the same frame globally aggregated must surface with a
+    // SMALL count (the benign partial-agg shape the threshold admits).
+    import org.apache.spark.sql.functions._
+    val base = spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+    val funnel = base.repartition(1).groupBy("k").agg(count(lit(1)).as("n"))
+    val hits = graft.SinglePartitionAudit.singlePartitionHits(funnel)
+    assert(hits.contains(10000L), s"expected a 10000-record funnel, saw $hits")
+    val benign = base.agg(sum("id").as("s"))
+    val bHits = graft.SinglePartitionAudit.singlePartitionHits(benign)
+    assert(bHits.nonEmpty, "global aggregate should plan a single-partition exchange")
+    assert(bHits.forall(n => n >= 0 && n < 500), s"partial-agg rows must be tiny, saw $bHits")
+  }
+
   test("GeometricRoundExpr matches the Column-composed version and works in SQL") {
     import spark.implicits._
     val xs = Seq(0.5, 2.44, 2.45, 7.0, 123.456, 0.0).toDF("x")
