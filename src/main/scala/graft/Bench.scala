@@ -87,12 +87,35 @@ object Bench {
   private val RetryFactor = 3.0
   private val MaxDeferredAttempts = 2
 
-  /** 1-min loadavg above which an attempt is stamped `contended` in the
-    * artifact (~2 ≈ something else substantial is running on the box —
-    * the r13 sweep's five sub-threshold "regressions" all carried 3.2-4.4
-    * here and needed a human to adjudicate them).
+  /** 1-min loadavg above which the BOX is considered externally loaded
+    * (~2 ≈ something else substantial is running — the r13 sweep's five
+    * sub-threshold "regressions" all carried 3.2-4.4 here and needed a
+    * human to adjudicate them). Used directly for the sweep-start
+    * reading; per-attempt idleness uses [[idleBar]], which adds the
+    * sweep's own self-load envelope on top.
     */
   private val ContendedLoad = 2.0
+
+  /** Per-attempt idleness bar (review finding, r16): the fixed 2.0 bar
+    * sat BELOW the sweep's own steady load on a 32-CPU box — a serial
+    * local[32] sweep drives the 1-min loadavg to ~6-7 from nothing but
+    * itself (r16's committed IDLE sweep read load 1.0 → 7.2) — so
+    * `contended_total ≈ value` on every warm sweep and the artifact could
+    * not distinguish self-load from external load. The bar scales with
+    * the box: when the sweep STARTS externally quiet
+    * (loadStart ≤ ContendedLoad), mid-sweep attempts count as idle
+    * evidence up to loadStart + 0.25×CPUs (the measured self-load
+    * envelope: 8 on the 32-CPU box, just above the observed 7.2 peak);
+    * when the sweep starts already loaded, NO attempt this sweep counts
+    * as idle — a 1-min loadavg cannot separate a decaying external load
+    * from our own, so the prior sweep's medians stay the only correction
+    * channel (exactly the pre-r17 behavior for loaded sweeps, which the
+    * r16 judge verified adjudicates correctly).
+    */
+  private[graft] def idleBar(loadStart: Double,
+      cpus: Int = Runtime.getRuntime.availableProcessors()): Double =
+    if (loadStart < 0 || loadStart > ContendedLoad) ContendedLoad
+    else math.max(ContendedLoad, loadStart + 0.25 * cpus)
 
   /** Self-adjudicating totals (r15 verdict item 4): three consecutive
     * driver sweeps needed a human to cross-read BENCH_DETAIL loads before
@@ -116,15 +139,16 @@ object Bench {
   private[graft] def idleAdjudicatedTotals(
       results: Seq[(String, Double)],
       attempts: scala.collection.Map[String, Vector[(Double, Double)]],
-      refs: Map[String, Double]): (Double, Double) = {
+      refs: Map[String, Double],
+      bar: Double): (Double, Double) = {
     val rows = results.filter(_._2 >= 0)
     val contendedTotal = rows.collect { case (name, t)
       if !attempts.getOrElse(name, Vector.empty)
-        .exists { case (at, la) => at >= 0 && la >= 0 && la <= ContendedLoad } => t
+        .exists { case (at, la) => at >= 0 && la >= 0 && la <= bar } => t
     }.sum
     val idleReferenceTotal = rows.map { case (name, t) =>
       val idle = attempts.getOrElse(name, Vector.empty)
-        .collect { case (at, la) if at >= 0 && la >= 0 && la <= ContendedLoad => at }
+        .collect { case (at, la) if at >= 0 && la >= 0 && la <= bar => at }
       if (idle.nonEmpty) idle.min else refs.getOrElse(name, t)
     }.sum
     (contendedTotal, idleReferenceTotal)
@@ -209,17 +233,19 @@ object Bench {
     // attempts that started past ContendedLoad, so a sub-retry-threshold
     // noisy row reads as contention straight off the artifact instead of
     // needing a human to cross-reference loadavg (r13 verdict item 7).
+    val bar = idleBar(loadStart)
     def attemptsJson(entries: Iterable[(String, Vector[(Double, Double)])]): String =
       entries.map { case (n, as) =>
         "\"" + n + "\":[" +
           as.map { case (t, la) =>
-            f"[$t%.2f,$la%.1f,${la > ContendedLoad}%b]"
+            f"[$t%.2f,$la%.1f,${la > bar}%b]"
           }.mkString(",") + "]"
       }.mkString("{", ",", "}")
     val (contendedTotal, idleRefTotal) =
-      idleAdjudicatedTotals(results, attemptLog, refSec)
+      idleAdjudicatedTotals(results, attemptLog, refSec, bar)
     val detail =
       f"""{"sf":"$sfDir","load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,""" +
+        f""""idle_bar":$bar%.1f,""" +
         f""""total":$total%.3f,"contended_total":$contendedTotal%.3f,""" +
         f""""idle_reference_total":$idleRefTotal%.3f,""" +
         f""""attempts":${attemptsJson(attemptLog)}}"""

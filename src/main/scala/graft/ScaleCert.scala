@@ -372,9 +372,17 @@ object ScaleCert {
     // which exist to MEASURE a second point on each curve, not to re-gate
     // it) only the completed-both-sides gate applies and the ratios are
     // recorded for the BENCH.md adjudication note.
+    // The exemption is an explicit allowlist (review finding, r16): K=30
+    // is the adjudicated spot-cert mode — its ratios are two-point curve
+    // evidence, not gate inputs. Any OTHER k (a typo, a future driver
+    // value) still enforces the K=10 ceilings, which at larger k fail
+    // loudly by construction — forcing a human to either add the new k to
+    // the allowlist with its own adjudication or recalibrate, instead of
+    // silently losing the scale gate to a log line.
     val enforceRatios = k == 10
-    if (!enforceRatios)
-      println(s"[scale] k=$k != 10: ratio ceilings recorded, not enforced (completion still gates)")
+    val ratioGateExempt = Set(30)
+    if (!enforceRatios && ratioGateExempt.contains(k))
+      println(s"[scale] k=$k spot-cert: ratio ceilings recorded, not enforced (completion still gates)")
     val violations = rows.flatMap { l =>
       val n = "\"name\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
       def num(k: String) =
@@ -386,7 +394,9 @@ object ScaleCert {
       // slip past it as ratio -1
       if (t1 <= 0 || tk <= 0)
         Some(f"$n did not complete both sides (t1=$t1%.2f, tk=$tk%.2f)")
-      else if (enforceRatios && r > ceil) Some(f"$n ratio $r%.2f > ceiling $ceil%.1f")
+      else if ((enforceRatios || !ratioGateExempt.contains(k)) && r > ceil)
+        Some(f"$n ratio $r%.2f > ceiling $ceil%.1f" +
+          (if (!enforceRatios) f" (K=$k not in the spot-cert allowlist: K=10 ceilings enforced)" else ""))
       else None
     }
     if (violations.nonEmpty) {

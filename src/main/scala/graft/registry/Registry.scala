@@ -48,6 +48,7 @@ object Registry {
     graft.operators.DsirSelect.all,
     graft.operators.KAnonymity.all,
     graft.sources.GShardQueries.all,
+    graft.sources.PartitionedScan.all,
     graft.operators.AnnotatorAgreement.all,
     graft.operators.SequencePacking.all,
     graft.operators.RecordLinkage.all,

@@ -73,25 +73,50 @@ object RestartStreams {
 
   /** Evidence for the TWS hard-kill cert (r14 verdict item 2): one
     * incarnation per element of `runIds`; `crashMsgs` the injected
-    * failures that really propagated; `committedBatches` the batch ids
+    * failures that really propagated; `crashClasses` the full
+    * cause-chain CLASS names of each propagated failure, so the spec can
+    * pin that the error surface is exactly the injected RuntimeException
+    * under Spark's foreachBatch wrapper and nothing else (r16 verdict
+    * item 4); `cleanErrs` any error a NON-crash incarnation produced —
+    * expected empty, and the place a real recovery defect (e.g. a
+    * genuine StateStoreCommitValidationFailed) now surfaces loudly
+    * instead of being swallowed; `committedBatches` the batch ids
     * present in the sink's commit log (the atomically-renamed dirs) —
     * exactly once each; `orphanTmps` uncommitted partial-write staging
     * dirs found (and discarded) during recovery.
     */
   final case class TwsCrashRun(result: DataFrame, runIds: Seq[String], batches: Seq[Long],
-                               crashMsgs: Seq[String], committedBatches: Seq[Long],
+                               crashMsgs: Seq[String], crashClasses: Seq[Seq[String]],
+                               cleanErrs: Seq[String], committedBatches: Seq[Long],
                                orphanTmps: Int)
 
   /** Evidence for the crash-recovery cert: one incarnation per element of
     * `runIds`; `crashMsgs` are the injected failures the harness really
-    * saw propagate out of the dying queries; `committedLedger` is the
-    * final (version, batchId) commit log — exactly-once means exactly
-    * one entry per batch; `orphanTmps` counts uncommitted partial-write
-    * staging dirs found (and discarded) during recovery.
+    * saw propagate out of the dying queries; `crashClasses`/`cleanErrs`
+    * as in [[TwsCrashRun]] (exact error surface, r16 verdict item 4);
+    * `committedLedger` is the final (version, batchId) commit log —
+    * exactly-once means exactly one entry per batch; `orphanTmps` counts
+    * uncommitted partial-write staging dirs found (and discarded) during
+    * recovery.
     */
   final case class CrashRun(result: DataFrame, runIds: Seq[String], batches: Seq[Long],
-                            crashMsgs: Seq[String], committedLedger: Seq[(Long, Long)],
+                            crashMsgs: Seq[String], crashClasses: Seq[Seq[String]],
+                            cleanErrs: Seq[String], committedLedger: Seq[(Long, Long)],
                             orphanTmps: Int)
+
+  /** (recorded message, full cause-chain class names) for a propagated
+    * query failure: the message is the injected one when present (the
+    * wrapper layers' messages embed huge plan strings), the class chain
+    * is kept whole so the spec can pin the EXACT error surface — Spark's
+    * foreachBatch wrapper over the injected RuntimeException, nothing
+    * else (r16 verdict item 4).
+    */
+  private def describeFailure(e: Throwable): (String, Seq[String]) = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toList
+    val msg = chain.map(_.getMessage).find(m => m != null && m.contains("injected crash"))
+      .getOrElse(e.getMessage)
+    (msg, chain.map(_.getClass.getSimpleName))
+  }
 
   private def listBatchDirs(out: java.nio.file.Path): Seq[String] = {
     if (!Files.exists(out)) Seq.empty
@@ -123,9 +148,15 @@ object RestartStreams {
     *     query dies AFTER commit, before the streaming checkpoint — the
     *     at-least-once window;
     *  4. batch 2 is REDELIVERED; the sink's ledger guard (a committed
-    *     `batch_2` dir exists) must skip it — no duplicate sessions, no
-    *     re-execution needed (its state version already committed in 3)
-    *     — then the query drains clean.
+    *     `batch_2` dir exists) suppresses the second WRITE — no duplicate
+    *     sessions — while the batch's stateful plan still EXECUTES (the
+    *     store recommits the same deterministic version): Spark 4.1's
+    *     BatchCommitTracker requires every micro-batch to commit all its
+    *     state partitions, so a skip that never touches the DataFrame
+    *     would fail this incarnation with StateStoreCommitValidationFailed
+    *     (r16 verdict item 4 — that stack used to be swallowed here as a
+    *     silent error). Then the query drains clean, and the spec pins
+    *     `cleanErrs` EMPTY: a real commit-validation failure is loud now.
     *
     * Sessions spanning every boundary come out right only if each
     * incarnation's ValueState is the exactly-once fold state — pinned by
@@ -199,7 +230,8 @@ object RestartStreams {
         // staged write is a REAL partial sink write, and the stateful
         // plan has already executed and committed its RocksDB version),
         // 2 = throw after the commit, before the streaming checkpoint
-        def runOnce(crashOnBatch: Long, crashMode: Int): (String, Long, Option[String]) = {
+        def runOnce(crashOnBatch: Long, crashMode: Int)
+            : (String, Long, Option[(String, Seq[String])]) = {
           // recovery janitor: uncommitted staging dirs from a crashed
           // incarnation are garbage (their batch replays)
           val orphans = orphanTmps()
@@ -210,8 +242,7 @@ object RestartStreams {
           // UpsertStreams convention)
           val sinkBatch: (Dataset[Row], Long) => Unit = { (batch, id) =>
             // ledger guard = the committed dir itself: a redelivered
-            // already-committed batch is skipped WITHOUT re-executing the
-            // batch plan (its state version committed with it)
+            // already-committed batch gets no second WRITE
             if (!Files.exists(Paths.get(s"$outDir/batch_$id"))) {
               val tmp = s"$outDir/tmp_b$id"
               // the write IS the batch's action: state commits inside it
@@ -226,6 +257,24 @@ object RestartStreams {
               if (id == crashOnBatch && crashMode == 2)
                 throw new RuntimeException(
                   s"injected crash AFTER commit of batch $id, before its checkpoint")
+            } else {
+              // The redelivered batch's STATEFUL PLAN must still execute
+              // (r16 verdict item 4's root cause): Spark 4.1's
+              // BatchCommitTracker validates that every micro-batch
+              // commits all its state-store partitions, and a skip that
+              // never touches the DataFrame fails the final incarnation
+              // with StateStoreCommitValidationFailed — the exact WARN
+              // stack the r16 audit observed, swallowed as a silent
+              // clean-run error. Re-execution on redelivery is what
+              // transformWithState recovery is BUILT for: the store loads
+              // the state as of batch start and recommits the same
+              // deterministic version. DRAINING each partition's iterator
+              // (a function that ignores it would pull nothing — the
+              // stateful operator runs only as rows are consumed) discards
+              // the rows — output stays exactly-once — and the noise is
+              // gone at the ROOT, so a real commit-validation failure now
+              // surfaces in `cleanErrs` instead of hiding in a known WARN.
+              batch.foreachPartition((it: Iterator[Row]) => it.foreach(_ => ()))
             }
           }
           val stream = spark.readStream.schema(schema)
@@ -238,10 +287,7 @@ object RestartStreams {
             .foreachBatch(sinkBatch)
             .outputMode(OutputMode.Append).start()
           val err = try { q.processAllAvailable(); None } catch {
-            case e: Throwable =>
-              Some(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-                .map(_.getMessage).find(m => m != null && m.contains("injected crash"))
-                .getOrElse(e.getMessage))
+            case e: Throwable => Some(describeFailure(e))
           }
           val n = q.recentProgress.count(_.numInputRows > 0)
           val rid = q.runId.toString
@@ -252,7 +298,7 @@ object RestartStreams {
         publishSlice(2); publishSlice(3)
         val r2 = runOnce(1, 1) // dies mid-batch 1: state committed, sink staged only
         val r3 = runOnce(2, 2) // replays b1 (state as of batch start), commits b2, dies pre-checkpoint
-        val r4 = runOnce(-1, 0) // b2 redelivered -> ledger guard skips; drains
+        val r4 = runOnce(-1, 0) // b2 redelivered -> no second write; plan re-executes; drains
         val committed = listBatchDirs(outDir)
         val result = spark.read.parquet(committed: _*)
           .select(col("user_id"),
@@ -265,7 +311,8 @@ object RestartStreams {
           .localCheckpoint(true)
         TwsCrashRun(result,
           Seq(r1, r2, r3, r4).map(_._1), Seq(r1, r2, r3, r4).map(_._2),
-          Seq(r2, r3).flatMap(_._3),
+          Seq(r2, r3).flatMap(_._3.map(_._1)), Seq(r2, r3).flatMap(_._3.map(_._2)),
+          Seq(r1, r4).flatMap(_._3.map(_._1)),
           committed.map(p => p.substring(p.lastIndexOf("batch_") + 6).toLong).sorted,
           orphansSeen)
       } finally {
@@ -328,7 +375,8 @@ object RestartStreams {
       var orphansSeen = 0
       // crashMode: 0 = none, 1 = throw before commit (partial write left
       // staged), 2 = throw after commit but before the checkpoint commits
-      def runOnce(crashOnBatch: Long, crashMode: Int): (String, Long, Option[String]) = {
+      def runOnce(crashOnBatch: Long, crashMode: Int)
+          : (String, Long, Option[(String, Seq[String])]) = {
         // recovery janitor: uncommitted partial writes from a crashed
         // incarnation are garbage by definition (their batch will replay)
         val orphans = orphanTmps()
@@ -356,6 +404,14 @@ object RestartStreams {
             if (id == crashOnBatch && crashMode == 2)
               throw new RuntimeException(
                 s"injected crash AFTER commit of batch $id, before its checkpoint")
+          } else {
+            // redelivered, already-applied batch: no second MERGE, but the
+            // batch is still consumed — this plan is stateless today, so
+            // nothing REQUIRES it, but foreachBatch's contract ("process
+            // the entire DataFrame") is kept uniform with the TWS sink so
+            // adding a stateful op upstream can never resurrect the
+            // commit-validation failure mode
+            batch.foreachPartition((it: Iterator[Row]) => it.foreach(_ => ()))
           }
         }
         val q = stream.writeStream
@@ -363,10 +419,7 @@ object RestartStreams {
           .foreachBatch(applyBatch)
           .start()
         val err = try { q.processAllAvailable(); None } catch {
-          case e: Throwable =>
-            Some(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-              .map(_.getMessage).find(m => m != null && m.contains("injected crash"))
-              .getOrElse(e.getMessage))
+          case e: Throwable => Some(describeFailure(e))
         }
         val n = q.recentProgress.count(_.numInputRows > 0)
         val rid = q.runId.toString
@@ -378,7 +431,7 @@ object RestartStreams {
       publishSlice(1); publishSlice(2)
       val r2 = runOnce(1, 1) // dies mid-batch 1: staged write, no commit
       val r3 = runOnce(2, 2) // replays b1 (applies), commits b2, dies pre-checkpoint
-      val r4 = runOnce(-1, 0) // b2 redelivered -> ledger guard skips; drains
+      val r4 = runOnce(-1, 0) // b2 redelivered -> no second merge; drains
       val (v, b) = committed().last
       val result = spark.read.parquet(s"$stateBase/v${v}_b$b")
         .select(col("user_id"), col("n_events"),
@@ -389,7 +442,8 @@ object RestartStreams {
         .localCheckpoint(true)
       CrashRun(result,
         Seq(r1, r2, r3, r4).map(_._1), Seq(r1, r2, r3, r4).map(_._2),
-        Seq(r2, r3).flatMap(_._3), committed(), orphansSeen)
+        Seq(r2, r3).flatMap(_._3.map(_._1)), Seq(r2, r3).flatMap(_._3.map(_._2)),
+        Seq(r1, r4).flatMap(_._3.map(_._1)), committed(), orphansSeen)
     }
 
   /** Registry entries — both reuse the non-restart originals' oracles

@@ -45,19 +45,34 @@ import org.apache.spark.sql.types.StructType
 object StreamHarness {
 
   /** Stage one single-file parquet slice per id in `sliceIds`, slice i =
-    * rows where `sliceOf === i`. Returns (stage dir, slice schema). The
-    * slice files are named in id order and FileStreamSource schedules
-    * same-mtime files by path, so delivery order follows `sliceIds`.
+    * rows where `sliceOf === i`. Returns (stage dir, slice schema).
+    * Delivery order: FileStreamSource schedules unseen files by
+    * MODIFICATION TIME only — a same-millisecond tie is broken by
+    * incidental file-index listing order, not by path (review finding,
+    * r16: the old scaladoc claimed a path tiebreak Spark doesn't
+    * guarantee). Sequential writes usually produce increasing mtimes
+    * anyway, but "usually" is not a contract the time-ordered callers
+    * (q252/q255's tercile folds) can rest on — so each slice's files are
+    * explicitly stamped strictly-increasing mtimes in `sliceIds` order,
+    * 2s apart. Files.move (the restart harnesses' publish step)
+    * preserves the stamps.
     */
   def stageSlices(df: DataFrame, sliceOf: Column, sliceIds: Seq[Int],
       prefix: String): (Path, StructType) = {
     val spark = df.sparkSession
     val stage = TempDirs.create(prefix)
     val sliced = df.withColumn("__slice", sliceOf)
-    sliceIds.foreach { i =>
+    val base = System.currentTimeMillis()
+    sliceIds.zipWithIndex.foreach { case (i, idx) =>
       sliced.filter(col("__slice") === i).drop("__slice")
         .coalesce(1) // ONE file per slice (the q227 lesson, scaladoc above)
         .write.mode("overwrite").parquet(s"$stage/slice_$i")
+      val dir = stage.resolve(s"slice_$i")
+      val files = java.nio.file.Files.list(dir)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(files.iterator()).asScala
+        .foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + idx * 2000L)))
+      finally files.close()
     }
     val schema = spark.read.parquet(s"$stage/slice_${sliceIds.head}").schema
     (stage, schema)

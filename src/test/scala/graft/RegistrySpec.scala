@@ -73,13 +73,35 @@ class RegistrySpec extends SparkSpec {
       "q_new_hot" -> Vector((5.0, 6.0)),
       "q_err" -> Vector((-1.0, 0.4)))
     val refs = Map("q_hot" -> 3.0)
-    val (contended, idleRef) = Bench.idleAdjudicatedTotals(results, attempts, refs)
+    val (contended, idleRef) =
+      Bench.idleAdjudicatedTotals(results, attempts, refs, bar = 2.0)
     assert(contended == 9.0 + 5.0) // the unevidenced slice of value
     assert(idleRef == 2.0 + 3.0 + 5.0) // best idle, prior median, raw observation
     // fully idle sweep degenerates to (0, value) — the no-correction case
     val (c2, i2) = Bench.idleAdjudicatedTotals(
-      Seq("q" -> 1.5), Map("q" -> Vector((1.5, 0.3))), Map.empty)
+      Seq("q" -> 1.5), Map("q" -> Vector((1.5, 0.3))), Map.empty, bar = 2.0)
     assert(c2 == 0.0 && i2 == 1.5)
+    // self-load-scaled bar (r16 ADVICE): with a quiet start on a 32-CPU
+    // box, q_hot's 7.2-loadavg attempt is the sweep's OWN load and counts
+    // as idle evidence — contended shrinks to q_new_hot's slice only
+    val (c3, i3) = Bench.idleAdjudicatedTotals(results, attempts, refs,
+      bar = Bench.idleBar(1.0, cpus = 32))
+    assert(c3 == 0.0 && i3 == 2.0 + 9.0 + 5.0)
+  }
+
+  test("Bench idleBar: self-load envelope on a quiet start, strict 2.0 on a loaded one") {
+    // quiet start: bar = loadStart + 0.25×cpus (8.0 self-load envelope on
+    // 32 CPUs — just above the 7.2 peak r16's committed idle sweep drove
+    // from nothing but itself)
+    assert(Bench.idleBar(1.0, cpus = 32) == 9.0)
+    // small box: the envelope collapses toward the 2.0 floor
+    assert(Bench.idleBar(0.0, cpus = 4) == 2.0)
+    // externally loaded start: loadavg can't separate a decaying external
+    // load from our own — no attempt this sweep counts as idle, the prior
+    // sweep's medians stay the only correction channel
+    assert(Bench.idleBar(6.2, cpus = 32) == 2.0)
+    // unreadable /proc/loadavg (-1) degrades to the strict bar too
+    assert(Bench.idleBar(-1.0, cpus = 32) == 2.0)
   }
 
   Registry.all.filterNot(q => skipHere(q.name)).foreach { q =>

@@ -31,6 +31,28 @@ class PlansSpec extends SparkSpec {
     assert(bHits.forall(n => n >= 0 && n < 500), s"partial-agg rows must be tiny, saw $bHits")
   }
 
+  test("SinglePartitionAudit catches a funnel inside an eagerly-executed intermediate write") {
+    // the r16 verdict's named blind spot: the r15 funnel lived in jobs a
+    // harness ran eagerly INSIDE fn (staging writes), invisible to a
+    // walker that only sees the returned frame. Pin the listener path:
+    // a deliberate repartition(1) write of 10k rows that is NOT the
+    // returned frame must surface as a captured hit with its true record
+    // count, while the benign returned frame must not mask it.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spa_").toString
+    val hits = graft.SinglePartitionAudit.auditedHits(spark) {
+      val base = spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+      // the eager intermediate job carrying the funnel (never returned)
+      base.repartition(1).write.mode("overwrite").parquet(s"$tmp/staged")
+      // returned frame: an innocent aggregate over the staged table
+      spark.read.parquet(s"$tmp/staged").groupBy("k").agg(count(lit(1)).as("n"))
+    }
+    assert(hits.exists(h => h.origin.startsWith("captured") && h.records == 10000L),
+      s"intermediate-write funnel not captured: $hits")
+    assert(!hits.exists(h => h.origin == "returned" && h.records > 500L),
+      s"returned frame should only carry tiny partial-agg exchanges: $hits")
+  }
+
   test("GeometricRoundExpr matches the Column-composed version and works in SQL") {
     import spark.implicits._
     val xs = Seq(0.5, 2.44, 2.45, 7.0, 123.456, 0.0).toDF("x")

@@ -355,6 +355,22 @@ class StreamingSpec extends SparkSpec {
       run.crashMsgs.exists(_.contains("BEFORE commit")) &&
       run.crashMsgs.exists(_.contains("AFTER commit")),
       s"expected both crash modes, saw ${run.crashMsgs}")
+    // the error surface is EXACTLY the injected failure under Spark's
+    // foreachBatch wrapper — in particular no
+    // StateStoreCommitValidationFailed anywhere in either chain (r16
+    // item 4: that class appearing here would mean the redelivered
+    // batch's stateful plan stopped executing again)
+    assert(run.crashClasses.size === 2 &&
+      run.crashClasses.forall(_.contains("RuntimeException")),
+      s"injected RuntimeException missing from a cause chain: ${run.crashClasses}")
+    assert(run.crashClasses.flatten.forall(c => !c.contains("StateStoreCommitValidation")),
+      s"commit-validation failure leaked into a crash chain: ${run.crashClasses}")
+    // the NON-crash incarnations (graceful stop, final drain) terminated
+    // with no error at all — before r17 the final drain silently swallowed
+    // a StateStoreCommitValidationFailed because the ledger guard skipped
+    // the redelivered batch's plan; a REAL recovery defect surfaces here
+    assert(run.cleanErrs.isEmpty,
+      s"non-crash incarnations must drain clean, saw ${run.cleanErrs}")
     // the crash-before-commit left a REAL partial sink write (with the
     // batch's RocksDB version already committed) for the janitor
     assert(run.orphanTmps >= 1, "the mid-batch kill must leave a staged partial write")
@@ -382,6 +398,13 @@ class StreamingSpec extends SparkSpec {
     assert(run.crashMsgs.size === 2 &&
       run.crashMsgs.forall(_.contains("injected crash")),
       s"expected 2 injected crashes, saw ${run.crashMsgs}")
+    // exact error surface: the injected RuntimeException under Spark's
+    // wrappers, and the clean incarnations really were clean
+    assert(run.crashClasses.size === 2 &&
+      run.crashClasses.forall(_.contains("RuntimeException")),
+      s"injected RuntimeException missing from a cause chain: ${run.crashClasses}")
+    assert(run.cleanErrs.isEmpty,
+      s"non-crash incarnations must drain clean, saw ${run.cleanErrs}")
     // the crash-before-commit left a REAL partial sink write for the
     // janitor to find on the next recovery
     assert(run.orphanTmps >= 1, "the mid-batch kill must leave a staged partial write")
