@@ -1,14 +1,16 @@
 package graft
 
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan, SparkPlanInfo}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.ui.{SparkListenerSQLAdaptiveExecutionUpdate, SparkListenerSQLExecutionStart}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.util.QueryExecutionListener
 
@@ -31,11 +33,23 @@ import graft.registry.Registry
   * the duration of each `fn` call captures every Dataset action and
   * DataFrameWriter command the query executes (success AND failure); each
   * captured executed plan is walked with the same metrics-verified logic
-  * as the returned frame. Known residual blind spot, stated so the
-  * headline doesn't overclaim: a streaming micro-batch's OWN incremental
-  * plan is not a Dataset action and is not captured — but every harness
-  * in this library does its state writes through foreachBatch
-  * (`batch.write...`), which IS captured.
+  * as the returned frame.
+  *
+  * Streaming micro-batch plans are covered too (closing what was briefly
+  * a documented residual): a micro-batch's OWN incremental plan is not a
+  * Dataset action, so the QueryExecutionListener never sees it — but
+  * MicroBatchExecution posts every batch to the SQL listener bus as a
+  * `SparkListenerSQLExecutionStart` (identified by the
+  * `"...\nrunId = ...\nbatch = N"` description). A second listener walks
+  * each streaming plan's `SparkPlanInfo` tree for
+  * `Exchange SinglePartition` nodes, remembers their "shuffle records
+  * written" accumulator ids (Spark posts duplicate start events per
+  * batch, but they reference the SAME accumulators — dedup by id), and
+  * sums the matching task-end accumulator updates: the same runtime
+  * record-count truth the batch walk reads from the exchange's metric,
+  * arriving over the bus instead. AQE re-plans inside a streaming batch
+  * (stateless ones only — stateful batches disable AQE) are walked from
+  * their `SparkListenerSQLAdaptiveExecutionUpdate` events as well.
   *
   * The listener bus is asynchronous, so after `fn` returns the audit
   * drains deterministically: it runs a sentinel action (a 1-row select of
@@ -90,6 +104,91 @@ object SinglePartitionAudit {
     try e._2.analyzed.output.exists(_.name == SentinelCol)
     catch { case _: Throwable => false }
 
+  /** SQL-listener-bus side of the audit (streaming micro-batch plans —
+    * scaladoc above). Collects, per single-partition exchange seen in a
+    * streaming execution's plan tree, the "shuffle records written"
+    * accumulator id with a human label, then sums that accumulator's
+    * task-end updates. Batch-action executions are EXCLUDED here (no
+    * streaming description) — the QueryExecutionListener walk already
+    * covers them with the exchange's own metric; counting both would
+    * double-report.
+    */
+  private final class SqlExecListener extends SparkListener {
+    private val streamExecLabels = new ConcurrentHashMap[Long, String]
+    val labels = new ConcurrentHashMap[Long, String] // accumId -> label
+    private val order = new ConcurrentLinkedQueue[java.lang.Long]
+    private val sums = new ConcurrentHashMap[Long, java.lang.Long]
+    @volatile var sentinelSeen = false
+
+    private def walk(p: SparkPlanInfo): Seq[SparkPlanInfo] =
+      p +: p.children.flatMap(walk)
+
+    private def collectFrom(info: SparkPlanInfo, label: String): Unit =
+      walk(info).foreach { n =>
+        if (n.nodeName == "Exchange" && n.simpleString.contains("SinglePartition"))
+          n.metrics.find(_.name == "shuffle records written").foreach { m =>
+            if (labels.putIfAbsent(m.accumulatorId, label) == null)
+              order.add(m.accumulatorId)
+          }
+      }
+
+    override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+      case e: SparkListenerSQLExecutionStart =>
+        if (e.physicalPlanDescription != null &&
+          e.physicalPlanDescription.contains(SentinelCol)) sentinelSeen = true
+        else if (e.description != null && e.description.contains("\nrunId = ")) {
+          val lines = e.description.linesIterator.toSeq
+          val label = (lines.headOption.toSeq ++ lines.find(_.startsWith("batch = ")))
+            .mkString(" ")
+          streamExecLabels.putIfAbsent(e.executionId, label)
+          collectFrom(e.sparkPlanInfo, label)
+        }
+      case e: SparkListenerSQLAdaptiveExecutionUpdate =>
+        // AQE inside a stateless streaming batch re-plans mid-flight; the
+        // update event carries the new tree (same label as its start)
+        Option(streamExecLabels.get(e.executionId))
+          .foreach(collectFrom(e.sparkPlanInfo, _))
+      case _ => ()
+    }
+
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
+      if (taskEnd.taskInfo != null) taskEnd.taskInfo.accumulables.foreach { a =>
+        if (labels.containsKey(a.id)) a.update match {
+          case Some(v: java.lang.Long) =>
+            sums.merge(a.id, v, (x, y) => java.lang.Long.sum(x, y))
+          case _ => ()
+        }
+      }
+
+    /** One hit per single-partition exchange observed in a streaming
+      * plan, records = summed task updates. Two dedup rules keep the
+      * union of the tiers exactly-once and noise-free (measured in the
+      * PlansSpec pin):
+      *  - `exclude`: accumulator ids already walked by the
+      *    QueryExecutionListener tier (v2-sink micro-batches and every
+      *    foreachBatch user action ARE Dataset executions — the bus
+      *    tier must not report the same exchange twice);
+      *  - phantom suppression: Spark posts duplicate start events per
+      *    batch whose plan copies carry fresh, never-updated
+      *    accumulators; a -1 id is dropped when its batch label already
+      *    has a measured-or-excluded sibling (the batch demonstrably
+      *    executed and was reported once). A batch whose ids are ALL
+      *    -1 stays visible — planned-but-never-executed is a finding.
+      */
+    def streamingHits(exclude: Set[Long]): Seq[Hit] = {
+      val all = order.asScala.toVector.map { id =>
+        (id.longValue, labels.get(id),
+          Option(sums.get(id)).map(_.longValue).getOrElse(-1L))
+      }
+      val covered = all.collect {
+        case (id, l, r) if r >= 0 || exclude(id) => l
+      }.toSet
+      all.filterNot { case (id, _, _) => exclude(id) }
+        .filter { case (_, l, r) => r >= 0 || !covered(l) }
+        .map { case (_, l, r) => Hit(s"stream:$l", r) }
+    }
+  }
+
   private def flatten(pl: SparkPlan): Seq[SparkPlan] = {
     val self = pl match {
       case a: AdaptiveSparkPlanExec => pl +: flatten(a.executedPlan)
@@ -109,11 +208,13 @@ object SinglePartitionAudit {
       .orElse(e.child.metrics.get("numOutputRows").map(_.value))
       .getOrElse(-1L)
 
-  private def hitsIn(plan: SparkPlan, origin: String): Seq[Hit] =
+  private def spExchanges(plan: SparkPlan): Seq[ShuffleExchangeExec] =
     flatten(plan).collect {
-      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
-        Hit(origin, recordsIn(e))
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
     }
+
+  private def hitsIn(plan: SparkPlan, origin: String): Seq[Hit] =
+    spExchanges(plan).map(e => Hit(origin, recordsIn(e)))
 
   /** Execute the frame and return every single-partition exchange in its
     * final adaptive plan with the record count written into it. The
@@ -142,28 +243,43 @@ object SinglePartitionAudit {
     */
   private[graft] def auditedHits(spark: SparkSession)(fn: => DataFrame): Seq[Hit] = {
     val listener = new CaptureListener
+    val sqlBus = new SqlExecListener
     spark.listenerManager.register(listener)
+    spark.sparkContext.addSparkListener(sqlBus)
     try {
       val df = fn
       val returned = singlePartitionHits(df).map(Hit("returned", _))
-      // deterministic drain: the bus delivers in order, so once the
-      // sentinel's execution arrives, everything `fn` ran has arrived
+      // deterministic drain: each bus delivers in order, so once the
+      // sentinel's execution arrives ON BOTH (the QueryExecutionListener
+      // via its SQLExecutionEnd, the SparkListener via its
+      // SQLExecutionStart), everything `fn` ran has arrived
       spark.range(1).select(lit(1).as(SentinelCol)).collect()
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (!listener.captured.asScala.exists(isSentinel) &&
+      while (!(listener.captured.asScala.exists(isSentinel) && sqlBus.sentinelSeen) &&
         System.nanoTime() < deadline) Thread.sleep(20)
-      require(listener.captured.asScala.exists(isSentinel),
+      require(listener.captured.asScala.exists(isSentinel) && sqlBus.sentinelSeen,
         "listener bus did not drain within 60s — capture evidence incomplete")
-      val captured = listener.captured.asScala.toVector
+      val capturedPlans = listener.captured.asScala.toVector
         .filterNot(isSentinel)
         .flatMap { case (func, qe) =>
           // executedPlan can throw for a query that failed during ANALYSIS
           // (no plan to walk — nothing executed either)
           val plan = try Some(qe.executedPlan) catch { case _: Throwable => None }
-          plan.toSeq.flatMap(hitsIn(_, s"captured:$func"))
+          plan.map(func -> _)
         }
-      returned ++ captured
-    } finally spark.listenerManager.unregister(listener)
+      val captured = capturedPlans.flatMap { case (func, plan) =>
+        hitsIn(plan, s"captured:$func")
+      }
+      // exchanges this tier already walked, by their metric accumulator
+      // id — the bus tier must not report them a second time
+      val walkedIds = capturedPlans.flatMap { case (_, plan) =>
+        spExchanges(plan).flatMap(_.metrics.get("shuffleRecordsWritten").map(_.id))
+      }.toSet
+      returned ++ captured ++ sqlBus.streamingHits(walkedIds)
+    } finally {
+      spark.sparkContext.removeSparkListener(sqlBus)
+      spark.listenerManager.unregister(listener)
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -53,6 +53,38 @@ class PlansSpec extends SparkSpec {
       s"returned frame should only carry tiny partial-agg exchanges: $hits")
   }
 
+  test("SinglePartitionAudit measures funnels inside streaming micro-batch plans exactly once") {
+    // a micro-batch's incremental plan is not a user Dataset action; the
+    // audit's SQL-bus tier must see it — with REAL record counts from
+    // the exchange's accumulator, not mere presence — while the two
+    // tiers together report each exchange EXACTLY once (v2-sink batches
+    // also reach the QueryExecutionListener; Spark additionally posts
+    // duplicate per-batch start events whose plan copies carry fresh
+    // never-updated accumulators, which must not surface as noise). A
+    // deliberate repartition(1) inside the stream funnels each full
+    // batch through one partition: two slices of orders (1500 rows split
+    // by orderkey parity) must surface as exactly two 750-record hits.
+    import org.apache.spark.sql.functions._
+    val total = Tables.orders(spark, sf001).count()
+    val hits = graft.SinglePartitionAudit.auditedHits(spark) {
+      val (stage, schema) = graft.streaming.StreamHarness.stageSlices(
+        Tables.orders(spark, sf001).select(col("o_orderkey")),
+        pmod(col("o_orderkey"), lit(2)), 0 to 1, "graft_spastream_")
+      val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$stage/slice_*")
+        .repartition(1)
+        .writeStream.format("noop").queryName("spa_stream_pin").start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(s"$stage/slice_0") // returned frame: plain scan
+    }
+    val funnels = hits.filter(_.records >= total / 4)
+    assert(funnels.size == 2, s"one measured hit per micro-batch, saw $hits")
+    assert(funnels.map(_.records).sum == total,
+      s"batch funnels must carry true record counts: $funnels")
+    assert(!hits.exists(_.records < 0),
+      s"phantom plan copies must not surface as UNMEASURED noise: $hits")
+  }
+
   test("GeometricRoundExpr matches the Column-composed version and works in SQL") {
     import spark.implicits._
     val xs = Seq(0.5, 2.44, 2.45, 7.0, 123.456, 0.0).toDF("x")
