@@ -124,7 +124,11 @@ object Bench {
     *
     *  - `contended_total`: the slice of `value` contributed by queries
     *    with NO idle-started attempt this sweep — the unevidenced part.
-    *    0.0 on an idle box; ≈`value` when the whole sweep was contended.
+    *    ≈0 on an idle box (a few tail attempts can exceed even the
+    *    self-load envelope when the box's own load spikes past it —
+    *    r17's idle sweep read 18s of 418s that way, and those queries'
+    *    prior medians carry them); ≈`value` when the whole sweep was
+    *    contended.
     *  - `idle_reference_total`: Σ per query of the best evidence of its
     *    idle time — the best idle attempt THIS sweep when one exists,
     *    else the previous committed sweep's same-sf median (`refs`),

@@ -375,14 +375,19 @@ object ScaleCert {
     // The exemption is an explicit allowlist (review finding, r16): K=30
     // is the adjudicated spot-cert mode — its ratios are two-point curve
     // evidence, not gate inputs. Any OTHER k (a typo, a future driver
-    // value) still enforces the K=10 ceilings, which at larger k fail
-    // loudly by construction — forcing a human to either add the new k to
-    // the allowlist with its own adjudication or recalibrate, instead of
-    // silently losing the scale gate to a log line.
-    val enforceRatios = k == 10
+    // value) still enforces the K=10 ceilings — at k > 10 they fail
+    // loudly by construction, forcing a human to either add the new k to
+    // the allowlist with its own adjudication or recalibrate; at k < 10
+    // they can only pass vacuously, so the run carries an explicit
+    // warning line instead of printing a clean bill it didn't earn.
     val ratioGateExempt = Set(30)
-    if (!enforceRatios && ratioGateExempt.contains(k))
+    val ratioGateEnforced = !ratioGateExempt.contains(k)
+    if (!ratioGateEnforced)
       println(s"[scale] k=$k spot-cert: ratio ceilings recorded, not enforced (completion still gates)")
+    else if (k != 10)
+      println(s"[scale] WARNING k=$k is neither the calibration point (10) nor in the " +
+        "spot-cert allowlist: enforcing K=10-calibrated ceilings — k>10 fails loudly, " +
+        "k<10 passes vacuously; adjudicate before trusting this run's gate")
     val violations = rows.flatMap { l =>
       val n = "\"name\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
       def num(k: String) =
@@ -394,9 +399,9 @@ object ScaleCert {
       // slip past it as ratio -1
       if (t1 <= 0 || tk <= 0)
         Some(f"$n did not complete both sides (t1=$t1%.2f, tk=$tk%.2f)")
-      else if ((enforceRatios || !ratioGateExempt.contains(k)) && r > ceil)
+      else if (ratioGateEnforced && r > ceil)
         Some(f"$n ratio $r%.2f > ceiling $ceil%.1f" +
-          (if (!enforceRatios) f" (K=$k not in the spot-cert allowlist: K=10 ceilings enforced)" else ""))
+          (if (k != 10) f" (K=$k not in the spot-cert allowlist: K=10 ceilings enforced)" else ""))
       else None
     }
     if (violations.nonEmpty) {

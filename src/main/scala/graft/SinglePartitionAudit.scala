@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.{QueryExecution, SparkPlan, SparkPlanInfo}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.ui.{SparkListenerSQLAdaptiveExecutionUpdate, SparkListenerSQLExecutionStart}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.registry.Registry
@@ -115,9 +115,19 @@ object SinglePartitionAudit {
     */
   private final class SqlExecListener extends SparkListener {
     private val streamExecLabels = new ConcurrentHashMap[Long, String]
-    val labels = new ConcurrentHashMap[Long, String] // accumId -> label
+    // accumId -> (batch label, exchange node signature). The signature
+    // rides along so phantom suppression (streamingHits below) only
+    // collapses plan COPIES of the same exchange, never a genuinely
+    // distinct never-executed sibling exchange in the same batch.
+    val labels = new ConcurrentHashMap[Long, (String, String)]
     private val order = new ConcurrentLinkedQueue[java.lang.Long]
-    private val sums = new ConcurrentHashMap[Long, java.lang.Long]
+    // (accumId, stageId, partitionIndex) -> first SUCCESSFUL update.
+    // Keyed per task partition so a speculative duplicate or a stage
+    // retry can't double-count a partition's records — the batch tier's
+    // SQLMetric gets this dedup from the DAGScheduler (only the first
+    // successful attempt's accumulators merge); the bus tier must do it
+    // itself.
+    private val updates = new ConcurrentHashMap[(Long, Int, Int), java.lang.Long]
     @volatile var sentinelSeen = false
 
     private def walk(p: SparkPlanInfo): Seq[SparkPlanInfo] =
@@ -127,7 +137,10 @@ object SinglePartitionAudit {
       walk(info).foreach { n =>
         if (n.nodeName == "Exchange" && n.simpleString.contains("SinglePartition"))
           n.metrics.find(_.name == "shuffle records written").foreach { m =>
-            if (labels.putIfAbsent(m.accumulatorId, label) == null)
+            // plan copies re-number plan_id — strip it so copies of the
+            // same exchange share one signature
+            val sig = n.simpleString.replaceAll("\\[plan_id=\\d+\\]", "")
+            if (labels.putIfAbsent(m.accumulatorId, (label, sig)) == null)
               order.add(m.accumulatorId)
           }
       }
@@ -152,13 +165,14 @@ object SinglePartitionAudit {
     }
 
     override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
-      if (taskEnd.taskInfo != null) taskEnd.taskInfo.accumulables.foreach { a =>
-        if (labels.containsKey(a.id)) a.update match {
-          case Some(v: java.lang.Long) =>
-            sums.merge(a.id, v, (x, y) => java.lang.Long.sum(x, y))
-          case _ => ()
+      if (taskEnd.taskInfo != null && taskEnd.taskInfo.successful)
+        taskEnd.taskInfo.accumulables.foreach { a =>
+          if (labels.containsKey(a.id)) a.update match {
+            case Some(v: java.lang.Long) =>
+              updates.putIfAbsent((a.id, taskEnd.stageId, taskEnd.taskInfo.index), v)
+            case _ => ()
+          }
         }
-      }
 
     /** One hit per single-partition exchange observed in a streaming
       * plan, records = summed task updates. Two dedup rules keep the
@@ -170,22 +184,35 @@ object SinglePartitionAudit {
       *    tier must not report the same exchange twice);
       *  - phantom suppression: Spark posts duplicate start events per
       *    batch whose plan copies carry fresh, never-updated
-      *    accumulators; a -1 id is dropped when its batch label already
-      *    has a measured-or-excluded sibling (the batch demonstrably
-      *    executed and was reported once). A batch whose ids are ALL
-      *    -1 stays visible — planned-but-never-executed is a finding.
+      *    accumulators; a -1 id is dropped ONLY when the same batch
+      *    label carries a measured-or-excluded id with the SAME exchange
+      *    node signature (plan_id-normalized — a plan copy of an
+      *    exchange that demonstrably executed and was reported once). A
+      *    never-executed sibling with a DIFFERENT signature stays
+      *    visible as UNMEASURED, and a batch whose ids are ALL -1 stays
+      *    fully visible: planned-but-never-executed is a finding. Known
+      *    conservative corner: a never-executed sibling whose normalized
+      *    signature exactly matches an executed one in the same batch
+      *    collapses with it — signatures can't separate structural twins
+      *    (the batch tier still reports per-exchange for every
+      *    foreachBatch/v2 execution it walks).
       */
     def streamingHits(exclude: Set[Long]): Seq[Hit] = {
       val all = order.asScala.toVector.map { id =>
-        (id.longValue, labels.get(id),
-          Option(sums.get(id)).map(_.longValue).getOrElse(-1L))
+        val (label, sig) = labels.get(id)
+        (id.longValue, label, sig, recordsFor(id))
       }
       val covered = all.collect {
-        case (id, l, r) if r >= 0 || exclude(id) => l
+        case (id, l, sig, r) if r >= 0 || exclude(id) => (l, sig)
       }.toSet
-      all.filterNot { case (id, _, _) => exclude(id) }
-        .filter { case (_, l, r) => r >= 0 || !covered(l) }
-        .map { case (_, l, r) => Hit(s"stream:$l", r) }
+      all.filterNot { case (id, _, _, _) => exclude(id) }
+        .filter { case (_, l, sig, r) => r >= 0 || !covered((l, sig)) }
+        .map { case (_, l, _, r) => Hit(s"stream:$l", r) }
+    }
+
+    private def recordsFor(id: Long): Long = {
+      val vs = updates.asScala.collect { case ((a, _, _), v) if a == id => v.longValue }
+      if (vs.isEmpty) -1L else vs.sum
     }
   }
 
@@ -248,17 +275,29 @@ object SinglePartitionAudit {
     spark.sparkContext.addSparkListener(sqlBus)
     try {
       val df = fn
-      val returned = singlePartitionHits(df).map(Hit("returned", _))
-      // deterministic drain: each bus delivers in order, so once the
-      // sentinel's execution arrives ON BOTH (the QueryExecutionListener
-      // via its SQLExecutionEnd, the SparkListener via its
-      // SQLExecutionStart), everything `fn` ran has arrived
+      // deterministic drain FIRST: each bus delivers in order, so once
+      // the sentinel's execution arrives ON BOTH (the
+      // QueryExecutionListener via its SQLExecutionEnd, the
+      // SparkListener via its SQLExecutionStart), everything `fn` ran
+      // has arrived — and the returned-frame decision below can see it
       spark.range(1).select(lit(1).as(SentinelCol)).collect()
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
       while (!(listener.captured.asScala.exists(isSentinel) && sqlBus.sentinelSeen) &&
         System.nanoTime() < deadline) Thread.sleep(20)
       require(listener.captured.asScala.exists(isSentinel) && sqlBus.sentinelSeen,
         "listener bus did not drain within 60s — capture evidence incomplete")
+      // a query that already executed its RETURNED frame's own
+      // QueryExecution inside fn (df.collect() then return df) must not
+      // be executed again: toRdd would re-run the tasks and the plan's
+      // SQLMetric accumulators would double, inflating the SAME exchange
+      // to 2x in both the captured and returned rows (review finding,
+      // r17) — the captured walk already reports it once, so the
+      // returned tier stands down
+      val returnedAlreadyRan =
+        listener.captured.asScala.exists(_._2 eq df.queryExecution)
+      val returned =
+        if (returnedAlreadyRan) Nil
+        else singlePartitionHits(df).map(Hit("returned", _))
       val capturedPlans = listener.captured.asScala.toVector
         .filterNot(isSentinel)
         .flatMap { case (func, qe) =>

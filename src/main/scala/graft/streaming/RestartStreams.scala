@@ -48,7 +48,11 @@ import graft.registry.GQuery
   *    must re-execute the batch against the state AS OF BATCH START,
   *    superseding the torn version — and a crash after the sink commit
   *    but before the checkpoint, whose redelivery the sink's ledger
-  *    guard must skip without re-executing the batch plan.
+  *    guard must absorb: no second WRITE, while the batch plan still
+  *    re-executes (drained via StreamHarness.drainBatch — Spark 4.1's
+  *    commit validation requires every batch's state partitions to
+  *    commit, and re-execution recommits the same deterministic
+  *    version).
   *
   * Both reuse their originals' oracles VERBATIM: the upsert state is a
   * set property of the corpus (merge is associative/commutative), and
@@ -268,13 +272,13 @@ object RestartStreams {
               // clean-run error. Re-execution on redelivery is what
               // transformWithState recovery is BUILT for: the store loads
               // the state as of batch start and recommits the same
-              // deterministic version. DRAINING each partition's iterator
-              // (a function that ignores it would pull nothing — the
-              // stateful operator runs only as rows are consumed) discards
+              // deterministic version. Draining the batch (the shared
+              // StreamHarness.drainBatch — a function that ignored the
+              // iterator would pull nothing, execute nothing) discards
               // the rows — output stays exactly-once — and the noise is
               // gone at the ROOT, so a real commit-validation failure now
               // surfaces in `cleanErrs` instead of hiding in a known WARN.
-              batch.foreachPartition((it: Iterator[Row]) => it.foreach(_ => ()))
+              StreamHarness.drainBatch(batch)
             }
           }
           val stream = spark.readStream.schema(schema)
@@ -411,7 +415,7 @@ object RestartStreams {
             // the entire DataFrame") is kept uniform with the TWS sink so
             // adding a stateful op upstream can never resurrect the
             // commit-validation failure mode
-            batch.foreachPartition((it: Iterator[Row]) => it.foreach(_ => ()))
+            StreamHarness.drainBatch(batch)
           }
         }
         val q = stream.writeStream

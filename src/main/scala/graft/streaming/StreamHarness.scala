@@ -114,6 +114,19 @@ object StreamHarness {
       order: Seq[Column], n: Int): DataFrame =
     graft.operators.DistributedRank.ntile(df, order, n, "__slice")
 
+  /** Consume a foreachBatch batch WITHOUT side effects: pull every
+    * partition's iterator dry. Load-bearing for idempotent-skip sinks on
+    * redelivered batches (RestartStreams): Spark 4.1's
+    * BatchCommitTracker requires every micro-batch's stateful plan to
+    * commit all its state partitions, and the plan only executes as rows
+    * are CONSUMED — a function that ignores the iterator pulls nothing
+    * and fails the incarnation with StateStoreCommitValidationFailed.
+    * One shared helper so the two crash-harness sinks cannot drift
+    * (the r15 scaffold-consolidation rule).
+    */
+  def drainBatch(batch: Dataset[Row]): Unit =
+    batch.foreachPartition((it: Iterator[Row]) => it.foreach(_ => ()))
+
   /** The replay-guarded versioned-parquet merge loop (scaladoc above).
     * Streams the staged slices one file per micro-batch, applies
     * `merge(prevState, batch)` per fresh batch id, writes state version

@@ -82,8 +82,10 @@ class RegistrySpec extends SparkSpec {
       Seq("q" -> 1.5), Map("q" -> Vector((1.5, 0.3))), Map.empty, bar = 2.0)
     assert(c2 == 0.0 && i2 == 1.5)
     // self-load-scaled bar (r16 ADVICE): with a quiet start on a 32-CPU
-    // box, q_hot's 7.2-loadavg attempt is the sweep's OWN load and counts
-    // as idle evidence — contended shrinks to q_new_hot's slice only
+    // box the bar is 9.0, so q_hot's 7.2-loadavg attempt AND q_new_hot's
+    // 6.0-loadavg attempt are the sweep's OWN load and count as idle
+    // evidence — nothing is left unevidenced and each query's reference
+    // is its own best attempt
     val (c3, i3) = Bench.idleAdjudicatedTotals(results, attempts, refs,
       bar = Bench.idleBar(1.0, cpus = 32))
     assert(c3 == 0.0 && i3 == 2.0 + 9.0 + 5.0)
