@@ -106,11 +106,25 @@ object Bench {
     * (loadStart ≤ ContendedLoad), mid-sweep attempts count as idle
     * evidence up to loadStart + 0.25×CPUs (the measured self-load
     * envelope: 8 on the 32-CPU box, just above the observed 7.2 peak);
-    * when the sweep starts already loaded, NO attempt this sweep counts
-    * as idle — a 1-min loadavg cannot separate a decaying external load
-    * from our own, so the prior sweep's medians stay the only correction
-    * channel (exactly the pre-r17 behavior for loaded sweeps, which the
-    * r16 judge verified adjudicates correctly).
+    * when the sweep starts already loaded, the bar falls back to the
+    * STRICT 2.0 — an attempt observed at loadavg ≤ 2.0 still counts as
+    * idle evidence (external load demonstrably gone at that instant),
+    * but the sweep's own self-load (~3-7) usually masks that window, so
+    * in practice the prior sweep's medians are the correction channel
+    * for loaded sweeps (the r16 judge verified they adjudicate
+    * correctly). The deferred-retry pass can widen this: see the rebase
+    * step in [[main]] — a post-quiesce reading at or under ContendedLoad
+    * proves the external load died, and deferred attempts then earn the
+    * scaled self-load bar.
+    *
+    * Known one-directional tradeoff (r17 ADVICE, documented): on a
+    * quiet-start sweep, external load that ARRIVES mid-sweep and stays
+    * under the self-load envelope is indistinguishable from our own load
+    * and counts as idle evidence. `load_max_attempt` in the detail
+    * artifact is the adjudication signal for that case: a quiet start
+    * whose max per-attempt loadavg EXCEEDS the bar means something
+    * external arrived (the self-load envelope is sized above the
+    * observed self-only peak).
     */
   private[graft] def idleBar(loadStart: Double,
       cpus: Int = Runtime.getRuntime.availableProcessors()): Double =
@@ -135,6 +149,11 @@ object Bench {
     *    else the reported time (new query on a loaded box: no correction
     *    available, carry the observation).
     *
+    * Attempts carry the bar in effect WHEN they ran (r17 verdict item 5:
+    * the deferred pass can earn a wider bar than the first pass on a
+    * loaded-start sweep), so idleness is judged per attempt, not per
+    * sweep.
+    *
     * Reading: `value` ≈ `idle_reference_total` ⇒ trust `value`;
     * `value` ≫ `idle_reference_total` with a big `contended_total` ⇒ the
     * sweep was externally loaded and the reference total is the honest
@@ -142,21 +161,78 @@ object Bench {
     */
   private[graft] def idleAdjudicatedTotals(
       results: Seq[(String, Double)],
-      attempts: scala.collection.Map[String, Vector[(Double, Double)]],
-      refs: Map[String, Double],
-      bar: Double): (Double, Double) = {
+      attempts: scala.collection.Map[String, Vector[(Double, Double, Double)]],
+      refs: Map[String, Double]): (Double, Double) = {
+    def isIdle(a: (Double, Double, Double)): Boolean =
+      a._1 >= 0 && a._2 >= 0 && a._2 <= a._3
     val rows = results.filter(_._2 >= 0)
     val contendedTotal = rows.collect { case (name, t)
-      if !attempts.getOrElse(name, Vector.empty)
-        .exists { case (at, la) => at >= 0 && la >= 0 && la <= bar } => t
+      if !attempts.getOrElse(name, Vector.empty).exists(isIdle) => t
     }.sum
     val idleReferenceTotal = rows.map { case (name, t) =>
       val idle = attempts.getOrElse(name, Vector.empty)
-        .collect { case (at, la) if at >= 0 && la >= 0 && la <= bar => at }
+        .collect { case a if isIdle(a) => a._1 }
       if (idle.nonEmpty) idle.min else refs.getOrElse(name, t)
     }.sum
     (contendedTotal, idleReferenceTotal)
   }
+
+  /** Guard on the medians artifact (r17 verdict item 1b — "the channel's
+    * single point of failure"): every future sweep's retry thresholds and
+    * idle references come from BENCH_DETAIL.json, and r17 demonstrated
+    * the file being silently replaced by a fully-contended driver sweep
+    * (load_start 7.9, contended_total = total) — ~12%-inflated medians
+    * that a later round would read as regressions. A full sweep REFUSES
+    * to overwrite an idle-evidenced detail file with one that carries
+    * essentially no idle evidence of its own; the contended evidence is
+    * preserved in a side file instead.
+    *
+    * Returns Some(reason) to refuse. Refusal requires BOTH sides to be
+    * clear-cut: the existing same-sf file is idle-evidenced
+    * (contended_total ≤ 20% of total) AND the new sweep is essentially
+    * unevidenced (contended_total ≥ 80% of total, or an empty/zero
+    * total). A missing, unparseable, different-sf, or itself-contended
+    * existing file never blocks the write; a mixed new sweep (partial
+    * idle evidence) overwrites — its evidence is genuinely newer.
+    */
+  private[graft] def detailOverwriteRefusal(existingTxt: String, sfDir: String,
+      newContended: Double, newTotal: Double): Option[String] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(existingTxt)
+      def num(field: String): Option[Double] = j \ field match {
+        case JDouble(v) => Some(v)
+        case JInt(v) => Some(v.toDouble)
+        case _ => None
+      }
+      val sfOk = j \ "sf" match {
+        case JString(s) => s == sfDir
+        case _ => false
+      }
+      (num("total"), num("contended_total")) match {
+        case (Some(t0), Some(c0))
+          if sfOk && t0 > 0 && c0 <= 0.2 * t0 &&
+            (newTotal <= 0 || newContended >= 0.8 * newTotal) =>
+          Some(f"existing file is idle-evidenced (contended $c0%.1f of $t0%.1f) " +
+            f"and this sweep is not (contended $newContended%.1f of $newTotal%.1f)")
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+
+  /** Where this sweep's detail evidence goes (the full routing rule —
+    * RegistrySpec pins it): filtered runs → the subset side file, always;
+    * full sweeps → the medians file unless [[detailOverwriteRefusal]]
+    * fires, in which case the contended side file. Returns the target
+    * path and the refusal reason (None when writing the medians file).
+    */
+  private[graft] def detailPathFor(filtered: Boolean, existingTxt: String,
+      sfDir: String, newContended: Double, newTotal: Double): (String, Option[String]) =
+    if (filtered) ("BENCH_DETAIL_subset.json", None)
+    else detailOverwriteRefusal(existingTxt, sfDir, newContended, newTotal) match {
+      case Some(reason) => ("BENCH_DETAIL_contended.json", Some(reason))
+      case None => ("BENCH_DETAIL.json", None)
+    }
 
   /** 1-minute /proc/loadavg sample — the contention evidence. Three
     * rounds running, the driver's serial sweep captured tail queries
@@ -186,15 +262,19 @@ object Bench {
     try exec("q01_pricing_summary") catch { case _: Throwable => () } // warmup
     // A failed query reports -1 (never a normal-looking elapsed time) and
     // lands in "errors", so a regression can't masquerade as a speedup.
-    // Every attempt is recorded with the loadavg observed as it started.
+    // Every attempt is recorded with the loadavg observed as it started
+    // AND the idle bar in effect at that moment (the deferred pass can
+    // re-base the bar on a loaded-start sweep — see below).
     val attemptLog = scala.collection.mutable.LinkedHashMap
-      .empty[String, Vector[(Double, Double)]]
+      .empty[String, Vector[(Double, Double, Double)]]
+    var currentBar = idleBar(loadStart)
+    val firstPassBar = currentBar
     def timedRun(name: String): Double = {
       val la = loadavg()
       val t0 = System.nanoTime()
       val ok = try { exec(name); true } catch { case _: Throwable => false }
       val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      attemptLog(name) = attemptLog.getOrElse(name, Vector.empty) :+ (t, la)
+      attemptLog(name) = attemptLog.getOrElse(name, Vector.empty) :+ (t, la, currentBar)
       // queries that cache intermediates (LSH banding, ML prepare) would
       // otherwise accumulate storage across the whole run; dropping the
       // cache between queries keeps each number self-contained
@@ -206,6 +286,28 @@ object Bench {
     val firstPass = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
       .map(name => name -> timedRun(name))
+    // Loaded-start rebase (r17 verdict item 5): a sweep starting at
+    // loadavg 2.1 kept the strict 2.0 bar for its entire 3-4h even when
+    // the external load died minutes in, and the sweep's own self-load
+    // (~3-7) masks the sub-2.0 window — the whole sweep forfeited idle
+    // evidence. Before the deferred-retry pass, quiesce 90s (no Spark
+    // work: the 1-min loadavg decays our own contribution to ~0.22× its
+    // peak, ≈1.6 on this box) and re-sample. A reading at or under
+    // ContendedLoad can only mean the external load is gone too, so
+    // deferred attempts earn the scaled self-load bar; a higher reading
+    // proves nothing (residual self vs external is unsplittable) and
+    // changes nothing. Skipped on quiet starts, error-free sweeps with
+    // no suspects, and filtered debug runs (only.nonEmpty).
+    val suspects = firstPass.exists { case (n, t) => t >= 0 && t > threshold(n) }
+    var loadRebase = -1.0
+    if (loadStart > ContendedLoad && suspects && only.isEmpty) {
+      Thread.sleep(90000)
+      val l = loadavg()
+      if (l >= 0 && l <= ContendedLoad) {
+        loadRebase = l
+        currentBar = idleBar(l)
+      }
+    }
     // End-of-sweep deferred pass: errors are NOT retried (an error is a
     // regression signal, not noise); suspects get up to two more
     // attempts, stopping early once an attempt lands under the threshold.
@@ -234,26 +336,54 @@ object Bench {
     // to survive capture: sweep-level loadavg plus attempts for the
     // RETRIED queries only.
     // Each attempt is [time, loadavg, contended]: the explicit flag marks
-    // attempts that started past ContendedLoad, so a sub-retry-threshold
-    // noisy row reads as contention straight off the artifact instead of
-    // needing a human to cross-reference loadavg (r13 verdict item 7).
-    val bar = idleBar(loadStart)
-    def attemptsJson(entries: Iterable[(String, Vector[(Double, Double)])]): String =
+    // attempts that started past the bar in effect when they ran, so a
+    // sub-retry-threshold noisy row reads as contention straight off the
+    // artifact instead of needing a human to cross-reference loadavg
+    // (r13 verdict item 7).
+    def attemptsJson(entries: Iterable[(String, Vector[(Double, Double, Double)])]): String =
       entries.map { case (n, as) =>
         "\"" + n + "\":[" +
-          as.map { case (t, la) =>
+          as.map { case (t, la, bar) =>
             f"[$t%.2f,$la%.1f,${la > bar}%b]"
           }.mkString(",") + "]"
       }.mkString("{", ",", "}")
     val (contendedTotal, idleRefTotal) =
-      idleAdjudicatedTotals(results, attemptLog, refSec, bar)
+      idleAdjudicatedTotals(results, attemptLog, refSec)
+    // max per-attempt loadavg: on a QUIET-start sweep a value above the
+    // bar means external load ARRIVED mid-sweep (self-load alone stays
+    // under the envelope) — the one contention direction the scaled bar
+    // is blind to (r17 ADVICE)
+    val loadMax = attemptLog.valuesIterator.flatten.map(_._2).filter(_ >= 0)
+      .foldLeft(-1.0)(math.max)
+    val rebasePart =
+      if (loadRebase >= 0) f""""load_rebase":$loadRebase%.1f,"idle_bar_deferred":$currentBar%.1f,"""
+      else ""
     val detail =
       f"""{"sf":"$sfDir","load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,""" +
-        f""""idle_bar":$bar%.1f,""" +
+        f""""load_max_attempt":$loadMax%.1f,""" +
+        f""""idle_bar":$firstPassBar%.1f,""" + rebasePart +
         f""""total":$total%.3f,"contended_total":$contendedTotal%.3f,""" +
         f""""idle_reference_total":$idleRefTotal%.3f,""" +
         f""""attempts":${attemptsJson(attemptLog)}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+    // Detail-file routing (r17 verdict item 1 — the medians clobber):
+    //  - a name-filtered debug run must NEVER touch the full-sweep
+    //    medians file (the r17 incident: a 3-query re-measure reduced
+    //    269 references to 3) → side file BENCH_DETAIL_subset.json;
+    //  - a full sweep refuses to replace an idle-evidenced file with a
+    //    fully-contended one → side file BENCH_DETAIL_contended.json
+    //    plus a printed refusal with the adopt-anyway command.
+    val existing =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
+      catch { case _: Throwable => "" }
+    val (detailFile, refusal) =
+      detailPathFor(only.isDefined, existing, sfDir, contendedTotal, total)
+    refusal.foreach { reason =>
+      println(s"[bench] REFUSED to overwrite BENCH_DETAIL.json: $reason. " +
+        "Evidence written to BENCH_DETAIL_contended.json; to adopt it anyway: " +
+        "mv BENCH_DETAIL_contended.json BENCH_DETAIL.json")
+    }
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
       detail.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // The LAST line is the one the driver parses, and it only captures the
@@ -268,7 +398,7 @@ object Bench {
     val tArr = results.map { case (_, v) => f"$v%.1f" }.mkString("[", ",", "]")
     val retried = attemptsJson(attemptLog.filter(_._2.length > 1))
     val loadPart =
-      f""""load":[$loadStart%.1f,$loadEnd%.1f],"detail_file":"BENCH_DETAIL.json""""
+      f""""load":[$loadStart%.1f,$loadEnd%.1f],"detail_file":"$detailFile""""
     val base =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","contended_total":$contendedTotal%.3f,"idle_reference_total":$idleRefTotal%.3f,"sf":"$sfDir","n":${results.size},$loadPart,"order":"sorted_names","errors":$errors"""
     val withRetries = base + s""","retried":$retried,"t":$tArr}"""

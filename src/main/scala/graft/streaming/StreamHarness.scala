@@ -69,10 +69,25 @@ object StreamHarness {
         .write.mode("overwrite").parquet(s"$stage/slice_$i")
       val dir = stage.resolve(s"slice_$i")
       val files = java.nio.file.Files.list(dir)
-      try scala.jdk.CollectionConverters.IteratorHasAsScala(files.iterator()).asScala
-        .foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(base + idx * 2000L)))
+      val names = try
+        scala.jdk.CollectionConverters.IteratorHasAsScala(files.iterator()).asScala
+          .map { p =>
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(base + idx * 2000L))
+            p.getFileName.toString
+          }.toVector
       finally files.close()
+      // the one-data-file invariant, ASSERTED (r17 ADVICE): the shared
+      // mtime stamp above restores cross-slice ordering but would
+      // reintroduce the intra-slice same-millisecond tie between a
+      // slice's OWN files if coalesce(1) ever silently regressed (e.g. a
+      // future maxRecordsPerFile conf splitting the write) — fail loudly
+      // at staging time instead of nondeterministically downstream
+      val dataFiles = names.filter(n => !n.startsWith("_") && !n.startsWith("."))
+      require(dataFiles.size == 1,
+        s"slice_$i staged ${dataFiles.size} data files (${dataFiles.mkString(", ")}) — " +
+          "stageSlices requires exactly one per slice (maxFilesPerTrigger=1 " +
+          "turns extra files into unintended extra micro-batches with tied mtimes)")
     }
     val schema = spark.read.parquet(s"$stage/slice_${sliceIds.head}").schema
     (stage, schema)

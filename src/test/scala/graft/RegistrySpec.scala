@@ -66,29 +66,78 @@ class RegistrySpec extends SparkSpec {
     // q_new_hot: contended AND absent from the prior artifact -> no
     //   correction available; the observation itself is the reference.
     // q_err: failed (-1) -> excluded from every total (matches `value`).
+    // attempts carry (time, loadavg, bar-in-effect) — the bar rides per
+    // attempt since r18 (the deferred pass can re-base it mid-sweep)
     val results = Seq("q_idle" -> 2.0, "q_hot" -> 9.0, "q_new_hot" -> 5.0, "q_err" -> -1.0)
-    val attempts = Map(
+    def withBar(bar: Double)(m: Map[String, Vector[(Double, Double)]]) =
+      m.view.mapValues(_.map { case (t, la) => (t, la, bar) }).toMap
+    val raw = Map(
       "q_idle" -> Vector((6.0, 4.0), (2.0, 0.5)),
       "q_hot" -> Vector((9.0, 7.2)),
       "q_new_hot" -> Vector((5.0, 6.0)),
       "q_err" -> Vector((-1.0, 0.4)))
     val refs = Map("q_hot" -> 3.0)
     val (contended, idleRef) =
-      Bench.idleAdjudicatedTotals(results, attempts, refs, bar = 2.0)
+      Bench.idleAdjudicatedTotals(results, withBar(2.0)(raw), refs)
     assert(contended == 9.0 + 5.0) // the unevidenced slice of value
     assert(idleRef == 2.0 + 3.0 + 5.0) // best idle, prior median, raw observation
     // fully idle sweep degenerates to (0, value) — the no-correction case
     val (c2, i2) = Bench.idleAdjudicatedTotals(
-      Seq("q" -> 1.5), Map("q" -> Vector((1.5, 0.3))), Map.empty, bar = 2.0)
+      Seq("q" -> 1.5), Map("q" -> Vector((1.5, 0.3, 2.0))), Map.empty)
     assert(c2 == 0.0 && i2 == 1.5)
     // self-load-scaled bar (r16 ADVICE): with a quiet start on a 32-CPU
     // box the bar is 9.0, so q_hot's 7.2-loadavg attempt AND q_new_hot's
     // 6.0-loadavg attempt are the sweep's OWN load and count as idle
     // evidence — nothing is left unevidenced and each query's reference
     // is its own best attempt
-    val (c3, i3) = Bench.idleAdjudicatedTotals(results, attempts, refs,
-      bar = Bench.idleBar(1.0, cpus = 32))
+    val (c3, i3) = Bench.idleAdjudicatedTotals(results,
+      withBar(Bench.idleBar(1.0, cpus = 32))(raw), refs)
     assert(c3 == 0.0 && i3 == 2.0 + 9.0 + 5.0)
+    // loaded-start sweep whose deferred pass re-based (r17 item 5): the
+    // first-pass attempt judged at the strict bar stays contended, the
+    // deferred retry judged at the rebased bar earns idle evidence
+    val mixed = Map("q_rebased" -> Vector((8.0, 5.0, 2.0), (3.0, 4.5, 9.0)))
+    val (c4, i4) = Bench.idleAdjudicatedTotals(
+      Seq("q_rebased" -> 3.0), mixed, Map.empty)
+    assert(c4 == 0.0 && i4 == 3.0)
+  }
+
+  test("Bench detail routing: subset runs and contended sweeps never clobber the medians") {
+    // the r17 incident, both directions (verdict item 1): a 3-query debug
+    // run replaced 269 medians with 3, and the driver's fully-contended
+    // sweep sat in the working tree as the next medians file. Routing
+    // rule: filtered ⇒ side file, always; full sweep over an
+    // idle-evidenced same-sf file with no idle evidence of its own ⇒
+    // refusal side file; everything else ⇒ the medians file.
+    val idleEvidenced =
+      """{"sf":"/sf","total":400.0,"contended_total":18.0,"idle_reference_total":401.0}"""
+    val contendedOld =
+      """{"sf":"/sf","total":400.0,"contended_total":400.0}"""
+    // filtered run: side file even when no refusal would fire
+    assert(Bench.detailPathFor(filtered = true, idleEvidenced, "/sf", 0.0, 10.0)._1
+      == "BENCH_DETAIL_subset.json")
+    // full contended sweep over idle-evidenced medians: refuse
+    val (p1, r1) = Bench.detailPathFor(filtered = false, idleEvidenced, "/sf", 469.0, 469.0)
+    assert(p1 == "BENCH_DETAIL_contended.json" && r1.nonEmpty)
+    // an all-errors sweep (total 0) must not clobber either
+    assert(Bench.detailPathFor(filtered = false, idleEvidenced, "/sf", 0.0, 0.0)._1
+      == "BENCH_DETAIL_contended.json")
+    // idle full sweep: overwrites (fresh evidence is the point)
+    assert(Bench.detailPathFor(filtered = false, idleEvidenced, "/sf", 12.0, 420.0)._1
+      == "BENCH_DETAIL.json")
+    // mixed new sweep (partial idle evidence, under the 80% bar): overwrites
+    assert(Bench.detailPathFor(filtered = false, idleEvidenced, "/sf", 200.0, 420.0)._1
+      == "BENCH_DETAIL.json")
+    // existing file itself contended: nothing worth protecting
+    assert(Bench.detailPathFor(filtered = false, contendedOld, "/sf", 469.0, 469.0)._1
+      == "BENCH_DETAIL.json")
+    // different sf, missing, or unparseable existing file: never blocks
+    assert(Bench.detailPathFor(filtered = false, idleEvidenced, "/other", 469.0, 469.0)._1
+      == "BENCH_DETAIL.json")
+    assert(Bench.detailPathFor(filtered = false, "", "/sf", 469.0, 469.0)._1
+      == "BENCH_DETAIL.json")
+    assert(Bench.detailPathFor(filtered = false, "not json{", "/sf", 469.0, 469.0)._1
+      == "BENCH_DETAIL.json")
   }
 
   test("Bench idleBar: self-load envelope on a quiet start, strict 2.0 on a loaded one") {
@@ -99,8 +148,9 @@ class RegistrySpec extends SparkSpec {
     // small box: the envelope collapses toward the 2.0 floor
     assert(Bench.idleBar(0.0, cpus = 4) == 2.0)
     // externally loaded start: loadavg can't separate a decaying external
-    // load from our own — no attempt this sweep counts as idle, the prior
-    // sweep's medians stay the only correction channel
+    // load from our own — the STRICT 2.0 bar applies (an attempt observed
+    // at ≤2.0 still counts as idle; self-load usually masks that window,
+    // so the medians channel and the deferred-pass rebase carry the sweep)
     assert(Bench.idleBar(6.2, cpus = 32) == 2.0)
     // unreadable /proc/loadavg (-1) degrades to the strict bar too
     assert(Bench.idleBar(-1.0, cpus = 32) == 2.0)

@@ -85,6 +85,69 @@ class PlansSpec extends SparkSpec {
       s"phantom plan copies must not surface as UNMEASURED noise: $hits")
   }
 
+  test("SinglePartitionAudit streaming twins: a collapse is marked, a distinct sibling stays visible") {
+    // the r17 verdict's documented conservative corner, pinned before it
+    // can matter (r17 item 3): phantom suppression collapses a
+    // never-updated plan COPY of an executed exchange by its
+    // plan_id-normalized signature — so a genuinely distinct STRUCTURAL
+    // TWIN (identical shape, own accumulator, never executed) in the
+    // same batch collapses with it too. The pin: the surviving measured
+    // hit must carry an explicit [collapsed=N] marker (never a silent
+    // drop), while a sibling with a DIFFERENT signature must stay
+    // visible as UNMEASURED. No registry stream has the twin shape, and
+    // a real stream can't be made to plan one on demand, so the spec
+    // drives the listener with synthetic bus events (GraftTestEvents for
+    // the private[spark] task-end constructor).
+    import org.apache.spark.scheduler.GraftTestEvents
+    import org.apache.spark.sql.execution.SparkPlanInfo
+    import org.apache.spark.sql.execution.metric.SQLMetricInfo
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    def exchange(accumId: Long, planId: Int, op: String = "REPARTITION_BY_NUM") =
+      new SparkPlanInfo("Exchange",
+        s"Exchange SinglePartition, $op, [plan_id=$planId]",
+        Seq.empty, Map.empty,
+        Seq(new SQLMetricInfo("shuffle records written", accumId, "sum")))
+    def start(plan: SparkPlanInfo) = SparkListenerSQLExecutionStart(
+      7L, None, "twin_pin [id = 7]\nrunId = deadbeef\nbatch = 0", "",
+      "synthetic", plan, 0L, Map.empty)
+
+    // case 1: structural twins — identical normalized signature, distinct
+    // accumulators, only accum 101 ever executes (500 records)
+    val twins = new graft.SinglePartitionAudit.SqlExecListener
+    twins.onOtherEvent(start(new SparkPlanInfo("Union", "Union", Seq(
+      exchange(101L, 1), exchange(202L, 2)), Map.empty, Seq.empty)))
+    twins.onTaskEnd(GraftTestEvents.taskEndWithUpdate(1, 0, 101L, 500L))
+    val twinHits = twins.streamingHits(Set.empty)
+    assert(twinHits.size == 1, s"twin must collapse into one hit: $twinHits")
+    assert(twinHits.head.records == 500L)
+    assert(twinHits.head.origin.contains("[collapsed=1]"),
+      s"the collapse must be explicitly marked: $twinHits")
+    assert(twinHits.head.origin.contains("batch = 0"))
+
+    // case 2: distinct sibling — different signature, so no collapse: the
+    // never-executed exchange stays visible as UNMEASURED (-1), unmarked
+    val siblings = new graft.SinglePartitionAudit.SqlExecListener
+    siblings.onOtherEvent(start(new SparkPlanInfo("Union", "Union", Seq(
+      exchange(111L, 1), exchange(222L, 2, op = "ENSURE_REQUIREMENTS")),
+      Map.empty, Seq.empty)))
+    siblings.onTaskEnd(GraftTestEvents.taskEndWithUpdate(1, 0, 111L, 500L))
+    val sibHits = siblings.streamingHits(Set.empty)
+    assert(sibHits.map(_.records).sorted == Seq(-1L, 500L),
+      s"distinct never-executed sibling must surface as UNMEASURED: $sibHits")
+    assert(!sibHits.exists(_.origin.contains("[collapsed=")), s"no collapse here: $sibHits")
+
+    // case 3: duplicate start events (Spark's routine per-batch re-post) —
+    // plan copies share the signature; the re-posted copy's fresh
+    // accumulator collapses and is marked, measured exactly once
+    val copies = new graft.SinglePartitionAudit.SqlExecListener
+    copies.onOtherEvent(start(exchange(301L, 1)))
+    copies.onOtherEvent(start(exchange(302L, 9))) // same exchange, re-planned copy
+    copies.onTaskEnd(GraftTestEvents.taskEndWithUpdate(1, 0, 301L, 750L))
+    val copyHits = copies.streamingHits(Set.empty)
+    assert(copyHits.size == 1 && copyHits.head.records == 750L, s"$copyHits")
+    assert(copyHits.head.origin.contains("[collapsed=1]"))
+  }
+
   test("GeometricRoundExpr matches the Column-composed version and works in SQL") {
     import spark.implicits._
     val xs = Seq(0.5, 2.44, 2.45, 7.0, 123.456, 0.0).toDF("x")

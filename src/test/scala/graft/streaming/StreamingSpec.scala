@@ -277,6 +277,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.toSet == Set(1, 2, 3))
   }
 
+  test("stageSlices enforces its one-data-file-per-slice invariant (q227 lesson)") {
+    // r17 ADVICE: the strictly-increasing per-slice mtime stamp restores
+    // cross-slice ordering, but a slice that silently emits MORE than one
+    // data file (coalesce(1) is the only guard) would reintroduce the
+    // intra-slice same-millisecond tie downstream, nondeterministically.
+    // Pin both directions: the normal path stages exactly one data file
+    // per slice, and a forced regression (maxRecordsPerFile splitting the
+    // single-partition write) fails LOUDLY at staging time.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).select(col("id"), pmod(col("id"), lit(2)).as("k"))
+    val (stage, _) = StreamHarness.stageSlices(df, col("k"), 0 to 1, "graft_slicepin_")
+    (0 to 1).foreach { i =>
+      val files = java.nio.file.Files.list(stage.resolve(s"slice_$i"))
+      val data = try
+        scala.jdk.CollectionConverters.IteratorHasAsScala(files.iterator()).asScala
+          .map(_.getFileName.toString)
+          .filter(n => !n.startsWith("_") && !n.startsWith(".")).toVector
+      finally files.close()
+      assert(data.size == 1, s"slice_$i: $data")
+    }
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 10L)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StreamHarness.stageSlices(df, col("k"), 0 to 1, "graft_slicepin_bad_")
+      }
+      assert(e.getMessage.contains("exactly one per slice"), e.getMessage)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+  }
+
   test("stateful streaming sessionization agrees with the batch window idiom") {
     import org.apache.spark.sql.functions.col
     val streamed = EventStreams.sessionizeStream(spark, sf001, queryName = "spec_stream_sessions")
