@@ -54,15 +54,32 @@ object CountMinSketch {
   private def bucket(r: Int, key: Column): Column =
     pmod(h60(s"cms$r", key), lit(W))
 
+  /** Per-lang (feature, count) frame — ONE corpus-sized pass (map-side
+    * combinable), shared by the matrix build and the key frame so the
+    * tokenization runs once and the D md5 bucket hashes run per
+    * DISTINCT key instead of per token occurrence (r18, guide §2.3
+    * aggregate-before-shuffle: the fixture stream is ~40 occurrences
+    * per distinct key, so this cuts the md5 work ~40·|corpus|·D →
+    * |keys|·D; counts are exact integers, so every downstream number is
+    * unchanged).
+    */
+  private[operators] def langKeyCounts(docs: DataFrame): DataFrame =
+    DsirSelect.feats(docs, Seq("lang"))
+      .groupBy(col("lang"), col("f")).agg(count(lit(1)).as("cf"))
+
   /** Per-lang CMS matrices: (lang, r, b, c) — the grain state the q98
-    * rollup pattern merges.
+    * rollup pattern merges. Built from the aggregated key counts: the
+    * (r, b) cell count is Σ over keys hashing there, identical to the
+    * per-occurrence count.
     */
   def langMatrices(docs: DataFrame): DataFrame =
-    DsirSelect.feats(docs, Seq("lang"))
-      .select(col("lang"), posexplode(
+    matricesOf(langKeyCounts(docs))
+
+  private def matricesOf(kc: DataFrame): DataFrame =
+    kc.select(col("lang"), col("cf"), posexplode(
         array((0 until D).map(r => bucket(r, col("f"))): _*)))
-      .toDF("lang", "r", "b")
-      .groupBy("lang", "r", "b").agg(count(lit(1)).as("c"))
+      .toDF("lang", "cf", "r", "b")
+      .groupBy("lang", "r", "b").agg(sum("cf").as("c"))
 
   /** Matrix merge — plain addition, associative and commutative (what
     * makes both the rollup and the streaming twin exact). */
@@ -72,9 +89,17 @@ object CountMinSketch {
   /** Top-k heavy hitters estimated FROM THE SKETCH, with the exact
     * count and one-sided overestimate as audit columns.
     */
-  def heavyHitters(docs: DataFrame, matrix: DataFrame): DataFrame = {
-    val keys = DsirSelect.feats(docs, Seq.empty)
-      .groupBy(col("f").as("key")).agg(count(lit(1)).as("exact"))
+  def heavyHitters(docs: DataFrame, matrix: DataFrame): DataFrame =
+    heavyHittersFromKeys(
+      DsirSelect.feats(docs, Seq.empty)
+        .groupBy(col("f").as("key")).agg(count(lit(1)).as("exact")),
+      matrix)
+
+  /** [[heavyHitters]] from a prebuilt (key, exact) frame — lets
+    * [[report]] reuse the one tokenization pass its matrix build already
+    * paid (identical counts either way).
+    */
+  private def heavyHittersFromKeys(keys: DataFrame, matrix: DataFrame): DataFrame = {
     val est = (0 until D).foldLeft(keys) { (acc, r) =>
       val mr = matrix.filter(col("r") === r)
         .select(col("b").as(s"b$r"), col("c").as(s"c$r"))
@@ -98,10 +123,17 @@ object CountMinSketch {
   /** The registered shape: per-lang matrices ROLLED UP to the global
     * sketch (exercising the merge), then the heavy-hitter report. The
     * oracle builds the global matrix directly — passing proves the
-    * merge identity cross-engine (the q98/q225 recipe).
+    * merge identity cross-engine (the q98/q225 recipe). One corpus
+    * tokenization pass total (r18): the cached per-lang key counts feed
+    * BOTH the matrix rollup and the exact-count key frame (summing the
+    * per-lang counts — same integers as a direct per-key count).
     */
-  def report(docs: DataFrame): DataFrame =
-    heavyHitters(docs, mergeMatrices(langMatrices(docs)))
+  def report(docs: DataFrame): DataFrame = {
+    val kc = langKeyCounts(docs).cache()
+    heavyHittersFromKeys(
+      kc.groupBy(col("f").as("key")).agg(sum("cf").as("exact")),
+      mergeMatrices(matricesOf(kc)))
+  }
 
   private def bucketSql(r: Int, key: String): String =
     s"CAST(('0x' || substr(md5('cms$r:' || $key), 1, 15)) AS BIGINT) % $W"
