@@ -91,8 +91,13 @@ object CountMinSketch {
     */
   def heavyHitters(docs: DataFrame, matrix: DataFrame): DataFrame =
     heavyHittersFromKeys(
+      // cached: the report consumes the key frame through TWO actions
+      // (the audit head() and the returned frame) — uncached, each one
+      // re-pays the full tokenization scan (measured 1.2-1.6s each at
+      // sf0.1 on the q247 path); the frame itself is |keys| rows
       DsirSelect.feats(docs, Seq.empty)
-        .groupBy(col("f").as("key")).agg(count(lit(1)).as("exact")),
+        .groupBy(col("f").as("key")).agg(count(lit(1)).as("exact"))
+        .cache(),
       matrix)
 
   /** [[heavyHitters]] from a prebuilt (key, exact) frame — lets

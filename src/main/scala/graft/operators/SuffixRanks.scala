@@ -21,12 +21,14 @@ import graft.registry.GQuery
   * alphabet, so no suffix is a prefix of another and all suffix ranks
   * are distinct); round 0 ranks positions by their single token (the
   * scale-correct seed — see the inline note on the rejected depth-4
-  * variant); round k+1 ranks by the pair (rank[i], rank[i + 2^k]) —
-  * the lookup is a windowed lead() over positions within the doc
-  * (suffixes never cross docs), null past the end → -1 — and the loop
-  * exits early once every rank is distinct (Manber-Myers termination;
-  * further rounds are exact no-ops). At most 7 rounds here (fixture
-  * docs ≤ 100 tokens + sentinel ≤ 128; a require guards the bound).
+  * variant); each later round ranks by the M-tuple of ranks at strides
+  * M^k (r18 — log2(M) classic pair-doubling steps fused per rank pass;
+  * see [[rankRound]]) — the lookups are windowed lead()s over positions
+  * within the doc (suffixes never cross docs), null past the end → -1 —
+  * and the loop exits early once every rank is distinct (Manber-Myers
+  * termination; further rounds are exact no-ops). At most 4 rounds here
+  * (fixture docs ≤ 100 tokens + sentinel ≤ 4^4 = 256; a require guards
+  * the bound).
   *
   * Rank representation (r15): rounds use `DistributedRank.rank` — SQL
   * RANK(), tie-preserving but NOT dense — because prefix doubling only
@@ -60,8 +62,8 @@ import graft.registry.GQuery
   * textbook parallel suffix-array bound. The LCP pass touches each
   * rank-adjacent pair exactly once: n-1 pairs, never n². At 100 TB each
   * round's shuffles spread over every executor, none single-partition,
-  * and L (max doc length in tokens) bounds the round count at ~17 even
-  * for 100k-token docs.
+  * and L (max doc length in tokens) bounds the round count at
+  * ⌈log_M L⌉ ≈ 9 even for 100k-token docs.
   *
   * Alphabet guard: the oracle-equivalence argument requires every corpus
   * token char to sit strictly between ' ' (the join separator) and '~'
@@ -72,14 +74,34 @@ import graft.registry.GQuery
   */
 object SuffixRanks {
 
-  private val Rounds = 7 // 2^7 = 128 ≥ max doc tokens + sentinel
+  /** Rank-tuple width per round (r18): each round ranks by the M-tuple
+    * (r[i], r[i+s], …, r[i+(M−1)s]) with stride s = M^k — log2(M)
+    * classic doubling steps fused into ONE rank pass. The correctness
+    * invariant is the textbook one, block-wise: after a round of
+    * stride s the rank orders suffixes by their first min(M·s, len−i)
+    * tokens (each tuple component is the depth-s rank of one
+    * consecutive block; a block past the end reads −1, below every
+    * real rank, so shorter suffixes sort first exactly as the pair
+    * form's −1 did). The FINAL ranking — the only thing the output
+    * reads — is the total suffix order, identical for any ladder path.
+    * Why it pays: this corpus' injected duplicate spans have LCPs up
+    * to ~32+ tokens, so the pair ladder genuinely runs all 7 rounds
+    * (measured: the early exit never fires at sf0.1 — 99 jobs, 13.3s,
+    * none over 1.7s: pure per-round job overhead); M = 4 runs the same
+    * depth coverage in 4 rounds — 2 exchanges + 1 checkpoint fewer per
+    * eliminated round — while the extra 2 lead columns ride the SAME
+    * window pass (one Window operator, no extra exchange) and only
+    * widen the range-shuffle row by 16 bytes.
+    */
+  private val M = 4
+  private val Rounds = 4 // M^4 = 256 ≥ max doc tokens + sentinel
   private val LcpCap = 32
   private val MinLcp = 8
 
-  /** One prefix-doubling round: pair each position's rank with the rank
-    * 2^k ahead (per-doc windowed lead, -1 past the end) and re-rank the
-    * pairs globally through `DistributedRank.rankWithTieCount` — which
-    * is where the round's range shuffle, partition-local sort, and
+  /** One fused prefix-doubling round at stride M^k: window-lead the
+    * ranks at offsets j·M^k (j = 1..M−1, −1 past the end) and re-rank
+    * the M-tuples globally through `DistributedRank.rankWithTieCount` —
+    * which is where the round's range shuffle, partition-local sort, and
     * eager checkpoint all live (ONE full-data exchange beyond the lead
     * window's; the r14 denseRank form paid the distinct + join-back on
     * top). Output adds `gc`, the tie-group size — `max(gc) == 1` is the
@@ -91,9 +113,13 @@ object SuffixRanks {
     */
   def rankRound(ranked: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val paired = ranked.select("doc_id", "pos", "r")
-      .withColumn("rn", coalesce(lead(col("r"), 1 << k).over(byPos), lit(-1L)))
-    DistributedRank.rankWithTieCount(paired, Seq("r", "rn"), "r2", "gc")
+    val stride = { var s = 1; (0 until k).foreach(_ => s *= M); s }
+    val paired = (1 until M).foldLeft(ranked.select("doc_id", "pos", "r")) {
+      (acc, j) => acc.withColumn(s"rn$j",
+        coalesce(lead(col("r"), j * stride).over(byPos), lit(-1L)))
+    }
+    DistributedRank.rankWithTieCount(paired,
+        "r" +: (1 until M).map(j => s"rn$j"), "r2", "gc")
       .select(col("doc_id"), col("pos"), col("r2").as("r"), col("gc"))
   }
 
@@ -113,8 +139,9 @@ object SuffixRanks {
             array(concat(lit("~"), col("doc_id").cast("string")))).as("toks"))
         .cache()
       val maxLen = docs.agg(max(size(col("toks")))).head.getInt(0)
-      require(maxLen <= (1 << Rounds),
-        s"doc length $maxLen exceeds 2^$Rounds — raise Rounds")
+      val cover = { var c = 1L; (0 until Rounds).foreach(_ => c *= M); c }
+      require(maxLen <= cover,
+        s"doc length $maxLen exceeds $M^$Rounds — raise Rounds")
       val positions = docs
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))

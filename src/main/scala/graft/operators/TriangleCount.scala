@@ -60,6 +60,20 @@ object TriangleCount {
         when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
   }
 
+  /** Broadcast-closure ceiling (edge rows): the closure join's BUILD
+    * side is the oriented edge list (m rows of two longs). Below this
+    * bound it broadcasts — the O(m^1.5) wedge stream then streams
+    * through a broadcast hash join where it is PRODUCED, paying no
+    * shuffle at all (the wedge stream is √m times larger than the edge
+    * list, so moving m once always beats moving m^1.5) — above it, the
+    * closure falls back to the shuffled-hash form. Tunable per
+    * deployment (`graft.triangles.broadcastEdgesMax`); the 5M default
+    * builds a ~200 MB hash relation, comfortable for executors with
+    * a few GB of memory.
+    */
+  private val BroadcastEdgesMaxKey = "graft.triangles.broadcastEdgesMax"
+  private val BroadcastEdgesMaxDefault = 5000000L
+
   /** Triangles as (a, b, c) corner rows, each triangle exactly once:
     * wedges centered on the orientation-smallest corner, closed against
     * the oriented edge set.
@@ -68,24 +82,31 @@ object TriangleCount {
     trianglesFrom(oriented(edges, degrees(edges)))
 
   /** [[triangles]] with the oriented edge set supplied — the report
-    * caches it (it is consumed three times below). */
-  def trianglesFrom(o: DataFrame): DataFrame = {
+    * caches it (it is consumed three times below).
+    * @param broadcastClosure broadcast the closing edge set (see
+    * [[BroadcastEdgesMaxKey]]); false = the shuffled-hash fallback for
+    * edge lists past the broadcast ceiling. */
+  def trianglesFrom(o: DataFrame, broadcastClosure: Boolean = true): DataFrame = {
     val w1 = o.select(col("src").as("a"), col("dst").as("b"),
       col("ddst").as("db"))
     val w2 = o.select(col("src").as("a"), col("dst").as("c"),
       col("ddst").as("dc"))
     // each wedge once: spokes ordered by the same (degree, id) rule.
-    // shuffle_hash on both joins: the wedge stream is O(m^1.5) rows and
-    // sort-merge would SORT it; hash joins build on the m-sized side
-    // and stream the wedges
+    // shuffle_hash: the wedge stream is O(m^1.5) rows and sort-merge
+    // would SORT it; the hash join builds on the m-sized side and
+    // streams the wedges. When the caller pre-partitions `o` by src
+    // (reportFrom does — r18), both projections inherit
+    // HashPartitioning(a) and the self-join plans with ZERO exchanges
+    // (one repartition of m replaces two per-side shuffles).
     val wedges = w1.hint("shuffle_hash").join(w2, "a")
       .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
     // (b, c) respects the orientation order, so a closing edge is
     // oriented exactly src=b, dst=c
-    wedges.join(
-        o.select(col("src").as("b"), col("dst").as("c")).hint("shuffle_hash"),
-        Seq("b", "c"))
-      .select("a", "b", "c")
+    val closing = o.select(col("src").as("b"), col("dst").as("c"))
+    val joined =
+      if (broadcastClosure) wedges.join(broadcast(closing), Seq("b", "c"))
+      else wedges.join(closing.hint("shuffle_hash"), Seq("b", "c"))
+    joined.select("a", "b", "c")
   }
 
   /** Top-100 nodes by triangle participation with local clustering
@@ -109,8 +130,19 @@ object TriangleCount {
     // node-sized frames stay cached for the top-100 join.
     val edges = edges0.cache()
     val deg = degrees(edges).cache()
-    val o = oriented(edges, deg).cache()
-    val tri = trianglesFrom(o)
+    // materializes the edge cache and decides the closure strategy
+    // (broadcast below the ceiling, shuffled-hash above — guide §3.1:
+    // pick the join deliberately from the REAL size, not an estimate);
+    // the count doubles as the audit's n_edges, saving that agg too
+    val nEdges = edges.count()
+    val bcMax = edges.sparkSession.conf
+      .get(BroadcastEdgesMaxKey, BroadcastEdgesMaxDefault.toString).toLong
+    // pre-partition the oriented edges by src (r18): the wedge
+    // self-join's two projections then share this ONE exchange instead
+    // of shuffling each side separately, and the per-partition hash
+    // build happens in place
+    val o = oriented(edges, deg).repartition(col("src")).cache()
+    val tri = trianglesFrom(o, broadcastClosure = nEdges <= bcMax)
     // node-sized; consumed by the audit aggregate AND the top-100 join,
     // so caching it avoids a second pass over the wedge join (the
     // expensive subtree) — the q229 tiny-ranked-state precedent
@@ -123,7 +155,6 @@ object TriangleCount {
     // scan of tri
     val audit = perNode
       .agg((coalesce(sum("n_tri"), lit(0L)) / 3).cast("long").as("n_triangles"))
-      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
       .crossJoin(deg.agg(
         count(lit(1)).as("n_nodes"),
         sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges")))
@@ -144,10 +175,10 @@ object TriangleCount {
       .orderBy(col("n_tri").desc, col("node"))
       .limit(100)
       .withColumn("n_triangles", lit(aud.getLong(0)))
-      .withColumn("n_edges", lit(aud.getLong(1)))
-      .withColumn("n_nodes", lit(aud.getLong(2)))
+      .withColumn("n_edges", lit(nEdges))
+      .withColumn("n_nodes", lit(aud.getLong(1)))
       .withColumn("transitivity",
-        Metrics.canonRound(lit(aud.getLong(0) * 3.0 / aud.getLong(3)), 6))
+        Metrics.canonRound(lit(aud.getLong(0) * 3.0 / aud.getLong(2)), 6))
       .orderBy(col("n_tri").desc, col("node"))
   }
 
