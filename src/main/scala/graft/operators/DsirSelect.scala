@@ -89,14 +89,23 @@ object DsirSelect {
   def selectTopK(s: SparkSession, dir: String, k: Int = K): DataFrame =
     selectFrom(Tables.documents(s, dir), k)
 
+  /** (f, cf) occurrence counts — the map-side-combinable aggregation the
+    * two bucket models hash from. Aggregating BEFORE hashing (r18, the
+    * q246 recipe) runs the md5 per DISTINCT feature (~1k at fixture
+    * scale: a 31-token vocab plus bigrams) instead of per occurrence;
+    * bucket counts are Σ cf over keys hashing there — identical
+    * integers.
+    */
+  private def keyCounts(df: DataFrame): DataFrame =
+    feats(df, Seq.empty).groupBy(col("f")).agg(count(lit(1)).as("cf"))
+
   /** Raw-pool bucket-count model (b, cr) — the expensive aggregation the
     * streaming twin (q239) maintains incrementally; counts merge by sum,
     * which is what makes the stream-built model equal the batch build
     * for any slicing.
     */
   def rawBuckets(raw: DataFrame): DataFrame =
-    feats(raw, Seq("doc_id"))
-      .groupBy(bucket(col("f")).as("b")).agg(count(lit(1)).as("cr"))
+    keyCounts(raw).groupBy(bucket(col("f")).as("b")).agg(sum("cf").as("cr"))
 
   def selectFrom(docs: DataFrame, k: Int = K): DataFrame = {
     val (_, raw) = corpora(docs)
@@ -107,9 +116,9 @@ object DsirSelect {
   def selectGiven(docs: DataFrame, rawModel: DataFrame, k: Int = K): DataFrame = {
     val s = docs.sparkSession
     val (target, raw) = corpora(docs)
-    val tf = feats(target, Seq.empty)
     val rf = feats(raw, Seq("doc_id"))
-    val tb = tf.groupBy(bucket(col("f")).as("b")).agg(count(lit(1)).as("ct"))
+    // target model hashed per distinct key too (see keyCounts)
+    val tb = keyCounts(target).groupBy(bucket(col("f")).as("b")).agg(sum("cf").as("ct"))
       .cache() // ≤ B rows; feeds both the total and the λ join
     val rb = rawModel.cache()
     // totals are ALGEBRAIC over the bucket counts — deriving them here

@@ -348,15 +348,25 @@ object PipelineQueries {
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .cache()
       docs.count()
+      // gram identity carried as the md5 120-bit pair (r18) — the
+      // scaladoc's 100 TB form, adopted: the ~50-byte gram STRING used
+      // to flow through the cache, the hot-gram aggregation AND the
+      // cover join (two corpus-sized exchanges of string keys); the two
+      // 60-bit halves are 16 bytes and collision-free in practice (the
+      // q56 md5-identity convention). Output unchanged: the oracle keys
+      // on the string and agrees wherever md5 doesn't collide.
       val occ = docs
         .select(col("doc_id"), posexplode(ngrams(col("ws"), k)))
         .toDF("doc_id", "p0", "g")
-        .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+        .select(col("doc_id"), (col("p0") + 1).as("p"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("g1"),
+          conv(substring(md5(col("g")), 17, 15), 16, 10).cast("long").as("g2"))
         .cache()
       occ.count()
-      val hot = occ.groupBy("g")
-        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("g")
-      val cov = occ.join(hot, "g")
+      val hot = occ.groupBy("g1", "g2")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+        .select("g1", "g2")
+      val cov = occ.join(hot, Seq("g1", "g2"))
         .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1))).as("cp"))
         .distinct()
       val wp = docs
