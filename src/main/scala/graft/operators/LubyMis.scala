@@ -68,6 +68,56 @@ object LubyMis {
           s"(got [${mm.getLong(0)}, ${mm.getLong(1)}]); remap ids first")
     }
     val e = edges.select(col("u"), col("v")).cache()
+    // HYBRID dispatch (r18 — the ConnectedComponents/PageRankOp
+    // precedent): a near-dup MIS graph is the similarity RELATION, not
+    // the corpus — usually tiny, and the per-round dataflow (priority
+    // projection + neighbor-min join + two anti/semi joins + two eager
+    // checkpoints) is pure scheduling overhead there. At or below
+    // `smallGraphThreshold` edges the loop runs on collected arrays
+    // with the IDENTICAL integer priority arithmetic and round
+    // semantics, so the output is bit-identical (LubyMisSpec holds on
+    // both paths; the oracle unrolls the same rounds). Above it, the
+    // distributed loop below is unchanged.
+    val smallGraphThreshold = 1L << 20
+    if (e.count() <= smallGraphThreshold) {
+      val es = e.collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+      val nodeIds = nodes.select(col("vec_id")).collect().map(_.getLong(0))
+      val nbrs: Map[Long, Array[Long]] =
+        es.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
+      val active0 = scala.collection.mutable.HashSet.empty[Long]
+      nodeIds.foreach(active0 += _)
+      val decided0 = scala.collection.mutable.HashMap.empty[Long, (String, Int)]
+      for (r <- 1 to rounds) {
+        def p(v: Long): Long = (48271L * (v + 1L) + 16807L * r) % Mod
+        // strict local minimum over ACTIVE neighbors (none ⇒ isolated
+        // in the active graph ⇒ MIS) — exactly the misR predicate
+        val misR = active0.iterator.filter { u =>
+          var nm = Long.MaxValue
+          var any = false
+          nbrs.getOrElse(u, Array.empty[Long]).foreach { v =>
+            if (active0.contains(v)) { any = true; val pv = p(v); if (pv < nm) nm = pv }
+          }
+          !any || p(u) < nm
+        }.toArray
+        misR.foreach(u => decided0(u) = ("mis", r))
+        // still-active neighbors of the round's MIS retire (MIS nodes
+        // are never adjacent — strict distinct priorities — so this
+        // cannot overwrite a "mis" decision)
+        misR.foreach { u =>
+          nbrs.getOrElse(u, Array.empty[Long]).foreach { v =>
+            if (active0.contains(v) && !decided0.contains(v)) decided0(v) = ("removed", r)
+          }
+        }
+        decided0.keysIterator.foreach(active0 -= _)
+      }
+      e.unpersist()
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      return nodeIds.toSeq.map { v =>
+        val (st, dr) = decided0.getOrElse(v, ("active", -1))
+        (v, st, dr)
+      }.toDF("vec_id", "status", "decided_round").orderBy("vec_id")
+    }
     var active = nodes.select(col("vec_id")).cache()
     var decided: DataFrame = null
     for (r <- 1 to rounds) {
